@@ -13,7 +13,9 @@ import graft.operators._
 object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Relational.queries, Relational.oracles))
+      (Relational.queries, Relational.oracles),
+      (GmallDws.queries, GmallDws.oracles),
+      (GmallAds.queries, GmallAds.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** DWD layer: deterministic adapter from the driver testdata onto the
+  * gmall shapes (FIXTURES.md §7), then the reference's DWD semantics
+  * in batch form.
+  *
+  * `pageLog` reproduces the whole DWD-log trio on one pass of `events`:
+  *  - D4 new/returning correction (`BaseLogApp.java:64-101`): `is_new`
+  *    = whether the event's date is the user's lifetime-first date.
+  *  - D3 daily UV dedup (`DwdTrafficUniqueVisitorDetail.java:51-87`):
+  *    `is_daily_first` marks the first event per (user, day).
+  *  - Sessionization + C1 jump detection
+  *    (`DwdTrafficUserJumpDetail.java:62-107`): a session starts after
+  *    a 30-minute silence; a singleton session is a "jump". The batch
+  *    form is lag/count over per-user windows — the streaming form
+  *    (timers) lives in graft.streaming.
+  *
+  * `orderWide` is the 5-table order-detail wide row
+  * (`DwdTradeOrderDetail.java:137-190`): fact-fact join on the order
+  * key plus broadcast dimension decodes (J3/J4).
+  *
+  * Scale notes: pageLog's analytic windows shuffle once on user_id and
+  * reuse that partitioning for all four window functions; orderWide
+  * shuffles only for lineitem⋈orders (AQE-skew-safe) — part/customer/
+  * nation are broadcast.
+  */
+object GmallDwd {
+  val SessionGapMin = 30
+
+  def pageLog(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val base = e.select(
+      col("event_id"), col("user_id"), col("ts"), col("event_type"),
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(LongType).as("k"),
+      date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+      (dec2(col("value")) * 100).cast(LongType).as("during_time"))
+    val attrs = base
+      .withColumn("ch", concat(lit("ch"), col("k") % 4))
+      .withColumn("vc", concat(lit("v"), col("k") % 3))
+      .withColumn("ar", (col("user_id") % 7).cast(StringType))
+      .withColumn("page_id",
+        when(col("event_type") === "view", "home")
+          .when(col("event_type") === "click", "good_detail")
+          .when(col("event_type") === "purchase", "order")
+          .when(col("event_type") === "signup", "register")
+          .otherwise("mine"))
+    val wUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess1 = attrs
+      .withColumn("is_session_start",
+        when(lag(col("ts"), 1).over(wUser).isNull ||
+          col("ts") > lag(col("ts"), 1).over(wUser) + expr(s"INTERVAL $SessionGapMin MINUTES"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("is_daily_first",
+        when(row_number().over(Window.partitionBy("user_id", "dt")
+          .orderBy(col("ts"), col("event_id"))) === 1, lit(1L)).otherwise(lit(0L)))
+      .withColumn("first_dt", min(col("dt")).over(Window.partitionBy("user_id")))
+    val sess2 = sess1.withColumn("session_id",
+      sum(col("is_session_start")).over(wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess2
+      .withColumn("is_jump",
+        when(col("is_session_start") === 1 &&
+          count(lit(1)).over(Window.partitionBy("user_id", "session_id")) === 1, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("is_new", when(col("dt") === col("first_dt"), "1").otherwise("0"))
+  }
+
+  /** 10s tumbling window bounds as strings (the DWS `stt`/`edt`). */
+  def withStt(df: DataFrame): DataFrame = {
+    val w = window(col("ts"), "10 seconds")
+    df.withColumn("stt", date_format(w.getField("start"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("edt", date_format(w.getField("end"), "yyyy-MM-dd HH:mm:ss"))
+  }
+
+  def orderWide(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val p = Tables.part(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val one = lit(1).cast(DecimalType(18, 2))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        col("o_custkey").as("user_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"),
+        col("c_nationkey").cast(StringType).as("province_id"),
+        col("n_name").as("province_name"),
+        col("l_partkey").cast(StringType).as("sku_id"),
+        col("p_name").as("spu_id"),
+        col("p_name").as("spu_name"),
+        col("p_brand").as("trademark_id"),
+        col("p_brand").as("trademark_name"),
+        col("p_type").as("category3_id"),
+        col("p_type").as("category3_name"),
+        split(col("p_name"), " ").getItem(0).as("category2_id"),
+        split(col("p_name"), " ").getItem(0).as("category2_name"),
+        split(col("p_name"), " ").getItem(1).as("category1_id"),
+        split(col("p_name"), " ").getItem(1).as("category1_name"),
+        dec2(col("l_extendedprice")).as("origin_amount"),
+        (dec2(col("l_extendedprice")) * dec2(col("l_discount"))).as("activity_reduce_amount"),
+        (dec2(col("l_extendedprice")) * dec2(col("l_tax"))).as("coupon_reduce_amount"),
+        (dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).as("split_total_amount"),
+        col("l_returnflag"),
+        col("o_orderstatus"))
+  }
+
+  /** Orders-level stream with lifetime-first markers (per user, and per
+    * user among paid orders) — D5's state in batch form. */
+  def ordersEnriched(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val wUser = Window.partitionBy("o_custkey")
+    o.select(
+        col("o_orderkey"), col("o_custkey").as("user_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"),
+        col("o_orderstatus"))
+      .withColumn("first_dt", min(col("dt")).over(Window.partitionBy("user_id")))
+      .withColumn("first_pay_dt",
+        min(when(col("o_orderstatus") === "F", col("dt"))).over(Window.partitionBy("user_id")))
+  }
+
+  // ---------------------------------------------------------------
+  // Oracle CTE prefixes (DuckDB SQL mirroring the transforms above).
+  // ---------------------------------------------------------------
+
+  /** WITH-clause body producing `page_log`. */
+  val pageLogCte: String =
+    s"""base AS (
+       |  SELECT event_id, user_id, ts, event_type,
+       |    CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
+       |    strftime(ts, '%Y-%m-%d') AS dt,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS during_time
+       |  FROM events
+       |), attrs AS (
+       |  SELECT *,
+       |    'ch' || CAST(k % 4 AS VARCHAR) AS ch,
+       |    'v' || CAST(k % 3 AS VARCHAR) AS vc,
+       |    CAST(user_id % 7 AS VARCHAR) AS ar,
+       |    CASE event_type WHEN 'view' THEN 'home' WHEN 'click' THEN 'good_detail'
+       |      WHEN 'purchase' THEN 'order' WHEN 'signup' THEN 'register' ELSE 'mine' END AS page_id
+       |  FROM base
+       |), sess1 AS (
+       |  SELECT *,
+       |    CASE WHEN lag(ts) OVER wu IS NULL
+       |              OR ts > lag(ts) OVER wu + INTERVAL $SessionGapMin MINUTE
+       |         THEN 1 ELSE 0 END AS is_session_start,
+       |    CASE WHEN row_number() OVER (PARTITION BY user_id, dt ORDER BY ts, event_id) = 1
+       |         THEN 1 ELSE 0 END AS is_daily_first,
+       |    min(dt) OVER (PARTITION BY user_id) AS first_dt
+       |  FROM attrs WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess2 AS (
+       |  SELECT *, SUM(is_session_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM sess1
+       |), page_log AS (
+       |  SELECT *,
+       |    CASE WHEN is_session_start = 1
+       |              AND COUNT(*) OVER (PARTITION BY user_id, session_id) = 1
+       |         THEN 1 ELSE 0 END AS is_jump,
+       |    CASE WHEN dt = first_dt THEN '1' ELSE '0' END AS is_new,
+       |    strftime(time_bucket(INTERVAL 10 SECOND, ts), '%Y-%m-%d %H:%M:%S') AS stt,
+       |    strftime(time_bucket(INTERVAL 10 SECOND, ts) + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt
+       |  FROM sess2
+       |)""".stripMargin
+
+  /** WITH-clause body producing `order_wide`. */
+  val orderWideCte: String =
+    """order_wide AS (
+      |  SELECT l_orderkey AS order_id, l_linenumber AS line_no, o_custkey AS user_id,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS dt,
+      |    CAST(c_nationkey AS VARCHAR) AS province_id, n_name AS province_name,
+      |    CAST(l_partkey AS VARCHAR) AS sku_id, p_name AS spu_id, p_name AS spu_name,
+      |    p_brand AS trademark_id, p_brand AS trademark_name,
+      |    p_type AS category3_id, p_type AS category3_name,
+      |    string_split(p_name, ' ')[1] AS category2_id, string_split(p_name, ' ')[1] AS category2_name,
+      |    string_split(p_name, ' ')[2] AS category1_id, string_split(p_name, ' ')[2] AS category1_name,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS origin_amount,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS activity_reduce_amount,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS coupon_reduce_amount,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS split_total_amount,
+      |    l_returnflag, o_orderstatus
+      |  FROM lineitem
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN part ON l_partkey = p_partkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation ON c_nationkey = n_nationkey
+      |)""".stripMargin
+
+  /** WITH-clause body producing `orders_enriched`. */
+  val ordersEnrichedCte: String =
+    """orders_enriched AS (
+      |  SELECT o_orderkey, o_custkey AS user_id,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS dt, o_orderstatus,
+      |    min(strftime(o_orderdate, '%Y-%m-%d')) OVER (PARTITION BY o_custkey) AS first_dt,
+      |    min(CASE WHEN o_orderstatus = 'F' THEN strftime(o_orderdate, '%Y-%m-%d') END)
+      |      OVER (PARTITION BY o_custkey) AS first_pay_dt
+      |  FROM orders
+      |)""".stripMargin
+}

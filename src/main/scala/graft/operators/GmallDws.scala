@@ -1,0 +1,358 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.functions.Num._
+import GmallDwd._
+
+/** DWS layer: the reference's 11 windowed summary tables (SURVEY.md §2.5,
+  * FIXTURES.md §6), batch form.
+  *
+  * Traffic tables keep the reference's 10-second tumbling event-time
+  * windows (`DwsTrafficVcChArIsNewPageViewWindow.java:135`); trade
+  * tables window at day granularity because the adapted order stream
+  * (`o_orderdate`) is day-resolution.
+  *
+  * Internal builders keep amounts in exact DECIMAL so downstream ADS
+  * aggregation stays order-independent; the public query wrappers cast
+  * to DOUBLE at the boundary (matching the oracle SQL).
+  *
+  * Scale notes: each table is one shuffle (the groupBy); the per-user
+  * analytic windows in the DWD layer are the only other shuffle and
+  * are shared across all traffic DWS tables via `pageLog`. Exact
+  * distinct order counts use count(distinct) inside the aggregation
+  * (the reference's Set-union, W2 — `DwsTradeTrademarkCategoryUserSpuOrderWindow.java:235`);
+  * at 100 TB swap for approx_count_distinct per config.
+  */
+object GmallDws {
+
+  private def dtStt(df: DataFrame): DataFrame =
+    df.withColumn("stt", concat(col("dt"), lit(" 00:00:00")))
+      .withColumn("edt", concat(date_format(date_add(to_date(col("dt")), 1), "yyyy-MM-dd"), lit(" 00:00:00")))
+
+  /** W1/M1: channel page-view window (vc,ch,ar,is_new → uv/sv/pv/dur/uj). */
+  def trafficChannel(spark: SparkSession, dir: String): DataFrame =
+    withStt(pageLog(spark, dir))
+      .groupBy(col("stt"), col("edt"), col("vc"), col("ch"), col("ar"), col("is_new"))
+      .agg(
+        sum(col("is_daily_first")).as("uv_ct"),
+        sum(col("is_session_start")).as("sv_ct"),
+        count(lit(1)).as("pv_ct"),
+        sum(col("during_time")).as("dur_sum"),
+        sum(col("is_jump")).as("uj_ct"))
+
+  /** W6/U1: keyword window from tokenized documents. */
+  def trafficKeyword(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+        date_format(date_add(lit("2024-01-01").cast(DateType), (col("doc_id") % 30).cast(IntegerType)), "yyyy-MM-dd").as("dt"),
+        when(col("doc_id") % 4 === 0, "SEARCH").when(col("doc_id") % 4 === 1, "ORDER")
+          .when(col("doc_id") % 4 === 2, "CART").otherwise("CLICK").as("source"),
+        explode(split(col("text"), " ")).as("keyword"))
+      .filter(col("keyword") =!= "")
+      .groupBy(col("dt"), col("source"), col("keyword"))
+      .agg(count(lit(1)).as("keyword_count"))
+      .select(
+        concat(col("dt"), lit(" 00:00:00")).as("stt"),
+        concat(date_format(date_add(to_date(col("dt")), 1), "yyyy-MM-dd"), lit(" 00:00:00")).as("edt"),
+        col("source"), col("keyword"), col("keyword_count"))
+  }
+
+  /** D5 (two states): home / good_detail page daily-UV window. */
+  def trafficHomeDetail(spark: SparkSession, dir: String): DataFrame = {
+    val pages = pageLog(spark, dir)
+      .filter(col("page_id").isin("home", "good_detail"))
+      .withColumn("is_page_daily_first",
+        when(row_number().over(Window.partitionBy("user_id", "dt", "page_id")
+          .orderBy(col("ts"), col("event_id"))) === 1, lit(1L)).otherwise(lit(0L)))
+    withStt(pages)
+      .groupBy(col("stt"), col("edt"))
+      .agg(
+        sum(when(col("page_id") === "home", col("is_page_daily_first")).otherwise(lit(0L))).as("home_uv_ct"),
+        sum(when(col("page_id") === "good_detail", col("is_page_daily_first")).otherwise(lit(0L))).as("good_detail_uv_ct"))
+  }
+
+  /** D6: login window — unique users + back-flow (gap ≥ 8 days). */
+  def userLogin(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = pageLog(spark, dir).filter(col("is_daily_first") === 1)
+      .withColumn("prev_dt", lag(col("dt"), 1).over(Window.partitionBy("user_id").orderBy(col("dt"))))
+      .withColumn("is_back",
+        when(col("prev_dt").isNotNull &&
+          datediff(to_date(col("dt")), to_date(col("prev_dt"))) >= 8, lit(1L)).otherwise(lit(0L)))
+    withStt(firsts)
+      .groupBy(col("stt"), col("edt"))
+      .agg(sum(col("is_back")).as("back_ct"), count(lit(1)).as("uu_ct"))
+  }
+
+  /** Register window (`DwsUserUserRegisterWindow.java:68-88`). */
+  def userRegister(spark: SparkSession, dir: String): DataFrame =
+    withStt(pageLog(spark, dir).filter(col("event_type") === "signup"))
+      .groupBy(col("stt"), col("edt"))
+      .agg(count(lit(1)).as("register_ct"))
+
+  /** D5: cart-add unique-user window (cart ≙ click events). */
+  def tradeCartAddUu(spark: SparkSession, dir: String): DataFrame = {
+    val carts = pageLog(spark, dir).filter(col("event_type") === "click")
+      .withColumn("is_cart_daily_first",
+        when(row_number().over(Window.partitionBy("user_id", "dt")
+          .orderBy(col("ts"), col("event_id"))) === 1, lit(1L)).otherwise(lit(0L)))
+    withStt(carts)
+      .groupBy(col("stt"), col("edt"))
+      .agg(sum(col("is_cart_daily_first")).as("cart_add_uu_ct"))
+  }
+
+  /** W5/D5: order window — unique/new users + reduce/origin amounts (DECIMAL). */
+  def tradeOrder(spark: SparkSession, dir: String): DataFrame = {
+    val oe = ordersEnriched(spark, dir)
+    val users = oe.groupBy(col("dt")).agg(
+      countDistinct(col("user_id")).as("order_unique_user_count"),
+      countDistinct(when(col("dt") === col("first_dt"), col("user_id"))).as("order_new_user_count"))
+    val amounts = orderWide(spark, dir).groupBy(col("dt")).agg(
+      sum(col("activity_reduce_amount")).as("order_activity_reduce_amount"),
+      sum(col("coupon_reduce_amount")).as("order_coupon_reduce_amount"),
+      sum(col("origin_amount")).as("order_origin_total_amount"))
+    dtStt(users.join(amounts, Seq("dt")))
+      .select(col("stt"), col("edt"), col("order_unique_user_count"), col("order_new_user_count"),
+        col("order_activity_reduce_amount"), col("order_coupon_reduce_amount"), col("order_origin_total_amount"))
+  }
+
+  /** D1/D5: payment-success window (paid ≙ o_orderstatus='F'). */
+  def tradePaymentSuc(spark: SparkSession, dir: String): DataFrame = {
+    val paid = ordersEnriched(spark, dir).filter(col("o_orderstatus") === "F")
+    dtStt(paid.groupBy(col("dt")).agg(
+        countDistinct(col("user_id")).as("payment_suc_unique_user_count"),
+        countDistinct(when(col("dt") === col("first_pay_dt"), col("user_id"))).as("payment_suc_new_user_count")))
+      .select(col("stt"), col("edt"), col("payment_suc_unique_user_count"), col("payment_suc_new_user_count"))
+  }
+
+  /** W3: province order window — exact distinct order ids + amount (DECIMAL). */
+  def tradeProvinceOrder(spark: SparkSession, dir: String): DataFrame =
+    dtStt(orderWide(spark, dir)
+        .groupBy(col("dt"), col("province_id"), col("province_name"))
+        .agg(
+          countDistinct(col("order_id")).as("order_count"),
+          sum(col("split_total_amount")).as("order_amount")))
+      .select(col("stt"), col("edt"), col("province_id"), col("province_name"),
+        col("order_count"), col("order_amount"))
+
+  /** W2/J4: trademark×category×user×spu order window (DECIMAL amount). */
+  def tradeTmCatUserSpuOrder(spark: SparkSession, dir: String): DataFrame =
+    dtStt(orderWide(spark, dir)
+        .groupBy(col("dt"), col("trademark_id"), col("trademark_name"),
+          col("category1_id"), col("category1_name"), col("category2_id"), col("category2_name"),
+          col("category3_id"), col("category3_name"), col("user_id"), col("spu_id"), col("spu_name"))
+        .agg(
+          countDistinct(col("order_id")).as("order_count"),
+          sum(col("split_total_amount")).as("order_amount")))
+      .drop("dt")
+
+  /** W4: trademark×category×user refund window. */
+  def tradeTmCatUserRefund(spark: SparkSession, dir: String): DataFrame =
+    dtStt(orderWide(spark, dir).filter(col("l_returnflag") === "R")
+        .groupBy(col("dt"), col("trademark_id"), col("trademark_name"),
+          col("category1_id"), col("category1_name"), col("category2_id"), col("category2_name"),
+          col("category3_id"), col("category3_name"), col("user_id"))
+        .agg(countDistinct(col("order_id")).as("refund_count")))
+      .drop("dt")
+
+  // -------------------- query wrappers (DOUBLE at the boundary) ----
+
+  private def q(f: (SparkSession, String) => DataFrame, doubleCols: Seq[String], sortCols: Seq[String])
+  : (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val df = f(s, d)
+      val cast = doubleCols.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast(DoubleType)))
+      cast.orderBy(sortCols.map(col): _*)
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dws_traffic_channel_page_view_window" -> q(trafficChannel, Nil, Seq("stt", "vc", "ch", "ar", "is_new")),
+    "dws_traffic_source_keyword_page_view_window" -> q(trafficKeyword, Nil, Seq("stt", "source", "keyword")),
+    "dws_traffic_page_view_window" -> q(trafficHomeDetail, Nil, Seq("stt")),
+    "dws_user_user_login_window" -> q(userLogin, Nil, Seq("stt")),
+    "dws_user_user_register_window" -> q(userRegister, Nil, Seq("stt")),
+    "dws_trade_cart_add_uu_window" -> q(tradeCartAddUu, Nil, Seq("stt")),
+    "dws_trade_order_window" -> q(tradeOrder,
+      Seq("order_activity_reduce_amount", "order_coupon_reduce_amount", "order_origin_total_amount"), Seq("stt")),
+    "dws_trade_payment_suc_window" -> q(tradePaymentSuc, Nil, Seq("stt")),
+    "dws_trade_province_order_window" -> q(tradeProvinceOrder, Seq("order_amount"), Seq("stt", "province_id")),
+    "dws_trade_trademark_category_user_spu_order_window" -> q(tradeTmCatUserSpuOrder,
+      Seq("order_amount"), Seq("stt", "trademark_id", "category3_id", "user_id", "spu_id")),
+    "dws_trade_trademark_category_user_refund_window" -> q(tradeTmCatUserRefund,
+      Nil, Seq("stt", "trademark_id", "category3_id", "user_id")))
+
+  // ------------------------- oracle SQL -----------------------------
+
+  /** Shared CTE bodies, composable into ADS oracles. */
+  val dws1Cte: String =
+    """dws_traffic_channel_page_view_window AS (
+      |  SELECT stt, edt, vc, ch, ar, is_new,
+      |    CAST(SUM(is_daily_first) AS BIGINT) AS uv_ct,
+      |    CAST(SUM(is_session_start) AS BIGINT) AS sv_ct,
+      |    COUNT(*) AS pv_ct,
+      |    CAST(SUM(during_time) AS BIGINT) AS dur_sum,
+      |    CAST(SUM(is_jump) AS BIGINT) AS uj_ct
+      |  FROM page_log GROUP BY stt, edt, vc, ch, ar, is_new
+      |)""".stripMargin
+
+  val dws2Cte: String =
+    """kw_base AS (
+      |  SELECT strftime(DATE '2024-01-01' + CAST(doc_id % 30 AS INTEGER), '%Y-%m-%d') AS dt,
+      |    CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'SEARCH' WHEN 1 THEN 'ORDER' WHEN 2 THEN 'CART' ELSE 'CLICK' END AS source,
+      |    unnest(string_split(text, ' ')) AS keyword
+      |  FROM documents
+      |), dws_traffic_source_keyword_page_view_window AS (
+      |  SELECT dt || ' 00:00:00' AS stt,
+      |    strftime(CAST(dt AS DATE) + 1, '%Y-%m-%d') || ' 00:00:00' AS edt,
+      |    source, keyword, COUNT(*) AS keyword_count
+      |  FROM kw_base WHERE keyword <> '' GROUP BY dt, source, keyword
+      |)""".stripMargin
+
+  val dws3Cte: String =
+    """pages_hd AS (
+      |  SELECT *, CASE WHEN row_number() OVER (PARTITION BY user_id, dt, page_id ORDER BY ts, event_id) = 1
+      |    THEN 1 ELSE 0 END AS is_page_daily_first
+      |  FROM page_log WHERE page_id IN ('home', 'good_detail')
+      |), dws_traffic_page_view_window AS (
+      |  SELECT stt, edt,
+      |    CAST(SUM(CASE WHEN page_id = 'home' THEN is_page_daily_first ELSE 0 END) AS BIGINT) AS home_uv_ct,
+      |    CAST(SUM(CASE WHEN page_id = 'good_detail' THEN is_page_daily_first ELSE 0 END) AS BIGINT) AS good_detail_uv_ct
+      |  FROM pages_hd GROUP BY stt, edt
+      |)""".stripMargin
+
+  val dws4Cte: String =
+    """login_firsts AS (
+      |  SELECT *, lag(dt) OVER (PARTITION BY user_id ORDER BY dt) AS prev_dt
+      |  FROM page_log WHERE is_daily_first = 1
+      |), dws_user_user_login_window AS (
+      |  SELECT stt, edt,
+      |    CAST(SUM(CASE WHEN prev_dt IS NOT NULL AND date_diff('day', CAST(prev_dt AS DATE), CAST(dt AS DATE)) >= 8
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS back_ct,
+      |    COUNT(*) AS uu_ct
+      |  FROM login_firsts GROUP BY stt, edt
+      |)""".stripMargin
+
+  val dws5Cte: String =
+    """dws_user_user_register_window AS (
+      |  SELECT stt, edt, COUNT(*) AS register_ct
+      |  FROM page_log WHERE event_type = 'signup' GROUP BY stt, edt
+      |)""".stripMargin
+
+  val dws6Cte: String =
+    """carts AS (
+      |  SELECT *, CASE WHEN row_number() OVER (PARTITION BY user_id, dt ORDER BY ts, event_id) = 1
+      |    THEN 1 ELSE 0 END AS is_cart_daily_first
+      |  FROM page_log WHERE event_type = 'click'
+      |), dws_trade_cart_add_uu_window AS (
+      |  SELECT stt, edt, CAST(SUM(is_cart_daily_first) AS BIGINT) AS cart_add_uu_ct
+      |  FROM carts GROUP BY stt, edt
+      |)""".stripMargin
+
+  val dws7Cte: String =
+    """order_users AS (
+      |  SELECT dt, COUNT(DISTINCT user_id) AS order_unique_user_count,
+      |    COUNT(DISTINCT CASE WHEN dt = first_dt THEN user_id END) AS order_new_user_count
+      |  FROM orders_enriched GROUP BY dt
+      |), order_amounts AS (
+      |  SELECT dt,
+      |    SUM(activity_reduce_amount) AS order_activity_reduce_amount,
+      |    SUM(coupon_reduce_amount) AS order_coupon_reduce_amount,
+      |    SUM(origin_amount) AS order_origin_total_amount
+      |  FROM order_wide GROUP BY dt
+      |), dws_trade_order_window AS (
+      |  SELECT u.dt || ' 00:00:00' AS stt,
+      |    strftime(CAST(u.dt AS DATE) + 1, '%Y-%m-%d') || ' 00:00:00' AS edt,
+      |    u.dt AS dt, order_unique_user_count, order_new_user_count,
+      |    order_activity_reduce_amount, order_coupon_reduce_amount, order_origin_total_amount
+      |  FROM order_users u JOIN order_amounts a ON u.dt = a.dt
+      |)""".stripMargin
+
+  val dws8Cte: String =
+    """dws_trade_payment_suc_window AS (
+      |  SELECT dt || ' 00:00:00' AS stt,
+      |    strftime(CAST(dt AS DATE) + 1, '%Y-%m-%d') || ' 00:00:00' AS edt, dt,
+      |    COUNT(DISTINCT user_id) AS payment_suc_unique_user_count,
+      |    COUNT(DISTINCT CASE WHEN dt = first_pay_dt THEN user_id END) AS payment_suc_new_user_count
+      |  FROM orders_enriched WHERE o_orderstatus = 'F' GROUP BY dt
+      |)""".stripMargin
+
+  val dws9Cte: String =
+    """dws_trade_province_order_window AS (
+      |  SELECT dt || ' 00:00:00' AS stt,
+      |    strftime(CAST(dt AS DATE) + 1, '%Y-%m-%d') || ' 00:00:00' AS edt, dt,
+      |    province_id, province_name,
+      |    COUNT(DISTINCT order_id) AS order_count,
+      |    SUM(split_total_amount) AS order_amount
+      |  FROM order_wide GROUP BY dt, province_id, province_name
+      |)""".stripMargin
+
+  val dws10Cte: String =
+    """dws_trade_trademark_category_user_spu_order_window AS (
+      |  SELECT dt || ' 00:00:00' AS stt,
+      |    strftime(CAST(dt AS DATE) + 1, '%Y-%m-%d') || ' 00:00:00' AS edt, dt,
+      |    trademark_id, trademark_name, category1_id, category1_name,
+      |    category2_id, category2_name, category3_id, category3_name,
+      |    user_id, spu_id, spu_name,
+      |    COUNT(DISTINCT order_id) AS order_count,
+      |    SUM(split_total_amount) AS order_amount
+      |  FROM order_wide
+      |  GROUP BY dt, trademark_id, trademark_name, category1_id, category1_name,
+      |    category2_id, category2_name, category3_id, category3_name, user_id, spu_id, spu_name
+      |)""".stripMargin
+
+  val dws11Cte: String =
+    """dws_trade_trademark_category_user_refund_window AS (
+      |  SELECT dt || ' 00:00:00' AS stt,
+      |    strftime(CAST(dt AS DATE) + 1, '%Y-%m-%d') || ' 00:00:00' AS edt, dt,
+      |    trademark_id, trademark_name, category1_id, category1_name,
+      |    category2_id, category2_name, category3_id, category3_name, user_id,
+      |    COUNT(DISTINCT order_id) AS refund_count
+      |  FROM order_wide WHERE l_returnflag = 'R'
+      |  GROUP BY dt, trademark_id, trademark_name, category1_id, category1_name,
+      |    category2_id, category2_name, category3_id, category3_name, user_id
+      |)""".stripMargin
+
+  private def withPage(extra: String, select: String) =
+    s"WITH ${GmallDwd.pageLogCte},\n$extra\n$select"
+  private def withTrade(extra: String, select: String) =
+    s"WITH ${GmallDwd.orderWideCte},\n${GmallDwd.ordersEnrichedCte},\n$extra\n$select"
+
+  val oracles: Map[String, String] = Map(
+    "dws_traffic_channel_page_view_window" -> withPage(dws1Cte,
+      "SELECT * FROM dws_traffic_channel_page_view_window ORDER BY stt, vc, ch, ar, is_new"),
+    "dws_traffic_source_keyword_page_view_window" -> s"WITH $dws2Cte\nSELECT * FROM dws_traffic_source_keyword_page_view_window ORDER BY stt, source, keyword",
+    "dws_traffic_page_view_window" -> withPage(dws3Cte,
+      "SELECT * FROM dws_traffic_page_view_window ORDER BY stt"),
+    "dws_user_user_login_window" -> withPage(dws4Cte,
+      "SELECT * FROM dws_user_user_login_window ORDER BY stt"),
+    "dws_user_user_register_window" -> withPage(dws5Cte,
+      "SELECT * FROM dws_user_user_register_window ORDER BY stt"),
+    "dws_trade_cart_add_uu_window" -> withPage(dws6Cte,
+      "SELECT * FROM dws_trade_cart_add_uu_window ORDER BY stt"),
+    "dws_trade_order_window" -> withTrade(dws7Cte,
+      """SELECT stt, edt, order_unique_user_count, order_new_user_count,
+        | CAST(order_activity_reduce_amount AS DOUBLE) AS order_activity_reduce_amount,
+        | CAST(order_coupon_reduce_amount AS DOUBLE) AS order_coupon_reduce_amount,
+        | CAST(order_origin_total_amount AS DOUBLE) AS order_origin_total_amount
+        |FROM dws_trade_order_window ORDER BY stt""".stripMargin),
+    "dws_trade_payment_suc_window" -> withTrade(dws8Cte,
+      "SELECT stt, edt, payment_suc_unique_user_count, payment_suc_new_user_count FROM dws_trade_payment_suc_window ORDER BY stt"),
+    "dws_trade_province_order_window" -> withTrade(dws9Cte,
+      """SELECT stt, edt, province_id, province_name, order_count,
+        | CAST(order_amount AS DOUBLE) AS order_amount
+        |FROM dws_trade_province_order_window ORDER BY stt, province_id""".stripMargin),
+    "dws_trade_trademark_category_user_spu_order_window" -> withTrade(dws10Cte,
+      """SELECT stt, edt, trademark_id, trademark_name, category1_id, category1_name,
+        | category2_id, category2_name, category3_id, category3_name, user_id, spu_id, spu_name,
+        | order_count, CAST(order_amount AS DOUBLE) AS order_amount
+        |FROM dws_trade_trademark_category_user_spu_order_window
+        |ORDER BY stt, trademark_id, category3_id, user_id, spu_id""".stripMargin),
+    "dws_trade_trademark_category_user_refund_window" -> withTrade(dws11Cte,
+      """SELECT stt, edt, trademark_id, trademark_name, category1_id, category1_name,
+        | category2_id, category2_name, category3_id, category3_name, user_id, refund_count
+        |FROM dws_trade_trademark_category_user_refund_window
+        |ORDER BY stt, trademark_id, category3_id, user_id""".stripMargin))
+}
