@@ -18,6 +18,10 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // Permissive (Hive/Flink-style) semantics: corrupt casts -> null
+      // (the P1 quarantine contract) and wrapping long arithmetic (hash
+      // mixing in minhash/simhash signatures).
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

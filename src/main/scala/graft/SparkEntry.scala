@@ -15,7 +15,11 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracles),
       (GmallDws.queries, GmallDws.oracles),
-      (GmallAds.queries, GmallAds.oracles))
+      (GmallAds.queries, GmallAds.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (Multimodal.queries, Multimodal.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

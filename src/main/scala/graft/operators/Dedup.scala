@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.functions.GraftExpressions
+
+/** Deduplication operators for large-scale training-data pipelines,
+  * over the `documents` table.
+  *
+  * Scale design: every variant is a groupBy/shuffle on a *signature*
+  * (hash, band bucket, shingle), never an O(n²) cross join. The only
+  * pairwise work happens inside signature buckets, which LSH keeps
+  * small by construction. At 100 TB: exact dedup is one shuffle on a
+  * 128-bit hash; minhash is a doc-local signature pass + one shuffle
+  * per band (unioned); verification joins touch only candidate pairs.
+  */
+object Dedup {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** 3-token shingles of a token array (empty when fewer than 3 tokens). */
+  private def shingleExpr: Column = expr(
+    "CASE WHEN size(toks) < 3 THEN array() ELSE " +
+      "array_distinct(transform(sequence(0, size(toks) - 3), " +
+      "i -> concat_ws('_', toks[i], toks[i+1], toks[i+2]))) END")
+
+  /** Exact dedup: hash-groupBy on content (md5 here; 128-bit at scale).
+    * Representative = min doc_id per content group. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("dup_count"))
+      .orderBy(col("rep_doc_id"))
+
+  /** Exact n-gram Jaccard near-dup pairs: explode distinct 3-shingles,
+    * self-join on shingle (inverted index), score only co-bucketed
+    * pairs. This is the ground truth minhash approximates. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.015): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), shingleExpr.as("sh"))
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
+    val inv = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val NumHashes = 32
+  val BandSize = 4
+  val NumBands: Int = NumHashes / BandSize // 8
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Per-doc minhash signature banded into LSH bucket keys.
+    * Shingle base hash is xxhash64 (codegen'd); the i-th "permutation"
+    * is (a_i·h + b_i) mod 2^61-1 with odd constants derived from i. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), shingleExpr.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
+    val sigCols = (0 until NumHashes).map { i =>
+      val a = 2 * i + 1
+      val b = 0x9e3779b97f4a7c15L + i
+      expr(s"aggregate(hs, ${Long.MaxValue}L, (acc, x) -> least(acc, pmod($a * x + ${b}L, $MersennePrime)))")
+        .as(s"mh_$i")
+    }
+    val sig = d.select((col("doc_id") +: sigCols): _*)
+    val bandCols = (0 until NumBands).map { bnd =>
+      xxhash64((bnd * BandSize until (bnd + 1) * BandSize).map(i => col(s"mh_$i")): _*).as(s"band_$bnd")
+    }
+    sig.select((col("doc_id") +: bandCols): _*)
+  }
+
+  /** MinHash+LSH dedup: docs sharing any band bucket are candidates;
+    * candidates are verified with exact shingle Jaccard; each doc maps
+    * to the min doc_id of its verified near-dup group (itself if none). */
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.015): DataFrame = {
+    val sig = minhashSignatures(spark, dir).cache()
+    val buckets = (0 until NumBands).map { bnd =>
+      sig.select(lit(bnd).as("band_idx"), col(s"band_$bnd").as("bucket"), col("doc_id"))
+    }.reduce(_ unionByName _)
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val verified = verifyJaccard(spark, dir, cand).filter(col("jaccard") >= threshold)
+    val reps = verified.select(col("doc_b").as("doc_id"), col("doc_a").as("other"))
+      .unionByName(verified.select(col("doc_a").as("doc_id"), col("doc_b").as("other")))
+      .groupBy(col("doc_id")).agg(min(col("other")).as("m"))
+    sig.select(col("doc_id")).join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id"), least(col("doc_id"), coalesce(col("m"), col("doc_id"))).as("rep_doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact Jaccard for a given candidate-pair set only. */
+  private def verifyJaccard(spark: SparkSession, dir: String, cand: DataFrame): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), shingleExpr.as("sh"))
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("sha")) + size(col("shb")) - col("inter")).cast(DoubleType))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash: 64-bit signature = sign of per-bit vote over token hashes
+    * (FNV-1a via the custom codegen'd expression); Hamming-adjacent
+    * docs collide on at least one 16-bit chunk (pigeonhole for dist<=3). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tokHashes = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), GraftExpressions.fnv1a64(col("tok")).as("h"))
+    val votes = (0 until 64).map { i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"v_$i")
+    }
+    val voted = tokHashes.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"v_$i") > 0, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    voted.select(col("doc_id"), sig.as("simhash"))
+      .withColumn("chunk0", expr("simhash & 65535"))
+      .withColumn("chunk1", expr("(simhash >> 16) & 65535"))
+      .withColumn("chunk2", expr("(simhash >> 32) & 65535"))
+      .withColumn("chunk3", expr("(simhash >> 48) & 65535"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs: chunk-collision candidates verified by
+    * Hamming distance <= maxDist. */
+  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val sig = simhash(spark, dir).cache()
+    val buckets = (0 until 4).map { i =>
+      sig.select(lit(i).as("chunk_idx"), col(s"chunk$i").as("chunk"), col("doc_id"), col("simhash"))
+    }.reduce(_ unionByName _)
+    buckets.as("a").join(buckets.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => simhash(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY rep_doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        |    ELSE [toks[i] || '_' || toks[i+1] || '_' || toks[i+2] FOR i IN range(1, len(toks) - 1)] END) AS sh
+        |  FROM t
+        |), sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT doc_a, doc_b, inter,
+        |  CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+        |FROM pairs
+        |  JOIN sizes na ON pairs.doc_a = na.doc_id
+        |  JOIN sizes nb ON pairs.doc_b = nb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
+        |ORDER BY doc_a, doc_b""".stripMargin)
+  // minhash/simhash signatures are hash-function-defined (not ANSI-SQL
+  // expressible) -> rows-only check; their ground truth is
+  // dedup_ngram_jaccard, and LlmOpsSpec asserts LSH recall against it.
+}

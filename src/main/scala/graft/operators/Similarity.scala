@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.functions.GraftExpressions
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths, as a production pipeline would ship them:
+  *  - brute-force cosine top-k: the correctness baseline. Oracle-exact
+  *    by quantizing floats to integers (×1000, round) so the dot
+  *    product and norms are exact integer arithmetic in both Spark and
+  *    DuckDB — no float-summation-order hazards.
+  *  - LSH-bucketed ANN (random hyperplane signs): the 100 TB path. The
+  *    cross product is confined to hash buckets; recall vs brute force
+  *    is asserted in LlmOpsSpec rather than an SQL oracle.
+  *
+  * The float fast path (`CosineSimFloat`, codegen'd) powers the
+  * benchmark variant; the quantized path powers the oracle queries.
+  */
+object Similarity {
+
+  /** Integer-quantized vectors: q = round(x * 1000), exact in BIGINT. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+
+  private val dotExpr = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  /** Brute-force cosine top-k for the first `nQueries` vectors. */
+  def annTopK(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
+    val v = quantized(spark, dir)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nrm").as("na"))
+    val c = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nrm").as("nb"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("sim", col("dot").cast(DoubleType) /
+        (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** All pairs above a cosine threshold (embedding near-dup detection). */
+  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val v = quantized(spark, dir)
+    val a = v.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr(dotExpr))
+      .withColumn("sim", col("dot").cast(DoubleType) /
+        (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val NumPlanes = 12
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * a hash-derived value in [-1, 1). Same construction at any scale. */
+  private def planeComponent(p: Int, j: Int): Double = {
+    val h = Fnv(s"plane_${p}_$j")
+    (h & 0xffffffffL).toDouble / 0x80000000L.toDouble - 1.0
+  }
+  private def Fnv(s: String): Long = graft.functions.Fnv1a64.hash(s.getBytes("UTF-8"))
+
+  /** LSH bucket signature: sign bits of `NumPlanes` hyperplane dots. */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val sigBits = (0 until NumPlanes).map { p =>
+      val coeffs = (0 until 64).map(j => planeComponent(p, j))
+      val arr = coeffs.mkString("array(", ", ", ")")
+      expr(s"CASE WHEN aggregate(zip_with(embedding, $arr, (x, y) -> CAST(x AS DOUBLE) * y), " +
+        s"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN CAST(1 AS BIGINT) << $p ELSE 0L END")
+    }.reduce((a, b) => a.bitwiseOR(b))
+    e.select(col("vec_id"), col("embedding"), sigBits.as("bucket"))
+  }
+
+  /** ANN via LSH buckets: exact cosine (codegen'd float path) within
+    * each bucket only — the scale path for 100 TB corpora. */
+  def annLsh(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
+    val b = lshBuckets(spark, dir)
+    val q = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"), col("bucket"))
+    val c = b.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("bucket"))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Float fast path (codegen'd CosineSimFloat) — the bench variant of
+    * annTopK; sims differ from the quantized oracle in the last ulps,
+    * so it ships rows-only. */
+  def annTopKFloat(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_topk" -> ((s, d) => annTopK(s, d)),
+    "sim_neardup_pairs" -> ((s, d) => nearDupPairs(s, d)),
+    "sim_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "sim_ann_topk_float" -> ((s, d) => annTopKFloat(s, d)))
+
+  private val quantCte =
+    """qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), qn AS (
+      |  SELECT vec_id, q,
+      |    CAST(list_sum([q[i] * q[i] FOR i IN range(1, len(q) + 1)]) AS BIGINT) AS nrm
+      |  FROM qv
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_ann_topk" -> (s"WITH $quantCte\n" +
+      """, scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS sim
+        |  FROM qn a JOIN qn b ON a.vec_id < 32 AND a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM scored
+        |)
+        |SELECT query_id, rk, neighbor_id, sim FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin),
+    "sim_neardup_pairs" -> (s"WITH $quantCte\n" +
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  CAST(CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS sim
+        |FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+        |WHERE CAST(CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS BIGINT) AS DOUBLE)
+        |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin))
+}

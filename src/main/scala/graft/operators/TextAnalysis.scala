@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.functions.GraftExpressions
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, fingerprinting. All scalar
+  * per-document passes — embarrassingly parallel, codegen-friendly,
+  * scan-bound at any scale.
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+  private val stopEs = Seq("el", "la", "de", "que", "los", "en", "un")
+  private val stopDe = Seq("der", "die", "und", "das", "ein", "ist")
+  private val stopFr = Seq("le", "les", "et", "une", "est", "des")
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+  private def cntExpr(ws: Seq[String]): String =
+    s"size(filter(toks, x -> x IN (${inList(ws)})))"
+  private def duckCnt(ws: Seq[String]): String =
+    s"len(list_filter(toks, x -> x IN (${inList(ws)})))"
+
+  /** Quality scoring: token stats + stopword ratio + a deterministic
+    * composite score (the shape of a Gopher/C4-style quality filter). */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        split(col("text"), " ").as("toks"), length(col("text")).cast(LongType).as("char_ct"))
+      .withColumn("token_ct", size(col("toks")).cast(LongType))
+      .withColumn("uniq_token_ct", size(array_distinct(col("toks"))).cast(LongType))
+      .withColumn("stopword_ct", expr(cntExpr(stopEn)).cast(LongType))
+      .withColumn("stopword_ratio",
+        col("stopword_ct").cast(DoubleType) / col("token_ct").cast(DoubleType))
+      .withColumn("ttr",
+        col("uniq_token_ct").cast(DoubleType) / col("token_ct").cast(DoubleType))
+      .withColumn("avg_token_len",
+        (col("char_ct") - col("token_ct") + 1).cast(DoubleType) / col("token_ct").cast(DoubleType))
+      .withColumn("quality_score",
+        least(col("token_ct").cast(DoubleType) / 100.0, lit(1.0)) * 0.4 +
+          col("stopword_ratio") * 0.3 + col("ttr") * 0.3)
+      .drop("toks")
+      .orderBy(col("doc_id"))
+
+  /** Language ID: stopword-hit n-gram heuristic, argmax with a fixed
+    * priority order (en > es > de > fr > other). */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("toks"))
+      .withColumn("en_ct", expr(cntExpr(stopEn)).cast(LongType))
+      .withColumn("es_ct", expr(cntExpr(stopEs)).cast(LongType))
+      .withColumn("de_ct", expr(cntExpr(stopDe)).cast(LongType))
+      .withColumn("fr_ct", expr(cntExpr(stopFr)).cast(LongType))
+      .withColumn("pred_lang",
+        when(col("en_ct") >= col("es_ct") && col("en_ct") >= col("de_ct") &&
+          col("en_ct") >= col("fr_ct") && col("en_ct") > 0, "en")
+          .when(col("es_ct") >= col("de_ct") && col("es_ct") >= col("fr_ct") && col("es_ct") > 0, "es")
+          .when(col("de_ct") >= col("fr_ct") && col("de_ct") > 0, "de")
+          .when(col("fr_ct") > 0, "fr")
+          .otherwise("und"))
+      .drop("toks")
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (letter runs / digit runs / single non-alnum). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("ws_token_ct"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")).cast(LongType).as("bpeish_token_ct"),
+        length(col("text")).cast(LongType).as("char_ct"))
+      .withColumn("chars_per_token",
+        col("char_ct").cast(DoubleType) / col("bpeish_token_ct").cast(DoubleType))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprinting: md5 (oracle-checkable) plus a rolling
+    * 64-bit FNV content hash via the custom codegen'd expression. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("md5_hex"),
+        GraftExpressions.fnv1a64(col("text")).as("fnv64"),
+        GraftExpressions.fnv1a64(concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("prefix_fnv64"))
+      .orderBy(col("doc_id"))
+
+  /** md5-only variant for the SQL oracle (fnv64 is not SQL-expressible). */
+  def fingerprintsMd5(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("md5_hex"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, d) => textStats(s, d)),
+    "text_lang_id" -> ((s, d) => langId(s, d)),
+    "text_token_counts" -> ((s, d) => tokenCounts(s, d)),
+    "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
+    "text_fingerprints_md5" -> ((s, d) => fingerprintsMd5(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS toks,
+         |    length(text) AS char_ct
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, lang, source, n_chars, char_ct,
+         |    CAST(len(toks) AS BIGINT) AS token_ct,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS uniq_token_ct,
+         |    CAST(${duckCnt(stopEn)} AS BIGINT) AS stopword_ct
+         |  FROM t
+         |)
+         |SELECT doc_id, lang, source, n_chars, char_ct, token_ct, uniq_token_ct, stopword_ct,
+         |  CAST(stopword_ct AS DOUBLE) / CAST(token_ct AS DOUBLE) AS stopword_ratio,
+         |  CAST(uniq_token_ct AS DOUBLE) / CAST(token_ct AS DOUBLE) AS ttr,
+         |  CAST(char_ct - token_ct + 1 AS DOUBLE) / CAST(token_ct AS DOUBLE) AS avg_token_len,
+         |  least(CAST(token_ct AS DOUBLE) / 100.0, 1.0) * 0.4
+         |    + CAST(stopword_ct AS DOUBLE) / CAST(token_ct AS DOUBLE) * 0.3
+         |    + CAST(uniq_token_ct AS DOUBLE) / CAST(token_ct AS DOUBLE) * 0.3 AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang,
+         |    CAST(${duckCnt(stopEn)} AS BIGINT) AS en_ct,
+         |    CAST(${duckCnt(stopEs)} AS BIGINT) AS es_ct,
+         |    CAST(${duckCnt(stopDe)} AS BIGINT) AS de_ct,
+         |    CAST(${duckCnt(stopFr)} AS BIGINT) AS fr_ct
+         |  FROM t
+         |)
+         |SELECT doc_id, lang, en_ct, es_ct, de_ct, fr_ct,
+         |  CASE WHEN en_ct >= es_ct AND en_ct >= de_ct AND en_ct >= fr_ct AND en_ct > 0 THEN 'en'
+         |       WHEN es_ct >= de_ct AND es_ct >= fr_ct AND es_ct > 0 THEN 'es'
+         |       WHEN de_ct >= fr_ct AND de_ct > 0 THEN 'de'
+         |       WHEN fr_ct > 0 THEN 'fr'
+         |       ELSE 'und' END AS pred_lang
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_token_ct,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpeish_token_ct,
+        |  length(text) AS char_ct,
+        |  CAST(length(text) AS DOUBLE) / CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS DOUBLE) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprints_md5" ->
+      "SELECT doc_id, md5(text) AS md5_hex FROM documents ORDER BY doc_id")
+}
