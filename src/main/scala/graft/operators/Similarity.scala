@@ -63,7 +63,8 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val NumPlanes = 12
+  val NumTables = 8
+  val PlanesPerTable = 6
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * a hash-derived value in [-1, 1). Same construction at any scale. */
@@ -73,29 +74,72 @@ object Similarity {
   }
   private def Fnv(s: String): Long = graft.functions.Fnv1a64.hash(s.getBytes("UTF-8"))
 
-  /** LSH bucket signature: sign bits of `NumPlanes` hyperplane dots. */
+  /** Multi-table LSH signatures: `NumTables` independent bucket keys,
+    * each the sign pattern of `PlanesPerTable` random hyperplanes.
+    * More tables → higher recall; fewer planes/table → bigger buckets.
+    * (The single-table variant has poor recall for top-k: a true
+    * neighbor flipping any one of 12 sign bits is lost.) */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val sigBits = (0 until NumPlanes).map { p =>
-      val coeffs = (0 until 64).map(j => planeComponent(p, j))
-      val arr = coeffs.mkString("array(", ", ", ")")
-      expr(s"CASE WHEN aggregate(zip_with(embedding, $arr, (x, y) -> CAST(x AS DOUBLE) * y), " +
-        s"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN CAST(1 AS BIGINT) << $p ELSE 0L END")
-    }.reduce((a, b) => a.bitwiseOR(b))
-    e.select(col("vec_id"), col("embedding"), sigBits.as("bucket"))
+    val tableCols = (0 until NumTables).map { t =>
+      (0 until PlanesPerTable).map { i =>
+        val p = t * PlanesPerTable + i
+        val arr = (0 until 64).map(j => planeComponent(p, j)).mkString("array(", ", ", ")")
+        expr(s"CASE WHEN aggregate(zip_with(embedding, $arr, (x, y) -> CAST(x AS DOUBLE) * y), " +
+          s"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN CAST(1 AS BIGINT) << $i ELSE 0L END")
+      }.reduce((a, b) => a.bitwiseOR(b)).as(s"bucket_$t")
+    }
+    e.select(col("vec_id") +: col("embedding") +: tableCols: _*)
   }
 
-  /** ANN via LSH buckets: exact cosine (codegen'd float path) within
-    * each bucket only — the scale path for 100 TB corpora. */
+  /** ANN via multi-table LSH: a pair is a candidate when it collides
+    * in ANY table; exact cosine (codegen'd float path) runs on
+    * candidates only — a 100 TB-safe path (no full cross product). */
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
-    val b = lshBuckets(spark, dir)
-    val q = b.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("ea"), col("bucket"))
-    val c = b.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("bucket"))
-    q.join(c, Seq("bucket"))
+    val sig = lshBuckets(spark, dir)
+    val buckets = (0 until NumTables).map { t =>
+      sig.select(lit(t).as("t"), col(s"bucket_$t").as("bucket"),
+        col("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+    val q = buckets.filter(col("vec_id") < nQueries)
+      .select(col("t"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("ea"))
+    val c = buckets.select(col("t"), col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("eb"))
+    q.join(c, Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))
       .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val NumCentroids = 16
+  val NProbe = 4
+
+  /** IVF-style ANN: database vectors are assigned to their nearest
+    * coarse centroid; a query probes its `NProbe` nearest centroid
+    * cells. Centroids here are the first `NumCentroids` vectors
+    * (deterministic stand-in for a k-means pass at production scale).
+    * Cost: one broadcast pass of n×C centroid dots + a join confined
+    * to probed cells — the FAISS-IVF shape, Spark-first. */
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val scored = e.join(broadcast(cents), lit(true))
+      .withColumn("csim", GraftExpressions.cosineSim(col("embedding"), col("ce")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))))
+    val db = scored.filter(col("crk") === 1)
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("eb"))
+    val probes = scored.filter(col("crk") <= NProbe && col("vec_id") < nQueries)
+      .select(col("centroid_id"), col("vec_id").as("query_id"), col("embedding").as("ea"))
+    probes.join(db, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rk") <= k)
@@ -124,6 +168,7 @@ object Similarity {
     "sim_ann_topk" -> ((s, d) => annTopK(s, d)),
     "sim_neardup_pairs" -> ((s, d) => nearDupPairs(s, d)),
     "sim_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "sim_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "sim_ann_topk_float" -> ((s, d) => annTopKFloat(s, d)))
 
   private val quantCte =

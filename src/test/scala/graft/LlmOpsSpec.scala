@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Quality gates for the LLM-pipeline operators whose signatures are
+  * hash-defined and therefore not SQL-oracle-checkable: the LSH paths
+  * are validated by recall against their exact ground truths, and the
+  * multimodal stub by determinism + checkable invariants.
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("minhash LSH recall vs exact n-gram Jaccard ground truth") {
+    import spark.implicits._
+    // ground truth: pairs with true shingle-Jaccard above the LSH
+    // curve's high-recall zone (s >= 0.5 -> P[collide] ~ 1 for 8 bands of 4)
+    val truth = Dedup.ngramJaccard(spark, sf, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val got = Dedup.minhashLsh(spark, sf)
+      .filter($"rep_doc_id" =!= $"doc_id")
+      .select("doc_id", "rep_doc_id").as[(Long, Long)].collect()
+      .map { case (d, r) => (math.min(d, r), math.max(d, r)) }.toSet
+    if (truth.nonEmpty) {
+      val hit = truth.count(got.contains)
+      assert(hit.toDouble / truth.size >= 0.8,
+        s"LSH recall ${hit.toDouble / truth.size} < 0.8 (truth=${truth.size}, got=${got.size})")
+    }
+    // and LSH must not invent near-dups with negligible true similarity
+    val verified = Dedup.ngramJaccard(spark, sf, threshold = 0.015)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.forall(verified.contains), "LSH emitted a pair below the verify threshold")
+  }
+
+  test("simhash pairs = exact Hamming<=3 pairs (pigeonhole guarantees recall)") {
+    import spark.implicits._
+    val sigs = Dedup.simhash(spark, sf).select("doc_id", "simhash")
+      .as[(Long, Long)].collect()
+    val exact = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // 4 chunks of 16 bits: any pair within Hamming distance 3 shares
+    // at least one intact chunk, so chunk-bucketing recall is exactly 1
+    assert(got == exact, s"got=${got.size} exact=${exact.size}")
+  }
+
+  test("ANN LSH and IVF recall vs brute-force cosine top-k") {
+    import spark.implicits._
+    val truth = Similarity.annTopKFloat(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.annLsh(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lshRecall = truth.count(lsh.contains).toDouble / truth.size
+    assert(lshRecall >= 0.5, s"multi-table LSH recall $lshRecall < 0.5")
+    val ivf = Similarity.annIvf(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = truth.count(ivf.contains).toDouble / truth.size
+    assert(ivfRecall >= 0.5, s"IVF nprobe=4/16 recall $ivfRecall < 0.5")
+    info(f"LSH recall $lshRecall%.3f, IVF recall $ivfRecall%.3f")
+  }
+
+  test("quantized ANN and float ANN agree on neighbor sets") {
+    import spark.implicits._
+    val q = Similarity.annTopK(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val f = Similarity.annTopKFloat(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // x1000 quantization can flip genuinely-tied ranks only
+    val overlap = q.count(f.contains).toDouble / q.size
+    assert(overlap >= 0.95, s"quantized/float overlap $overlap < 0.95")
+  }
+
+  test("multimodal feature extraction is deterministic and length-consistent") {
+    import spark.implicits._
+    val feats = Multimodal.mediaFeatures(spark, sf)
+    val again = Multimodal.mediaFeatures(spark, sf)
+    assert(feats.collect().toSeq == again.collect().toSeq)
+    // payload is the UTF-8 text: byte_len must equal the documents n_chars
+    val joined = feats.join(
+      graft.sources.Tables.documents(spark, sf).select($"doc_id", $"n_chars"), "doc_id")
+    assert(joined.filter($"byte_len" =!= $"n_chars").count() == 0)
+    // histogram buckets partition the bytes
+    assert(joined.filter($"h0" + $"h1" + $"h2" + $"h3" =!= $"byte_len").count() == 0)
+  }
+
+  test("fnv1a64 expression matches the reference Scala implementation") {
+    import spark.implicits._
+    val rows = Seq("", "a", "hello world", "é中文").toDF("s")
+      .select($"s", graft.functions.GraftExpressions.fnv1a64($"s").as("h"))
+      .as[(String, Long)].collect()
+    rows.foreach { case (s, h) =>
+      assert(h == graft.functions.Fnv1a64.hash(s.getBytes("UTF-8")), s"mismatch for '$s'")
+    }
+  }
+}
