@@ -18,6 +18,10 @@ object GraftExpressions {
   def fnv1a64(c: Column): Column = toColumn(Fnv1a64(toExpression(c)))
   def cosineSim(a: Column, b: Column): Column =
     toColumn(CosineSimFloat(toExpression(a), toExpression(b)))
+  def dotLong(a: Column, b: Column): Column =
+    toColumn(DotProductLong(toExpression(a), toExpression(b)))
+  def minhashSig(hashes: Column, numHashes: Int): Column =
+    toColumn(MinHashSignature(toExpression(hashes), numHashes))
 }
 
 /** FNV-1a 64-bit hash of a string's UTF-8 bytes.
@@ -110,4 +114,105 @@ case class CosineSimFloat(left: Expression, right: Expression) extends BinaryExp
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimFloat =
     copy(left = newLeft, right = newRight)
+}
+
+/** Integer dot product of two BIGINT arrays (wrapping 64-bit math).
+  *
+  * The quantized-similarity hot loop: `zip_with` + `aggregate` build
+  * an intermediate array and evaluate two lambda closures per element;
+  * this is one fused codegen'd loop, which matters when it runs once
+  * per candidate *pair*. Null when either side is null or lengths
+  * differ.
+  */
+case class DotProductLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    if (l == null || r == null) return null
+    val la = l.asInstanceOf[ArrayData]
+    val ra = r.asInstanceOf[ArrayData]
+    val n = la.numElements()
+    if (n != ra.numElements()) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += la.getLong(i) * ra.getLong(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"""
+         |int graftN = $l.numElements();
+         |if (graftN != $r.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long graftDot = 0L;
+         |  for (int graftI = 0; graftI < graftN; graftI++) {
+         |    graftDot += $l.getLong(graftI) * $r.getLong(graftI);
+         |  }
+         |  ${ev.value} = graftDot;
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature: for hash index i in [0, numHashes), the minimum
+  * of ((2i+1)·x + (GOLDEN+i)) mod (2^61−1) over the input BIGINT array.
+  *
+  * One fused pass computing all `numHashes` minima — equivalent to
+  * `numHashes` separate `aggregate(...)` higher-order calls (identical
+  * wrapping-long arithmetic), but traverses the shingle-hash array
+  * once instead of `numHashes` times and evaluates no lambdas.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+  private val Prime = (1L << 61) - 1
+  private val Golden = 0x9e3779b97f4a7c15L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      val x = arr.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = (2 * i + 1) * x + (Golden + i)
+        val m = v % Prime
+        val pm = if (m < 0) m + Prime else m
+        if (pm < mins(i)) mins(i) = pm
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |int graftN = $c.numElements();
+         |long[] graftMins = new long[$numHashes];
+         |java.util.Arrays.fill(graftMins, Long.MAX_VALUE);
+         |for (int graftJ = 0; graftJ < graftN; graftJ++) {
+         |  long graftX = $c.getLong(graftJ);
+         |  for (int graftI = 0; graftI < $numHashes; graftI++) {
+         |    long graftV = (2L * graftI + 1L) * graftX + (${Golden}L + graftI);
+         |    long graftM = graftV % ${Prime}L;
+         |    if (graftM < 0) graftM += ${Prime}L;
+         |    if (graftM < graftMins[graftI]) graftMins[graftI] = graftM;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftMins);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
 }

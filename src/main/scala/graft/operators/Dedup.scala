@@ -73,15 +73,12 @@ object Dedup {
       .select(col("doc_id"), shingleExpr.as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
-    val sigCols = (0 until NumHashes).map { i =>
-      val a = 2 * i + 1
-      val b = 0x9e3779b97f4a7c15L + i
-      expr(s"aggregate(hs, ${Long.MaxValue}L, (acc, x) -> least(acc, pmod($a * x + ${b}L, $MersennePrime)))")
-        .as(s"mh_$i")
-    }
-    val sig = d.select((col("doc_id") +: sigCols): _*)
+    // one fused codegen'd pass computes all NumHashes minima (identical
+    // wrapping arithmetic to NumHashes separate aggregate(...) HOF calls)
+    val sig = d.select(col("doc_id"),
+      GraftExpressions.minhashSig(col("hs"), NumHashes).as("sig"))
     val bandCols = (0 until NumBands).map { bnd =>
-      xxhash64((bnd * BandSize until (bnd + 1) * BandSize).map(i => col(s"mh_$i")): _*).as(s"band_$bnd")
+      xxhash64((bnd * BandSize until (bnd + 1) * BandSize).map(i => col("sig").getItem(i)): _*).as(s"band_$bnd")
     }
     sig.select((col("doc_id") +: bandCols): _*)
   }

@@ -29,7 +29,9 @@ object Similarity {
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
       .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
 
-  private val dotExpr = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  // codegen'd fused loop (DotProductLong) — same integer math as
+  // aggregate(zip_with(...)), minus the per-pair array materialization
+  private def dotCol = GraftExpressions.dotLong(col("qa"), col("qb"))
 
   /** Brute-force cosine top-k for the first `nQueries` vectors. */
   def annTopK(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
@@ -38,7 +40,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nrm").as("na"))
     val c = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"), col("nrm").as("nb"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dotCol)
       .withColumn("sim", col("dot").cast(DoubleType) /
         (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
     scored
@@ -55,7 +57,7 @@ object Similarity {
     val a = v.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na"))
     val b = v.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr(dotExpr))
+      .withColumn("dot", dotCol)
       .withColumn("sim", col("dot").cast(DoubleType) /
         (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
       .filter(col("sim") >= threshold)
