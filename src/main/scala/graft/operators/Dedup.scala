@@ -64,13 +64,21 @@ object Dedup {
   val NumBands: Int = NumHashes / BandSize // 8
   private val MersennePrime = (1L << 61) - 1
 
+  /** (doc_id, sh): distinct 3-shingle arrays per document — the shared
+    * upstream of signatures and verification. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .select(col("doc_id"), shingleExpr.as("sh"))
+
   /** Per-doc minhash signature banded into LSH bucket keys.
     * Shingle base hash is xxhash64 (codegen'd); the i-th "permutation"
     * is (a_i·h + b_i) mod 2^61-1 with odd constants derived from i. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .select(col("doc_id"), shingleExpr.as("sh"))
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesFrom(shingled(spark, dir))
+
+  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+    val d = sh
       .filter(size(col("sh")) > 0)
       .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
     // one fused codegen'd pass computes all NumHashes minima (identical
@@ -87,7 +95,10 @@ object Dedup {
     * candidates are verified with exact shingle Jaccard; each doc maps
     * to the min doc_id of its verified near-dup group (itself if none). */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.015): DataFrame = {
-    val sig = minhashSignatures(spark, dir).cache()
+    // shingling (split + 3-gram + distinct) is the expensive scan; do
+    // it once and share it between signatures and pair verification
+    val sh = shingled(spark, dir).cache()
+    val sig = minhashSignaturesFrom(sh).cache()
     val buckets = (0 until NumBands).map { bnd =>
       sig.select(lit(bnd).as("band_idx"), col(s"band_$bnd").as("bucket"), col("doc_id"))
     }.reduce(_ unionByName _)
@@ -95,7 +106,7 @@ object Dedup {
         col("a.band_idx") === col("b.band_idx") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    val verified = verifyJaccard(spark, dir, cand).filter(col("jaccard") >= threshold)
+    val verified = verifyJaccard(sh, cand).filter(col("jaccard") >= threshold)
     val reps = verified.select(col("doc_b").as("doc_id"), col("doc_a").as("other"))
       .unionByName(verified.select(col("doc_a").as("doc_id"), col("doc_b").as("other")))
       .groupBy(col("doc_id")).agg(min(col("other")).as("m"))
@@ -105,10 +116,7 @@ object Dedup {
   }
 
   /** Exact Jaccard for a given candidate-pair set only. */
-  private def verifyJaccard(spark: SparkSession, dir: String, cand: DataFrame): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .select(col("doc_id"), shingleExpr.as("sh"))
+  private def verifyJaccard(d: DataFrame, cand: DataFrame): DataFrame = {
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
