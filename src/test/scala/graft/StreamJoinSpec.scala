@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Joins
+
+/** Stream-stream, interval, and lookup joins (J1/J2/J3/J6). */
+class StreamJoinSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  case class OrderInfo(id: Long, user: String, ts: Timestamp)
+  case class OrderDetail(detail_id: Long, order_id: Long, sku: String, ts: Timestamp)
+
+  test("J1: stream-stream inner equi-join matches within the time bound") {
+    import spark.implicits._
+    val infos = MemoryStream[OrderInfo](spark)
+    val details = MemoryStream[OrderDetail](spark)
+    val joined = Joins.streamStream(
+      details.toDF().withWatermark("ts", "2 seconds"),
+      infos.toDF().withWatermark("ts", "2 seconds"),
+      "order_id", "id", "ts", "ts", lowerSec = 10, upperSec = 10)
+      .select($"detail_id", $"sku", $"user")
+    val q = joined.writeStream.format("memory").queryName("j1")
+      .outputMode(OutputMode.Append).start()
+    infos.addData(OrderInfo(1, "alice", ts(100)), OrderInfo(2, "bob", ts(200)))
+    details.addData(
+      OrderDetail(11, 1, "sku-a", ts(103)), // within 10s of order 1
+      OrderDetail(12, 1, "sku-b", ts(150)), // outside 10s -> no match
+      OrderDetail(21, 2, "sku-c", ts(195))) // within 10s of order 2
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("j1").as[(Long, String, String)].collect().toSet
+    assert(got == Set((11L, "sku-a", "alice"), (21L, "sku-c", "bob")))
+  }
+
+  test("J2: left outer join emits null padding after the watermark closes") {
+    import spark.implicits._
+    val details = MemoryStream[OrderDetail](spark)
+    val activities = MemoryStream[OrderInfo](spark) // stands in for order_detail_activity
+    val joined = Joins.streamStream(
+      details.toDF().withWatermark("ts", "1 seconds"),
+      activities.toDF().withWatermark("ts", "1 seconds"),
+      "order_id", "id", "ts", "ts", lowerSec = 5, upperSec = 5, joinType = "leftOuter")
+      .select($"detail_id", $"user")
+    val q = joined.writeStream.format("memory").queryName("j2")
+      .outputMode(OutputMode.Append).start()
+    details.addData(OrderDetail(11, 1, "sku-a", ts(100)), OrderDetail(12, 2, "sku-b", ts(100)))
+    activities.addData(OrderInfo(1, "act-1", ts(101)))
+    q.processAllAvailable()
+    // watermark far past the join window: unmatched detail 12 must flush
+    details.addData(OrderDetail(99, 9, "sentinel", ts(500)))
+    activities.addData(OrderInfo(999, "sentinel", ts(500)))
+    q.processAllAvailable()
+    details.addData(OrderDetail(98, 8, "sentinel2", ts(600)))
+    activities.addData(OrderInfo(998, "sentinel2", ts(600)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("j2").as[(Long, Option[String])].collect().toMap
+    assert(got(11L).contains("act-1"))
+    assert(got.contains(12L) && got(12L).isEmpty, s"unmatched row not flushed: $got")
+  }
+
+  test("J3: lookup join decodes dictionary codes via broadcast snapshot") {
+    import spark.implicits._
+    val stream = MemoryStream[OrderDetail](spark)
+    val baseDic = Seq(("sku-a", "Widget"), ("sku-b", "Gadget")).toDF("dic_code", "dic_name")
+    val joined = Joins.lookup(stream.toDF(), baseDic, col("sku") === col("dic_code"), "left")
+      .select($"detail_id", $"dic_name")
+    val q = joined.writeStream.format("memory").queryName("j3")
+      .outputMode(OutputMode.Append).start()
+    stream.addData(OrderDetail(1, 1, "sku-a", ts(1)), OrderDetail(2, 1, "sku-x", ts(2)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("j3").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("Widget"), 2L -> None))
+  }
+
+  test("J6: interval join between(-5s, +5s) both directions") {
+    import spark.implicits._
+    val a = MemoryStream[OrderInfo](spark)
+    val b = MemoryStream[OrderInfo](spark)
+    val joined = Joins.interval(
+      a.toDF().withColumnRenamed("user", "ua").withWatermark("ts", "1 seconds"),
+      b.toDF().withColumnRenamed("user", "ub").withWatermark("ts", "1 seconds"),
+      "id", "id", "ts", "ts", boundSec = 5)
+      .select($"ua", $"ub")
+    val q = joined.writeStream.format("memory").queryName("j6")
+      .outputMode(OutputMode.Append).start()
+    a.addData(OrderInfo(1, "a-early", ts(100)), OrderInfo(2, "a-late", ts(300)))
+    b.addData(OrderInfo(1, "b-within-after", ts(104)), OrderInfo(2, "b-outside", ts(310)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("j6").as[(String, String)].collect().toSet
+    assert(got == Set(("a-early", "b-within-after")))
+  }
+}

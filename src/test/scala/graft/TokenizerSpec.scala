@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Tokenizer
+
+/** U1: keyword tokenizer (IK-analyzer substitute). */
+class TokenizerSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("segments latin, digits, and CJK bigrams") {
+    assert(Tokenizer.segment("Apple iPhone13 手机壳") ==
+      Seq("apple", "iphone13", "手机", "机壳"))
+    assert(Tokenizer.segment("大数据") == Seq("大数", "数据"))
+    assert(Tokenizer.segment("中") == Seq("中"))
+    assert(Tokenizer.segment("hello, world!") == Seq("hello", "world"))
+    assert(Tokenizer.segment("") == Seq.empty)
+    assert(Tokenizer.segment(null) == Seq.empty)
+  }
+
+  test("column form explodes one row per token (the LATERAL TABLE shape)") {
+    import spark.implicits._
+    val got = Seq("苹果 手机", "redmi k40").toDF("keyword")
+      .select($"keyword", explode(Tokenizer.tokenize($"keyword")).as("word"))
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("苹果 手机", "苹果"), ("苹果 手机", "手机"),
+      ("redmi k40", "redmi"), ("redmi k40", "k40")))
+  }
+}
