@@ -34,7 +34,20 @@ import graft.functions.Num._
 object GmallDwd {
   val SessionGapMin = 30
 
-  def pageLog(spark: SparkSession, dir: String): DataFrame = {
+  /** The reference materializes DWD as Kafka topics consumed by every
+    * downstream app; the batch analog is computing each shared DWD
+    * frame once per (session, dir) and persisting it. 34 DWS/ADS
+    * queries read these three frames. */
+  private val memo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+  private def memoized(spark: SparkSession, dir: String, name: String)
+                      (build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, dir, name), build.persist())
+
+  def pageLog(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "pageLog")(pageLogBuild(spark, dir))
+
+  private def pageLogBuild(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val base = e.select(
       col("event_id"), col("user_id"), col("ts"), col("event_type"),
@@ -78,7 +91,10 @@ object GmallDwd {
       .withColumn("edt", date_format(w.getField("end"), "yyyy-MM-dd HH:mm:ss"))
   }
 
-  def orderWide(spark: SparkSession, dir: String): DataFrame = {
+  def orderWide(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "orderWide")(orderWideBuild(spark, dir))
+
+  private def orderWideBuild(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val p = Tables.part(spark, dir)
@@ -117,7 +133,10 @@ object GmallDwd {
 
   /** Orders-level stream with lifetime-first markers (per user, and per
     * user among paid orders) — D5's state in batch form. */
-  def ordersEnriched(spark: SparkSession, dir: String): DataFrame = {
+  def ordersEnriched(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "ordersEnriched")(ordersEnrichedBuild(spark, dir))
+
+  private def ordersEnrichedBuild(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val wUser = Window.partitionBy("o_custkey")
     o.select(
