@@ -1,0 +1,169 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Property-based checks (SURVEY.md §5): custom codegen expressions
+  * against independent references, the CEP batch form against a plain
+  * Scala simulation, and the upsert algebra. Spark-driving properties
+  * run a reduced case count; pure ones run the default 100.
+  */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = TestSession.spark
+  import scala.jdk.CollectionConverters._
+
+  // ------------------------------------------------ codegen vs reference
+
+  private val genLongArray = Gen.listOf(Gen.choose(Long.MinValue / 4, Long.MaxValue / 4))
+
+  property("MinHashSignature == 32 aggregate() HOF minima") = forAll(genLongArray) { xs =>
+    import spark.implicits._
+    val prime = (1L << 61) - 1
+    val expected = (0 until 32).map { i =>
+      val a = 2L * i + 1L
+      val b = 0x9e3779b97f4a7c15L + i
+      xs.foldLeft(Long.MaxValue) { (acc, x) =>
+        val m = (a * x + b) % prime
+        math.min(acc, if (m < 0) m + prime else m)
+      }
+    }
+    val got = Seq(xs).toDF("hs")
+      .select(graft.functions.GraftExpressions.minhashSig(col("hs"), 32).as("sig"))
+      .as[Seq[Long]].head()
+    got == expected
+  }
+
+  property("DotProductLong == Scala dot (wrapping)") =
+    forAll(genLongArray.map(_.take(64))) { xs =>
+      import spark.implicits._
+      val ys = xs.map(x => x ^ 0x5bf03635L)
+      val expected = xs.zip(ys).foldLeft(0L) { case (acc, (a, b)) => acc + a * b }
+      val got = Seq((xs, ys)).toDF("qa", "qb")
+        .select(graft.functions.GraftExpressions.dotLong(col("qa"), col("qb")))
+        .as[Long].head()
+      got == expected
+    }
+
+  property("Fnv1a64 column == Scala impl on arbitrary unicode") =
+    forAll(Gen.listOf(Gen.asciiPrintableStr).map(_.take(8))) { ss =>
+      import spark.implicits._
+      ss.isEmpty || {
+        val got = ss.toDF("s")
+          .select(graft.functions.GraftExpressions.fnv1a64(col("s")))
+          .as[Long].collect().toSeq
+        got == ss.map(s => graft.functions.Fnv1a64.hash(s.getBytes("UTF-8")))
+      }
+    }
+
+  property("CosineSimFloat is symmetric, bounded, 1 on self") =
+    forAll(Gen.listOfN(16, Gen.choose(-100, 100).map(_ / 10.0f))) { v =>
+      import spark.implicits._
+      val w = v.map(x => x * 0.5f + 1.0f)
+      val df = Seq((v, w)).toDF("a", "b")
+      val ab = df.select(graft.functions.GraftExpressions.cosineSim(col("a"), col("b"))).as[Double].head()
+      val ba = df.select(graft.functions.GraftExpressions.cosineSim(col("b"), col("a"))).as[Double].head()
+      val aa = df.select(graft.functions.GraftExpressions.cosineSim(col("a"), col("a"))).as[Double].head()
+      math.abs(ab - ba) < 1e-12 && ab >= -1.0000001 && ab <= 1.0000001 &&
+        (v.forall(_ == 0.0f) && aa == 0.0 || math.abs(aa - 1.0) < 1e-9)
+    }
+
+  // ------------------------------------------- CEP batch form vs Scala sim
+
+  private case class Ev(user: Long, id: Long, tsSec: Long, start: Boolean)
+  private val genEvents: Gen[List[Ev]] = for {
+    n <- Gen.choose(1, 25)
+    evs <- Gen.listOfN(n, for {
+      u <- Gen.choose(1L, 4L)
+      gap <- Gen.choose(1L, 15L)
+      st <- Gen.oneOf(true, false)
+    } yield (u, gap, st))
+  } yield evs.zipWithIndex.map { case ((u, gap, st), i) =>
+    Ev(u, i + 1L, 0L, st)
+  }.groupBy(_.user).values.flatMap { userEvs =>
+    // cumulative gaps per user so timestamps strictly increase
+    var t = 100L
+    userEvs.map { e => t += (e.id % 15) + 1; e.copy(tsSec = t) }
+  }.toList
+
+  /** CEP semantics by direct simulation: a start is a jump iff the next
+    * event is beyond 10 s (or absent), or is itself a start. */
+  private def simulateJumps(evs: Seq[Ev]): Set[Long] =
+    evs.groupBy(_.user).values.flatMap { es =>
+      val s = es.sortBy(e => (e.tsSec, e.id))
+      s.zipWithIndex.collect {
+        case (e, i) if e.start &&
+          (i + 1 >= s.length || s(i + 1).tsSec > e.tsSec + 10 || s(i + 1).start) => e.id
+      }
+    }.toSet
+
+  property("batch lead() jump form == CEP simulation") = forAll(genEvents) { evs =>
+    import spark.implicits._
+    val df = evs.map(e => (e.user, e.id, e.tsSec, if (e.start) 1 else 0))
+      .toDF("user_id", "event_id", "ts", "is_start")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val got = df
+      .withColumn("next_ts", lead("ts", 1).over(w))
+      .withColumn("next_start", lead("is_start", 1).over(w))
+      .filter(col("is_start") === 1 &&
+        (col("next_ts").isNull || col("next_ts") > col("ts") + 10 || col("next_start") === 1))
+      .select("event_id").as[Long].collect().toSet
+    got == simulateJumps(evs)
+  }
+
+  // ------------------------------------------------------- upsert algebra
+
+  private val genBatch: Gen[List[(String, String, Long)]] =
+    Gen.listOf(for {
+      k <- Gen.choose(1, 6).map(i => s"k$i")
+      v <- Gen.alphaLowerStr.map(_.take(4))
+      t <- Gen.choose(0L, 50L)
+    } yield (k, v, t)).map(_.take(12))
+
+  property("DimRouter.upsert: idempotent and latest-wins") =
+    forAll(genBatch, genBatch) { (existing, updates) =>
+      import spark.implicits._
+      // make PKs unique within each side (the merge precondition:
+      // existing state has one row per PK, a batch is pre-deduped)
+      val e = existing.groupBy(_._1).map(_._2.maxBy(r => (r._3, r._2))).toList
+      val u = updates.groupBy(_._1).map(_._2.maxBy(r => (r._3, r._2))).toList
+      Prop.propBoolean(e.nonEmpty || u.nonEmpty) ==> Prop {
+        val eDf = e.toDF("id", "v", "_cdc_ts")
+        val uDf = u.toDF("id", "v", "_cdc_ts")
+        val once = graft.operators.DimRouter.upsert(eDf, uDf, "id")
+          .as[(String, String, Long)].collect().toSet
+        val twice = graft.operators.DimRouter.upsert(once.toList.toDF("id", "v", "_cdc_ts"), uDf, "id")
+          .as[(String, String, Long)].collect().toSet
+        val expected = (e.map(r => r._1 -> (r, 0)) ++ u.map(r => r._1 -> (r, 1)))
+          .groupBy(_._1).view
+          .mapValues(_.map(_._2).maxBy { case ((_, _, t), src) => (t, src) }._1)
+          .values.toSet
+        once == expected && twice == expected
+      }
+    }
+
+  // ---------------------------------------------------- tokenizer (pure)
+
+  import graft.functions.Tokenizer
+
+  property("tokenizer: deterministic, no empty tokens, lowercased latin") =
+    forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("手机", "大数据", "苹果", "中", ",", "!", " "))).map(_.mkString(" "))) { s =>
+      val t1 = Tokenizer.segment(s)
+      val t2 = Tokenizer.segment(s)
+      t1 == t2 && t1.forall(_.nonEmpty) &&
+        t1.filter(_.forall(c => c < 128)).forall(tok => tok == tok.toLowerCase)
+    }
+
+  property("tokenizer: CJK runs of length n yield n-1 bigrams") =
+    forAll(Gen.choose(2, 8)) { n =>
+      val run = Seq.fill(n)(Seq("中", "文", "分", "词", "器")((n * 7) % 5)).mkString
+      Tokenizer.segment(run).size == n - 1
+    }
+}
