@@ -22,6 +22,7 @@ object GraftExpressions {
     toColumn(DotProductLong(toExpression(a), toExpression(b)))
   def minhashSig(hashes: Column, numHashes: Int): Column =
     toColumn(MinHashSignature(toExpression(hashes), numHashes))
+  def simhash64(tokens: Column): Column = toColumn(SimHash64(toExpression(tokens)))
 }
 
 /** FNV-1a 64-bit hash of a string's UTF-8 bytes.
@@ -215,4 +216,63 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
+}
+
+/** SimHash-64 of a token array: FNV-1a hash per token, per-bit ±1 vote
+  * over all tokens, sign → signature bit.
+  *
+  * Doc-local by construction — replaces an explode (~tokens× row
+  * blowup) + 64-column vote aggregation + shuffle with a single
+  * codegen'd projection: the shape that keeps simhash scan-bound at
+  * 100 TB. Votes count token occurrences (duplicates included),
+  * matching the exploded formulation bit-for-bit.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = Fnv1a64.hash(arr.getUTF8String(j).getBytes)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |int graftN = $c.numElements();
+         |int[] graftVotes = new int[64];
+         |for (int graftJ = 0; graftJ < graftN; graftJ++) {
+         |  byte[] graftBytes = $c.getUTF8String(graftJ).getBytes();
+         |  long graftH = 0xcbf29ce484222325L;
+         |  for (int graftK = 0; graftK < graftBytes.length; graftK++) {
+         |    graftH ^= (graftBytes[graftK] & 0xffL);
+         |    graftH *= 0x100000001b3L;
+         |  }
+         |  for (int graftI = 0; graftI < 64; graftI++) {
+         |    if (((graftH >>> graftI) & 1L) == 1L) graftVotes[graftI]++; else graftVotes[graftI]--;
+         |  }
+         |}
+         |long graftSig = 0L;
+         |for (int graftI = 0; graftI < 64; graftI++) {
+         |  if (graftVotes[graftI] > 0) graftSig |= (1L << graftI);
+         |}
+         |${ev.value} = graftSig;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(newChild)
 }

@@ -127,26 +127,22 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature = sign of per-bit vote over token hashes
-    * (FNV-1a via the custom codegen'd expression); Hamming-adjacent
-    * docs collide on at least one 16-bit chunk (pigeonhole for dist<=3). */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tokHashes = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .select(col("doc_id"), GraftExpressions.fnv1a64(col("tok")).as("h"))
-    val votes = (0 until 64).map { i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"v_$i")
-    }
-    val voted = tokHashes.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"v_$i") > 0, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    voted.select(col("doc_id"), sig.as("simhash"))
+    * (FNV-1a per token, fused in the codegen'd `SimHash64`);
+    * Hamming-adjacent docs collide on at least one 16-bit chunk
+    * (pigeonhole for dist<=3).
+    *
+    * Doc-local projection — no explode, no shuffle: at 100 TB this is
+    * a scan-speed pass. (The exploded 64-column-vote formulation it
+    * replaces produces bit-identical signatures; GraftProps pins the
+    * expression against a Scala reference.) */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), GraftExpressions.simhash64(toks(col("text"))).as("simhash"))
       .withColumn("chunk0", expr("simhash & 65535"))
       .withColumn("chunk1", expr("(simhash >> 16) & 65535"))
       .withColumn("chunk2", expr("(simhash >> 32) & 65535"))
       .withColumn("chunk3", expr("(simhash >> 48) & 65535"))
       .orderBy(col("doc_id"))
-  }
 
   /** SimHash near-dup pairs: chunk-collision candidates verified by
     * Hamming distance <= maxDist. */

@@ -62,6 +62,21 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("SimHash64 == per-token FNV vote reference") =
+    forAll(Gen.listOf(Gen.alphaNumStr.map(_.take(8))).map(_.take(20))) { toks =>
+      import spark.implicits._
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        val h = graft.functions.Fnv1a64.hash(t.getBytes("UTF-8"))
+        (0 until 64).foreach(i => if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1)
+      }
+      val expected = (0 until 64).foldLeft(0L)((s, i) => if (votes(i) > 0) s | (1L << i) else s)
+      val got = Seq(toks).toDF("toks")
+        .select(graft.functions.GraftExpressions.simhash64(col("toks")))
+        .as[Long].head()
+      got == expected
+    }
+
   property("CosineSimFloat is symmetric, bounded, 1 on self") =
     forAll(Gen.listOfN(16, Gen.choose(-100, 100).map(_ / 10.0f))) { v =>
       import spark.implicits._
