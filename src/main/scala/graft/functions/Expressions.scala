@@ -23,6 +23,10 @@ object GraftExpressions {
   def minhashSig(hashes: Column, numHashes: Int): Column =
     toColumn(MinHashSignature(toExpression(hashes), numHashes))
   def simhash64(tokens: Column): Column = toColumn(SimHash64(toExpression(tokens)))
+  def shingleHashes(tokens: Column, k: Int): Column =
+    toColumn(ShingleHashes(toExpression(tokens), k))
+  def hyperplaneBuckets(vec: Column, planes: Array[Array[Double]], planesPerTable: Int): Column =
+    toColumn(HyperplaneBuckets(toExpression(vec), planes, planesPerTable))
 }
 
 /** FNV-1a 64-bit hash of a string's UTF-8 bytes.
@@ -275,4 +279,127 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(newChild)
+}
+
+/** Distinct FNV-1a hashes of the k-token shingles of a token array.
+  *
+  * Equivalent to `array_distinct(transform(...concat_ws...))` followed
+  * by a hash pass, but never materializes shingle strings: hashes are
+  * computed by streaming each token's bytes (with '_' separators)
+  * through FNV, then sorted + uniqued. The minhash upstream for
+  * billion-document corpora: one scan, zero string allocation.
+  */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        if (j > 0) { h ^= '_'.toLong; h *= 0x100000001b3L }
+        val bs = toks.getUTF8String(i + j).getBytes
+        var b = 0
+        while (b < bs.length) { h ^= (bs(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    var r = 1
+    while (r < m) { if (hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }; r += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |int graftN = $c.numElements();
+         |int graftM = graftN - $k + 1;
+         |if (graftM <= 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
+         |} else {
+         |  long[] graftHs = new long[graftM];
+         |  for (int graftI = 0; graftI < graftM; graftI++) {
+         |    long graftH = 0xcbf29ce484222325L;
+         |    for (int graftJ = 0; graftJ < $k; graftJ++) {
+         |      if (graftJ > 0) { graftH ^= 95L; graftH *= 0x100000001b3L; }
+         |      byte[] graftBytes = $c.getUTF8String(graftI + graftJ).getBytes();
+         |      for (int graftB = 0; graftB < graftBytes.length; graftB++) {
+         |        graftH ^= (graftBytes[graftB] & 0xffL);
+         |        graftH *= 0x100000001b3L;
+         |      }
+         |    }
+         |    graftHs[graftI] = graftH;
+         |  }
+         |  java.util.Arrays.sort(graftHs);
+         |  int graftW = 1;
+         |  for (int graftR = 1; graftR < graftM; graftR++) {
+         |    if (graftHs[graftR] != graftHs[graftR - 1]) graftHs[graftW++] = graftHs[graftR];
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    java.util.Arrays.copyOf(graftHs, graftW));
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Sign-bit LSH bucket keys for `numTables` tables of `planesPerTable`
+  * hyperplanes each, over a float-vector column. The hyperplane matrix
+  * is a deterministic constant (hash-derived), referenced once from the
+  * generated code — one fused pass instead of tables×planes
+  * `aggregate(zip_with(...))` evaluations per row.
+  */
+case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
+                             planesPerTable: Int) extends UnaryExpression {
+  private val numTables = planes.length / planesPerTable
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](numTables)
+    var p = 0
+    while (p < planes.length) {
+      var dot = 0.0
+      val pl = planes(p)
+      val n = math.min(v.numElements(), pl.length)
+      var j = 0
+      while (j < n) { dot += v.getFloat(j).toDouble * pl(j); j += 1 }
+      if (dot >= 0) out(p / planesPerTable) |= (1L << (p % planesPerTable))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("graftPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |long[] graftOut = new long[$numTables];
+         |for (int graftP = 0; graftP < ${planes.length}; graftP++) {
+         |  double graftDot = 0.0;
+         |  double[] graftPl = $planesRef[graftP];
+         |  int graftN = Math.min($c.numElements(), graftPl.length);
+         |  for (int graftJ = 0; graftJ < graftN; graftJ++) {
+         |    graftDot += ((double) $c.getFloat(graftJ)) * graftPl[graftJ];
+         |  }
+         |  if (graftDot >= 0) graftOut[graftP / $planesPerTable] |= (1L << (graftP % $planesPerTable));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftOut);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
 }

@@ -64,27 +64,27 @@ object Dedup {
   val NumBands: Int = NumHashes / BandSize // 8
   private val MersennePrime = (1L << 61) - 1
 
-  /** (doc_id, sh): distinct 3-shingle arrays per document — the shared
-    * upstream of signatures and verification. */
+  /** (doc_id, sh): distinct 3-shingle FNV hashes per document (fused
+    * codegen, no shingle-string materialization) — the shared upstream
+    * of signatures and verification. Jaccard over distinct shingle
+    * hashes equals Jaccard over distinct shingles up to 64-bit hash
+    * collisions (negligible). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .select(col("doc_id"), shingleExpr.as("sh"))
+      .select(col("doc_id"), GraftExpressions.shingleHashes(toks(col("text")), 3).as("sh"))
 
   /** Per-doc minhash signature banded into LSH bucket keys.
-    * Shingle base hash is xxhash64 (codegen'd); the i-th "permutation"
-    * is (a_i·h + b_i) mod 2^61-1 with odd constants derived from i. */
+    * The i-th "permutation" of a shingle hash is (a_i·h + b_i) mod
+    * 2^61-1 with odd constants derived from i. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSignaturesFrom(shingled(spark, dir))
 
   private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
-    val d = sh
-      .filter(size(col("sh")) > 0)
-      .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
+    val d = sh.filter(size(col("sh")) > 0)
     // one fused codegen'd pass computes all NumHashes minima (identical
     // wrapping arithmetic to NumHashes separate aggregate(...) HOF calls)
     val sig = d.select(col("doc_id"),
-      GraftExpressions.minhashSig(col("hs"), NumHashes).as("sig"))
+      GraftExpressions.minhashSig(col("sh"), NumHashes).as("sig"))
     val bandCols = (0 until NumBands).map { bnd =>
       xxhash64((bnd * BandSize until (bnd + 1) * BandSize).map(i => col("sig").getItem(i)): _*).as(s"band_$bnd")
     }

@@ -79,19 +79,16 @@ object Similarity {
   /** Multi-table LSH signatures: `NumTables` independent bucket keys,
     * each the sign pattern of `PlanesPerTable` random hyperplanes.
     * More tables → higher recall; fewer planes/table → bigger buckets.
-    * (The single-table variant has poor recall for top-k: a true
-    * neighbor flipping any one of 12 sign bits is lost.) */
+    * (A single-table variant has poor recall for top-k: a true
+    * neighbor flipping any one sign bit is lost.) All tables×planes
+    * dot products run in one fused codegen pass (HyperplaneBuckets). */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val planes = Array.tabulate(NumTables * PlanesPerTable, 64)((p, j) => planeComponent(p, j))
     val e = Tables.embeddings(spark, dir)
-    val tableCols = (0 until NumTables).map { t =>
-      (0 until PlanesPerTable).map { i =>
-        val p = t * PlanesPerTable + i
-        val arr = (0 until 64).map(j => planeComponent(p, j)).mkString("array(", ", ", ")")
-        expr(s"CASE WHEN aggregate(zip_with(embedding, $arr, (x, y) -> CAST(x AS DOUBLE) * y), " +
-          s"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN CAST(1 AS BIGINT) << $i ELSE 0L END")
-      }.reduce((a, b) => a.bitwiseOR(b)).as(s"bucket_$t")
-    }
-    e.select(col("vec_id") +: col("embedding") +: tableCols: _*)
+    val withB = e.select(col("vec_id"), col("embedding"),
+      GraftExpressions.hyperplaneBuckets(col("embedding"), planes, PlanesPerTable).as("b"))
+    val tableCols = (0 until NumTables).map(t => col("b").getItem(t).as(s"bucket_$t"))
+    withB.select(col("vec_id") +: col("embedding") +: tableCols: _*)
   }
 
   /** ANN via multi-table LSH: a pair is a candidate when it collides
