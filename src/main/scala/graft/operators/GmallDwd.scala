@@ -64,24 +64,37 @@ object GmallDwd {
           .when(col("event_type") === "purchase", "order")
           .when(col("event_type") === "signup", "register")
           .otherwise("mine"))
+    // every flag derives from ONE window spec — partition by user_id,
+    // order by (ts, event_id) — so the whole block is a single shuffle
+    // + sort (dt is monotone in ts per user, so "first of day" is "day
+    // changed vs previous event", and a 1-event session is "next event
+    // opens a new session"):
+    //  - is_daily_first ⟺ row_number() over (user_id, dt) = 1
+    //  - first_dt       ⟺ min(dt) over (user_id)
+    //  - is_jump        ⟺ count(*) over (user_id, session_id) = 1
+    // The DuckDB oracle (pageLogCte) keeps the multi-window formulation;
+    // the hash-equality of both is part of the correctness gate.
     val wUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val sess1 = attrs
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
       .withColumn("is_session_start",
-        when(lag(col("ts"), 1).over(wUser).isNull ||
-          col("ts") > lag(col("ts"), 1).over(wUser) + expr(s"INTERVAL $SessionGapMin MINUTES"), lit(1L))
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $SessionGapMin MINUTES"), lit(1L))
           .otherwise(lit(0L)))
       .withColumn("is_daily_first",
-        when(row_number().over(Window.partitionBy("user_id", "dt")
-          .orderBy(col("ts"), col("event_id"))) === 1, lit(1L)).otherwise(lit(0L)))
-      .withColumn("first_dt", min(col("dt")).over(Window.partitionBy("user_id")))
+        when(lag(col("dt"), 1).over(wUser).isNull ||
+          lag(col("dt"), 1).over(wUser) =!= col("dt"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("first_dt", first(col("dt")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val sess2 = sess1.withColumn("session_id",
       sum(col("is_session_start")).over(wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     sess2
       .withColumn("is_jump",
         when(col("is_session_start") === 1 &&
-          count(lit(1)).over(Window.partitionBy("user_id", "session_id")) === 1, lit(1L))
+          coalesce(lead(col("is_session_start"), 1).over(wUser), lit(1L)) === 1, lit(1L))
           .otherwise(lit(0L)))
       .withColumn("is_new", when(col("dt") === col("first_dt"), "1").otherwise("0"))
+      .drop("prev_ts")
   }
 
   /** 10s tumbling window bounds as strings (the DWS `stt`/`edt`). */
