@@ -16,6 +16,7 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(new graft.functions.GraftSqlExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // Permissive (Hive/Flink-style) semantics: corrupt casts -> null

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registers the engine's native expressions in the SQL function
+  * registry, so `spark.sql("SELECT graft_simhash64(...)")` works the
+  * same as the Column API — the `SparkSessionExtensions` path every
+  * Spark extension library uses. Enabled via
+  * `GraftSession.builder` (`withExtensions`) or
+  * `spark.sql.extensions=graft.functions.GraftSqlExtensions`.
+  */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftSqlExtensions].getName, null, name, usage, "")
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_fnv1a64"),
+      info("graft_fnv1a64", "graft_fnv1a64(str) - FNV-1a 64-bit hash of a string"),
+      (args: Seq[Expression]) => Fnv1a64(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("graft_cosine_sim"),
+      info("graft_cosine_sim", "graft_cosine_sim(a, b) - cosine similarity of float arrays"),
+      (args: Seq[Expression]) => CosineSimFloat(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_dot_long"),
+      info("graft_dot_long", "graft_dot_long(a, b) - integer dot product of bigint arrays"),
+      (args: Seq[Expression]) => DotProductLong(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "graft_minhash_sig(hashes, n) - n-permutation minhash signature"),
+      (args: Seq[Expression]) =>
+        MinHashSignature(args.head, intArg(args(1), "graft_minhash_sig"))))
+
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", "graft_shingle_hashes(tokens, k) - distinct k-gram shingle hashes"),
+      (args: Seq[Expression]) =>
+        ShingleHashes(args.head, intArg(args(1), "graft_shingle_hashes"))))
+  }
+}

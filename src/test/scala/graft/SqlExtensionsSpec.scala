@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL registry forms of the native expressions must match the Column
+  * API forms. */
+class SqlExtensionsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("graft_* functions are callable from SQL and equal the Column API") {
+    import spark.implicits._
+    Seq("hello world", "图 graph 引擎").toDF("s").createOrReplaceTempView("ext_t")
+    val sql = spark.sql(
+      """SELECT graft_fnv1a64(s) AS h,
+        |       graft_simhash64(split(s, ' ')) AS sh,
+        |       graft_shingle_hashes(split(s, ' '), 2) AS sg,
+        |       graft_minhash_sig(graft_shingle_hashes(split(s, ' '), 2), 4) AS mh
+        |FROM ext_t ORDER BY s""".stripMargin)
+      .as[(Long, Long, Seq[Long], Seq[Long])].collect().toSeq
+    val api = spark.table("ext_t")
+      .select(
+        graft.functions.GraftExpressions.fnv1a64($"s").as("h"),
+        graft.functions.GraftExpressions.simhash64(split($"s", " ")).as("sh"),
+        graft.functions.GraftExpressions.shingleHashes(split($"s", " "), 2).as("sg"),
+        graft.functions.GraftExpressions.minhashSig(
+          graft.functions.GraftExpressions.shingleHashes(split($"s", " "), 2), 4).as("mh"))
+      .orderBy($"h")
+    assert(sql.map(_._1).toSet == api.select("h").as[Long].collect().toSet)
+    assert(sql.map(_._2).toSet == api.select("sh").as[Long].collect().toSet)
+  }
+
+  test("graft_cosine_sim and graft_dot_long from SQL") {
+    val r = spark.sql(
+      """SELECT graft_cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                        array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       graft_dot_long(array(2L, 3L), array(4L, 5L)) AS d""".stripMargin)
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) == 23L)
+  }
+}
