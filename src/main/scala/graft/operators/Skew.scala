@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys that overwhelm a single
+  * reducer (AQE's skew-join split handles join inputs; these cover
+  * aggregation skew and joins where the skewed side must stay
+  * shuffled).
+  *
+  * Both are deterministic: the salt is a hash of the full row (or
+  * chosen columns), not a random number, so results are reproducible
+  * and retries are safe (Spark may re-run tasks; `rand()`-based salts
+  * break exactly-once semantics on retry).
+  */
+object Skew {
+
+  /** Two-phase aggregation for skewed group keys: phase 1 aggregates
+    * on (keys, salt) — spreading a hot key over `salts` reducers —
+    * phase 2 combines per key. Supports the decomposable aggregates
+    * the DWS layer uses: per-column sums and a row count.
+    *
+    * Equivalent to `df.groupBy(keys).agg(sum(c)..., count(*))` for any
+    * input; worthwhile when one key holds ≫ 1/parallelism of the rows.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
+                     countName: String = "cnt", salts: Int = 16): DataFrame = {
+    val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts)).cast("int").as("_salt")
+    val phase1 = df.withColumn("_salt", salt)
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(count(lit(1)).as("_pc"),
+        sumCols.map(c => sum(col(c)).as(s"_ps_$c")): _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_pc")).as(countName),
+        sumCols.map(c => sum(col(s"_ps_$c")).as(s"sum_$c")): _*)
+  }
+
+  /** Salted equi-join for a skewed left side against a right side too
+    * large to broadcast: left rows get a deterministic salt in
+    * [0, salts); the right side is replicated `salts` times; the join
+    * key becomes (key, salt). Semantically identical to
+    * `left.join(right, keys, joinType)` for inner/left joins, but the
+    * hot key's rows land on `salts` reducers instead of one. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 joinType: String = "inner", salts: Int = 16): DataFrame = {
+    val saltCol = pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts)).cast("int")
+    val l = left.withColumn("_salt", saltCol)
+    val r = right.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keys :+ "_salt", joinType).drop("_salt")
+  }
+}

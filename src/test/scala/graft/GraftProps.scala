@@ -163,6 +163,44 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  // ------------------------------------------------------ skew helpers
+
+  private val genRows: Gen[List[(String, String, Long)]] =
+    Gen.listOf(for {
+      k <- Gen.frequency(6 -> Gen.const("hot"), 2 -> Gen.choose(1, 4).map("k" + _))
+      v <- Gen.alphaLowerStr.map(_.take(3))
+      m <- Gen.choose(-100L, 100L)
+    } yield (k, v, m)).map(_.take(30))
+
+  property("saltedSumCount == plain groupBy sum/count") = forAll(genRows) { rows =>
+    import spark.implicits._
+    rows.isEmpty || {
+      val df = rows.toDF("k", "v", "m")
+      val got = graft.operators.Skew.saltedSumCount(df, Seq("k"), Seq("m"))
+        .select("k", "cnt", "sum_m").as[(String, Long, Long)].collect().toSet
+      val want = df.groupBy("k").agg(count(lit(1)).as("cnt"), sum("m").as("sum_m"))
+        .as[(String, Long, Long)].collect().toSet
+      got == want
+    }
+  }
+
+  property("saltedJoin == plain equi-join (inner and left)") = forAll(genRows, genRows) { (l, r) =>
+    import spark.implicits._
+    (l.isEmpty || r.isEmpty) || {
+      val lDf = l.toDF("k", "v", "m")
+      val rDf = r.map(t => (t._1, t._2)).distinct.toDF("k", "rv")
+      Seq("inner", "left").forall { jt =>
+        val got = graft.operators.Skew.saltedJoin(lDf, rDf, Seq("k"), jt)
+          .select("k", "v", "m", "rv").as[(String, String, Long, Option[String])]
+          .collect().groupBy(identity).view.mapValues(_.length).toMap
+        val want = lDf.join(rDf, Seq("k"), jt)
+          .select("k", "v", "m", "rv").as[(String, String, Long, Option[String])]
+          .collect().groupBy(identity).view.mapValues(_.length).toMap
+        got == want
+      }
+    }
+  }
+
   // ---------------------------------------------------- tokenizer (pure)
 
   import graft.functions.Tokenizer
