@@ -14,6 +14,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracles),
+      (Analytic.queries, Analytic.oracles),
       (GmallDws.queries, GmallDws.oracles),
       (GmallAds.queries, GmallAds.oracles),
       (Dedup.queries, Dedup.oracles),

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** Analytic SQL surface beyond the reference's mapper queries: window
+  * functions (running totals, in-group ranking, moving averages),
+  * multi-level rollups, pivots, and exact percentiles — the query
+  * shapes an ADS dashboard layer grows into. All oracle-checked.
+  *
+  * Scale notes: each window query shuffles once on its partition key;
+  * rollup is one pass with grouping-set expansion; the pivot pre-
+  * aggregates before transposing (values list is a fixed dictionary,
+  * so the plan is a plain groupBy, not a dynamic discovery pass).
+  */
+object Analytic {
+
+  /** Running revenue per customer over their order history. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("dt"), col("order_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(
+        col("o_custkey").as("user_id"), col("o_orderkey").as("order_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"),
+        dec2(col("o_totalprice")).as("amount"))
+      .withColumn("running_amount", sum(col("amount")).over(w))
+      .withColumn("order_seq", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("dt"), col("order_id"))))
+      .withColumn("amount", col("amount").cast(DoubleType))
+      .withColumn("running_amount", col("running_amount").cast(DoubleType))
+      .orderBy(col("user_id"), col("order_seq"))
+  }
+
+  /** Top-3 parts by revenue within each brand (dense ranking). */
+  def rankInGroup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val byPart = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(dsum2(col("l_extendedprice")).as("revenue"))
+    byPart
+      .withColumn("rk", dense_rank().over(
+        Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("rk"), col("p_partkey"),
+        col("revenue").cast(DoubleType).as("revenue"))
+      .orderBy(col("p_brand"), col("rk"), col("p_partkey"))
+  }
+
+  /** 7-day moving order count/amount per day (range frame over days). */
+  def movingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    // amount stays DECIMAL through the window sum (casting earlier
+    // would float-sum in arbitrary order and diverge from the oracle)
+    val daily = o.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("order_ct"), sum(dec2(col("o_totalprice"))).as("amount_dec"))
+      .withColumn("day_no", datediff(to_date(col("dt")), lit("1992-01-01").cast(DateType)))
+    val w7 = Window.orderBy(col("day_no")).rangeBetween(-6, 0)
+    daily
+      .withColumn("ma7_ct", sum(col("order_ct")).over(w7))
+      .withColumn("ma7_amount", sum(col("amount_dec")).over(w7).cast(DoubleType))
+      .select(col("dt"), col("order_ct"), col("amount_dec").cast(DoubleType).as("amount"),
+        col("ma7_ct"), col("ma7_amount"))
+      .orderBy(col("dt"))
+  }
+
+  /** Rollup: revenue at (status, priority), (status), and grand-total
+    * levels in one pass. */
+  def rollupTotals(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_ct"), dsum2(col("o_totalprice")).as("amount"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("order_ct"), col("amount").cast(DoubleType).as("amount"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  /** Pivot: per-nation revenue transposed by order status (fixed value
+    * dictionary, so no discovery pass). */
+  def pivotByStatus(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum2(col("o_totalprice")))
+      .select(col("nationkey"),
+        coalesce(col("F"), lit(0)).cast(DoubleType).as("amount_f"),
+        coalesce(col("O"), lit(0)).cast(DoubleType).as("amount_o"),
+        coalesce(col("P"), lit(0)).cast(DoubleType).as("amount_p"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Exact percentiles of order value per status (interpolated — the
+    * at-scale variant is approx_percentile, rows-only checkable). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)).as("p50_approx"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .drop("p50_approx")
+      .orderBy(col("status"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "an_running_total" -> runningTotal,
+    "an_rank_in_group" -> rankInGroup,
+    "an_moving_window" -> movingWindow,
+    "an_rollup_totals" -> rollupTotals,
+    "an_pivot_by_status" -> pivotByStatus,
+    "an_percentiles" -> percentiles)
+
+  val oracles: Map[String, String] = Map(
+    "an_running_total" ->
+      """SELECT o_custkey AS user_id, o_orderkey AS order_id,
+        | strftime(o_orderdate, '%Y-%m-%d') AS dt,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_amount,
+        | row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY strftime(o_orderdate, '%Y-%m-%d'), o_orderkey) AS order_seq
+        |FROM orders ORDER BY user_id, order_seq""".stripMargin,
+    "an_rank_in_group" ->
+      """WITH by_part AS (
+        | SELECT p_brand, p_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY p_brand, p_partkey
+        |)
+        |SELECT p_brand, rk, p_partkey, CAST(revenue AS DOUBLE) AS revenue FROM (
+        | SELECT *, dense_rank() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rk
+        | FROM by_part
+        |) WHERE rk <= 3 ORDER BY p_brand, rk, p_partkey""".stripMargin,
+    "an_moving_window" ->
+      """WITH daily AS (
+        | SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt, COUNT(*) AS order_ct,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amount,
+        |  date_diff('day', DATE '1992-01-01', CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE)) AS day_no
+        | FROM orders GROUP BY strftime(o_orderdate, '%Y-%m-%d')
+        |)
+        |SELECT dt, order_ct, CAST(amount AS DOUBLE) AS amount,
+        | CAST(SUM(order_ct) OVER w7 AS BIGINT) AS ma7_ct,
+        | CAST(SUM(amount) OVER w7 AS DOUBLE) AS ma7_amount
+        |FROM daily
+        |WINDOW w7 AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY dt""".stripMargin,
+    "an_rollup_totals" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | COUNT(*) AS order_ct,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "an_pivot_by_status" ->
+      """SELECT c_nationkey AS nationkey,
+        | CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS amount_f,
+        | CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS amount_o,
+        | CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS amount_p
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin,
+    "an_percentiles" ->
+      """SELECT o_orderstatus AS status,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90,
+        | MIN(o_totalprice) AS min_price,
+        | MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+}
