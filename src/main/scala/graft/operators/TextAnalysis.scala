@@ -92,7 +92,25 @@ object TextAnalysis {
       .select(col("doc_id"), md5(col("text")).as("md5_hex"))
       .orderBy(col("doc_id"))
 
+  /** C4/Gopher-style quality filter: keep/drop decision + the list of
+    * violated rules, built on the textStats metrics. Thresholds are
+    * the operator's parameters; these defaults mirror common
+    * training-data heuristics (min/max length, stopword floor,
+    * repetition ceiling via type-token ratio). */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    textStats(spark, dir)
+      .withColumn("reasons", array_compact(array(
+        when(col("token_ct") < 10, "too_short"),
+        when(col("token_ct") > 5000, "too_long"),
+        when(col("stopword_ratio") < 0.01, "no_stopwords"),
+        when(col("ttr") < 0.2, "repetitive"),
+        when(col("avg_token_len") > 12.0, "tokens_too_long"))))
+      .withColumn("keep", when(size(col("reasons")) === 0, lit(1L)).otherwise(lit(0L)))
+      .select(col("doc_id"), col("keep"), concat_ws(",", col("reasons")).as("reasons"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_filter" -> ((s, d) => qualityFilter(s, d)),
     "text_stats" -> ((s, d) => textStats(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_token_counts" -> ((s, d) => tokenCounts(s, d)),
@@ -100,6 +118,30 @@ object TextAnalysis {
     "text_fingerprints_md5" -> ((s, d) => fingerprintsMd5(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "text_quality_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS char_ct FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS token_ct,
+         |    CAST(${duckCnt(stopEn)} AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+         |    CAST(char_ct - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len
+         |  FROM t
+         |), f AS (
+         |  SELECT doc_id, list_filter([
+         |    CASE WHEN token_ct < 10 THEN 'too_short' END,
+         |    CASE WHEN token_ct > 5000 THEN 'too_long' END,
+         |    CASE WHEN stopword_ratio < 0.01 THEN 'no_stopwords' END,
+         |    CASE WHEN ttr < 0.2 THEN 'repetitive' END,
+         |    CASE WHEN avg_token_len > 12.0 THEN 'tokens_too_long' END],
+         |    x -> x IS NOT NULL) AS reasons
+         |  FROM m
+         |)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN len(reasons) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |  COALESCE(array_to_string(reasons, ','), '') AS reasons
+         |FROM f ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS toks,
