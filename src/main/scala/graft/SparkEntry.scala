@@ -15,6 +15,7 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracles),
       (Analytic.queries, Analytic.oracles),
+      (AsOf.queries, AsOf.oracles),
       (GmallDws.queries, GmallDws.oracles),
       (GmallAds.queries, GmallAds.oracles),
       (Dedup.queries, Dedup.oracles),
