@@ -113,7 +113,25 @@ object Analytic {
       .orderBy(col("status"))
   }
 
+  /** Session-window aggregation: Spark's native `session_window` (the
+    * streaming-capable form of the reference's 30-minute gap
+    * sessionization in `GmallDwd.pageLog`). Oracle = gap-based
+    * cumulative-sum sessionization in DuckDB: a session's window is
+    * [first event, last event + gap). */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("event_ct"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchase_ct"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("event_ct"), col("purchase_ct"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "an_session_stats" -> sessionStats,
     "an_running_total" -> runningTotal,
     "an_rank_in_group" -> rankInGroup,
     "an_moving_window" -> movingWindow,
@@ -122,6 +140,25 @@ object Analytic {
     "an_percentiles" -> percentiles)
 
   val oracles: Map[String, String] = Map(
+    "an_session_stats" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER wu IS NULL
+        |              OR ts > lag(ts) OVER wu + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_start
+        |  FROM events WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  COUNT(*) AS event_ct,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_ct
+        |FROM sess GROUP BY user_id, session_no
+        |ORDER BY user_id, session_start""".stripMargin,
     "an_running_total" ->
       """SELECT o_custkey AS user_id, o_orderkey AS order_id,
         | strftime(o_orderdate, '%Y-%m-%d') AS dt,
