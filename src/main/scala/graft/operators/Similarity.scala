@@ -117,17 +117,46 @@ object Similarity {
 
   val NumCentroids = 16
   val NProbe = 4
+  val KMeansIters = 3
+
+  /** Distributed k-means for the IVF coarse quantizer: deterministic
+    * init (first `NumCentroids` vectors), then Lloyd iterations as
+    * DataFrame ops — assignment is a broadcast of C centroids against
+    * all vectors (n×C codegen'd cosine dots, no shuffle), recompute is
+    * one groupBy(cell).avg per iteration. The exact shape that scales:
+    * at 100 TB each iteration is one scan + one C-row aggregation. */
+  def kmeansCentroids(spark: SparkSession, dir: String,
+                      iters: Int = KMeansIters): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    var cents = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    (0 until iters).foreach { _ =>
+      val assigned = e.join(broadcast(cents), lit(true))
+        .withColumn("csim", GraftExpressions.cosineSim(col("embedding"), col("ce")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))))
+        .filter(col("crk") === 1)
+      // mean vector per cell: posexplode + groupBy(cell, dim) + re-assemble
+      val dims = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+      cents = dims
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("centroid_id"),
+          expr("transform(dm, s -> CAST(s.m AS FLOAT))").as("ce"))
+    }
+    cents
+  }
 
   /** IVF-style ANN: database vectors are assigned to their nearest
     * coarse centroid; a query probes its `NProbe` nearest centroid
-    * cells. Centroids here are the first `NumCentroids` vectors
-    * (deterministic stand-in for a k-means pass at production scale).
-    * Cost: one broadcast pass of n×C centroid dots + a join confined
-    * to probed cells — the FAISS-IVF shape, Spark-first. */
+    * cells. Cost: one broadcast pass of n×C centroid dots + a join
+    * confined to probed cells — the FAISS-IVF shape, Spark-first. */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cents = e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val cents = kmeansCentroids(spark, dir)
     val scored = e.join(broadcast(cents), lit(true))
       .withColumn("csim", GraftExpressions.cosineSim(col("embedding"), col("ce")))
       .withColumn("crk", row_number().over(

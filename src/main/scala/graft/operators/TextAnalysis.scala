@@ -109,7 +109,32 @@ object TextAnalysis {
       .select(col("doc_id"), col("keep"), concat_ws(",", col("reasons")).as("reasons"))
       .orderBy(col("doc_id"))
 
+  /** The composed training-corpus pipeline: quality filter → exact
+    * dedup (keep the representative) → language ID → per-language
+    * corpus statistics. One expression of how the operators chain in a
+    * real data-curation run; every stage is SQL-expressible so the
+    * whole pipeline is oracle-checked end to end. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val kept = qualityFilter(spark, dir).filter(col("keep") === 1).select("doc_id")
+    val reps = exactReps(spark, dir)
+    val langs = langId(spark, dir).select(col("doc_id"), col("pred_lang"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("token_ct"))
+    kept.join(reps, "doc_id").join(langs, "doc_id").join(toks, "doc_id")
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("doc_ct"), sum(col("token_ct")).as("token_sum"))
+      .orderBy(col("pred_lang"))
+  }
+
+  /** Documents that are their own exact-dedup representative. */
+  private def exactReps(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_corpus_stats" -> ((s, d) => corpusStats(s, d)),
     "text_quality_filter" -> ((s, d) => qualityFilter(s, d)),
     "text_stats" -> ((s, d) => textStats(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
@@ -118,6 +143,46 @@ object TextAnalysis {
     "text_fingerprints_md5" -> ((s, d) => fingerprintsMd5(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "text_corpus_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS char_ct FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS token_ct,
+         |    CAST(${duckCnt(stopEn)} AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+         |    CAST(char_ct - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len
+         |  FROM t
+         |), kept AS (
+         |  SELECT doc_id FROM m
+         |  WHERE NOT (token_ct < 10 OR token_ct > 5000 OR stopword_ratio < 0.01
+         |             OR ttr < 0.2 OR avg_token_len > 12.0)
+         |), reps AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), lt AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+         |), lc AS (
+         |  SELECT doc_id,
+         |    CAST(${duckCnt(stopEn)} AS BIGINT) AS en_ct,
+         |    CAST(${duckCnt(stopEs)} AS BIGINT) AS es_ct,
+         |    CAST(${duckCnt(stopDe)} AS BIGINT) AS de_ct,
+         |    CAST(${duckCnt(stopFr)} AS BIGINT) AS fr_ct
+         |  FROM lt
+         |), langs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN en_ct >= es_ct AND en_ct >= de_ct AND en_ct >= fr_ct AND en_ct > 0 THEN 'en'
+         |         WHEN es_ct >= de_ct AND es_ct >= fr_ct AND es_ct > 0 THEN 'es'
+         |         WHEN de_ct >= fr_ct AND de_ct > 0 THEN 'de'
+         |         WHEN fr_ct > 0 THEN 'fr'
+         |         ELSE 'und' END AS pred_lang
+         |  FROM lc
+         |)
+         |SELECT pred_lang, COUNT(*) AS doc_ct,
+         |  CAST(SUM((SELECT token_ct FROM m WHERE m.doc_id = kept.doc_id)) AS BIGINT) AS token_sum
+         |FROM kept
+         |  JOIN reps ON kept.doc_id = reps.doc_id
+         |  JOIN langs ON kept.doc_id = langs.doc_id
+         |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
     "text_quality_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS char_ct FROM documents
