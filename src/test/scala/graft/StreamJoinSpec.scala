@@ -82,6 +82,55 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some("Widget"), 2L -> None))
   }
 
+  test("J1+J2+J3 chained: the 5-table order-detail wide row in streaming form") {
+    import spark.implicits._
+    // the reference's DwdTradeOrderDetail: detail ⋈ info (inner),
+    // leftOuter activity, broadcast dictionary decode — chained
+    // stateful operators in one streaming query
+    val details = MemoryStream[OrderDetail](spark)
+    val infos = MemoryStream[OrderInfo](spark)
+    val activities = MemoryStream[OrderInfo](spark)
+    val baseDic = Seq(("sku-a", "Widget"), ("sku-b", "Gadget")).toDF("dic_code", "dic_name")
+
+    val inner = Joins.streamStream(
+      details.toDF().withWatermark("ts", "1 seconds"),
+      infos.toDF().withColumnRenamed("user", "buyer").withColumnRenamed("ts", "its")
+        .withWatermark("its", "1 seconds"),
+      "order_id", "id", "ts", "its", lowerSec = 10, upperSec = 10)
+    val withAct = Joins.streamStream(
+      inner.select($"detail_id", $"order_id", $"sku", $"buyer", $"ts"),
+      activities.toDF().select($"id".as("act_order"), $"user".as("activity"),
+        $"ts".as("ats")).withWatermark("ats", "1 seconds"),
+      "order_id", "act_order", "ts", "ats", lowerSec = 10, upperSec = 10,
+      joinType = "leftOuter")
+    val wide = Joins.lookup(withAct, baseDic, col("sku") === col("dic_code"), "left")
+      .select($"detail_id", $"buyer", $"activity", $"dic_name")
+
+    val q = wide.writeStream.format("memory").queryName("wide5")
+      .outputMode(OutputMode.Append).start()
+    infos.addData(OrderInfo(1, "alice", ts(100)), OrderInfo(2, "bob", ts(100)))
+    details.addData(OrderDetail(11, 1, "sku-a", ts(101)), OrderDetail(21, 2, "sku-x", ts(101)))
+    activities.addData(OrderInfo(1, "double11", ts(102))) // order 1 only
+    q.processAllAvailable()
+    // flush the outer join: advance all watermarks far past the bound
+    details.addData(OrderDetail(99, 9, "s", ts(500)))
+    infos.addData(OrderInfo(9, "s", ts(500)))
+    activities.addData(OrderInfo(9, "s", ts(500)))
+    q.processAllAvailable()
+    details.addData(OrderDetail(98, 8, "s", ts(600)))
+    infos.addData(OrderInfo(8, "s", ts(600)))
+    activities.addData(OrderInfo(8, "s", ts(600)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("wide5")
+      .filter($"detail_id" < 90)
+      .as[(Long, String, Option[String], Option[String])].collect().toSet
+    assert(got == Set(
+      (11L, "alice", Some("double11"), Some("Widget")),
+      (21L, "bob", None, None)), s"got=$got")
+  }
+
   test("J6: interval join between(-5s, +5s) both directions") {
     import spark.implicits._
     val a = MemoryStream[OrderInfo](spark)
