@@ -130,7 +130,42 @@ object Analytic {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Conversion funnel: view → click (after first view) → purchase
+    * (after that click), counted as users reaching each stage. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    v.select(lit("1_view").as("stage"), col("user_id"))
+      .unionByName(c.select(lit("2_click").as("stage"), col("user_id")))
+      .unionByName(p.select(lit("3_purchase").as("stage"), col("user_id")))
+      .groupBy(col("stage")).agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("stage"))
+  }
+
+  /** Cohort retention: users grouped by first-active day, counted on
+    * each later active day-offset (0/1/7/14/28-day retention row). */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("dt")).distinct()
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("dt")).as("cohort_dt"))
+    e.join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(to_date(col("dt")), to_date(col("cohort_dt"))))
+      .filter(col("day_offset").isin(0, 1, 7, 14, 28))
+      .groupBy(col("cohort_dt"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("cohort_dt"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "an_funnel" -> funnel,
+    "an_retention" -> retention,
     "an_session_stats" -> sessionStats,
     "an_running_total" -> runningTotal,
     "an_rank_in_group" -> rankInGroup,
@@ -140,6 +175,33 @@ object Analytic {
     "an_percentiles" -> percentiles)
 
   val oracles: Map[String, String] = Map(
+    "an_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY e.user_id
+        |)
+        |SELECT stage, COUNT(DISTINCT user_id) AS users FROM (
+        |  SELECT '1_view' AS stage, user_id FROM v
+        |  UNION ALL SELECT '2_click', user_id FROM c
+        |  UNION ALL SELECT '3_purchase', user_id FROM p
+        |) GROUP BY stage ORDER BY stage""".stripMargin,
+    "an_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS dt FROM events
+        |), cohorts AS (
+        |  SELECT user_id, MIN(dt) AS cohort_dt FROM active GROUP BY user_id
+        |)
+        |SELECT cohort_dt,
+        |  date_diff('day', CAST(cohort_dt AS DATE), CAST(dt AS DATE)) AS day_offset,
+        |  COUNT(DISTINCT active.user_id) AS users
+        |FROM active JOIN cohorts ON active.user_id = cohorts.user_id
+        |WHERE date_diff('day', CAST(cohort_dt AS DATE), CAST(dt AS DATE)) IN (0, 1, 7, 14, 28)
+        |GROUP BY cohort_dt, day_offset ORDER BY cohort_dt, day_offset""".stripMargin,
     "an_session_stats" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_type,
