@@ -62,6 +62,34 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("ShingleHashes == distinct FNV of '_'-joined 3-grams") =
+    forAll(Gen.listOf(Gen.alphaNumStr.map(_.take(5)).suchThat(_.nonEmpty)).map(_.take(15))) { toks =>
+      import spark.implicits._
+      val expected = toks.sliding(3).filter(_.size == 3)
+        .map(w => graft.functions.Fnv1a64.hash(w.mkString("_").getBytes("UTF-8")))
+        .toSeq.distinct.sorted
+      val got = Seq(toks).toDF("toks")
+        .select(graft.functions.GraftExpressions.shingleHashes(col("toks"), 3))
+        .as[Seq[Long]].head()
+      got == expected
+    }
+
+  property("HyperplaneBuckets == per-plane sign bits from Scala dots") =
+    forAll(Gen.listOfN(8, Gen.choose(-50, 50).map(_ / 10.0f))) { vec =>
+      import spark.implicits._
+      val planes = Array.tabulate(4, 8)((p, j) => ((p * 31 + j * 7) % 11 - 5) / 5.0)
+      val expected = (0 until 2).map { t =>
+        (0 until 2).foldLeft(0L) { (acc, i) =>
+          val dot = vec.zip(planes(t * 2 + i)).map { case (x, y) => x.toDouble * y }.sum
+          if (dot >= 0) acc | (1L << i) else acc
+        }
+      }
+      val got = Seq(vec).toDF("v")
+        .select(graft.functions.GraftExpressions.hyperplaneBuckets(col("v"), planes, 2))
+        .as[Seq[Long]].head()
+      got == expected
+    }
+
   property("SimHash64 == per-token FNV vote reference") =
     forAll(Gen.listOf(Gen.alphaNumStr.map(_.take(8))).map(_.take(20))) { toks =>
       import spark.implicits._
