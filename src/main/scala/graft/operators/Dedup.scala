@@ -70,7 +70,7 @@ object Dedup {
     * hashes equals Jaccard over distinct shingles up to 64-bit hash
     * collisions (negligible). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), GraftExpressions.shingleHashes(toks(col("text")), 3).as("sh"))
 
   /** Per-doc minhash signature banded into LSH bucket keys.
@@ -136,7 +136,7 @@ object Dedup {
     * replaces produces bit-identical signatures; GraftProps pins the
     * expression against a Scala reference.) */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), GraftExpressions.simhash64(toks(col("text"))).as("simhash"))
       .withColumn("chunk0", expr("simhash & 65535"))
       .withColumn("chunk1", expr("(simhash >> 16) & 65535"))

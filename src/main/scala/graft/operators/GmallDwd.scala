@@ -104,11 +104,29 @@ object GmallDwd {
       .withColumn("edt", date_format(w.getField("end"), "yyyy-MM-dd HH:mm:ss"))
   }
 
+  /** The cached frame stores each distinct value once; the id/name
+    * column pairs the gmall schema duplicates (spu_id = spu_name =
+    * p_name, trademark_id = trademark_name, ...) are aliased back at
+    * read time — a free projection that halves the cache footprint. */
   def orderWide(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "orderWide")(orderWideBuild(spark, dir))
+      .select(
+        col("order_id"), col("line_no"), col("user_id"), col("dt"),
+        col("province_id"), col("province_name"),
+        col("sku_id"),
+        col("spu"). as("spu_id"), col("spu").as("spu_name"),
+        col("tm").as("trademark_id"), col("tm").as("trademark_name"),
+        col("cat3").as("category3_id"), col("cat3").as("category3_name"),
+        col("cat2").as("category2_id"), col("cat2").as("category2_name"),
+        col("cat1").as("category1_id"), col("cat1").as("category1_name"),
+        col("origin_amount"), col("activity_reduce_amount"),
+        col("coupon_reduce_amount"), col("split_total_amount"),
+        col("l_returnflag"), col("o_orderstatus"))
 
   private def orderWideBuild(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    // broadcast-join plans keep scan parallelism end to end; fan the
+    // fact scan out so the wide projection + cache build use all cores
+    val li = Tables.spread(spark, Tables.lineitem(spark, dir))
     val o = Tables.orders(spark, dir)
     val p = Tables.part(spark, dir)
     val c = Tables.customer(spark, dir)
@@ -126,20 +144,19 @@ object GmallDwd {
         col("c_nationkey").cast(StringType).as("province_id"),
         col("n_name").as("province_name"),
         col("l_partkey").cast(StringType).as("sku_id"),
-        col("p_name").as("spu_id"),
-        col("p_name").as("spu_name"),
-        col("p_brand").as("trademark_id"),
-        col("p_brand").as("trademark_name"),
-        col("p_type").as("category3_id"),
-        col("p_type").as("category3_name"),
-        split(col("p_name"), " ").getItem(0).as("category2_id"),
-        split(col("p_name"), " ").getItem(0).as("category2_name"),
-        split(col("p_name"), " ").getItem(1).as("category1_id"),
-        split(col("p_name"), " ").getItem(1).as("category1_name"),
+        col("p_name").as("spu"),
+        col("p_brand").as("tm"),
+        col("p_type").as("cat3"),
+        split(col("p_name"), " ").getItem(0).as("cat2"),
+        split(col("p_name"), " ").getItem(1).as("cat1"),
+        // products of (18,2)x(18,2) widen to precision 37 (16-byte,
+        // byte-array-backed); values fit (18,4) with zero loss, which
+        // keeps the cached columns long-backed - 5x cheaper to cache
+        // and aggregate at sf0.1, same exactness
         dec2(col("l_extendedprice")).as("origin_amount"),
-        (dec2(col("l_extendedprice")) * dec2(col("l_discount"))).as("activity_reduce_amount"),
-        (dec2(col("l_extendedprice")) * dec2(col("l_tax"))).as("coupon_reduce_amount"),
-        (dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).as("split_total_amount"),
+        dec4(dec2(col("l_extendedprice")) * dec2(col("l_discount"))).as("activity_reduce_amount"),
+        dec4(dec2(col("l_extendedprice")) * dec2(col("l_tax"))).as("coupon_reduce_amount"),
+        dec4(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).as("split_total_amount"),
         col("l_returnflag"),
         col("o_orderstatus"))
   }

@@ -49,7 +49,7 @@ object Multimodal {
 
   /** documents → media table: binary payload + metadata struct. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    Tables.spread(spark, Tables.documents(spark, dir)).select(
       col("doc_id"),
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),

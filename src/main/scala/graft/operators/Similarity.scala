@@ -25,7 +25,7 @@ object Similarity {
 
   /** Integer-quantized vectors: q = round(x * 1000), exact in BIGINT. */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).select(col("vec_id"),
+    Tables.spread(spark, Tables.embeddings(spark, dir)).select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
       .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
 
@@ -84,7 +84,7 @@ object Similarity {
     * dot products run in one fused codegen pass (HyperplaneBuckets). */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val planes = Array.tabulate(NumTables * PlanesPerTable, 64)((p, j) => planeComponent(p, j))
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
     val withB = e.select(col("vec_id"), col("embedding"),
       GraftExpressions.hyperplaneBuckets(col("embedding"), planes, PlanesPerTable).as("b"))
     val tableCols = (0 until NumTables).map(t => col("b").getItem(t).as(s"bucket_$t"))
@@ -127,7 +127,7 @@ object Similarity {
     * at 100 TB each iteration is one scan + one C-row aggregation. */
   def kmeansCentroids(spark: SparkSession, dir: String,
                       iters: Int = KMeansIters): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val e = Tables.spread(spark, Tables.embeddings(spark, dir)).select(col("vec_id"), col("embedding"))
     var cents = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
     (0 until iters).foreach { _ =>
@@ -155,7 +155,7 @@ object Similarity {
     * cells. Cost: one broadcast pass of n×C centroid dots + a join
     * confined to probed cells — the FAISS-IVF shape, Spark-first. */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
     val cents = kmeansCentroids(spark, dir)
     val scored = e.join(broadcast(cents), lit(true))
       .withColumn("csim", GraftExpressions.cosineSim(col("embedding"), col("ce")))
@@ -179,7 +179,7 @@ object Similarity {
     * annTopK; sims differ from the quantized oracle in the last ulps,
     * so it ships rows-only. */
   def annTopKFloat(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("ea"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"))

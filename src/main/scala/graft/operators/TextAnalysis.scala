@@ -27,7 +27,7 @@ object TextAnalysis {
   /** Quality scoring: token stats + stopword ratio + a deterministic
     * composite score (the shape of a Gopher/C4-style quality filter). */
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         split(col("text"), " ").as("toks"), length(col("text")).cast(LongType).as("char_ct"))
       .withColumn("token_ct", size(col("toks")).cast(LongType))
@@ -48,7 +48,7 @@ object TextAnalysis {
   /** Language ID: stopword-hit n-gram heuristic, argmax with a fixed
     * priority order (en > es > de > fr > other). */
   def langId(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("toks"))
       .withColumn("en_ct", expr(cntExpr(stopEn)).cast(LongType))
       .withColumn("es_ct", expr(cntExpr(stopEs)).cast(LongType))
@@ -67,7 +67,7 @@ object TextAnalysis {
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (letter runs / digit runs / single non-alnum). */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("ws_token_ct"),
         size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")).cast(LongType).as("bpeish_token_ct"),
@@ -79,7 +79,7 @@ object TextAnalysis {
   /** Document fingerprinting: md5 (oracle-checkable) plus a rolling
     * 64-bit FNV content hash via the custom codegen'd expression. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"),
         md5(col("text")).as("md5_hex"),
         GraftExpressions.fnv1a64(col("text")).as("fnv64"),
@@ -88,7 +88,7 @@ object TextAnalysis {
 
   /** md5-only variant for the SQL oracle (fnv64 is not SQL-expressible). */
   def fingerprintsMd5(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), md5(col("text")).as("md5_hex"))
       .orderBy(col("doc_id"))
 
@@ -118,7 +118,7 @@ object TextAnalysis {
     val kept = qualityFilter(spark, dir).filter(col("keep") === 1).select("doc_id")
     val reps = exactReps(spark, dir)
     val langs = langId(spark, dir).select(col("doc_id"), col("pred_lang"))
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("token_ct"))
     kept.join(reps, "doc_id").join(langs, "doc_id").join(toks, "doc_id")
       .groupBy(col("pred_lang"))
@@ -128,7 +128,7 @@ object TextAnalysis {
 
   /** Documents that are their own exact-dedup representative. */
   private def exactReps(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir))
       .groupBy(md5(col("text")))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")

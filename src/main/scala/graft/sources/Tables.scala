@@ -38,4 +38,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Fan a frame out to full core parallelism before compute-heavy
+    * per-row work (signatures, wide projections) when its input is a
+    * small single-file scan — a single parquet row group caps scan
+    * parallelism at 1 regardless of cores, and broadcast-join plans
+    * never reshuffle downstream. Gated on the actual partition count,
+    * so on production many-file tables this is a no-op rather than a
+    * gratuitous full shuffle. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }
