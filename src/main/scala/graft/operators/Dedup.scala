@@ -40,11 +40,15 @@ object Dedup {
     * self-join on shingle (inverted index), score only co-bucketed
     * pairs. This is the ground truth minhash approximates. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.015): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .select(col("doc_id"), shingleExpr.as("sh"))
     val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
+    // inverted index keyed by the shingle's 64-bit hash: same join
+    // semantics (collisions negligible and deterministic), ~4x less
+    // shuffle than the raw shingle strings
     val inv = d.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
