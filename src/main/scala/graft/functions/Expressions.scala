@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -29,6 +30,20 @@ object GraftExpressions {
     toColumn(HyperplaneBuckets(toExpression(vec), planes, planesPerTable))
 }
 
+
+/** Manual input-type validation shared by the graft expressions —
+  * without it, the SQL-registered graft_* functions would run codegen
+  * against mistyped columns (e.g. getLong on an int array) and return
+  * garbage instead of failing analysis. */
+private[functions] object GraftTypeChecks {
+  def expect(ok: Boolean, msg: => String): TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess else TypeCheckResult.TypeCheckFailure(msg)
+  def isArrayOf(dt: DataType, t: DataType): Boolean = t match {
+    case ArrayType(et, _) => et == dt
+    case _ => false
+  }
+}
+
 /** FNV-1a 64-bit hash of a string's UTF-8 bytes.
   *
   * Stable across JVMs/partitions (unlike `hashCode`), cheap (one pass,
@@ -37,6 +52,10 @@ object GraftExpressions {
   */
 case class Fnv1a64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(child.dataType == StringType,
+      s"graft_fnv1a64 requires a string argument, got ${child.dataType.sql}")
 
   override protected def nullSafeEval(input: Any): Any =
     Fnv1a64.hash(input.asInstanceOf[UTF8String].getBytes)
@@ -78,6 +97,13 @@ object Fnv1a64 {
 case class CosineSimFloat(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(
+      GraftTypeChecks.isArrayOf(FloatType, left.dataType) &&
+        GraftTypeChecks.isArrayOf(FloatType, right.dataType),
+      s"graft_cosine_sim requires two array<float> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
 
   override def eval(input: InternalRow): Any = {
     val l = left.eval(input)
@@ -133,6 +159,13 @@ case class DotProductLong(left: Expression, right: Expression) extends BinaryExp
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(
+      GraftTypeChecks.isArrayOf(LongType, left.dataType) &&
+        GraftTypeChecks.isArrayOf(LongType, right.dataType),
+      s"graft_dot_long requires two array<bigint> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
   override def eval(input: InternalRow): Any = {
     val l = left.eval(input)
     val r = right.eval(input)
@@ -177,6 +210,10 @@ case class DotProductLong(left: Expression, right: Expression) extends BinaryExp
 case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
   private val Prime = (1L << 61) - 1
   private val Golden = 0x9e3779b97f4a7c15L
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(GraftTypeChecks.isArrayOf(LongType, child.dataType),
+      s"graft_minhash_sig requires an array<bigint> argument, got ${child.dataType.sql}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -233,6 +270,10 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(GraftTypeChecks.isArrayOf(StringType, child.dataType),
+      s"graft_simhash64 requires an array<string> argument, got ${child.dataType.sql}")
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -291,6 +332,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   */
 case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(GraftTypeChecks.isArrayOf(StringType, child.dataType),
+      s"graft_shingle_hashes requires an array<string> argument, got ${child.dataType.sql}")
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
@@ -363,6 +408,10 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
 case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
                              planesPerTable: Int) extends UnaryExpression {
   private val numTables = planes.length / planesPerTable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(GraftTypeChecks.isArrayOf(FloatType, child.dataType),
+      s"HyperplaneBuckets requires an array<float> argument, got ${child.dataType.sql}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

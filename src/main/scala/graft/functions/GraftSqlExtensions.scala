@@ -16,6 +16,10 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftSqlExtensions].getName, null, name, usage, "")
 
+  private def arity(args: Seq[Expression], n: Int, fn: String): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${args.length}")
+
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -25,28 +29,28 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_fnv1a64"),
       info("graft_fnv1a64", "graft_fnv1a64(str) - FNV-1a 64-bit hash of a string"),
-      (args: Seq[Expression]) => Fnv1a64(args.head)))
+      (args: Seq[Expression]) => { arity(args, 1, "graft_fnv1a64"); Fnv1a64(args.head) }))
 
     ext.injectFunction((FunctionIdentifier("graft_cosine_sim"),
       info("graft_cosine_sim", "graft_cosine_sim(a, b) - cosine similarity of float arrays"),
-      (args: Seq[Expression]) => CosineSimFloat(args(0), args(1))))
+      (args: Seq[Expression]) => { arity(args, 2, "graft_cosine_sim"); CosineSimFloat(args(0), args(1)) }))
 
     ext.injectFunction((FunctionIdentifier("graft_dot_long"),
       info("graft_dot_long", "graft_dot_long(a, b) - integer dot product of bigint arrays"),
-      (args: Seq[Expression]) => DotProductLong(args(0), args(1))))
+      (args: Seq[Expression]) => { arity(args, 2, "graft_dot_long"); DotProductLong(args(0), args(1)) }))
 
     ext.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a token array"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => { arity(args, 1, "graft_simhash64"); SimHash64(args.head) }))
 
     ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "graft_minhash_sig(hashes, n) - n-permutation minhash signature"),
-      (args: Seq[Expression]) =>
-        MinHashSignature(args.head, intArg(args(1), "graft_minhash_sig"))))
+      (args: Seq[Expression]) => { arity(args, 2, "graft_minhash_sig")
+        MinHashSignature(args.head, intArg(args(1), "graft_minhash_sig")) }))
 
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", "graft_shingle_hashes(tokens, k) - distinct k-gram shingle hashes"),
-      (args: Seq[Expression]) =>
-        ShingleHashes(args.head, intArg(args(1), "graft_shingle_hashes"))))
+      (args: Seq[Expression]) => { arity(args, 2, "graft_shingle_hashes")
+        ShingleHashes(args.head, intArg(args(1), "graft_shingle_hashes")) }))
   }
 }

@@ -104,12 +104,10 @@ object Analytic {
     val o = Tables.orders(spark, dir)
     o.groupBy(col("o_orderstatus").as("status"))
       .agg(
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)).as("p50_approx"),
         expr("percentile(o_totalprice, 0.5)").as("p50"),
         expr("percentile(o_totalprice, 0.9)").as("p90"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
-      .drop("p50_approx")
       .orderBy(col("status"))
   }
 

@@ -23,31 +23,38 @@ object AsOf {
   /** Left rows from `left`, each enriched with `rightCols` from the
     * latest `right` row at or before its timestamp (nulls when none).
     * Right rows must be unique per (key, ts) — pre-dedup if not; ties
-    * at equal ts match the right row (inclusive bound). */
+    * at equal ts match the right row (inclusive bound).
+    *
+    * The right payload is carried as ONE struct (null exactly for
+    * left-side rows), so a matched right row arrives atomically —
+    * carrying columns independently would stitch together fields from
+    * different right rows whenever a payload column is null. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                tsL: String, tsR: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payload = struct(rightCols.map(col): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("_ts", col(tsL))
       .withColumn("_side", lit(1))
       .select(Seq(col(key), col("_ts"), col("_side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(payloadType).as("_r"): _*)
     val r = right
       .withColumn("_ts", col(tsR))
       .withColumn("_side", lit(0))
       .select(Seq(col(key), col("_ts"), col("_side")) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"_r_$c")): _*)
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payload.as("_r"): _*)
     // right rows sort before left rows at equal ts -> inclusive match
     val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"_c_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1)
+    l.unionByName(r)
+      .withColumn("_c", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
       .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
-        rightCols.map(c => col(s"_c_$c").as(c)): _*)
+        rightCols.map(c => col("_c").getField(c).as(c)): _*)
   }
 
   /** Each purchase matched to the user's latest click at or before it:

@@ -114,7 +114,9 @@ object Dedup {
     val reps = verified.select(col("doc_b").as("doc_id"), col("doc_a").as("other"))
       .unionByName(verified.select(col("doc_a").as("doc_id"), col("doc_b").as("other")))
       .groupBy(col("doc_id")).agg(min(col("other")).as("m"))
-    sig.select(col("doc_id")).join(reps, Seq("doc_id"), "left")
+    // every document gets a mapping row — docs too short to shingle
+    // (< 3 tokens, filtered before signatures) are their own reps
+    Tables.documents(spark, dir).select(col("doc_id")).join(reps, Seq("doc_id"), "left")
       .select(col("doc_id"), least(col("doc_id"), coalesce(col("m"), col("doc_id"))).as("rep_doc_id"))
       .orderBy(col("doc_id"))
   }

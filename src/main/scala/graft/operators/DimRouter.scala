@@ -69,7 +69,13 @@ object DimRouter {
   /** End-to-end driver loop: route a CDC batch and merge each sink
     * table into its parquet location under `warehouseDir`. This is the
     * body a `foreachBatch` would run per micro-batch (SURVEY.md §3.1);
-    * it is also directly usable in batch backfills. */
+    * it is also directly usable in batch backfills.
+    *
+    * Deletes participate in the same latest-wins resolution as live
+    * records (as tombstone rows), so a delete followed by a later
+    * re-insert of the same PK within one batch keeps the row — the
+    * per-PK winner is whichever event is newest, with live records
+    * beating tombstones on equal `_cdc_ts`. */
   def routeAndWrite(spark: SparkSession, envelope: DataFrame,
                     configs: Seq[TableProcess], warehouseDir: String): Unit = {
     val batch = envelope.cache()
@@ -77,12 +83,27 @@ object DimRouter {
       route(batch, configs).foreach { case (sinkTable, updates) =>
         val tp = configs.find(_.sinkTable == sinkTable).get
         val path = s"$warehouseDir/$sinkTable"
-        val merged = if (tableExists(spark, path))
-          upsert(spark.read.parquet(path), updates, tp.sinkPk)
-        else updates
-        val dels = deletes(batch, tp).select(col(tp.sinkPk))
-        merged.join(dels, Seq(tp.sinkPk), "left_anti")
-          .write.mode("overwrite").parquet(s"$path.tmp")
+        // tombstones widened to the sink schema (nulls outside pk/ts)
+        val tombs = {
+          val d = deletes(batch, tp)
+          updates.columns.foldLeft(d) { (acc, c) =>
+            if (d.columns.contains(c)) acc
+            else acc.withColumn(c, lit(null).cast(updates.schema(c).dataType))
+          }.select(updates.columns.map(col): _*)
+        }
+        val incoming = updates.withColumn("_del", lit(0))
+          .unionByName(tombs.withColumn("_del", lit(1)))
+        val base = if (tableExists(spark, path))
+          spark.read.parquet(path).withColumn("_del", lit(0))
+        else incoming.limit(0)
+        val merged = base.withColumn("_src", lit(0))
+          .unionByName(incoming.withColumn("_src", lit(1)))
+          .withColumn("_rk", row_number().over(
+            Window.partitionBy(col(tp.sinkPk))
+              .orderBy(col("_cdc_ts").desc, col("_del"), col("_src").desc)))
+          .filter(col("_rk") === 1 && col("_del") === 0)
+          .drop("_rk", "_src", "_del")
+        merged.write.mode("overwrite").parquet(s"$path.tmp")
         // atomic-enough swap for the parquet era; Delta MERGE at scale
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * aggregation skew and joins where the skewed side must stay
   * shuffled).
   *
-  * Both are deterministic: the salt is a hash of the full row (or
-  * chosen columns), not a random number, so results are reproducible
-  * and retries are safe (Spark may re-run tasks; `rand()`-based salts
-  * break exactly-once semantics on retry).
+  * Both are deterministic: the salt derives from a per-partition row
+  * index (`monotonically_increasing_id`), not `rand()` — identical on
+  * task retry for the same input partition, so exactly-once sinks stay
+  * safe. A row-content hash would NOT work here: aggregation skew
+  * usually comes from millions of *identical* rows, which would all
+  * hash to one salt and defeat the spreading entirely.
   */
 object Skew {
 
@@ -25,8 +27,8 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
                      countName: String = "cnt", salts: Int = 16): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts)).cast("int").as("_salt")
-    val phase1 = df.withColumn("_salt", salt)
+    val phase1 = df.withColumn("_salt",
+        pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(count(lit(1)).as("_pc"),
         sumCols.map(c => sum(col(c)).as(s"_ps_$c")): _*)
@@ -44,8 +46,8 @@ object Skew {
     * hot key's rows land on `salts` reducers instead of one. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  joinType: String = "inner", salts: Int = 16): DataFrame = {
-    val saltCol = pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts)).cast("int")
-    val l = left.withColumn("_salt", saltCol)
+    val l = left.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
     val r = right.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "_salt", joinType).drop("_salt")
   }

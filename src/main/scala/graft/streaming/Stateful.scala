@@ -22,9 +22,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale notes: each operator is one shuffle on its key; state is one
   * small record per key in the state store (RocksDB-backed on a
-  * cluster), evicted by event-time timeout = the reference's TTLs.
-  * Within a micro-batch the group iterator is sorted by (ts, event_id)
-  * so results are deterministic and batch-equivalent.
+  * cluster). Eviction per operator mirrors what its semantics allow:
+  * `firstWins` TTLs its marker after `ttlMillis` (the reference's 5 s
+  * dedup window — retract duplicates arrive within milliseconds);
+  * `latestWins` and `jumpDetect` evict on event-time timeout. The
+  * `dailyFlags` lifetime-first flag and `backFlow`'s 8-day-gap memory
+  * are *semantically* unbounded (the reference likewise keeps D4's
+  * last-visit state with no TTL) — at 100 TB those two are the
+  * operators to back with a compacted snapshot + periodic state
+  * rewrite, not a TTL. Within a micro-batch the group iterator is
+  * sorted by (ts, event_id) so results are deterministic and
+  * batch-equivalent.
   */
 object Stateful {
 
@@ -108,19 +116,30 @@ object Stateful {
           out.iterator
       }
 
-  /** D1: first-wins dedup — emit only the first record per key ever
-    * seen (the reference holds state 5 s because retract duplicates
-    * arrive within milliseconds; here state lives until the watermark
-    * evicts it, which subsumes the TTL). */
-  def firstWins(records: Dataset[Keyed]): Dataset[Keyed] =
+  /** D1: first-wins dedup — emit only the first record per key; the
+    * seen-marker is evicted when the watermark passes the newest seen
+    * ts + `ttlMillis` (the reference's 5 s OnReadAndWrite TTL, bound
+    * to the watermark clock like [[latestWins]]: retract duplicates
+    * arrive within milliseconds, and the sweep keeps the unbounded key
+    * domain from accumulating state forever). Requires `withWatermark`
+    * upstream. (A ProcessingTimeTimeout would busy-loop micro-batches
+    * whenever timers are registered — event time is both deterministic
+    * and cheaper.) */
+  def firstWins(records: Dataset[Keyed], ttlMillis: Long = 5000L): Dataset[Keyed] =
     records.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: String, it: Iterator[Keyed], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
             val sorted = it.toSeq.sortBy(r => (r.ts.getTime, r.payload))
-            Iterator.single(sorted.head)
+            state.setTimeoutTimestamp(sorted.last.ts.getTime + ttlMillis)
+            if (state.exists) Iterator.empty
+            else {
+              state.update(true)
+              Iterator.single(sorted.head)
+            }
           }
       }
 

@@ -55,6 +55,25 @@ class DimRouterSpec extends AnyFunSuite {
     assert(state == Map("1" -> "a2", "3" -> "c"))
   }
 
+  test("delete then re-insert of the same PK in one batch keeps the newer row") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("dim_router2").toString
+    DimRouter.routeAndWrite(spark, envelope(
+      """{"database":"g","table":"user_info","type":"insert","data":{"id":"1","name":"a","email":"a@x"},"ts":10}"""),
+      configs, tmp)
+    DimRouter.routeAndWrite(spark, envelope(
+      """{"database":"g","table":"user_info","type":"delete","data":{"id":"1","name":"a","email":"a@x"},"ts":20}""",
+      """{"database":"g","table":"user_info","type":"insert","data":{"id":"1","name":"a-back","email":"a@x"},"ts":21}""",
+      """{"database":"g","table":"user_info","type":"insert","data":{"id":"2","name":"b","email":"b@x"},"ts":21}""",
+      """{"database":"g","table":"user_info","type":"delete","data":{"id":"2","name":"b","email":"b@x"},"ts":22}"""),
+      configs, tmp)
+    val state = spark.read.parquet(s"$tmp/dim_user_info")
+      .select("id", "name").as[(String, String)].collect().toMap
+    // id 1: delete@20 then re-insert@21 -> row survives with the new value
+    // id 2: insert@21 then delete@22 -> row gone
+    assert(state == Map("1" -> "a-back"))
+  }
+
   test("upsert prefers the update over existing on equal ts") {
     import spark.implicits._
     val existing = Seq(("1", "old", 5L)).toDF("id", "name", "_cdc_ts")

@@ -30,6 +30,17 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(sql.map(_._2).toSet == api.select("sh").as[Long].collect().toSet)
   }
 
+  test("mistyped input fails analysis instead of returning garbage") {
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_dot_long(array(1, 2), array(3, 4))").collect())
+    assert(e1.getMessage.contains("array<bigint>"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_simhash64('not an array')").collect())
+    assert(e2.getMessage.contains("array<string>"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql("SELECT graft_fnv1a64()").collect())
+    assert(e3.getMessage.contains("argument"), e3.getMessage)
+  }
+
   test("graft_cosine_sim and graft_dot_long from SQL") {
     val r = spark.sql(
       """SELECT graft_cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),

@@ -134,7 +134,8 @@ class StreamingSpec extends AnyFunSuite {
   test("D1: firstWins emits exactly the first record per key across batches") {
     import spark.implicits._
     val mem = MemoryStream[Keyed](spark)
-    val q = Stateful.firstWins(mem.toDS()).writeStream.format("memory")
+    val q = Stateful.firstWins(mem.toDS().withWatermark("ts", "0 seconds").as[Keyed])
+      .writeStream.format("memory")
       .queryName("first_wins").outputMode(OutputMode.Append).start()
     mem.addData(Keyed("a", ts(5), "late"), Keyed("a", ts(1), "first"), Keyed("b", ts(2), "b1"))
     q.processAllAvailable()
