@@ -104,14 +104,34 @@ object DimRouter {
           .filter(col("_rk") === 1 && col("_del") === 0)
           .drop("_rk", "_src", "_del")
         merged.write.mode("overwrite").parquet(s"$path.tmp")
-        // atomic-enough swap for the parquet era; Delta MERGE at scale
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        fs.rename(new org.apache.hadoop.fs.Path(s"$path.tmp"),
-          new org.apache.hadoop.fs.Path(path))
+        swapInto(spark, path)
       }
     } finally batch.unpersist()
+  }
+
+  /** Swap `path.tmp` (the freshly-written merge result) into `path`.
+    *
+    * Crash-safe ordering for the parquet era: the previous table is
+    * renamed aside (`path` → `path.old`) before the new one moves in,
+    * so no failure point leaves the data unrecoverable — a crash
+    * between the two renames is repaired by renaming `path.old` back.
+    * Every FileSystem call is checked; a false return (e.g. a silently
+    * failed rename on an object store) throws instead of losing state.
+    * At scale this whole swap is a transactional `MERGE INTO` on a
+    * lakehouse table format. */
+  private def swapInto(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(path)
+    val tmp = new Path(s"$path.tmp")
+    val old = new Path(s"$path.old")
+    def checked(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"DimRouter swap: $what failed for $path")
+    if (fs.exists(old)) checked(fs.delete(old, true), s"delete stale $old")
+    if (fs.exists(dst)) checked(fs.rename(dst, old), s"rename $dst aside")
+    checked(fs.rename(tmp, dst), s"rename $tmp into place")
+    if (fs.exists(old)) checked(fs.delete(old, true), s"delete $old")
   }
 
   private def tableExists(spark: SparkSession, path: String): Boolean =

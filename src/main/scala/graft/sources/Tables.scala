@@ -43,11 +43,12 @@ object Tables {
     * per-row work (signatures, wide projections) when its input is a
     * small single-file scan — a single parquet row group caps scan
     * parallelism at 1 regardless of cores, and broadcast-join plans
-    * never reshuffle downstream. Gated on the actual partition count,
+    * never reshuffle downstream. Gated on the scan's file count (a
+    * plan-level check — no RDD materialization, no double planning),
     * so on production many-file tables this is a no-op rather than a
     * gratuitous full shuffle. */
   def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 }
