@@ -28,6 +28,10 @@ object GraftExpressions {
     toColumn(ShingleHashes(toExpression(tokens), k))
   def hyperplaneBuckets(vec: Column, planes: Array[Array[Double]], planesPerTable: Int): Column =
     toColumn(HyperplaneBuckets(toExpression(vec), planes, planesPerTable))
+  def hyperplaneBucketsLong(vec: Column, planes: Array[Array[Long]], planesPerTable: Int): Column =
+    toColumn(HyperplaneBucketsLong(toExpression(vec), planes, planesPerTable))
+  def nearestCentroidsLong(vec: Column, centIds: Array[Int], cents: Array[Array[Long]], k: Int): Column =
+    toColumn(NearestCentroidsLong(toExpression(vec), centIds, cents, k))
 }
 
 
@@ -450,5 +454,157 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
+/** Integer variant of [[HyperplaneBuckets]] over a quantized BIGINT
+  * vector and integer-quantized planes. The sign test `dot >= 0` is
+  * exact integer arithmetic — bit-reproducible across engines, which
+  * is what makes the LSH bucket assignment SQL-oracle-checkable.
+  */
+case class HyperplaneBucketsLong(child: Expression, planes: Array[Array[Long]],
+                                 planesPerTable: Int) extends UnaryExpression {
+  private val numTables = planes.length / planesPerTable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(GraftTypeChecks.isArrayOf(LongType, child.dataType),
+      s"HyperplaneBucketsLong requires an array<bigint> argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](numTables)
+    var p = 0
+    while (p < planes.length) {
+      var dot = 0L
+      val pl = planes(p)
+      val n = math.min(v.numElements(), pl.length)
+      var j = 0
+      while (j < n) { dot += v.getLong(j) * pl(j); j += 1 }
+      if (dot >= 0) out(p / planesPerTable) |= (1L << (p % planesPerTable))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("graftPlanesQ", planes, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |long[] graftOut = new long[$numTables];
+         |for (int graftP = 0; graftP < ${planes.length}; graftP++) {
+         |  long graftDot = 0L;
+         |  long[] graftPl = $planesRef[graftP];
+         |  int graftN = Math.min($c.numElements(), graftPl.length);
+         |  for (int graftJ = 0; graftJ < graftN; graftJ++) {
+         |    graftDot += $c.getLong(graftJ) * graftPl[graftJ];
+         |  }
+         |  if (graftDot >= 0) graftOut[graftP / $planesPerTable] |= (1L << (graftP % $planesPerTable));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftOut);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsLong =
+    copy(child = newChild)
+}
+
+/** Doc-local k-nearest-centroid assignment: the ids of the `k`
+  * centroids nearest (by cosine) to a quantized BIGINT vector, ordered
+  * by similarity descending (ties: lower centroid id).
+  *
+  * The centroid model is an O(C) driver-side constant referenced from
+  * the generated code — the IVF/k-means assignment argmax becomes a
+  * pure projection with ZERO shuffle (the shape that scales: at 100 TB
+  * assignment is scan-speed; only the C×dims partial aggregation that
+  * recomputes centroids shuffles). Score is `dot / sqrt(centNorm)` —
+  * the per-vector norm is a common positive factor that cannot change
+  * the ranking, so it is skipped; the division matches the SQL oracle
+  * formula bit-for-bit (integer dot, one double divide).
+  */
+case class NearestCentroidsLong(child: Expression, centIds: Array[Int],
+                                cents: Array[Array[Long]], k: Int) extends UnaryExpression {
+  require(centIds.length == cents.length && cents.nonEmpty, "ids/centroids mismatch")
+
+  @transient private lazy val sqrtNorms: Array[Double] =
+    cents.map { c =>
+      var n = 0L; var j = 0
+      while (j < c.length) { n += c(j) * c(j); j += 1 }
+      math.sqrt(n.toDouble)
+    }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(GraftTypeChecks.isArrayOf(LongType, child.dataType),
+      s"NearestCentroidsLong requires an array<bigint> argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val c = cents.length
+    val scores = new Array[Double](c)
+    var p = 0
+    while (p < c) {
+      var dot = 0L
+      val ce = cents(p)
+      val n = math.min(v.numElements(), ce.length)
+      var j = 0
+      while (j < n) { dot += v.getLong(j) * ce(j); j += 1 }
+      scores(p) = if (sqrtNorms(p) == 0.0) 0.0 else dot.toDouble / sqrtNorms(p)
+      p += 1
+    }
+    val outLen = math.min(k, c)
+    val out = new Array[Int](outLen)
+    val used = new Array[Boolean](c)
+    var s = 0
+    while (s < outLen) {
+      var best = -1; var bestScore = 0.0
+      var q = 0
+      while (q < c) {
+        if (!used(q) && (best < 0 || scores(q) > bestScore)) { best = q; bestScore = scores(q) }
+        q += 1
+      }
+      used(best) = true; out(s) = centIds(best)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("graftCents", cents, "long[][]")
+    val idsRef = ctx.addReferenceObj("graftCentIds", centIds, "int[]")
+    val normsRef = ctx.addReferenceObj("graftSqrtNorms", sqrtNorms, "double[]")
+    val c = cents.length
+    val outLen = math.min(k, c)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |double[] graftScores = new double[$c];
+         |for (int graftP = 0; graftP < $c; graftP++) {
+         |  long graftDot = 0L;
+         |  long[] graftCe = $centsRef[graftP];
+         |  int graftN = Math.min($v.numElements(), graftCe.length);
+         |  for (int graftJ = 0; graftJ < graftN; graftJ++) {
+         |    graftDot += $v.getLong(graftJ) * graftCe[graftJ];
+         |  }
+         |  graftScores[graftP] = ($normsRef[graftP] == 0.0)
+         |    ? 0.0 : ((double) graftDot) / $normsRef[graftP];
+         |}
+         |int[] graftOut = new int[$outLen];
+         |boolean[] graftUsed = new boolean[$c];
+         |for (int graftS = 0; graftS < $outLen; graftS++) {
+         |  int graftBest = -1; double graftBestScore = 0.0;
+         |  for (int graftQ = 0; graftQ < $c; graftQ++) {
+         |    if (!graftUsed[graftQ] && (graftBest < 0 || graftScores[graftQ] > graftBestScore)) {
+         |      graftBest = graftQ; graftBestScore = graftScores[graftQ];
+         |    }
+         |  }
+         |  graftUsed[graftBest] = true; graftOut[graftS] = $idsRef[graftBest];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftOut);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsLong =
     copy(child = newChild)
 }
