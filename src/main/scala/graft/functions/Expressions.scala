@@ -32,6 +32,8 @@ object GraftExpressions {
     toColumn(HyperplaneBucketsLong(toExpression(vec), planes, planesPerTable))
   def nearestCentroidsLong(vec: Column, centIds: Array[Int], cents: Array[Array[Long]], k: Int): Column =
     toColumn(NearestCentroidsLong(toExpression(vec), centIds, cents, k))
+  def nearestCentroidsFloat(vec: Column, centIds: Array[Int], cents: Array[Array[Float]], k: Int): Column =
+    toColumn(NearestCentroidsFloat(toExpression(vec), centIds, cents, k))
 }
 
 
@@ -65,16 +67,24 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
     Fnv1a64.hash(input.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // ctx.freshName for every local: two instances of a graft
+      // expression in one projection must not collide (fixed names
+      // would be duplicate declarations when the child is non-nullable
+      // and the snippet inlines without its own block scope).
+      val bytes = ctx.freshName("graftBytes")
+      val h = ctx.freshName("graftH")
+      val i = ctx.freshName("graftI")
       s"""
-         |byte[] graftBytes = $c.getBytes();
-         |long graftH = 0xcbf29ce484222325L;
-         |for (int graftI = 0; graftI < graftBytes.length; graftI++) {
-         |  graftH ^= (graftBytes[graftI] & 0xffL);
-         |  graftH *= 0x100000001b3L;
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0xcbf29ce484222325L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h ^= ($bytes[$i] & 0xffL);
+         |  $h *= 0x100000001b3L;
          |}
-         |${ev.value} = graftH;
-       """.stripMargin)
+         |${ev.value} = $h;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Fnv1a64 = copy(newChild)
 }
@@ -128,24 +138,32 @@ case class CosineSimFloat(left: Expression, right: Expression) extends BinaryExp
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (l, r) =>
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val n = ctx.freshName("graftN")
+      val dot = ctx.freshName("graftDot")
+      val na = ctx.freshName("graftNa")
+      val nb = ctx.freshName("graftNb")
+      val i = ctx.freshName("graftI")
+      val x = ctx.freshName("graftX")
+      val y = ctx.freshName("graftY")
       s"""
-         |int graftN = $l.numElements();
-         |if (graftN != $r.numElements()) {
+         |int $n = $l.numElements();
+         |if ($n != $r.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double graftDot = 0.0, graftNa = 0.0, graftNb = 0.0;
-         |  for (int graftI = 0; graftI < graftN; graftI++) {
-         |    double graftX = (double) $l.getFloat(graftI);
-         |    double graftY = (double) $r.getFloat(graftI);
-         |    graftDot += graftX * graftY;
-         |    graftNa += graftX * graftX;
-         |    graftNb += graftY * graftY;
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $l.getFloat($i);
+         |    double $y = (double) $r.getFloat($i);
+         |    $dot += $x * $y;
+         |    $na += $x * $x;
+         |    $nb += $y * $y;
          |  }
-         |  ${ev.value} = (graftNa == 0.0 || graftNb == 0.0)
-         |    ? 0.0 : graftDot / (Math.sqrt(graftNa) * Math.sqrt(graftNb));
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |    ? 0.0 : $dot / (Math.sqrt($na) * Math.sqrt($nb));
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimFloat =
     copy(left = newLeft, right = newRight)
@@ -185,19 +203,23 @@ case class DotProductLong(left: Expression, right: Expression) extends BinaryExp
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (l, r) =>
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val n = ctx.freshName("graftN")
+      val dot = ctx.freshName("graftDot")
+      val i = ctx.freshName("graftI")
       s"""
-         |int graftN = $l.numElements();
-         |if (graftN != $r.numElements()) {
+         |int $n = $l.numElements();
+         |if ($n != $r.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long graftDot = 0L;
-         |  for (int graftI = 0; graftI < graftN; graftI++) {
-         |    graftDot += $l.getLong(graftI) * $r.getLong(graftI);
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $l.getLong($i) * $r.getLong($i);
          |  }
-         |  ${ev.value} = graftDot;
+         |  ${ev.value} = $dot;
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductLong =
     copy(left = newLeft, right = newRight)
@@ -242,22 +264,30 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("graftN")
+      val mins = ctx.freshName("graftMins")
+      val j = ctx.freshName("graftJ")
+      val x = ctx.freshName("graftX")
+      val i = ctx.freshName("graftI")
+      val v = ctx.freshName("graftV")
+      val m = ctx.freshName("graftM")
       s"""
-         |int graftN = $c.numElements();
-         |long[] graftMins = new long[$numHashes];
-         |java.util.Arrays.fill(graftMins, Long.MAX_VALUE);
-         |for (int graftJ = 0; graftJ < graftN; graftJ++) {
-         |  long graftX = $c.getLong(graftJ);
-         |  for (int graftI = 0; graftI < $numHashes; graftI++) {
-         |    long graftV = (2L * graftI + 1L) * graftX + (${Golden}L + graftI);
-         |    long graftM = graftV % ${Prime}L;
-         |    if (graftM < 0) graftM += ${Prime}L;
-         |    if (graftM < graftMins[graftI]) graftMins[graftI] = graftM;
+         |int $n = $c.numElements();
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $x = $c.getLong($j);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $v = (2L * $i + 1L) * $x + (${Golden}L + $i);
+         |    long $m = $v % ${Prime}L;
+         |    if ($m < 0) $m += ${Prime}L;
+         |    if ($m < $mins[$i]) $mins[$i] = $m;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftMins);
-       """.stripMargin)
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -300,27 +330,37 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("graftN")
+      val votes = ctx.freshName("graftVotes")
+      val j = ctx.freshName("graftJ")
+      val bytes = ctx.freshName("graftBytes")
+      val h = ctx.freshName("graftH")
+      val k = ctx.freshName("graftK")
+      val i = ctx.freshName("graftI")
+      val i2 = ctx.freshName("graftI2")
+      val sig = ctx.freshName("graftSig")
       s"""
-         |int graftN = $c.numElements();
-         |int[] graftVotes = new int[64];
-         |for (int graftJ = 0; graftJ < graftN; graftJ++) {
-         |  byte[] graftBytes = $c.getUTF8String(graftJ).getBytes();
-         |  long graftH = 0xcbf29ce484222325L;
-         |  for (int graftK = 0; graftK < graftBytes.length; graftK++) {
-         |    graftH ^= (graftBytes[graftK] & 0xffL);
-         |    graftH *= 0x100000001b3L;
+         |int $n = $c.numElements();
+         |int[] $votes = new int[64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  byte[] $bytes = $c.getUTF8String($j).getBytes();
+         |  long $h = 0xcbf29ce484222325L;
+         |  for (int $k = 0; $k < $bytes.length; $k++) {
+         |    $h ^= ($bytes[$k] & 0xffL);
+         |    $h *= 0x100000001b3L;
          |  }
-         |  for (int graftI = 0; graftI < 64; graftI++) {
-         |    if (((graftH >>> graftI) & 1L) == 1L) graftVotes[graftI]++; else graftVotes[graftI]--;
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if ((($h >>> $i) & 1L) == 1L) $votes[$i]++; else $votes[$i]--;
          |  }
          |}
-         |long graftSig = 0L;
-         |for (int graftI = 0; graftI < 64; graftI++) {
-         |  if (graftVotes[graftI] > 0) graftSig |= (1L << graftI);
+         |long $sig = 0L;
+         |for (int $i2 = 0; $i2 < 64; $i2++) {
+         |  if ($votes[$i2] > 0) $sig |= (1L << $i2);
          |}
-         |${ev.value} = graftSig;
-       """.stripMargin)
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(newChild)
@@ -369,35 +409,46 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("graftN")
+      val m = ctx.freshName("graftM")
+      val hs = ctx.freshName("graftHs")
+      val i = ctx.freshName("graftI")
+      val h = ctx.freshName("graftH")
+      val j = ctx.freshName("graftJ")
+      val bytes = ctx.freshName("graftBytes")
+      val b = ctx.freshName("graftB")
+      val w = ctx.freshName("graftW")
+      val r = ctx.freshName("graftR")
       s"""
-         |int graftN = $c.numElements();
-         |int graftM = graftN - $k + 1;
-         |if (graftM <= 0) {
+         |int $n = $c.numElements();
+         |int $m = $n - $k + 1;
+         |if ($m <= 0) {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
          |} else {
-         |  long[] graftHs = new long[graftM];
-         |  for (int graftI = 0; graftI < graftM; graftI++) {
-         |    long graftH = 0xcbf29ce484222325L;
-         |    for (int graftJ = 0; graftJ < $k; graftJ++) {
-         |      if (graftJ > 0) { graftH ^= 95L; graftH *= 0x100000001b3L; }
-         |      byte[] graftBytes = $c.getUTF8String(graftI + graftJ).getBytes();
-         |      for (int graftB = 0; graftB < graftBytes.length; graftB++) {
-         |        graftH ^= (graftBytes[graftB] & 0xffL);
-         |        graftH *= 0x100000001b3L;
+         |  long[] $hs = new long[$m];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    long $h = 0xcbf29ce484222325L;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      if ($j > 0) { $h ^= 95L; $h *= 0x100000001b3L; }
+         |      byte[] $bytes = $c.getUTF8String($i + $j).getBytes();
+         |      for (int $b = 0; $b < $bytes.length; $b++) {
+         |        $h ^= ($bytes[$b] & 0xffL);
+         |        $h *= 0x100000001b3L;
          |      }
          |    }
-         |    graftHs[graftI] = graftH;
+         |    $hs[$i] = $h;
          |  }
-         |  java.util.Arrays.sort(graftHs);
-         |  int graftW = 1;
-         |  for (int graftR = 1; graftR < graftM; graftR++) {
-         |    if (graftHs[graftR] != graftHs[graftR - 1]) graftHs[graftW++] = graftHs[graftR];
+         |  java.util.Arrays.sort($hs);
+         |  int $w = 1;
+         |  for (int $r = 1; $r < $m; $r++) {
+         |    if ($hs[$r] != $hs[$r - 1]) $hs[$w++] = $hs[$r];
          |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |    java.util.Arrays.copyOf(graftHs, graftW));
+         |    java.util.Arrays.copyOf($hs, $w));
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -437,20 +488,27 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("graftPlanes", planes, "double[][]")
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("graftOut")
+      val p = ctx.freshName("graftP")
+      val dot = ctx.freshName("graftDot")
+      val pl = ctx.freshName("graftPl")
+      val n = ctx.freshName("graftN")
+      val j = ctx.freshName("graftJ")
       s"""
-         |long[] graftOut = new long[$numTables];
-         |for (int graftP = 0; graftP < ${planes.length}; graftP++) {
-         |  double graftDot = 0.0;
-         |  double[] graftPl = $planesRef[graftP];
-         |  int graftN = Math.min($c.numElements(), graftPl.length);
-         |  for (int graftJ = 0; graftJ < graftN; graftJ++) {
-         |    graftDot += ((double) $c.getFloat(graftJ)) * graftPl[graftJ];
+         |long[] $out = new long[$numTables];
+         |for (int $p = 0; $p < ${planes.length}; $p++) {
+         |  double $dot = 0.0;
+         |  double[] $pl = $planesRef[$p];
+         |  int $n = Math.min($c.numElements(), $pl.length);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $dot += ((double) $c.getFloat($j)) * $pl[$j];
          |  }
-         |  if (graftDot >= 0) graftOut[graftP / $planesPerTable] |= (1L << (graftP % $planesPerTable));
+         |  if ($dot >= 0) $out[$p / $planesPerTable] |= (1L << ($p % $planesPerTable));
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftOut);
-       """.stripMargin)
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
@@ -490,20 +548,27 @@ case class HyperplaneBucketsLong(child: Expression, planes: Array[Array[Long]],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("graftPlanesQ", planes, "long[][]")
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("graftOut")
+      val p = ctx.freshName("graftP")
+      val dot = ctx.freshName("graftDot")
+      val pl = ctx.freshName("graftPl")
+      val n = ctx.freshName("graftN")
+      val j = ctx.freshName("graftJ")
       s"""
-         |long[] graftOut = new long[$numTables];
-         |for (int graftP = 0; graftP < ${planes.length}; graftP++) {
-         |  long graftDot = 0L;
-         |  long[] graftPl = $planesRef[graftP];
-         |  int graftN = Math.min($c.numElements(), graftPl.length);
-         |  for (int graftJ = 0; graftJ < graftN; graftJ++) {
-         |    graftDot += $c.getLong(graftJ) * graftPl[graftJ];
+         |long[] $out = new long[$numTables];
+         |for (int $p = 0; $p < ${planes.length}; $p++) {
+         |  long $dot = 0L;
+         |  long[] $pl = $planesRef[$p];
+         |  int $n = Math.min($c.numElements(), $pl.length);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $dot += $c.getLong($j) * $pl[$j];
          |  }
-         |  if (graftDot >= 0) graftOut[graftP / $planesPerTable] |= (1L << (graftP % $planesPerTable));
+         |  if ($dot >= 0) $out[$p / $planesPerTable] |= (1L << ($p % $planesPerTable));
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftOut);
-       """.stripMargin)
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsLong =
@@ -577,34 +642,170 @@ case class NearestCentroidsLong(child: Expression, centIds: Array[Int],
     val normsRef = ctx.addReferenceObj("graftSqrtNorms", sqrtNorms, "double[]")
     val c = cents.length
     val outLen = math.min(k, c)
-    nullSafeCodeGen(ctx, ev, v =>
+    nullSafeCodeGen(ctx, ev, v => {
+      val scores = ctx.freshName("graftScores")
+      val p = ctx.freshName("graftP")
+      val dot = ctx.freshName("graftDot")
+      val ce = ctx.freshName("graftCe")
+      val n = ctx.freshName("graftN")
+      val j = ctx.freshName("graftJ")
+      val out = ctx.freshName("graftOut")
+      val used = ctx.freshName("graftUsed")
+      val slot = ctx.freshName("graftSlot")
+      val best = ctx.freshName("graftBest")
+      val bestScore = ctx.freshName("graftBestScore")
+      val q = ctx.freshName("graftQ")
       s"""
-         |double[] graftScores = new double[$c];
-         |for (int graftP = 0; graftP < $c; graftP++) {
-         |  long graftDot = 0L;
-         |  long[] graftCe = $centsRef[graftP];
-         |  int graftN = Math.min($v.numElements(), graftCe.length);
-         |  for (int graftJ = 0; graftJ < graftN; graftJ++) {
-         |    graftDot += $v.getLong(graftJ) * graftCe[graftJ];
+         |double[] $scores = new double[$c];
+         |for (int $p = 0; $p < $c; $p++) {
+         |  long $dot = 0L;
+         |  long[] $ce = $centsRef[$p];
+         |  int $n = Math.min($v.numElements(), $ce.length);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $dot += $v.getLong($j) * $ce[$j];
          |  }
-         |  graftScores[graftP] = ($normsRef[graftP] == 0.0)
-         |    ? 0.0 : ((double) graftDot) / $normsRef[graftP];
+         |  $scores[$p] = ($normsRef[$p] == 0.0)
+         |    ? 0.0 : ((double) $dot) / $normsRef[$p];
          |}
-         |int[] graftOut = new int[$outLen];
-         |boolean[] graftUsed = new boolean[$c];
-         |for (int graftS = 0; graftS < $outLen; graftS++) {
-         |  int graftBest = -1; double graftBestScore = 0.0;
-         |  for (int graftQ = 0; graftQ < $c; graftQ++) {
-         |    if (!graftUsed[graftQ] && (graftBest < 0 || graftScores[graftQ] > graftBestScore)) {
-         |      graftBest = graftQ; graftBestScore = graftScores[graftQ];
+         |int[] $out = new int[$outLen];
+         |boolean[] $used = new boolean[$c];
+         |for (int $slot = 0; $slot < $outLen; $slot++) {
+         |  int $best = -1; double $bestScore = 0.0;
+         |  for (int $q = 0; $q < $c; $q++) {
+         |    if (!$used[$q] && ($best < 0 || $scores[$q] > $bestScore)) {
+         |      $best = $q; $bestScore = $scores[$q];
          |    }
          |  }
-         |  graftUsed[graftBest] = true; graftOut[graftS] = $idsRef[graftBest];
+         |  $used[$best] = true; $out[$slot] = $idsRef[$best];
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftOut);
-       """.stripMargin)
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidsLong =
+    copy(child = newChild)
+}
+
+/** Doc-local k-nearest-centroid assignment for FLOAT vectors — the
+  * shipped IVF/k-means path (`Similarity`). Scoring reproduces
+  * `CosineSimFloat` bit-for-bit (double accumulation of float casts,
+  * `dot / (sqrt(na) * sqrt(nb))`, zero-norm → 0.0), so replacing the
+  * old `row_number().over(partitionBy(vec_id))` argmax with this
+  * expression changes the PLAN (n×C window shuffle → pure projection,
+  * zero Exchange) but not one output row. Ties rank the lower centroid
+  * index first — pass `centIds` ascending to match `ORDER BY csim
+  * DESC, centroid_id`. The centroid model is an O(C·dims) driver-side
+  * constant referenced from generated code, the same class of constant
+  * as a broadcast dim table. */
+case class NearestCentroidsFloat(child: Expression, centIds: Array[Int],
+                                 cents: Array[Array[Float]], k: Int) extends UnaryExpression {
+  require(centIds.length == cents.length && cents.nonEmpty, "ids/centroids mismatch")
+
+  // per-centroid norm accumulated in double over float casts — the
+  // identical summation CosineSimFloat performs for its right side
+  @transient private lazy val norms: Array[Double] =
+    cents.map { c =>
+      var n = 0.0; var j = 0
+      while (j < c.length) { val x = c(j).toDouble; n += x * x; j += 1 }
+      n
+    }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(GraftTypeChecks.isArrayOf(FloatType, child.dataType),
+      s"NearestCentroidsFloat requires an array<float> argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val c = cents.length
+    val scores = new Array[Double](c)
+    var p = 0
+    while (p < c) {
+      val ce = cents(p)
+      val n = math.min(v.numElements(), ce.length)
+      var dot = 0.0; var na = 0.0
+      var j = 0
+      while (j < n) {
+        val x = v.getFloat(j).toDouble; val y = ce(j).toDouble
+        dot += x * y; na += x * x
+        j += 1
+      }
+      scores(p) = if (na == 0.0 || norms(p) == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(norms(p)))
+      p += 1
+    }
+    val outLen = math.min(k, c)
+    val out = new Array[Int](outLen)
+    val used = new Array[Boolean](c)
+    var s = 0
+    while (s < outLen) {
+      var best = -1; var bestScore = 0.0
+      var q = 0
+      while (q < c) {
+        if (!used(q) && (best < 0 || scores(q) > bestScore)) { best = q; bestScore = scores(q) }
+        q += 1
+      }
+      used(best) = true; out(s) = centIds(best)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("graftCentsF", cents, "float[][]")
+    val idsRef = ctx.addReferenceObj("graftCentIdsF", centIds, "int[]")
+    val normsRef = ctx.addReferenceObj("graftNormsF", norms, "double[]")
+    val c = cents.length
+    val outLen = math.min(k, c)
+    nullSafeCodeGen(ctx, ev, v => {
+      val scores = ctx.freshName("graftScores")
+      val p = ctx.freshName("graftP")
+      val dot = ctx.freshName("graftDot")
+      val na = ctx.freshName("graftNa")
+      val x = ctx.freshName("graftX")
+      val y = ctx.freshName("graftY")
+      val ce = ctx.freshName("graftCe")
+      val n = ctx.freshName("graftN")
+      val j = ctx.freshName("graftJ")
+      val out = ctx.freshName("graftOut")
+      val used = ctx.freshName("graftUsed")
+      val slot = ctx.freshName("graftSlot")
+      val best = ctx.freshName("graftBest")
+      val bestScore = ctx.freshName("graftBestScore")
+      val q = ctx.freshName("graftQ")
+      s"""
+         |double[] $scores = new double[$c];
+         |for (int $p = 0; $p < $c; $p++) {
+         |  float[] $ce = $centsRef[$p];
+         |  int $n = Math.min($v.numElements(), $ce.length);
+         |  double $dot = 0.0, $na = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $x = (double) $v.getFloat($j);
+         |    double $y = (double) $ce[$j];
+         |    $dot += $x * $y;
+         |    $na += $x * $x;
+         |  }
+         |  $scores[$p] = ($na == 0.0 || $normsRef[$p] == 0.0)
+         |    ? 0.0 : $dot / (Math.sqrt($na) * Math.sqrt($normsRef[$p]));
+         |}
+         |int[] $out = new int[$outLen];
+         |boolean[] $used = new boolean[$c];
+         |for (int $slot = 0; $slot < $outLen; $slot++) {
+         |  int $best = -1; double $bestScore = 0.0;
+         |  for (int $q = 0; $q < $c; $q++) {
+         |    if (!$used[$q] && ($best < 0 || $scores[$q] > $bestScore)) {
+         |      $best = $q; $bestScore = $scores[$q];
+         |    }
+         |  }
+         |  $used[$best] = true; $out[$slot] = $idsRef[$best];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsFloat =
     copy(child = newChild)
 }

@@ -93,6 +93,11 @@ object DimRouter {
         }
         val incoming = updates.withColumn("_del", lit(0))
           .unionByName(tombs.withColumn("_del", lit(1)))
+        // recover an interrupted swap BEFORE deciding whether a base
+        // exists — otherwise a crash mid-swap (dst renamed aside, tmp
+        // not yet in place) would make this merge run against an empty
+        // base and silently reset the table to the latest batch
+        recoverInterruptedSwap(spark, path)
         val base = if (tableExists(spark, path))
           spark.read.parquet(path).withColumn("_del", lit(0))
         else incoming.limit(0)
@@ -128,10 +133,28 @@ object DimRouter {
     val old = new Path(s"$path.old")
     def checked(ok: Boolean, what: String): Unit =
       if (!ok) throw new java.io.IOException(s"DimRouter swap: $what failed for $path")
+    // defense in depth: recoverInterruptedSwap already ran before the
+    // merge read its base, but re-check here so swapInto never deletes
+    // `.old` while it holds the only copy of prior state
+    if (!fs.exists(dst) && fs.exists(old)) checked(fs.rename(old, dst), s"recover $old")
     if (fs.exists(old)) checked(fs.delete(old, true), s"delete stale $old")
     if (fs.exists(dst)) checked(fs.rename(dst, old), s"rename $dst aside")
     checked(fs.rename(tmp, dst), s"rename $tmp into place")
     if (fs.exists(old)) checked(fs.delete(old, true), s"delete $old")
+  }
+
+  /** If a previous swap crashed between rename(dst, old) and
+    * rename(tmp, dst), `path` is missing and `path.old` holds the only
+    * copy of prior DIM state — rename it back. Idempotent; no-op when
+    * the table is healthy. */
+  private[operators] def recoverInterruptedSwap(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(path)
+    val old = new Path(s"$path.old")
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      throw new java.io.IOException(s"DimRouter swap recovery failed for $path")
   }
 
   private def tableExists(spark: SparkSession, path: String): Boolean =

@@ -120,51 +120,77 @@ object Similarity {
   val KMeansIters = 3
 
   /** Distributed k-means for the IVF coarse quantizer: deterministic
-    * init (first `NumCentroids` vectors), then Lloyd iterations as
-    * DataFrame ops — assignment is a broadcast of C centroids against
-    * all vectors (n×C codegen'd cosine dots, no shuffle), recompute is
-    * one groupBy(cell).avg per iteration. The exact shape that scales:
-    * at 100 TB each iteration is one scan + one C-row aggregation. */
-  def kmeansCentroids(spark: SparkSession, dir: String,
-                      iters: Int = KMeansIters): DataFrame = {
+    * init (first `NumCentroids` vectors), then Lloyd iterations.
+    * Assignment is a doc-local argmax over the O(C·dims) centroid
+    * constant (`NearestCentroidsFloat`, codegen'd) — a pure projection
+    * with ZERO shuffle; the only shuffle per iteration is the C×dims
+    * mean recompute (posexplode + partial-agg groupBy). Centroids are
+    * collected to the driver each iteration — C×dims scalars, the same
+    * move MLlib's KMeans makes — which also truncates the lineage: the
+    * old DataFrame-chained version re-ran every previous Lloyd
+    * iteration on each downstream action. At 100 TB each iteration is
+    * one scan + one small aggregation. */
+  def kmeansModel(spark: SparkSession, dir: String,
+                  iters: Int = KMeansIters): (Array[Int], Array[Array[Float]]) = {
     val e = Tables.spread(spark, Tables.embeddings(spark, dir)).select(col("vec_id"), col("embedding"))
-    var cents = e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    var model = collectModel(e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("ce")))
     (0 until iters).foreach { _ =>
-      val assigned = e.join(broadcast(cents), lit(true))
-        .withColumn("csim", GraftExpressions.cosineSim(col("embedding"), col("ce")))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))))
-        .filter(col("crk") === 1)
+      val assigned = e.withColumn("centroid_id",
+        GraftExpressions.nearestCentroidsFloat(col("embedding"), model._1, model._2, 1).getItem(0))
       // mean vector per cell: posexplode + groupBy(cell, dim) + re-assemble
       val dims = assigned
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("centroid_id"), col("dim"))
         .agg(avg(col("x")).as("m"))
-      cents = dims
+      model = collectModel(dims
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("centroid_id"),
-          expr("transform(dm, s -> CAST(s.m AS FLOAT))").as("ce"))
+          expr("transform(dm, s -> CAST(s.m AS FLOAT))").as("ce")))
     }
-    cents
+    model
+  }
+
+  /** (centroid_id asc, centroid vector) — ids ascending so the
+    * expression's tie-break (lower index) matches `ORDER BY csim DESC,
+    * centroid_id`. */
+  private def collectModel(df: DataFrame): (Array[Int], Array[Array[Float]]) = {
+    val rows = df.orderBy(col("centroid_id")).collect()
+    (rows.map(_.getInt(0)), rows.map(_.getSeq[Float](1).toArray))
+  }
+
+  /** Doc-local top-1 cell assignment — a pure projection over the
+    * centroid constant (no Exchange, no Window; asserted in
+    * LlmOpsSpec's plan-shape test). */
+  private[graft] def ivfAssign(e: DataFrame, ids: Array[Int],
+                               cents: Array[Array[Float]]): DataFrame =
+    e.withColumn("centroid_id",
+      GraftExpressions.nearestCentroidsFloat(col("embedding"), ids, cents, 1).getItem(0))
+
+  /** Centroid model as a DataFrame, for inspection / downstream reuse. */
+  def kmeansCentroids(spark: SparkSession, dir: String,
+                      iters: Int = KMeansIters): DataFrame = {
+    val (ids, cents) = kmeansModel(spark, dir, iters)
+    import spark.implicits._
+    ids.zip(cents.map(_.toSeq)).toSeq.toDF("centroid_id", "ce")
   }
 
   /** IVF-style ANN: database vectors are assigned to their nearest
     * coarse centroid; a query probes its `NProbe` nearest centroid
-    * cells. Cost: one broadcast pass of n×C centroid dots + a join
-    * confined to probed cells — the FAISS-IVF shape, Spark-first. */
+    * cells. Assignment and probe selection are doc-local projections
+    * over the centroid constant (no Exchange, no Window — asserted in
+    * LlmOpsSpec); the only joins are confined to probed cells — the
+    * FAISS-IVF shape, Spark-first. */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
     val e = Tables.spread(spark, Tables.embeddings(spark, dir))
-    val cents = kmeansCentroids(spark, dir)
-    val scored = e.join(broadcast(cents), lit(true))
-      .withColumn("csim", GraftExpressions.cosineSim(col("embedding"), col("ce")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))))
-    val db = scored.filter(col("crk") === 1)
+    val (ids, cents) = kmeansModel(spark, dir)
+    val db = ivfAssign(e, ids, cents)
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("eb"))
-    val probes = scored.filter(col("crk") <= NProbe && col("vec_id") < nQueries)
-      .select(col("centroid_id"), col("vec_id").as("query_id"), col("embedding").as("ea"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+        explode(GraftExpressions.nearestCentroidsFloat(
+          col("embedding"), ids, cents, NProbe)).as("centroid_id"))
     probes.join(db, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))

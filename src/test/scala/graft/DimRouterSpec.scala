@@ -74,6 +74,29 @@ class DimRouterSpec extends AnyFunSuite {
     assert(state == Map("1" -> "a-back"))
   }
 
+  test("interrupted swap (dst missing, .old present) is repaired, not reset") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("dim_router_crash").toString
+    DimRouter.routeAndWrite(spark, envelope(
+      """{"database":"g","table":"user_info","type":"insert","data":{"id":"1","name":"a","email":"a@x"},"ts":10}""",
+      """{"database":"g","table":"user_info","type":"insert","data":{"id":"2","name":"b","email":"b@x"},"ts":10}"""),
+      configs, tmp)
+    // simulate a crash between rename(dst, old) and rename(tmp, dst):
+    // the table dir is gone and .old holds the only copy of prior state
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/dim_user_info"),
+      new org.apache.hadoop.fs.Path(s"$tmp/dim_user_info.old")))
+    // the next batch must merge against the RECOVERED base — without
+    // repair it would see tableExists=false and reset to this batch
+    DimRouter.routeAndWrite(spark, envelope(
+      """{"database":"g","table":"user_info","type":"insert","data":{"id":"3","name":"c","email":"c@x"},"ts":20}"""),
+      configs, tmp)
+    val state = spark.read.parquet(s"$tmp/dim_user_info")
+      .select("id").as[String].collect().toSet
+    assert(state == Set("1", "2", "3"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/dim_user_info.old")))
+  }
+
   test("upsert prefers the update over existing on equal ts") {
     import spark.implicits._
     val existing = Seq(("1", "old", 5L)).toDF("id", "name", "_cdc_ts")

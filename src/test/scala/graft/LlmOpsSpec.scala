@@ -64,6 +64,23 @@ class LlmOpsSpec extends AnyFunSuite {
     info(f"LSH recall $lshRecall%.3f, IVF recall $ivfRecall%.3f")
   }
 
+  test("IVF assignment plan: doc-local projection, no Exchange/Window; full IVF has one rank Window") {
+    val (ids, cents) = Similarity.kmeansModel(spark, sf)
+    // raw read (no spread) so the only possible Exchange would be the operator's own
+    val assign = Similarity.ivfAssign(
+      graft.sources.Tables.embeddings(spark, sf), ids, cents)
+    val plan = assign.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"assignment uses a window:\n$plan")
+    // the whole IVF query keeps exactly ONE window — the final per-query
+    // top-k rank over verified candidates (the old plan had three: two
+    // n×C assignment argmaxes + the rank)
+    val windows = Similarity.annIvf(spark, sf).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 1, s"expected 1 rank window, got ${windows.size}")
+  }
+
   test("quantized ANN and float ANN agree on neighbor sets") {
     import spark.implicits._
     val q = Similarity.annTopK(spark, sf).select("query_id", "neighbor_id")
