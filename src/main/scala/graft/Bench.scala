@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Process CPU time in ns (for the wall-vs-cpu contention sentinel);
+    * -1 when the JVM doesn't expose the com.sun.management extension. */
+  private def procCpuNs: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -9,27 +17,56 @@ object Bench {
     // plans the engine actually ships
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+    val benchWall0 = System.nanoTime()
+    val benchCpu0 = procCpuNs
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    val runsJson = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink: executes the FULL plan (projections, sorts, exprs)
       // without writing — a bare count() would let Catalyst prune the
       // very work being measured (projection-only queries collapse to
       // scan time).
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // two passes, report the min: a single cold pass inherits whatever
+      // else the sandbox is doing, so one contended run can read as a 10×
+      // "regression" on untouched code. The min of two is the stable,
+      // comparable number; both raw runs are kept in "runs" so a noisy
+      // machine is visible in the JSON itself.
+      val timed =
+        try { val r1 = once(); val r2 = once(); Some((r1, r2)) }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name: $e"); errors += name; false
+          System.err.println(s"[bench] $name: $e"); errors += name; None
         }
-      // a failed query records -1, not its meaningless elapsed time —
-      // broken must be distinguishable from fast in the JSON alone
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      timed match {
+        case Some((r1, r2)) =>
+          runsJson += s"\"$name\":[${f"$r1%.3f"},${f"$r2%.3f"}]"
+          // a failed query records -1, not its meaningless elapsed time —
+          // broken must be distinguishable from fast in the JSON alone
+          name -> math.min(r1, r2)
+        case None => name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val benchWallNs = System.nanoTime() - benchWall0
+    val benchCpuNs = if (benchCpu0 >= 0) procCpuNs - benchCpu0 else -1L
+    // effective parallelism over the whole bench: process-CPU-seconds /
+    // wall-seconds. On an idle local[32] box this sits well above 1; a
+    // contended sandbox drags it toward (or below) 1 even though per-query
+    // wall times balloon — so a suspicious BENCH file indicts itself.
+    val wallVsCpu = if (benchCpuNs >= 0) benchCpuNs.toDouble / benchWallNs else -1.0
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // ok:false marks a run whose total excludes failed queries — a smaller
+    // value than a clean run's must never be read as a speedup
+    val ok = errors.isEmpty
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"runs":${runsJson.mkString("{", ",", "}")},"errors":$errs,"cpu_vs_wall":${f"$wallVsCpu%.2f"},"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"${osBean.getSystemLoadAverage}%.2f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

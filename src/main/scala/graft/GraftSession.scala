@@ -23,6 +23,10 @@ object GraftSession {
       // (the P1 quarantine contract) and wrapping long arithmetic (hash
       // mixing in minhash/simhash signatures).
       .config("spark.sql.ansi.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects;
+      // read it as a long session-wide (Tables.events converts to
+      // micros). Set here, not as a read side effect in Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

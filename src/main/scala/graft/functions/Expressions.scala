@@ -697,10 +697,21 @@ case class NearestCentroidsLong(child: Expression, centIds: Array[Int],
   * index first — pass `centIds` ascending to match `ORDER BY csim
   * DESC, centroid_id`. The centroid model is an O(C·dims) driver-side
   * constant referenced from generated code, the same class of constant
-  * as a broadcast dim table. */
+  * as a broadcast dim table.
+  *
+  * Length-mismatch semantics: a vector whose length differs from a
+  * centroid's is scored over the common prefix `min(n, ce.length)`
+  * with a prefix-only query norm — it still gets an assignment, unlike
+  * `CosineSimFloat` which yields null for ragged pairs. Uniform-dim
+  * corpora (the shipped case) are unaffected; callers that must
+  * exclude ragged vectors should filter on `size(embedding)` first. */
 case class NearestCentroidsFloat(child: Expression, centIds: Array[Int],
                                  cents: Array[Array[Float]], k: Int) extends UnaryExpression {
-  require(centIds.length == cents.length && cents.nonEmpty, "ids/centroids mismatch")
+  require(centIds.length == cents.length,
+    s"centroid id count (${centIds.length}) != centroid vector count (${cents.length})")
+  require(cents.nonEmpty,
+    "empty centroid model — no vectors to assign against; guard the caller " +
+      "(e.g. short-circuit to an empty result when the embeddings table is empty)")
 
   // per-centroid norm accumulated in double over float casts — the
   // identical summation CosineSimFloat performs for its right side

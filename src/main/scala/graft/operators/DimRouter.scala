@@ -133,10 +133,15 @@ object DimRouter {
     val old = new Path(s"$path.old")
     def checked(ok: Boolean, what: String): Unit =
       if (!ok) throw new java.io.IOException(s"DimRouter swap: $what failed for $path")
-    // defense in depth: recoverInterruptedSwap already ran before the
-    // merge read its base, but re-check here so swapInto never deletes
-    // `.old` while it holds the only copy of prior state
-    if (!fs.exists(dst) && fs.exists(old)) checked(fs.rename(old, dst), s"recover $old")
+    // recoverInterruptedSwap ran before the merge read its base, so a
+    // missing dst with a surviving .old here means the merge just ran
+    // against the WRONG (empty) base — installing tmp would silently
+    // drop the prior state held only in .old. Refuse instead of
+    // "recovering": there is nothing valid to install.
+    if (!fs.exists(dst) && fs.exists(old))
+      throw new IllegalStateException(
+        s"DimRouter swap: $dst missing but $old exists — merge ran against an " +
+          "empty base; refusing to install a merge result that would drop prior state")
     if (fs.exists(old)) checked(fs.delete(old, true), s"delete stale $old")
     if (fs.exists(dst)) checked(fs.rename(dst, old), s"rename $dst aside")
     checked(fs.rename(tmp, dst), s"rename $tmp into place")

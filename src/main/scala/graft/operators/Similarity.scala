@@ -135,6 +135,9 @@ object Similarity {
     val e = Tables.spread(spark, Tables.embeddings(spark, dir)).select(col("vec_id"), col("embedding"))
     var model = collectModel(e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("ce")))
+    // empty table (or no vec_id < NumCentroids) → empty model; callers
+    // short-circuit rather than constructing NearestCentroidsFloat
+    if (model._1.isEmpty) return model
     (0 until iters).foreach { _ =>
       val assigned = e.withColumn("centroid_id",
         GraftExpressions.nearestCentroidsFloat(col("embedding"), model._1, model._2, 1).getItem(0))
@@ -185,6 +188,12 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
     val e = Tables.spread(spark, Tables.embeddings(spark, dir))
     val (ids, cents) = kmeansModel(spark, dir)
+    if (ids.isEmpty)
+      // empty embeddings table: degrade to the empty result the old
+      // window-based path produced, not a constructor require failure
+      return e.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0).as("rk"),
+          lit(0L).as("neighbor_id"), lit(0.0).as("sim"))
     val db = ivfAssign(e, ids, cents)
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("eb"))
     val probes = e.filter(col("vec_id") < nQueries)

@@ -26,16 +26,18 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects outright. Read it as a long (legacy conf) and convert to
-    * TimestampType by integer-dividing to micros — the same truncation
-    * DuckDB applies, so oracle comparisons agree to the microsecond.
+    * rejects outright. The session reads it as a long
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set once in
+    * `GraftSession.builder` — not here, so reading `events` never
+    * mutates session conf under concurrent readers) and this loader
+    * converts to TimestampType by integer-dividing to micros — the
+    * same truncation DuckDB applies, so oracle comparisons agree to
+    * the microsecond.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
