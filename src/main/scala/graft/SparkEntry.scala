@@ -16,6 +16,7 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (Analytic.queries, Analytic.oracles),
       (AsOf.queries, AsOf.oracles),
+      (GmallDwdDb.queries, GmallDwdDb.oracles),
       (GmallDws.queries, GmallDws.oracles),
       (GmallAds.queries, GmallAds.oracles),
       (Dedup.queries, Dedup.oracles),
