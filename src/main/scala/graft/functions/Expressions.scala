@@ -28,10 +28,6 @@ object GraftExpressions {
     toColumn(ShingleHashes(toExpression(tokens), k))
   def hyperplaneBuckets(vec: Column, planes: Array[Array[Double]], planesPerTable: Int): Column =
     toColumn(HyperplaneBuckets(toExpression(vec), planes, planesPerTable))
-  def hyperplaneBucketsLong(vec: Column, planes: Array[Array[Long]], planesPerTable: Int): Column =
-    toColumn(HyperplaneBucketsLong(toExpression(vec), planes, planesPerTable))
-  def nearestCentroidsLong(vec: Column, centIds: Array[Int], cents: Array[Array[Long]], k: Int): Column =
-    toColumn(NearestCentroidsLong(toExpression(vec), centIds, cents, k))
   def nearestCentroidsFloat(vec: Column, centIds: Array[Int], cents: Array[Array[Float]], k: Int): Column =
     toColumn(NearestCentroidsFloat(toExpression(vec), centIds, cents, k))
 }
@@ -512,178 +508,6 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Double]],
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
-    copy(child = newChild)
-}
-
-/** Integer variant of [[HyperplaneBuckets]] over a quantized BIGINT
-  * vector and integer-quantized planes. The sign test `dot >= 0` is
-  * exact integer arithmetic — bit-reproducible across engines, which
-  * is what makes the LSH bucket assignment SQL-oracle-checkable.
-  */
-case class HyperplaneBucketsLong(child: Expression, planes: Array[Array[Long]],
-                                 planesPerTable: Int) extends UnaryExpression {
-  private val numTables = planes.length / planesPerTable
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    GraftTypeChecks.expect(GraftTypeChecks.isArrayOf(LongType, child.dataType),
-      s"HyperplaneBucketsLong requires an array<bigint> argument, got ${child.dataType.sql}")
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val out = new Array[Long](numTables)
-    var p = 0
-    while (p < planes.length) {
-      var dot = 0L
-      val pl = planes(p)
-      val n = math.min(v.numElements(), pl.length)
-      var j = 0
-      while (j < n) { dot += v.getLong(j) * pl(j); j += 1 }
-      if (dot >= 0) out(p / planesPerTable) |= (1L << (p % planesPerTable))
-      p += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("graftPlanesQ", planes, "long[][]")
-    nullSafeCodeGen(ctx, ev, c => {
-      val out = ctx.freshName("graftOut")
-      val p = ctx.freshName("graftP")
-      val dot = ctx.freshName("graftDot")
-      val pl = ctx.freshName("graftPl")
-      val n = ctx.freshName("graftN")
-      val j = ctx.freshName("graftJ")
-      s"""
-         |long[] $out = new long[$numTables];
-         |for (int $p = 0; $p < ${planes.length}; $p++) {
-         |  long $dot = 0L;
-         |  long[] $pl = $planesRef[$p];
-         |  int $n = Math.min($c.numElements(), $pl.length);
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    $dot += $c.getLong($j) * $pl[$j];
-         |  }
-         |  if ($dot >= 0) $out[$p / $planesPerTable] |= (1L << ($p % $planesPerTable));
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
-    })
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsLong =
-    copy(child = newChild)
-}
-
-/** Doc-local k-nearest-centroid assignment: the ids of the `k`
-  * centroids nearest (by cosine) to a quantized BIGINT vector, ordered
-  * by similarity descending (ties: lower centroid id).
-  *
-  * The centroid model is an O(C) driver-side constant referenced from
-  * the generated code — the IVF/k-means assignment argmax becomes a
-  * pure projection with ZERO shuffle (the shape that scales: at 100 TB
-  * assignment is scan-speed; only the C×dims partial aggregation that
-  * recomputes centroids shuffles). Score is `dot / sqrt(centNorm)` —
-  * the per-vector norm is a common positive factor that cannot change
-  * the ranking, so it is skipped; the division matches the SQL oracle
-  * formula bit-for-bit (integer dot, one double divide).
-  */
-case class NearestCentroidsLong(child: Expression, centIds: Array[Int],
-                                cents: Array[Array[Long]], k: Int) extends UnaryExpression {
-  require(centIds.length == cents.length && cents.nonEmpty, "ids/centroids mismatch")
-
-  @transient private lazy val sqrtNorms: Array[Double] =
-    cents.map { c =>
-      var n = 0L; var j = 0
-      while (j < c.length) { n += c(j) * c(j); j += 1 }
-      math.sqrt(n.toDouble)
-    }
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    GraftTypeChecks.expect(GraftTypeChecks.isArrayOf(LongType, child.dataType),
-      s"NearestCentroidsLong requires an array<bigint> argument, got ${child.dataType.sql}")
-
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val c = cents.length
-    val scores = new Array[Double](c)
-    var p = 0
-    while (p < c) {
-      var dot = 0L
-      val ce = cents(p)
-      val n = math.min(v.numElements(), ce.length)
-      var j = 0
-      while (j < n) { dot += v.getLong(j) * ce(j); j += 1 }
-      scores(p) = if (sqrtNorms(p) == 0.0) 0.0 else dot.toDouble / sqrtNorms(p)
-      p += 1
-    }
-    val outLen = math.min(k, c)
-    val out = new Array[Int](outLen)
-    val used = new Array[Boolean](c)
-    var s = 0
-    while (s < outLen) {
-      var best = -1; var bestScore = 0.0
-      var q = 0
-      while (q < c) {
-        if (!used(q) && (best < 0 || scores(q) > bestScore)) { best = q; bestScore = scores(q) }
-        q += 1
-      }
-      used(best) = true; out(s) = centIds(best)
-      s += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val centsRef = ctx.addReferenceObj("graftCents", cents, "long[][]")
-    val idsRef = ctx.addReferenceObj("graftCentIds", centIds, "int[]")
-    val normsRef = ctx.addReferenceObj("graftSqrtNorms", sqrtNorms, "double[]")
-    val c = cents.length
-    val outLen = math.min(k, c)
-    nullSafeCodeGen(ctx, ev, v => {
-      val scores = ctx.freshName("graftScores")
-      val p = ctx.freshName("graftP")
-      val dot = ctx.freshName("graftDot")
-      val ce = ctx.freshName("graftCe")
-      val n = ctx.freshName("graftN")
-      val j = ctx.freshName("graftJ")
-      val out = ctx.freshName("graftOut")
-      val used = ctx.freshName("graftUsed")
-      val slot = ctx.freshName("graftSlot")
-      val best = ctx.freshName("graftBest")
-      val bestScore = ctx.freshName("graftBestScore")
-      val q = ctx.freshName("graftQ")
-      s"""
-         |double[] $scores = new double[$c];
-         |for (int $p = 0; $p < $c; $p++) {
-         |  long $dot = 0L;
-         |  long[] $ce = $centsRef[$p];
-         |  int $n = Math.min($v.numElements(), $ce.length);
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    $dot += $v.getLong($j) * $ce[$j];
-         |  }
-         |  $scores[$p] = ($normsRef[$p] == 0.0)
-         |    ? 0.0 : ((double) $dot) / $normsRef[$p];
-         |}
-         |int[] $out = new int[$outLen];
-         |boolean[] $used = new boolean[$c];
-         |for (int $slot = 0; $slot < $outLen; $slot++) {
-         |  int $best = -1; double $bestScore = 0.0;
-         |  for (int $q = 0; $q < $c; $q++) {
-         |    if (!$used[$q] && ($best < 0 || $scores[$q] > $bestScore)) {
-         |      $best = $q; $bestScore = $scores[$q];
-         |    }
-         |  }
-         |  $used[$best] = true; $out[$slot] = $idsRef[$best];
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """.stripMargin
-    })
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsLong =
     copy(child = newChild)
 }
 

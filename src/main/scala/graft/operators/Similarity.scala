@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -24,10 +24,12 @@ import graft.functions.GraftExpressions
 object Similarity {
 
   /** Integer-quantized vectors: q = round(x * 1000), exact in BIGINT. */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(spark, Tables.embeddings(spark, dir)).select(col("vec_id"),
+  private def quantizedOn(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
       .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    quantizedOn(Tables.spread(spark, Tables.embeddings(spark, dir)))
 
   // codegen'd fused loop (DotProductLong) — same integer math as
   // aggregate(zip_with(...)), minus the per-pair array materialization
@@ -51,7 +53,13 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
-  /** All pairs above a cosine threshold (embedding near-dup detection). */
+  /** All pairs above a cosine threshold — the EXACT form, an O(n²)
+    * cross join. This is the oracle ground truth and recall yardstick
+    * only; the shipped scale path is [[nearDupLsh]]. (Exact low-
+    * threshold cosine pair joins on dense vectors are inherently
+    * all-pairs: at t=0.3 a hyperplane-LSH candidate filter caps out
+    * near 43% recall even with 12 tables, so no bucketed plan can
+    * reproduce this result — see the LlmOpsSpec recall math.) */
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     val v = quantized(spark, dir)
     val a = v.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na"))
@@ -65,8 +73,97 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val NumTables = 8
+  /** Near-dup pairs via LSH candidates — the shipped 100 TB path.
+    * Candidates are pairs whose signatures agree on ≥ 5 of 6 planes in
+    * any of the 12 tables (each vector probes its bucket + Hamming-1
+    * flips against exact buckets); the exact quantized cosine then
+    * verifies candidates only, so every emitted pair is exactly-correct
+    * (zero false positives vs [[nearDupPairs]]) and recall is the only
+    * approximation — ≥ 0.8 at cosine 0.3 on the test corpus
+    * (LlmOpsSpec), rising steeply with threshold (≥ 0.99 expected in
+    * the true near-dup regime t ≥ 0.8, where per-table collision
+    * probability is 0.25+ per the hyperplane-LSH curve).
+    *
+    * Scale shape: probe-side rows ×(PlanesPerTable+1) per table, one
+    * bucket equi-join per table, verify on candidates, `distinct` on
+    * canonical pairs — no cross/nested-loop join anywhere
+    * (plan-asserted in LlmOpsSpec). At corpus scale, `PlanesPerTable`
+    * is the bucket-granularity knob: size it ~log₂(n / target bucket
+    * size). */
+  private def nearDupCore(corpus: DataFrame, threshold: Double, radius: Int): DataFrame = {
+    val sig = lshBucketsOn(corpus)
+    val buckets = (0 until NumTables).map { t =>
+      sig.select(lit(t).as("t"), col(s"bucket_$t").as("bucket"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val probes = buckets.select(col("t"),
+      explode(probeBuckets("bucket", radius)).as("bucket"), col("vec_id").as("pa"))
+    val db = buckets.select(col("t"), col("bucket"), col("vec_id").as("pb"))
+    val cand = probes.join(db, Seq("t", "bucket"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa").as("vec_a"), col("pb").as("vec_b")).distinct()
+    val v = quantizedOn(corpus)
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("dot", dotCol)
+      .withColumn("sim", col("dot").cast(DoubleType) /
+        (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def nearDupLsh(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
+    nearDupCore(Tables.spread(spark, Tables.embeddings(spark, dir)), threshold, radius = 2)
+
+  /** Planted vec_ids live at original id + this offset. */
+  val PlantOffset = 1L << 20
+
+  /** Near-dup detection evaluated in its PRODUCTION regime: the corpus
+    * is `embeddings` plus one deterministically jittered copy of every
+    * vector (component-wise ±30% multiplicative jitter keyed by
+    * murmur3(vec_id, i) — planted cosine ≈ 0.96, comfortably above the
+    * 0.9 threshold so no planted pair is a threshold casualty, while
+    * the raw corpus's own max pair sim ≈ 0.55 stays far below it). At
+    * planted sim ≈ 0.96 the hyperplane-LSH curve gives a per-table
+    * exact-bucket collision probability ≈ 0.56, so 12 tables find
+    * planted pairs with near-certainty — LlmOpsSpec gates recall
+    * ≥ 0.95 with zero false positives. This is the regime the operator
+    * ships for; sub-0.5-threshold pair mining is the exact
+    * [[nearDupPairs]]' job (see its scaladoc for why no bucketed plan
+    * can cover it). */
+  def nearDupPlanted(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"))
+    val jittered = e.select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(x * (1.0 + 0.3 * " +
+        "(CAST(pmod(hash(vec_id, i), 2) AS DOUBLE) * 2.0 - 1.0)) AS FLOAT))")
+        .as("embedding"))
+    nearDupCore(e.unionByName(jittered), threshold = 0.9, radius = 1)
+  }
+
+  val NumTables = 12
   val PlanesPerTable = 6
+
+  /** Probe set for multi-probe LSH: a bucket code plus its
+    * `PlanesPerTable` single-bit flips (Hamming-1 neighbors). Probing
+    * these on the QUERY side only makes a pair a candidate whenever its
+    * signatures agree on ≥ 5 of 6 planes in any table — per-table
+    * collision probability for a pair with per-plane agreement p rises
+    * from p⁶ to p⁶ + 6p⁵(1−p) (e.g. 0.045 → 0.23 at cosine 0.3), while
+    * the database side stays one bucket per table. Standard multi-probe
+    * cost shape: query-side lookups ×7, corpus untouched. */
+  private def probeBuckets(bucketCol: String, radius: Int = 1): Column = {
+    val h1 = expr(
+      s"transform(sequence(0, ${PlanesPerTable - 1}), " +
+        s"i -> $bucketCol ^ shiftleft(CAST(1 AS BIGINT), i))")
+    val h2 = expr(
+      s"flatten(transform(sequence(0, ${PlanesPerTable - 2}), " +
+        s"i -> transform(sequence(i + 1, ${PlanesPerTable - 1}), " +
+        s"j -> $bucketCol ^ shiftleft(CAST(1 AS BIGINT), i) ^ shiftleft(CAST(1 AS BIGINT), j))))")
+    if (radius >= 2) concat(array(col(bucketCol)), h1, h2)
+    else concat(array(col(bucketCol)), h1)
+  }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is
     * a hash-derived value in [-1, 1). Same construction at any scale. */
@@ -82,26 +179,34 @@ object Similarity {
     * (A single-table variant has poor recall for top-k: a true
     * neighbor flipping any one sign bit is lost.) All tables×planes
     * dot products run in one fused codegen pass (HyperplaneBuckets). */
-  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+  def lshBucketsOn(e: DataFrame): DataFrame = {
     val planes = Array.tabulate(NumTables * PlanesPerTable, 64)((p, j) => planeComponent(p, j))
-    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
     val withB = e.select(col("vec_id"), col("embedding"),
       GraftExpressions.hyperplaneBuckets(col("embedding"), planes, PlanesPerTable).as("b"))
     val tableCols = (0 until NumTables).map(t => col("b").getItem(t).as(s"bucket_$t"))
     withB.select(col("vec_id") +: col("embedding") +: tableCols: _*)
   }
 
-  /** ANN via multi-table LSH: a pair is a candidate when it collides
-    * in ANY table; exact cosine (codegen'd float path) runs on
-    * candidates only — a 100 TB-safe path (no full cross product). */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    lshBucketsOn(Tables.spread(spark, Tables.embeddings(spark, dir)))
+
+  /** ANN via multi-table, multi-probe LSH: a pair is a candidate when
+    * the query's probe set (its bucket + Hamming-1 flips) hits the
+    * neighbor's bucket in ANY table; exact cosine (codegen'd float
+    * path) runs on candidates only — a 100 TB-safe path (no full cross
+    * product, corpus stored once per table). */
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
     val sig = lshBuckets(spark, dir)
     val buckets = (0 until NumTables).map { t =>
       sig.select(lit(t).as("t"), col(s"bucket_$t").as("bucket"),
         col("vec_id"), col("embedding"))
     }.reduce(_ unionByName _)
+    // radius-2 probes (22 buckets per query-table — queries are few, so
+    // the fan-out is trivial): measured top-5 recall 0.825 vs 0.744 at
+    // radius 1 on the test corpus
     val q = buckets.filter(col("vec_id") < nQueries)
-      .select(col("t"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("ea"))
+      .select(col("t"), explode(probeBuckets("bucket", radius = 2)).as("bucket"),
+        col("vec_id").as("query_id"), col("embedding").as("ea"))
     val c = buckets.select(col("t"), col("bucket"), col("vec_id").as("neighbor_id"),
       col("embedding").as("eb"))
     q.join(c, Seq("t", "bucket"))
@@ -230,6 +335,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_topk" -> ((s, d) => annTopK(s, d)),
     "sim_neardup_pairs" -> ((s, d) => nearDupPairs(s, d)),
+    "sim_neardup_lsh" -> ((s, d) => nearDupLsh(s, d)),
+    "sim_neardup_planted" -> ((s, d) => nearDupPlanted(s, d)),
     "sim_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "sim_ann_topk_float" -> ((s, d) => annTopKFloat(s, d)))

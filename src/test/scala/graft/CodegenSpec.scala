@@ -19,9 +19,7 @@ class CodegenSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val planes = Array.tabulate(8, 4)((p, j) => ((p * 4 + j) % 7).toDouble / 7 - 0.4)
-      val planesQ = planes.map(_.map(x => math.round(x * 1000)))
-      val cents = Array(Array(1L, 2L, 3L, 4L), Array(-4L, 3L, -2L, 1L))
-      val centsF = cents.map(_.map(_.toFloat))
+      val centsF = Array(Array(1f, 2f, 3f, 4f), Array(-4f, 3f, -2f, 1f))
       val fa = array(lit(1.0f), lit(2.0f), lit(3.0f), lit(4.0f))
       val fb = array(lit(4.0f), lit(3.0f), lit(2.0f), lit(1.0f))
       val la = array(lit(1L), lit(2L), lit(3L), lit(4L))
@@ -38,17 +36,12 @@ class CodegenSpec extends AnyFunSuite {
         shingleHashes(sa, 3).as("g1"), shingleHashes(sb, 3).as("g2"),
         hyperplaneBuckets(fa, planes, 4).as("h1"),
         hyperplaneBuckets(fb, planes, 4).as("h2"),
-        hyperplaneBucketsLong(la, planesQ, 4).as("q1"),
-        hyperplaneBucketsLong(lb, planesQ, 4).as("q2"),
-        nearestCentroidsLong(la, Array(0, 1), cents, 1).as("n1"),
-        nearestCentroidsLong(lb, Array(0, 1), cents, 2).as("n2"),
         nearestCentroidsFloat(fa, Array(0, 1), centsF, 1).as("nf1"),
         nearestCentroidsFloat(fb, Array(0, 1), centsF, 2).as("nf2"))
       val rows = df.collect()
       assert(rows.length == 4)
       assert(rows.head.getAs[Long]("d1") == (1 * -4 + 2 * 3 + 3 * -2 + 4 * 1))
       assert(rows.head.getAs[Long]("f1") != rows.head.getAs[Long]("f2"))
-      assert(rows.head.getAs[scala.collection.Seq[Int]]("n2").length == 2)
       assert(rows.head.getAs[scala.collection.Seq[Int]]("nf2").length == 2)
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)

@@ -56,7 +56,11 @@ class LlmOpsSpec extends AnyFunSuite {
     val lsh = Similarity.annLsh(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val lshRecall = truth.count(lsh.contains).toDouble / truth.size
-    assert(lshRecall >= 0.5, s"multi-table LSH recall $lshRecall < 0.5")
+    // 12 tables × multi-probe: per-table candidate probability for a
+    // cosine-0.3 neighbor is p⁶+6p⁵(1−p) ≈ 0.23 (p = 1−θ/π ≈ 0.60), so
+    // P[candidate] ≈ 1−0.77¹² ≈ 0.95 — 0.7 is a margin gate, not a
+    // tuned-to-pass one
+    assert(lshRecall >= 0.7, s"multi-table multi-probe LSH recall $lshRecall < 0.7")
     val ivf = Similarity.annIvf(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ivfRecall = truth.count(ivf.contains).toDouble / truth.size
@@ -79,6 +83,47 @@ class LlmOpsSpec extends AnyFunSuite {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
     assert(windows.size == 1, s"expected 1 rank window, got ${windows.size}")
+  }
+
+  test("neardup LSH: zero false positives vs exact, no cross join in plan") {
+    import spark.implicits._
+    val exact = Similarity.nearDupPairs(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lshDf = Similarity.nearDupLsh(spark, sf)
+    val lsh = lshDf.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // candidates are verified with the identical quantized cosine, so
+    // the output must be a strict subset of the exact pairs; recall at
+    // this deliberately-low t=0.3 is informational only — the sweep
+    // that set the LSH constants measured a ~0.84 ceiling there for
+    // every (tables, planes, probe-radius) config because sub-0.5
+    // thresholds are out of hyperplane-LSH's operating range (the
+    // planted-pair test below gates the regime the operator ships for)
+    assert(lsh.subsetOf(exact), s"LSH emitted ${(lsh -- exact).size} non-pairs")
+    if (exact.nonEmpty)
+      info(f"neardup LSH t=0.3 recall ${exact.count(lsh.contains).toDouble / exact.size}%.3f" +
+        s" over ${exact.size} exact pairs (informational)")
+    val plan = lshDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      s"neardup LSH plan contains a cross join:\n$plan")
+  }
+
+  test("planted near-dups: recall >= 0.95 at t=0.9, nothing but planted pairs, no cross join") {
+    import spark.implicits._
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    val gotDf = Similarity.nearDupPlanted(spark, sf)
+    val got = gotDf.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // ground truth: every (i, i + PlantOffset) pair sits at cosine
+    // ≈ 0.93; raw-corpus pairs max out near 0.55, far below t=0.9 —
+    // so the exact-verified output can contain planted pairs only
+    val planted = (0L until nVecs).map(i => (i, i + Similarity.PlantOffset)).toSet
+    assert(got.subsetOf(planted),
+      s"found ${(got -- planted).size} pairs that are not planted near-dups")
+    val recall = planted.count(got.contains).toDouble / planted.size
+    assert(recall >= 0.95, s"planted near-dup recall $recall < 0.95 (planted=${planted.size})")
+    info(f"planted near-dup recall $recall%.3f over ${planted.size} pairs")
+    val plan = gotDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      s"planted neardup plan contains a cross join:\n$plan")
   }
 
   test("quantized ANN and float ANN agree on neighbor sets") {
