@@ -30,6 +30,7 @@ object GraftExpressions {
     toColumn(HyperplaneBuckets(toExpression(vec), planes, planesPerTable))
   def nearestCentroidsFloat(vec: Column, centIds: Array[Int], cents: Array[Array[Float]], k: Int): Column =
     toColumn(NearestCentroidsFloat(toExpression(vec), centIds, cents, k))
+  def segmentTokens(c: Column): Column = toColumn(SegmentTokens(toExpression(c)))
 }
 
 
@@ -96,6 +97,31 @@ object Fnv1a64 {
     }
     h
   }
+}
+
+/** Keyword segmentation (U1, the IK-analyzer substitute — see
+  * [[graft.functions.Tokenizer]]): string → array<string> of tokens.
+  * Codegen emits a direct static call into the shared segmenter, so
+  * tokenization stays inside whole-stage codegen — no UDF boxing, no
+  * Encoder round-trip — while the token algorithm lives in one
+  * plain-Scala place that unit tests exercise directly.
+  */
+case class SegmentTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(child.dataType == StringType,
+      s"graft_segment_tokens requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    Tokenizer.segmentArrayData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Tokenizer.segmentArrayData($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SegmentTokens =
+    copy(newChild)
 }
 
 /** Cosine similarity of two float vectors, accumulated in double.

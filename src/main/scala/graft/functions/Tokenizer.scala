@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Keyword tokenizer — offline-safe substitute for the reference's IK
   * Chinese analyzer (`utils/KeywordUtil.java:13-34`, used by the UDTF
@@ -49,9 +50,17 @@ object Tokenizer {
     out.result()
   }
 
-  /** Column form: `explode(Tokenizer.tokenize($"keyword"))`. */
-  val tokenize: Column => Column = {
-    val u = udf((s: String) => segment(s))
-    (c: Column) => u(c)
-  }
+  /** Internal-row form for the codegen'd [[SegmentTokens]] expression:
+    * generated code calls this static directly — tokenization runs
+    * inside whole-stage codegen with no UDF boxing or Encoder
+    * round-trip (the keyword DWS window tokenizes every page log
+    * line; at 100 TB that difference is a scan-speed pass vs a
+    * closure per row). */
+  def segmentArrayData(u: UTF8String): ArrayData =
+    new GenericArrayData(segment(u.toString).map(UTF8String.fromString).toArray[Any])
+
+  /** Column form: `explode(Tokenizer.tokenize($"keyword"))` — the
+    * reference's `LATERAL TABLE(SplitFunction(...))` shape
+    * (`app/func/SplitFunction.java:12-28`). */
+  val tokenize: Column => Column = (c: Column) => GraftExpressions.segmentTokens(c)
 }

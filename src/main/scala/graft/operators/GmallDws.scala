@@ -51,7 +51,13 @@ object GmallDws {
         date_format(date_add(lit("2024-01-01").cast(DateType), (col("doc_id") % 30).cast(IntegerType)), "yyyy-MM-dd").as("dt"),
         when(col("doc_id") % 4 === 0, "SEARCH").when(col("doc_id") % 4 === 1, "ORDER")
           .when(col("doc_id") % 4 === 2, "CART").otherwise("CLICK").as("source"),
-        explode(split(col("text"), " ")).as("keyword"))
+        // U1: the real tokenizer (IK substitute, codegen'd expression;
+        // `SplitFunction.java:12-28` + `DwsTrafficSourceKeywordPage
+        // ViewWindow.java:61-68`) — on the all-ASCII fixture its
+        // latin-run output equals a regexp split, which is what the
+        // DuckDB oracle mirrors; CJK bigram behavior is pinned by
+        // TokenizerSpec on a CJK fixture
+        explode(graft.functions.Tokenizer.tokenize(col("text"))).as("keyword"))
       .filter(col("keyword") =!= "")
       .groupBy(col("dt"), col("source"), col("keyword"))
       .agg(count(lit(1)).as("keyword_count"))
@@ -202,7 +208,7 @@ object GmallDws {
     """kw_base AS (
       |  SELECT strftime(DATE '2024-01-01' + CAST(doc_id % 30 AS INTEGER), '%Y-%m-%d') AS dt,
       |    CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'SEARCH' WHEN 1 THEN 'ORDER' WHEN 2 THEN 'CART' ELSE 'CLICK' END AS source,
-      |    unnest(string_split(text, ' ')) AS keyword
+      |    unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS keyword
       |  FROM documents
       |), dws_traffic_source_keyword_page_view_window AS (
       |  SELECT dt || ' 00:00:00' AS stt,

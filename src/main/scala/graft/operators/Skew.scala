@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The salt column both operators shuffle on — deterministic
+    * per-partition row index mod `salts` (see object scaladoc for why
+    * not `rand()` or a content hash). Exposed so the skew property
+    * test measures the distribution of the operator's REAL salt, not a
+    * reimplementation. */
+  private[graft] def withSalt(df: DataFrame, salts: Int): DataFrame =
+    df.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
+
   /** Two-phase aggregation for skewed group keys: phase 1 aggregates
     * on (keys, salt) — spreading a hot key over `salts` reducers —
     * phase 2 combines per key. Supports the decomposable aggregates
@@ -27,8 +36,7 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
                      countName: String = "cnt", salts: Int = 16): DataFrame = {
-    val phase1 = df.withColumn("_salt",
-        pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
+    val phase1 = withSalt(df, salts)
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(count(lit(1)).as("_pc"),
         sumCols.map(c => sum(col(c)).as(s"_ps_$c")): _*)
@@ -46,8 +54,7 @@ object Skew {
     * hot key's rows land on `salts` reducers instead of one. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  joinType: String = "inner", salts: Int = 16): DataFrame = {
-    val l = left.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
+    val l = withSalt(left, salts)
     val r = right.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "_salt", joinType).drop("_salt")
   }

@@ -37,7 +37,9 @@ class CodegenSpec extends AnyFunSuite {
         hyperplaneBuckets(fa, planes, 4).as("h1"),
         hyperplaneBuckets(fb, planes, 4).as("h2"),
         nearestCentroidsFloat(fa, Array(0, 1), centsF, 1).as("nf1"),
-        nearestCentroidsFloat(fb, Array(0, 1), centsF, 2).as("nf2"))
+        nearestCentroidsFloat(fb, Array(0, 1), centsF, 2).as("nf2"),
+        segmentTokens(lit("Apple 手机壳")).as("t1"),
+        segmentTokens(lit("redmi k40")).as("t2"))
       val rows = df.collect()
       assert(rows.length == 4)
       assert(rows.head.getAs[Long]("d1") == (1 * -4 + 2 * 3 + 3 * -2 + 4 * 1))

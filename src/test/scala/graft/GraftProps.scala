@@ -212,6 +212,37 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  property("salting spreads a 90%-one-key input across reducers") = {
+    // distribution property under real skew, deterministic by design:
+    // 90% of rows share one key, so a plain hash agg gives ONE reducer
+    // group holding ~90% of the input; grouping on the operator's
+    // actual (key, salt) pair must split that hot key into `salts`
+    // near-even groups — the unit of reducer work for the two-phase
+    // agg. (Partition placement of groups is the partitioner's
+    // business and at scale shuffle partitions ≫ groups; the group
+    // size IS the structural bound salting controls. The equivalence
+    // props above prove semantics; this one proves the spreading.)
+    import org.scalacheck.Prop.propBoolean
+    import spark.implicits._
+    val n = 8192
+    val salts = 16
+    val df = spark.range(n).select(
+      when($"id" % 10 =!= 0, "hot")
+        .otherwise(concat(lit("k"), $"id" % 7)).as("k"),
+      $"id".as("m"))
+    val plainHot = df.groupBy("k").count()
+      .filter($"k" === "hot").as[(String, Long)].collect().head._2
+    val hotGroups = graft.operators.Skew.withSalt(df, salts)
+      .groupBy($"k", $"_salt").count()
+      .filter($"k" === "hot").as[(String, Int, Long)].collect().map(_._3)
+    val evenShare = plainHot.toDouble / salts
+    (plainHot >= (0.85 * n).toInt) :| s"skew fixture not skewed (plainHot=$plainHot)" &&
+      (hotGroups.length == salts) :|
+        s"hot key spread over ${hotGroups.length} groups, wanted $salts" &&
+      (hotGroups.max.toDouble < 1.5 * evenShare) :|
+        s"max hot group ${hotGroups.max} >= 1.5x even share $evenShare"
+  }
+
   property("saltedJoin == plain equi-join (inner and left)") = forAll(genRows, genRows) { (l, r) =>
     import spark.implicits._
     (l.isEmpty || r.isEmpty) || {
