@@ -9,6 +9,12 @@ object Bench {
       case _ => -1L
     }
 
+  /** Locale-independent numeric rendering — the f"" interpolator uses
+    * the JVM default locale, which on a comma-decimal locale would
+    * emit "1,234" and break the JSON line the driver parses. */
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,7 +51,7 @@ object Bench {
         }
       timed match {
         case Some((r1, r2)) =>
-          runsJson += s"\"$name\":[${f"$r1%.3f"},${f"$r2%.3f"}]"
+          runsJson += s"\"$name\":[${num(r1)},${num(r2)}]"
           // a failed query records -1, not its meaningless elapsed time —
           // broken must be distinguishable from fast in the JSON alone
           name -> math.min(r1, r2)
@@ -59,14 +65,14 @@ object Bench {
     // contended sandbox drags it toward (or below) 1 even though per-query
     // wall times balloon — so a suspicious BENCH file indicts itself.
     val wallVsCpu = if (benchCpuNs >= 0) benchCpuNs.toDouble / benchWallNs else -1.0
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     // ok:false marks a run whose total excludes failed queries — a smaller
     // value than a clean run's must never be read as a speedup
     val ok = errors.isEmpty
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"runs":${runsJson.mkString("{", ",", "}")},"errors":$errs,"cpu_vs_wall":${f"$wallVsCpu%.2f"},"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"${osBean.getSystemLoadAverage}%.2f"},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"runs":${runsJson.mkString("{", ",", "}")},"errors":$errs,"cpu_vs_wall":${num(wallVsCpu)},"load_avg_start":${num(loadStart)},"load_avg_end":${num(osBean.getSystemLoadAverage)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

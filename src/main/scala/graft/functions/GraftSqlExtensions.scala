@@ -52,5 +52,10 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_shingle_hashes", "graft_shingle_hashes(tokens, k) - distinct k-gram shingle hashes"),
       (args: Seq[Expression]) => { arity(args, 2, "graft_shingle_hashes")
         ShingleHashes(args.head, intArg(args(1), "graft_shingle_hashes")) }))
+
+    ext.injectFunction((FunctionIdentifier("graft_segment_tokens"),
+      info("graft_segment_tokens",
+        "graft_segment_tokens(str) - keyword tokens: latin/digit runs + CJK bigrams"),
+      (args: Seq[Expression]) => { arity(args, 1, "graft_segment_tokens"); SegmentTokens(args.head) }))
   }
 }

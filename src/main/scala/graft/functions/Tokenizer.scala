@@ -61,6 +61,13 @@ object Tokenizer {
 
   /** Column form: `explode(Tokenizer.tokenize($"keyword"))` — the
     * reference's `LATERAL TABLE(SplitFunction(...))` shape
-    * (`app/func/SplitFunction.java:12-28`). */
-  val tokenize: Column => Column = (c: Column) => GraftExpressions.segmentTokens(c)
+    * (`app/func/SplitFunction.java:12-28`). NULL input yields an empty
+    * array (the historical UDF contract this wrapper preserves — so
+    * `size(tokenize(c))` is 0, not NULL, on null text); the raw
+    * `graft_segment_tokens` expression keeps standard SQL
+    * null-in→null-out semantics. */
+  val tokenize: Column => Column = (c: Column) =>
+    org.apache.spark.sql.functions.coalesce(
+      GraftExpressions.segmentTokens(c),
+      org.apache.spark.sql.functions.array().cast("array<string>"))
 }

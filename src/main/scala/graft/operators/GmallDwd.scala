@@ -36,24 +36,21 @@ object GmallDwd {
 
   /** The reference materializes DWD as Kafka topics consumed by every
     * downstream app; the batch analog is computing each shared DWD
-    * frame once per (session, dir) and persisting it. 34 DWS/ADS
-    * queries read these three frames.
+    * frame once per (session, dir) and persisting it ([[Memo]], shared
+    * with GmallDwdDb's envelope). 34 DWS/ADS queries read these three
+    * frames.
     *
     * Cached frames snapshot the parquet at first access: a process
     * that rewrites a dir (backfill) or cycles through many dirs must
     * call [[invalidate]] to unpersist and drop the stale entries. */
-  private val memo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
   private def memoized(spark: SparkSession, dir: String, name: String)
                       (build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((spark, dir, name), build.persist())
+    Memo(spark, dir, name)(build)
 
   /** Drop (and unpersist) every memoized frame for `dir` — all dirs if
-    * None — in this session. */
+    * None — in this session (all modules' frames, see [[Memo]]). */
   def invalidate(spark: SparkSession, dir: Option[String] = None): Unit =
-    memo.keys.toSeq
-      .filter { case (s, d, _) => s == spark && dir.forall(_ == d) }
-      .foreach { k => memo.remove(k).foreach(_.unpersist()) }
+    Memo.invalidate(spark, dir)
 
   def pageLog(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, dir, "pageLog")(pageLogBuild(spark, dir))

@@ -51,14 +51,12 @@ import graft.streaming.LogStream
   */
 object GmallDwdDb {
 
-  private val memo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
-
-  /** Drop (and unpersist) the memoized envelope for `dir` (all if None). */
+  /** Drop (and unpersist) the memoized envelope for `dir` (all if
+    * None) — delegates to the shared [[Memo]] store, so this also
+    * clears GmallDwd's frames for the dir (and vice versa): one
+    * backfill invalidation covers everything derived from the dir. */
   def invalidate(spark: SparkSession, dir: Option[String] = None): Unit =
-    memo.keys.toSeq
-      .filter { case (s, d) => s == spark && dir.forall(_ == d) }
-      .foreach { k => memo.remove(k).foreach(_.unpersist()) }
+    Memo.invalidate(spark, dir)
 
   private def s(c: Column): Column = c.cast(StringType)
   private val noOld: Column = lit(null).cast(MapType(StringType, StringType))
@@ -72,8 +70,8 @@ object GmallDwdDb {
 
   /** Parsed Maxwell envelope fixture (memoized, persisted). */
   def envelope(spark: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((spark, dir),
-      LogStream.maxwellEnvelope(envelopeJson(spark, dir)).persist())
+    Memo(spark, dir, "cdcEnvelope")(
+      LogStream.maxwellEnvelope(envelopeJson(spark, dir)))
 
   /** The raw JSON fixture — one `value` column of Maxwell envelope
     * lines, deterministically derived from `orders` and `customer`.

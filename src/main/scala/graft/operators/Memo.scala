@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared per-(session, dir, name) DataFrame memoization with persist —
+  * the batch analog of the reference's shared DWD Kafka topics: each
+  * derived frame (pageLog, orderWide, the CDC envelope fixture, ...) is
+  * computed once per session+dir and read by every downstream query.
+  *
+  * One store for all operator modules, so a backfill that rewrites a
+  * dir invalidates EVERY cached frame derived from it with one call —
+  * split per-module stores would leave the other module's entries
+  * stale. Cached frames snapshot the parquet at first access. */
+private[operators] object Memo {
+  private val memo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String)
+           (build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, dir, name), build.persist())
+
+  /** Drop (and unpersist) every memoized frame for `dir` — all dirs if
+    * None — in this session, across all modules. */
+  def invalidate(spark: SparkSession, dir: Option[String]): Unit =
+    memo.keys.toSeq
+      .filter { case (s, d, _) => s == spark && dir.forall(_ == d) }
+      .foreach { k => memo.remove(k).foreach(_.unpersist()) }
+}

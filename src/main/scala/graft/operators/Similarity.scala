@@ -74,22 +74,25 @@ object Similarity {
   }
 
   /** Near-dup pairs via LSH candidates — the shipped 100 TB path.
-    * Candidates are pairs whose signatures agree on ≥ 5 of 6 planes in
-    * any of the 12 tables (each vector probes its bucket + Hamming-1
-    * flips against exact buckets); the exact quantized cosine then
-    * verifies candidates only, so every emitted pair is exactly-correct
-    * (zero false positives vs [[nearDupPairs]]) and recall is the only
-    * approximation — ≥ 0.8 at cosine 0.3 on the test corpus
-    * (LlmOpsSpec), rising steeply with threshold (≥ 0.99 expected in
-    * the true near-dup regime t ≥ 0.8, where per-table collision
-    * probability is 0.25+ per the hyperplane-LSH curve).
+    * Candidates are pairs whose signatures agree on ≥ 4 of 6 planes in
+    * any of the 12 tables (radius-2 probing: each vector probes its
+    * bucket plus all Hamming-1 and Hamming-2 flips, 22 probe rows per
+    * (vector, table), against exact buckets); the exact quantized
+    * cosine then verifies candidates only, so every emitted pair is
+    * exactly-correct (zero false positives vs [[nearDupPairs]],
+    * subset-asserted in LlmOpsSpec) and recall is the only
+    * approximation. Recall depends on the threshold regime: at the
+    * deliberately-low t = 0.3 it measures ~0.77 on the test corpus
+    * (informational only — no bucketed config clears ~0.84 there, see
+    * [[nearDupPairs]]); in the production near-dup regime the
+    * [[nearDupPlanted]] evaluation gates recall ≥ 0.95 at t = 0.9.
     *
-    * Scale shape: probe-side rows ×(PlanesPerTable+1) per table, one
-    * bucket equi-join per table, verify on candidates, `distinct` on
-    * canonical pairs — no cross/nested-loop join anywhere
-    * (plan-asserted in LlmOpsSpec). At corpus scale, `PlanesPerTable`
-    * is the bucket-granularity knob: size it ~log₂(n / target bucket
-    * size). */
+    * Scale shape: probe-side rows ×22 per table (×7 if dialed back to
+    * radius 1), one bucket equi-join per table, verify on candidates,
+    * `distinct` on canonical pairs — no cross/nested-loop join
+    * anywhere (plan-asserted in LlmOpsSpec). At corpus scale,
+    * `PlanesPerTable` is the bucket-granularity knob: size it
+    * ~log₂(n / target bucket size). */
   private def nearDupCore(corpus: DataFrame, threshold: Double, radius: Int): DataFrame = {
     val sig = lshBucketsOn(corpus)
     val buckets = (0 until NumTables).map { t =>

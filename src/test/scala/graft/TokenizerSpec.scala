@@ -19,6 +19,19 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.segment(null) == Seq.empty)
   }
 
+  test("null text tokenizes to an empty array; SQL function is registered") {
+    import spark.implicits._
+    // wrapper contract: size() is 0 on null, not NULL (the historical
+    // UDF behavior downstream filters may rely on)
+    val sizes = Seq(Option.empty[String], Some("a b")).toDF("t")
+      .select(size(Tokenizer.tokenize($"t")).as("n")).as[Int].collect().toSeq
+    assert(sizes == Seq(0, 2))
+    // raw expression is reachable from SQL under its advertised name
+    val viaSql = spark.sql("SELECT graft_segment_tokens('Apple 手机壳') AS toks")
+      .select(explode($"toks")).as[String].collect().toSeq
+    assert(viaSql == Seq("apple", "手机", "机壳"))
+  }
+
   test("column form explodes one row per token (the LATERAL TABLE shape)") {
     import spark.implicits._
     val got = Seq("苹果 手机", "redmi k40").toDF("keyword")
