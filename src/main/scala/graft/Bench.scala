@@ -29,7 +29,13 @@ object Bench {
     val benchCpu0 = procCpuNs
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val runsJson = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated allowlist for timing a few queries in
+    // isolation (plan-iteration loop); the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    val results = selected.map { case (name, fn) =>
       // noop sink: executes the FULL plan (projections, sorts, exprs)
       // without writing — a bare count() would let Catalyst prune the
       // very work being measured (projection-only queries collapse to
