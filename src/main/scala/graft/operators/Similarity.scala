@@ -238,7 +238,7 @@ object Similarity {
   }
 
   val NumCentroids = 16
-  val NProbe = 4
+  val NProbe = 6
   val KMeansIters = 3
 
   /** Distributed k-means for the IVF coarse quantizer: deterministic

@@ -64,7 +64,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val ivf = Similarity.annIvf(spark, sf)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ivfRecall = truth.count(ivf.contains).toDouble / truth.size
-    assert(ivfRecall >= 0.5, s"IVF nprobe=4/16 recall $ivfRecall < 0.5")
+    assert(ivfRecall >= 0.7, s"IVF nprobe=${Similarity.NProbe}/16 recall $ivfRecall < 0.7")
     info(f"LSH recall $lshRecall%.3f, IVF recall $ivfRecall%.3f")
   }
 
