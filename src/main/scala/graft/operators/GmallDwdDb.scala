@@ -251,42 +251,56 @@ object GmallDwdDb {
       .orderBy(col("id"))
   }
 
+  // The `*On(env)` forms below are the apps' transforms over ANY
+  // Maxwell envelope frame — batch OR readStream (stateless
+  // filter/project/broadcast-join only, no sort), mirroring the
+  // reference's streaming nature; GmallDwdDbSpec proves batch ≡
+  // streaming on the same envelope lines. The `(spark, dir)` wrappers
+  // bind the fixture and add the oracle-determinism orderBy (a
+  // presentation concern — streaming append mode cannot sort).
+
   /** `DwdToolCouponGet.java:43-52`. */
-  def toolCouponGet(spark: SparkSession, dir: String): DataFrame =
-    LogStream.cdcSlice(envelope(spark, dir), "coupon_use", Seq("insert"))
+  def toolCouponGetOn(env: DataFrame): DataFrame =
+    LogStream.cdcSlice(env, "coupon_use", Seq("insert"))
       .select(d("id").as("id"), d("coupon_id").as("coupon_id"),
         d("user_id").as("user_id"),
         substring(d("get_time"), 1, 10).as("date_id"),
         d("get_time").as("get_time"), col("ts"))
-      .orderBy(col("id"))
+
+  def toolCouponGet(spark: SparkSession, dir: String): DataFrame =
+    toolCouponGetOn(envelope(spark, dir)).orderBy(col("id"))
 
   /** `DwdToolCouponOrder.java:51-76`: updates whose old shows
     * `using_time` changed. */
-  def toolCouponOrder(spark: SparkSession, dir: String): DataFrame =
-    LogStream.cdcSlice(envelope(spark, dir), "coupon_use", Seq("update"))
+  def toolCouponOrderOn(env: DataFrame): DataFrame =
+    LogStream.cdcSlice(env, "coupon_use", Seq("update"))
       .filter(LogStream.columnChanged(col("old"), "using_time"))
       .select(d("id").as("id"), d("coupon_id").as("coupon_id"),
         d("user_id").as("user_id"), d("order_id").as("order_id"),
         substring(d("using_time"), 1, 10).as("date_id"),
         d("using_time").as("order_time"), col("ts"))
-      .orderBy(col("id"))
+
+  def toolCouponOrder(spark: SparkSession, dir: String): DataFrame =
+    toolCouponOrderOn(envelope(spark, dir)).orderBy(col("id"))
 
   /** `DwdToolCouponPay.java:50-75`: updates whose old shows
     * `used_time` changed. */
-  def toolCouponPay(spark: SparkSession, dir: String): DataFrame =
-    LogStream.cdcSlice(envelope(spark, dir), "coupon_use", Seq("update"))
+  def toolCouponPayOn(env: DataFrame): DataFrame =
+    LogStream.cdcSlice(env, "coupon_use", Seq("update"))
       .filter(LogStream.columnChanged(col("old"), "used_time"))
       .select(d("id").as("id"), d("coupon_id").as("coupon_id"),
         d("user_id").as("user_id"), d("order_id").as("order_id"),
         substring(d("used_time"), 1, 10).as("date_id"),
         d("used_time").as("payment_time"), col("ts"))
-      .orderBy(col("id"))
+
+  def toolCouponPay(spark: SparkSession, dir: String): DataFrame =
+    toolCouponPayOn(envelope(spark, dir)).orderBy(col("id"))
 
   /** `DwdInteractionFavorAdd.java:44-54`: inserts plus cancel-restore
     * updates (intent semantics; see object scaladoc on the reference's
     * precedence slip). */
-  def interactionFavorAdd(spark: SparkSession, dir: String): DataFrame =
-    envelope(spark, dir)
+  def interactionFavorAddOn(env: DataFrame): DataFrame =
+    env
       .filter(col("table") === "favor_info" &&
         (col("type") === "insert" ||
           (col("type") === "update" &&
@@ -295,27 +309,33 @@ object GmallDwdDb {
         d("sku_id").as("sku_id"),
         substring(d("create_time"), 1, 10).as("date_id"),
         d("create_time").as("create_time"), col("ts"))
-      .orderBy(col("id"))
+
+  def interactionFavorAdd(spark: SparkSession, dir: String): DataFrame =
+    interactionFavorAddOn(envelope(spark, dir)).orderBy(col("id"))
 
   /** `DwdInteractionComment.java:77-80`: comment inserts ⟕ base_dic. */
-  def interactionComment(spark: SparkSession, dir: String): DataFrame =
-    LogStream.cdcSlice(envelope(spark, dir), "comment_info", Seq("insert"))
-      .join(broadcast(baseDic(spark)), d("appraise") === col("dic_code"), "left")
+  def interactionCommentOn(env: DataFrame, dic: DataFrame): DataFrame =
+    LogStream.cdcSlice(env, "comment_info", Seq("insert"))
+      .join(broadcast(dic), d("appraise") === col("dic_code"), "left")
       .select(d("id").as("id"), d("user_id").as("user_id"),
         d("sku_id").as("sku_id"), d("order_id").as("order_id"),
         substring(d("create_time"), 1, 10).as("date_id"),
         d("create_time").as("create_time"),
         d("appraise").as("appraise_code"), col("dic_name").as("appraise_name"),
         col("ts"))
-      .orderBy(col("id"))
+
+  def interactionComment(spark: SparkSession, dir: String): DataFrame =
+    interactionCommentOn(envelope(spark, dir), baseDic(spark)).orderBy(col("id"))
 
   /** `DwdUserRegister.java:66`. */
-  def userRegister(spark: SparkSession, dir: String): DataFrame =
-    LogStream.cdcSlice(envelope(spark, dir), "user_info", Seq("insert"))
+  def userRegisterOn(env: DataFrame): DataFrame =
+    LogStream.cdcSlice(env, "user_info", Seq("insert"))
       .select(d("id").as("user_id"),
         substring(d("create_time"), 1, 10).as("date_id"),
         d("create_time").as("create_time"), col("ts"))
-      .orderBy(col("user_id").cast(LongType))
+
+  def userRegister(spark: SparkSession, dir: String): DataFrame =
+    userRegisterOn(envelope(spark, dir)).orderBy(col("user_id").cast(LongType))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dwd_trade_cancel_detail" -> tradeCancelDetail,

@@ -63,6 +63,46 @@ class GmallDwdDbSpec extends AnyFunSuite {
     assert(!keys.exists(_ % 10 == 7))
   }
 
+  test("streaming envelope through the app filters equals the batch form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    // the reference apps are streaming consumers of topic_db; the *On
+    // transforms must produce identical rows whether the envelope
+    // comes from a batch frame or readStream micro-batches
+    val lines = Seq(
+      """{"database":"g","table":"coupon_use","type":"insert","data":{"id":"cu1","coupon_id":"7","user_id":"42","order_id":"9","get_time":"1995-03-01 00:00:00"},"ts":794016000}""",
+      """{"database":"g","table":"coupon_use","type":"update","data":{"id":"cu1","coupon_id":"7","user_id":"42","order_id":"9","using_time":"1995-03-02 00:00:00"},"old":{"using_time":null},"ts":794102400}""",
+      """{"database":"g","table":"coupon_use","type":"update","data":{"id":"cu1","coupon_id":"7","user_id":"42","order_id":"9"},"old":{"order_id":null},"ts":794102401}""",
+      """{"database":"g","table":"favor_info","type":"insert","data":{"id":"f1","user_id":"42","sku_id":"5","is_cancel":"0","create_time":"1995-03-01 00:00:00"},"ts":794016000}""",
+      """{"database":"g","table":"favor_info","type":"update","data":{"id":"f2","user_id":"43","sku_id":"6","is_cancel":"0","create_time":"1995-03-01 00:00:00"},"old":{"is_cancel":"1"},"ts":794016001}""",
+      """{"database":"g","table":"favor_info","type":"update","data":{"id":"f3","user_id":"44","sku_id":"7","is_cancel":"1","create_time":"1995-03-01 00:00:00"},"old":{"is_cancel":"0"},"ts":794016002}""",
+      """{"database":"g","table":"user_info","type":"insert","data":{"id":"42","create_time":"1995-01-05 00:00:00"},"ts":789264000}""",
+      """not json — quarantined by the parse path""")
+    def transforms(env: org.apache.spark.sql.DataFrame) = Seq(
+      "coupon_order" -> GmallDwdDb.toolCouponOrderOn(env),
+      "favor_add" -> GmallDwdDb.interactionFavorAddOn(env),
+      "register" -> GmallDwdDb.userRegisterOn(env))
+    val batchResults = transforms(
+      LogStream.maxwellEnvelope(lines.toDF("value")))
+      .map { case (n, df) => n -> df.collect().map(_.toString).toSet }.toMap
+    val mem = MemoryStream[String](spark)
+    val queries = transforms(LogStream.maxwellEnvelope(mem.toDF()))
+      .map { case (n, df) =>
+        n -> df.writeStream.format("memory").queryName(s"dwddb_$n")
+          .outputMode(OutputMode.Append).start()
+      }
+    mem.addData(lines.take(4))
+    queries.foreach(_._2.processAllAvailable())
+    mem.addData(lines.drop(4))
+    queries.foreach { case (_, q) => q.processAllAvailable(); q.stop() }
+    batchResults.foreach { case (n, want) =>
+      val got = spark.table(s"dwddb_$n").collect().map(_.toString).toSet
+      assert(got == want, s"streaming $n diverged from batch")
+      assert(want.nonEmpty, s"$n fixture produced no rows")
+    }
+  }
+
   test("cancel detail joins only 1003-with-old-status orders") {
     val cd = GmallDwdDb.tradeCancelDetail(spark, sf)
     val keys = cd.select(col("order_id").cast("long")).distinct()
