@@ -7,9 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.{Bucketed, Tables}
 
-/** Co-located bucketed joins: the scan-layer claim in SCALE.md made
-  * checkable — bucketing both fact tables by the join key removes the
-  * per-query shuffle entirely. */
+/** Scan-layer levers from SCALE.md made checkable: co-located bucketed
+  * joins (bucketing both fact tables by the join key removes the
+  * per-query shuffle entirely) and date-partitioned layouts (a dt
+  * predicate prunes the scan to the queried partitions). */
 class BucketedSpec extends AnyFunSuite {
   import TestSession._
 
@@ -51,5 +52,31 @@ class BucketedSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_orders_b")
       spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
     }
+  }
+
+  test("dt-partitioned layout prunes the scan to the queried day") {
+    val tmp = Files.createTempDirectory("graft_partitioned").toString
+    // the DWS/ADS layout at 100 TB: every table partitioned by day
+    Tables.orders(spark, sf)
+      .withColumn("dt", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("dt").parquet(tmp)
+    val all = spark.read.parquet(tmp)
+    val days = all.select("dt").distinct().count()
+    assert(days > 10, s"fixture has only $days days")
+    // partition-column type inference reads dt back as DATE
+    val oneDay = all.filter(col("dt") === lit(all.select(min(col("dt"))).head().get(0)))
+    // partition pruning happens at planning: the scan's file-read
+    // metric (after execution) must cover only the one dt directory,
+    // not the whole table
+    oneDay.collect()
+    val scan = oneDay.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = all.inputFiles.length
+    assert(filesRead < totalFiles / 5,
+      s"scan not pruned: read $filesRead of $totalFiles files")
+    assert(scan.toString.contains("PartitionFilters: [isnotnull(dt"),
+      s"no partition filter on the scan:\n$scan")
   }
 }
