@@ -109,6 +109,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("keep"), concat_ws(",", col("reasons")).as("reasons"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style within-document repetition signals: duplicate-token
+    * fraction, duplicate-3-gram fraction, and the most-frequent-token
+    * share — the standard "discard documents that repeat themselves"
+    * rules of large-scale training-data curation, computed as
+    * doc-local array work (no shuffle, scan-bound at any scale). */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("token_ct", size(col("toks")).cast(LongType))
+      .withColumn("grams", expr(
+        "CASE WHEN size(toks) < 3 THEN array() ELSE " +
+          "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws('_', toks[i], toks[i+1], toks[i+2])) END"))
+      .withColumn("dup_token_frac",
+        when(col("token_ct") > 0,
+          lit(1.0) - size(array_distinct(col("toks"))).cast(DoubleType) /
+            col("token_ct").cast(DoubleType)).otherwise(lit(0.0)))
+      .withColumn("dup_3gram_frac",
+        when(size(col("grams")) > 0,
+          lit(1.0) - size(array_distinct(col("grams"))).cast(DoubleType) /
+            size(col("grams")).cast(DoubleType)).otherwise(lit(0.0)))
+      .withColumn("top_token_frac",
+        when(col("token_ct") > 0,
+          expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+            .cast(DoubleType) / col("token_ct").cast(DoubleType)).otherwise(lit(0.0)))
+      .select(col("doc_id"), col("token_ct"), col("dup_token_frac"),
+        col("dup_3gram_frac"), col("top_token_frac"))
+      .orderBy(col("doc_id"))
+
   /** The composed training-corpus pipeline: quality filter → exact
     * dedup (keep the representative) → language ID → per-language
     * corpus statistics. One expression of how the operators chain in a
@@ -139,6 +168,7 @@ object TextAnalysis {
     "text_stats" -> ((s, d) => textStats(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_token_counts" -> ((s, d) => tokenCounts(s, d)),
+    "text_repetition" -> ((s, d) => repetition(s, d)),
     "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
     "text_fingerprints_md5" -> ((s, d) => fingerprintsMd5(s, d)))
 
@@ -252,6 +282,29 @@ object TextAnalysis {
         |  length(text) AS char_ct,
         |  CAST(length(text) AS DOUBLE) / CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS DOUBLE) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |      ELSE [toks[i] || '_' || toks[i+1] || '_' || toks[i+2] FOR i IN range(1, len(toks) - 1)]
+        |    END AS grams
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS token_ct,
+        |  CASE WHEN len(toks) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |    ELSE 0.0 END AS dup_token_frac,
+        |  CASE WHEN len(grams) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+        |    ELSE 0.0 END AS dup_3gram_frac,
+        |  CASE WHEN len(toks) > 0
+        |    THEN CAST(list_max([len(list_filter(toks, x -> x = tk)) FOR tk IN list_distinct(toks)]) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE)
+        |    ELSE 0.0 END AS top_token_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "text_fingerprints_md5" ->
       "SELECT doc_id, md5(text) AS md5_hex FROM documents ORDER BY doc_id")
 }
