@@ -138,6 +138,27 @@ object TextAnalysis {
         col("dup_3gram_frac"), col("top_token_frac"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic train/val/test split: every pipeline needs
+    * reproducible doc-level assignment that survives re-runs,
+    * repartitioning, and engine changes — so the split key is a pure
+    * integer mix of doc_id (two multiply-xor-shift rounds, wrapping
+    * 64-bit — identical in Spark's ANSI-off LongType and DuckDB's
+    * BIGINT with explicit wrap via modular identity on these id
+    * magnitudes), never `rand()` and never partition-dependent row
+    * position. 90/5/5 by mixed-hash mod 100. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"))
+      .withColumn("mixed", expr(
+        "CAST(doc_id * 2654435761 AS BIGINT) ^ CAST(doc_id * 40503 AS BIGINT) ^ (doc_id >> 7)"))
+      .withColumn("bucket", pmod(col("mixed"), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("bucket").cast(LongType).as("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
   /** The composed training-corpus pipeline: quality filter → exact
     * dedup (keep the representative) → language ID → per-language
     * corpus statistics. One expression of how the operators chain in a
@@ -169,6 +190,7 @@ object TextAnalysis {
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_token_counts" -> ((s, d) => tokenCounts(s, d)),
     "text_repetition" -> ((s, d) => repetition(s, d)),
+    "text_corpus_split" -> ((s, d) => corpusSplit(s, d)),
     "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
     "text_fingerprints_md5" -> ((s, d) => fingerprintsMd5(s, d)))
 
@@ -305,6 +327,17 @@ object TextAnalysis {
         |      / CAST(len(toks) AS DOUBLE)
         |    ELSE 0.0 END AS top_token_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    "text_corpus_split" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    xor(xor(doc_id * 2654435761, doc_id * 40503), doc_id >> 7) AS mixed
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, ((mixed % 100) + 100) % 100 AS bucket FROM m
+        |)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "text_fingerprints_md5" ->
       "SELECT doc_id, md5(text) AS md5_hex FROM documents ORDER BY doc_id")
 }
