@@ -15,9 +15,23 @@ private[operators] object Memo {
   private val memo =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
 
+  // Single lock around the build: TrieMap.getOrElseUpdate does not
+  // guarantee single evaluation of the by-name default, and a losing
+  // persist() would leak cached blocks with no handle to unpersist.
+  // Builds are cheap plan constructions (the expensive part — the job —
+  // runs lazily later), so one coarse lock beats per-key striping.
   def apply(spark: SparkSession, dir: String, name: String)
-           (build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((spark, dir, name), build.persist())
+           (build: => DataFrame): DataFrame = {
+    val key = (spark, dir, name)
+    memo.get(key).getOrElse(synchronized {
+      // Opportunistically drop entries pinned to stopped sessions so the
+      // map doesn't retain dead SparkSessions for the JVM's lifetime.
+      memo.keys.toSeq
+        .filter { case (s, _, _) => s.sparkContext.isStopped }
+        .foreach(memo.remove)
+      memo.getOrElseUpdate(key, build.persist())
+    })
+  }
 
   /** Drop (and unpersist) every memoized frame for `dir` — all dirs if
     * None — in this session, across all modules. */

@@ -32,6 +32,23 @@ class TokenizerSpec extends AnyFunSuite {
     assert(viaSql == Seq("apple", "手机", "机壳"))
   }
 
+  test("fixture invariant: documents.text is ASCII-only (keyword-oracle parity)") {
+    // The keyword DWS tokenizes with Tokenizer.segment (letter/digit runs
+    // + CJK bigrams) while its DuckDB oracle splits on [^a-z0-9]+ — the
+    // two only coincide on pure-ASCII text. CJK handling is proven above
+    // on inline fixtures; this guard makes a non-ASCII documents fixture
+    // fail HERE, at the source of the assumption, instead of as an
+    // opaque oracle hash mismatch.
+    import spark.implicits._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val nonAscii = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .filter(not($"text".rlike("^[\\x00-\\x7F]*$"))).count()
+      assert(nonAscii == 0L,
+        s"$sf/documents has $nonAscii non-ASCII texts; keyword DWS oracle " +
+          "(GmallDws.dws2Cte) assumes ASCII — update it alongside the fixture")
+    }
+  }
+
   test("column form explodes one row per token (the LATERAL TABLE shape)") {
     import spark.implicits._
     val got = Seq("苹果 手机", "redmi k40").toDF("keyword")
