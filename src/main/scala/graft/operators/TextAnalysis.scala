@@ -141,22 +141,83 @@ object TextAnalysis {
   /** Deterministic train/val/test split: every pipeline needs
     * reproducible doc-level assignment that survives re-runs,
     * repartitioning, and engine changes — so the split key is a pure
-    * integer mix of doc_id (two multiply-xor-shift rounds, wrapping
-    * 64-bit — identical in Spark's ANSI-off LongType and DuckDB's
-    * BIGINT with explicit wrap via modular identity on these id
-    * magnitudes), never `rand()` and never partition-dependent row
-    * position. 90/5/5 by mixed-hash mod 100. */
+    * integer mix of doc_id, never `rand()` and never
+    * partition-dependent row position. 90/5/5 by mixed-hash mod 100.
+    *
+    * Overflow-free at ANY id magnitude: the Knuth multiplier only sees
+    * the low 31 bits ((2^31-1) * 2654435761 < 2^63), the high bits are
+    * folded in with a small multiplier — so the same arithmetic is
+    * exact in both Spark's LongType and DuckDB's checked BIGINT (which
+    * raises on overflow instead of wrapping). */
   def corpusSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"))
       .withColumn("mixed", expr(
-        "CAST(doc_id * 2654435761 AS BIGINT) ^ CAST(doc_id * 40503 AS BIGINT) ^ (doc_id >> 7)"))
+        "((doc_id & 2147483647) * 2654435761) ^ ((doc_id >> 31) * 40503) ^ (doc_id >> 7)"))
       .withColumn("bucket", pmod(col("mixed"), lit(100L)))
       .withColumn("split",
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val")
           .otherwise("test"))
       .select(col("doc_id"), col("bucket").cast(LongType).as("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** Test-set decontamination: flag every training document that shares
+    * at least one word 5-gram with the held-out benchmark set (here:
+    * every 20th doc plays the eval-set role — deterministic, so the
+    * oracle can reproduce the partition). The standard n-gram-overlap
+    * decontamination of large-scale training corpora.
+    *
+    * Scale shape: grams are hashed to 64-bit (`xxhash64`) before the
+    * join, so the shuffle moves longs, not strings; the benchmark gram
+    * set (eval sets are tiny relative to the corpus) is deduped and
+    * broadcast, so the corpus-side pass is shuffle-free — scan →
+    * explode → broadcast-semi-probe → per-doc partial agg. Collisions
+    * at 64 bits (~m²/2⁶⁴) err on the conservative side: a false
+    * positive drops a training doc, never leaks an eval gram. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+    val grams = docs
+      .withColumn("gram", explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN transform(sequence(0, size(toks) - $n), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $n))) END")))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val benchGrams = grams.filter(col("doc_id") % 20 === 0).select(col("gh")).distinct()
+    val hits = grams.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(benchGrams), "gh")
+      .groupBy(col("doc_id")).agg(countDistinct(col("gh")).as("hit_ct"))
+    docs.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("hit_ct", coalesce(col("hit_ct"), lit(0L)))
+      .withColumn("contaminated", (col("hit_ct") > 0).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified downsampling: per-language keep rates
+    * applied via an integer-hash threshold, so the sample is
+    * reproducible, partition-independent, and oracle-checkable —
+    * `rand()` is banned for the same reason it is in [[corpusSplit]].
+    * The hash is the same overflow-free multiply-xor-shift mix (salted
+    * with a doc_id XOR so split and sample decisions decorrelate);
+    * thresholds are integers out of 1000 per stratum — the "rebalance
+    * language mix" move of corpus curation. Pure projection: no
+    * shuffle, scan-bound at any scale. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"))
+      .withColumn("mixed", expr(
+        "(((doc_id ^ 99991) & 2147483647) * 2654435761) ^ ((doc_id >> 31) * 48271) ^ (doc_id >> 5)"))
+      .withColumn("bucket", pmod(col("mixed"), lit(1000L)))
+      .withColumn("keep_per_mille",
+        when(col("lang") === "en", 500L)
+          .when(col("lang") === "es", 750L)
+          .when(col("lang") === "zh", 800L)
+          .when(col("lang") === "de" || col("lang") === "fr", 900L)
+          .otherwise(1000L))
+      .withColumn("sampled", (col("bucket") < col("keep_per_mille")).cast(LongType))
+      .select(col("doc_id"), col("lang"), col("bucket").cast(LongType).as("bucket"),
+        col("keep_per_mille"), col("sampled"))
       .orderBy(col("doc_id"))
 
   /** The composed training-corpus pipeline: quality filter → exact
@@ -191,6 +252,8 @@ object TextAnalysis {
     "text_token_counts" -> ((s, d) => tokenCounts(s, d)),
     "text_repetition" -> ((s, d) => repetition(s, d)),
     "text_corpus_split" -> ((s, d) => corpusSplit(s, d)),
+    "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "text_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
     "text_fingerprints_md5" -> ((s, d) => fingerprintsMd5(s, d)))
 
@@ -330,7 +393,7 @@ object TextAnalysis {
     "text_corpus_split" ->
       """WITH m AS (
         |  SELECT doc_id,
-        |    xor(xor(doc_id * 2654435761, doc_id * 40503), doc_id >> 7) AS mixed
+        |    xor(xor((doc_id & 2147483647) * 2654435761, (doc_id >> 31) * 40503), doc_id >> 7) AS mixed
         |  FROM documents
         |), b AS (
         |  SELECT doc_id, ((mixed % 100) + 100) % 100 AS bucket FROM m
@@ -339,5 +402,38 @@ object TextAnalysis {
         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
     "text_fingerprints_md5" ->
-      "SELECT doc_id, md5(text) AS md5_hex FROM documents ORDER BY doc_id")
+      "SELECT doc_id, md5(text) AS md5_hex FROM documents ORDER BY doc_id",
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5 THEN
+        |    list_transform(range(1, len(t) - 3), i -> array_to_string(list_slice(t, i, i + 4), ' '))
+        |    END) AS gram
+        |  FROM toks
+        |), bg AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0
+        |), hits AS (
+        |  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS hit_ct
+        |  FROM g JOIN bg USING (gram) WHERE g.doc_id % 20 <> 0 GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id, CAST(COALESCE(h.hit_ct, 0) AS BIGINT) AS hit_ct,
+        |  CAST(CASE WHEN COALESCE(h.hit_ct, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "text_sample_stratified" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang,
+        |    xor(xor((xor(doc_id, 99991) & 2147483647) * 2654435761, (doc_id >> 31) * 48271), doc_id >> 5) AS mixed
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, lang, ((mixed % 1000) + 1000) % 1000 AS bucket,
+        |    CASE WHEN lang = 'en' THEN 500 WHEN lang = 'es' THEN 750 WHEN lang = 'zh' THEN 800
+        |         WHEN lang IN ('de', 'fr') THEN 900 ELSE 1000 END AS keep_per_mille
+        |  FROM m
+        |)
+        |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(keep_per_mille AS BIGINT) AS keep_per_mille,
+        |  CAST(CASE WHEN bucket < keep_per_mille THEN 1 ELSE 0 END AS BIGINT) AS sampled
+        |FROM b ORDER BY doc_id""".stripMargin)
 }
