@@ -132,19 +132,12 @@ object Similarity {
     * ships for; sub-0.5-threshold pair mining is the exact
     * [[nearDupPairs]]' job (see its scaladoc for why no bucketed plan
     * can cover it). */
-  def nearDupPlanted(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
-      .select(col("vec_id"), col("embedding"))
-    val jittered = e.select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
-      expr("transform(embedding, (x, i) -> CAST(x * (1.0 + 0.3 * " +
-        "(CAST(pmod(hash(vec_id, i), 2) AS DOUBLE) * 2.0 - 1.0)) AS FLOAT))")
-        .as("embedding"))
+  def nearDupPlanted(spark: SparkSession, dir: String): DataFrame =
     // radius 1: exact buckets alone measure 0.970 recall (the hard
     // pairs miss in ALL tables — per-pair plane agreement correlates
     // across the fixed plane set), Hamming-1 probes lift it to 0.990
     // for ~40% more candidate rows
-    nearDupCore(e.unionByName(jittered), threshold = 0.9, radius = 1)
-  }
+    nearDupCore(plantedCorpus(spark, dir), threshold = 0.9, radius = 1)
 
   val NumTables = 12
   val PlanesPerTable = 6
@@ -253,8 +246,15 @@ object Similarity {
     * iteration on each downstream action. At 100 TB each iteration is
     * one scan + one small aggregation. */
   def kmeansModel(spark: SparkSession, dir: String,
-                  iters: Int = KMeansIters): (Array[Int], Array[Array[Float]]) = {
-    val e = Tables.spread(spark, Tables.embeddings(spark, dir)).select(col("vec_id"), col("embedding"))
+                  iters: Int = KMeansIters): (Array[Int], Array[Array[Float]]) =
+    kmeansModelOn(
+      Tables.spread(spark, Tables.embeddings(spark, dir)).select(col("vec_id"), col("embedding")),
+      iters)
+
+  /** Same, over an arbitrary (vec_id, embedding) corpus frame. */
+  def kmeansModelOn(corpus: DataFrame,
+                    iters: Int = KMeansIters): (Array[Int], Array[Array[Float]]) = {
+    val e = corpus.select(col("vec_id"), col("embedding"))
     var model = collectModel(e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").cast("int").as("centroid_id"), col("embedding").as("ce")))
     // empty table (or no vec_id < NumCentroids) → empty model; callers
@@ -332,6 +332,77 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** How many nearest cells each vector PROBES during semantic dedup.
+    * The database side stays one cell per vector; probing 2 of
+    * `NumCentroids` cells catches near-dup pairs that straddle a
+    * cluster boundary (the known SemDeDup recall hole) for 2× probe
+    * rows, corpus untouched. */
+  val DedupProbes = 2
+
+  /** SemDeDup-style semantic dedup (the embedding-space analog of
+    * MinHash dedup): k-means-cluster the corpus, then WITHIN each cell
+    * drop every vector that has a cosine-≥-threshold neighbor of
+    * smaller vec_id; the surviving min-id vector is the kept
+    * representative. Pair work is cluster-local — at C cells the
+    * comparison count drops from n²/2 to ~Σ|cell|²/2 ≈ n²/(2C), and C
+    * scales with corpus size (size it ~n/targetCellSize at 100 TB; the
+    * k-means cost is one scan + one C×dims aggregation per Lloyd
+    * iteration). Assignment and probe selection are zero-shuffle
+    * codegen projections (`NearestCentroidsFloat`); the only shuffles
+    * are the cell-key equi-join and the per-vector min — no cross join
+    * anywhere (plan-asserted in LlmOpsSpec).
+    *
+    * Output: one row per corpus vector — (vec_id, centroid_id, keep,
+    * dup_of) with dup_of = the smallest-id retained witness (-1 when
+    * kept). Not SQL-expressible (k-means); gated by the planted-pair
+    * recall + zero-false-drop spec instead of a DuckDB oracle. */
+  def semanticDedupOn(corpus: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val (ids, cents) = kmeansModelOn(e)
+    if (ids.isEmpty)
+      return e.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0L).as("centroid_id"),
+          lit(0L).as("keep"), lit(0L).as("dup_of"))
+    val assigned = ivfAssign(e, ids, cents)
+    val db = assigned
+      .select(col("centroid_id"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val probes = e.select(col("vec_id"), col("embedding").as("ea"),
+      explode(GraftExpressions.nearestCentroidsFloat(
+        col("embedding"), ids, cents, DedupProbes)).as("centroid_id"))
+    val dupOf = probes.join(db, Seq("centroid_id"))
+      .filter(col("vb") < col("vec_id"))
+      .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("vec_id")).agg(min(col("vb")).as("dup_of"))
+    assigned.select(col("vec_id"), col("centroid_id").cast(LongType).as("centroid_id"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull.cast(LongType))
+      .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
+      .select(col("vec_id"), col("centroid_id"), col("keep"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Named-query form: the corpus is `embeddings` plus the same
+    * deterministically jittered copies [[nearDupPlanted]] uses, so the
+    * operator demonstrably deduplicates (the raw corpus's max pair
+    * cosine ≈ 0.55 sits far below the 0.9 threshold — over it alone
+    * the query would be a no-op). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupOn(plantedCorpus(spark, dir))
+
+  /** embeddings ∪ jittered copies at vec_id + PlantOffset (cosine with
+    * their original ≈ 0.96) — shared by [[nearDupPlanted]] and
+    * [[semanticDedup]]. */
+  private def plantedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"))
+    val jittered = e.select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(x * (1.0 + 0.3 * " +
+        "(CAST(pmod(hash(vec_id, i), 2) AS DOUBLE) * 2.0 - 1.0)) AS FLOAT))")
+        .as("embedding"))
+    e.unionByName(jittered)
+  }
+
   /** Float fast path (codegen'd CosineSimFloat) — the bench variant of
     * annTopK; sims differ from the quantized oracle in the last ulps,
     * so it ships rows-only. */
@@ -356,7 +427,8 @@ object Similarity {
     "sim_neardup_planted" -> ((s, d) => nearDupPlanted(s, d)),
     "sim_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => annIvf(s, d)),
-    "sim_ann_topk_float" -> ((s, d) => annTopKFloat(s, d)))
+    "sim_ann_topk_float" -> ((s, d) => annTopKFloat(s, d)),
+    "sim_semantic_dedup" -> ((s, d) => semanticDedup(s, d)))
 
   private val quantCte =
     """qv AS (

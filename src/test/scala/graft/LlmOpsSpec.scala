@@ -126,6 +126,30 @@ class LlmOpsSpec extends AnyFunSuite {
       s"planted neardup plan contains a cross join:\n$plan")
   }
 
+  test("semantic dedup: originals kept, planted copies dropped, cluster-local plan") {
+    import spark.implicits._
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    val df = Similarity.semanticDedup(spark, sf)
+    val rows = df.select("vec_id", "keep", "dup_of").as[(Long, Long, Long)].collect()
+    assert(rows.length == 2 * n, s"expected one row per corpus vector, got ${rows.length}")
+    // the raw corpus's max pair cosine (~0.55) is far below t=0.9, so
+    // NO original may be dropped — exact, not statistical
+    val origDropped = rows.filter(r => r._1 < Similarity.PlantOffset && r._2 == 0L)
+    assert(origDropped.isEmpty, s"${origDropped.length} originals falsely dropped")
+    // every planted copy has a cosine-0.96 witness (its original): a
+    // miss means the pair landed in disjoint probe cells
+    val planted = rows.filter(_._1 >= Similarity.PlantOffset)
+    val recall = planted.count(_._2 == 0L).toDouble / planted.length
+    info(f"semantic-dedup planted drop recall $recall%.3f over ${planted.length} copies")
+    assert(recall >= 0.9, s"planted drop recall $recall < 0.9")
+    // witness ids are well-formed: smaller than the dropped vector when
+    // set, -1 exactly when kept
+    assert(rows.forall(r => if (r._2 == 1L) r._3 == -1L else r._3 >= 0L && r._3 < r._1))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      s"semantic dedup plan contains a cross join:\n$plan")
+  }
+
   test("quantized ANN and float ANN agree on neighbor sets") {
     import spark.implicits._
     val q = Similarity.annTopK(spark, sf).select("query_id", "neighbor_id")
