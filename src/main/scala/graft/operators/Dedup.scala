@@ -83,7 +83,7 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSignaturesFrom(shingled(spark, dir))
 
-  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+  private[graft] def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
     val d = sh.filter(size(col("sh")) > 0)
     // one fused codegen'd pass computes all NumHashes minima (identical
     // wrapping arithmetic to NumHashes separate aggregate(...) HOF calls)
@@ -95,30 +95,77 @@ object Dedup {
     sig.select((col("doc_id") +: bandCols): _*)
   }
 
+  /** Per-bucket pair cap: buckets larger than this stop generating all
+    * m²/2 pairs and star-link members to the bucket minimum instead —
+    * see [[minhashCandidatesFrom]]. */
+  val BucketCap = 32
+
   /** MinHash+LSH dedup: docs sharing any band bucket are candidates;
     * candidates are verified with exact shingle Jaccard; each doc maps
     * to the min doc_id of its verified near-dup group (itself if none). */
-  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.015): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.015): DataFrame =
+    minhashLshOn(spark,
+      Tables.spread(spark, Tables.documents(spark, dir)).select(col("doc_id"), col("text")),
+      Tables.documents(spark, dir).select(col("doc_id")), threshold)
+
+  /** [[minhashLsh]] over an arbitrary (doc_id, text) frame; `allDocs`
+    * carries ids of docs too short to shingle so every document gets a
+    * mapping row. */
+  private[graft] def minhashLshOn(spark: SparkSession, docs: DataFrame,
+                                  allDocs: DataFrame, threshold: Double = 0.015,
+                                  cap: Int = BucketCap): DataFrame = {
     // shingling (split + 3-gram + distinct) is the expensive scan; do
     // it once and share it between signatures and pair verification
-    val sh = shingled(spark, dir).cache()
+    val sh = docs
+      .select(col("doc_id"), GraftExpressions.shingleHashes(toks(col("text")), 3).as("sh"))
+      .cache()
+    // cache the signatures: the 8-band unpivot below reads them once
+    // per band, and an uncached frame would re-run the minhash pass
+    // (and the shingle scan above it) 8 times
     val sig = minhashSignaturesFrom(sh).cache()
-    val buckets = (0 until NumBands).map { bnd =>
-      sig.select(lit(bnd).as("band_idx"), col(s"band_$bnd").as("bucket"), col("doc_id"))
-    }.reduce(_ unionByName _)
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.band_idx") === col("b.band_idx") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val cand = minhashCandidatesFrom(sig, cap)
     val verified = verifyJaccard(sh, cand).filter(col("jaccard") >= threshold)
     val reps = verified.select(col("doc_b").as("doc_id"), col("doc_a").as("other"))
       .unionByName(verified.select(col("doc_a").as("doc_id"), col("doc_b").as("other")))
       .groupBy(col("doc_id")).agg(min(col("other")).as("m"))
     // every document gets a mapping row — docs too short to shingle
     // (< 3 tokens, filtered before signatures) are their own reps
-    Tables.documents(spark, dir).select(col("doc_id")).join(reps, Seq("doc_id"), "left")
+    allDocs.join(reps, Seq("doc_id"), "left")
       .select(col("doc_id"), least(col("doc_id"), coalesce(col("m"), col("doc_id"))).as("rep_doc_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Candidate pairs from banded signatures, with the giant-bucket
+    * guard the 100 TB story needs: a bucket of m identical boilerplate
+    * docs would otherwise emit m²/2 pairs (one hot bucket of 10⁶ docs =
+    * 5·10¹¹ pairs — a job-killer). Buckets over `cap` switch from
+    * all-pairs to star-linking every member to the bucket's min doc_id
+    * — O(m) pairs that preserve exactly what the downstream rep
+    * assignment needs: identical/boilerplate docs (the only way real
+    * buckets get giant) collide in EVERY band, so each giant bucket's
+    * min is the group's global min and the verified star edges collapse
+    * the whole group to it. For a rare diverse giant bucket (adversarial
+    * collision) the star still verifies every member against one
+    * anchor; only member-member links absent from all other bands are
+    * lost — the standard recall-for-survival trade. Both shapes share
+    * one shuffle on the bucket key (the window and the self-join
+    * partition identically). */
+  private[graft] def minhashCandidatesFrom(sig: DataFrame, cap: Int = BucketCap): DataFrame = {
+    val buckets = (0 until NumBands).map { bnd =>
+      sig.select(lit(bnd).as("band_idx"), col(s"band_$bnd").as("bucket"), col("doc_id"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("band_idx"), col("bucket"))
+    val stats = buckets
+      .withColumn("mn", min(col("doc_id")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+    val small = stats.filter(col("cnt") <= cap)
+    val pairsSmall = small.as("a").join(small.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairsGiant = stats.filter(col("cnt") > cap && col("doc_id") =!= col("mn"))
+      .select(col("mn").as("doc_a"), col("doc_id").as("doc_b"))
+    pairsSmall.unionByName(pairsGiant).distinct()
   }
 
   /** Exact Jaccard for a given candidate-pair set only. */

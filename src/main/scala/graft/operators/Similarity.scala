@@ -392,16 +392,20 @@ object Similarity {
 
   /** embeddings ∪ jittered copies at vec_id + PlantOffset (cosine with
     * their original ≈ 0.96) — shared by [[nearDupPlanted]] and
-    * [[semanticDedup]]. */
-  private def plantedCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
-      .select(col("vec_id"), col("embedding"))
-    val jittered = e.select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
-      expr("transform(embedding, (x, i) -> CAST(x * (1.0 + 0.3 * " +
-        "(CAST(pmod(hash(vec_id, i), 2) AS DOUBLE) * 2.0 - 1.0)) AS FLOAT))")
-        .as("embedding"))
-    e.unionByName(jittered)
-  }
+    * [[semanticDedup]]. Memoized+persisted per (session, dir): the
+    * semantic-dedup pipeline alone reads it ~6 times (k-means init +
+    * Lloyd iterations + assignment + output join), and recomputing the
+    * jitter transform per pass was most of its first-run cost. */
+  private def plantedCorpus(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "sim.plantedCorpus") {
+      val e = Tables.spread(spark, Tables.embeddings(spark, dir))
+        .select(col("vec_id"), col("embedding"))
+      val jittered = e.select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> CAST(x * (1.0 + 0.3 * " +
+          "(CAST(pmod(hash(vec_id, i), 2) AS DOUBLE) * 2.0 - 1.0)) AS FLOAT))")
+          .as("embedding"))
+      e.unionByName(jittered)
+    }
 
   /** Float fast path (codegen'd CosineSimFloat) — the bench variant of
     * annTopK; sims differ from the quantized oracle in the last ulps,

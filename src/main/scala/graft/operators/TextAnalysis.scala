@@ -220,6 +220,38 @@ object TextAnalysis {
         col("keep_per_mille"), col("sampled"))
       .orderBy(col("doc_id"))
 
+  /** Corpus vocabulary statistics: top-k tokens by frequency with
+    * document frequency and the cumulative (Zipf) share of the total
+    * token mass. The canonical "what's in this corpus" report; shape =
+    * explode → two-level aggregate. Scale: token counts partial-agg
+    * map-side before the shuffle; top-k is sort+limit (per-partition
+    * top-k + k-row merge), so only the k winners reach the ranking and
+    * cumulative windows — never the full vocabulary. */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val tok = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+    val counts = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("token_ct"), countDistinct(col("doc_id")).as("doc_ct"))
+    val total = counts.agg(sum(col("token_ct")).as("total_ct"))
+    import org.apache.spark.sql.expressions.Window
+    // top-k via sort+limit = TakeOrderedAndProject (per-partition top-k,
+    // then a k-row merge on one reducer) — NOT a row_number window over
+    // the full vocabulary, which would single-partition-sort all of it.
+    // The ranking/cumulative windows below only ever see k rows.
+    counts
+      .orderBy(col("token_ct").desc, col("token")).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("token_ct").desc, col("token"))))
+      .crossJoin(broadcast(total))   // 1-row total, lazily
+      .withColumn("cum_share",
+        sum(col("token_ct")).over(
+          Window.orderBy(col("token_ct").desc, col("token"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType) / col("total_ct").cast(DoubleType))
+      .select(col("rk"), col("token"), col("token_ct"), col("doc_ct"), col("cum_share"))
+      .orderBy(col("rk"))
+  }
+
   /** The composed training-corpus pipeline: quality filter → exact
     * dedup (keep the representative) → language ID → per-language
     * corpus statistics. One expression of how the operators chain in a
@@ -253,6 +285,7 @@ object TextAnalysis {
     "text_repetition" -> ((s, d) => repetition(s, d)),
     "text_corpus_split" -> ((s, d) => corpusSplit(s, d)),
     "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
     "text_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
     "text_fingerprints_md5" -> ((s, d) => fingerprintsMd5(s, d)))
@@ -421,6 +454,23 @@ object TextAnalysis {
         |  CAST(CASE WHEN COALESCE(h.hit_ct, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "text_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+        |), counts AS (
+        |  SELECT token, COUNT(*) AS token_ct, COUNT(DISTINCT doc_id) AS doc_ct FROM tok GROUP BY token
+        |), total AS (
+        |  SELECT CAST(SUM(token_ct) AS BIGINT) AS total_ct FROM counts
+        |), ranked AS (
+        |  SELECT token, token_ct, doc_ct,
+        |    row_number() OVER (ORDER BY token_ct DESC, token) AS rk
+        |  FROM counts
+        |)
+        |SELECT CAST(rk AS INTEGER) AS rk, token,
+        |  CAST(token_ct AS BIGINT) AS token_ct, CAST(doc_ct AS BIGINT) AS doc_ct,
+        |  CAST(SUM(token_ct) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST((SELECT total_ct FROM total) AS DOUBLE) AS cum_share
+        |FROM ranked WHERE rk <= 100 ORDER BY rk""".stripMargin,
     "text_sample_stratified" ->
       """WITH m AS (
         |  SELECT doc_id, lang,

@@ -34,6 +34,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.forall(verified.contains), "LSH emitted a pair below the verify threshold")
   }
 
+  test("minhash giant-bucket cap: boilerplate collapses with O(m) star candidates") {
+    import spark.implicits._
+    import graft.functions.GraftExpressions
+    // 120 identical boilerplate docs + 30 distinct docs: the shape that
+    // produces a giant LSH bucket (every band collides for identical
+    // content) and would emit 120·119/2 pairs per band uncapped
+    val boiler = (0 until 120).map(i =>
+      (i.toLong, "the same boilerplate footer text repeated verbatim on every single page of this site"))
+    val uniq = (0 until 30).map(i =>
+      (1000L + i, s"unique document number $i carrying words alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val docs = (boiler ++ uniq).toDF("doc_id", "text")
+    val reps = Dedup.minhashLshOn(spark, docs, docs.select($"doc_id"), cap = 16)
+      .as[(Long, Long)].collect().toMap
+    // the whole boilerplate group still collapses to its min id —
+    // star edges (member ↔ bucket min) verify at jaccard 1.0
+    assert((0 until 120).forall(i => reps(i.toLong) == 0L),
+      "capped LSH failed to collapse identical boilerplate to doc 0")
+    assert((0 until 30).forall(i => reps(1000L + i) == 1000L + i),
+      "a unique doc was falsely deduped")
+    // and the candidate set is O(m), not O(m²): 119 star edges instead
+    // of 7 140 pairs (identical pairs dedupe across the 8 bands)
+    val sh = docs.select($"doc_id",
+      GraftExpressions.shingleHashes(split($"text", " "), 3).as("sh"))
+    val nCand = Dedup.minhashCandidatesFrom(Dedup.minhashSignaturesFrom(sh), cap = 16).count()
+    assert(nCand <= 300, s"expected ~119 star candidates, got $nCand")
+    val nCandUncapped =
+      Dedup.minhashCandidatesFrom(Dedup.minhashSignaturesFrom(sh), cap = Int.MaxValue).count()
+    assert(nCandUncapped >= 7140, s"uncapped control should be all-pairs, got $nCandUncapped")
+  }
+
   test("simhash pairs = exact Hamming<=3 pairs (pigeonhole guarantees recall)") {
     import spark.implicits._
     val sigs = Dedup.simhash(spark, sf).select("doc_id", "simhash")
