@@ -223,8 +223,35 @@ object Relational {
     a.unionByName(b).unionByName(c).orderBy(col("kind"))
   }
 
+  /** Skew-mitigated aggregation as a NAMED query: the salted two-phase
+    * plan must equal the plain `GROUP BY` oracle exactly (decimal math
+    * keeps the double conversion order-independent). event_type is the
+    * natural hot key — a handful of values over the whole fact table,
+    * precisely the shape that melts one reducer unsalted. */
+  def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedSumCount(
+        Tables.events(spark, dir).select(col("event_type"), dec2(col("value")).as("v")),
+        keys = Seq("event_type"), sumCols = Seq("v"), countName = "cnt")
+      .select(col("event_type"), col("cnt"), col("sum_v").cast(DoubleType).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** Skew-mitigated fact-dim equi-join as a NAMED query (the right side
+    * is replicated `salts` ways instead of broadcast — the move for a
+    * dim too large to broadcast under a skewed fact key). */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"), dec2(col("value")).as("v"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Skew.saltedJoin(e, c, Seq("user_id"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("pair_ct"), dsum(col("v")).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
+    "skew_salted_agg" -> skewSaltedAgg,
+    "skew_salted_join" -> skewSaltedJoin,
     "p_filter_project" -> filterProject,
     "p_conditional_delta" -> conditionalDelta,
     "p_json_extract" -> jsonExtract,
@@ -247,6 +274,15 @@ object Relational {
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "skew_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS pair_ct,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "p_filter_project" ->
       """SELECT o_orderkey, o_custkey,
         | strftime(o_orderdate, '%Y-%m-%d') AS order_dt,
