@@ -104,15 +104,15 @@ object Dedup {
     * candidates are verified with exact shingle Jaccard; each doc maps
     * to the min doc_id of its verified near-dup group (itself if none). */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.015): DataFrame =
-    minhashLshOn(spark,
+    minhashLshOn(
       Tables.spread(spark, Tables.documents(spark, dir)).select(col("doc_id"), col("text")),
       Tables.documents(spark, dir).select(col("doc_id")), threshold)
 
   /** [[minhashLsh]] over an arbitrary (doc_id, text) frame; `allDocs`
     * carries ids of docs too short to shingle so every document gets a
     * mapping row. */
-  private[graft] def minhashLshOn(spark: SparkSession, docs: DataFrame,
-                                  allDocs: DataFrame, threshold: Double = 0.015,
+  private[graft] def minhashLshOn(docs: DataFrame, allDocs: DataFrame,
+                                  threshold: Double = 0.015,
                                   cap: Int = BucketCap): DataFrame = {
     // shingling (split + 3-gram + distinct) is the expensive scan; do
     // it once and share it between signatures and pair verification

@@ -178,11 +178,15 @@ object TextAnalysis {
   def decontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
     val docs = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+    // cached: the benchmark-gram set and the training-side probe both
+    // read this frame (in production the benchmark is its own small
+    // table and the corpus side stays a single uncached scan)
     val grams = docs
       .withColumn("gram", explode(expr(
         s"CASE WHEN size(toks) >= $n THEN transform(sequence(0, size(toks) - $n), " +
           s"i -> concat_ws(' ', slice(toks, i + 1, $n))) END")))
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .cache()
     val benchGrams = grams.filter(col("doc_id") % 20 === 0).select(col("gh")).distinct()
     val hits = grams.filter(col("doc_id") % 20 =!= 0)
       .join(broadcast(benchGrams), "gh")
@@ -230,8 +234,11 @@ object TextAnalysis {
   def vocabTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
     val tok = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+    // cached: both the grand total and the top-k read this frame, and
+    // uncached each would re-run the explode + two-level aggregation
     val counts = tok.groupBy(col("token"))
       .agg(count(lit(1)).as("token_ct"), countDistinct(col("doc_id")).as("doc_ct"))
+      .cache()
     val total = counts.agg(sum(col("token_ct")).as("total_ct"))
     import org.apache.spark.sql.expressions.Window
     // top-k via sort+limit = TakeOrderedAndProject (per-partition top-k,

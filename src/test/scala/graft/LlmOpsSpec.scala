@@ -45,7 +45,7 @@ class LlmOpsSpec extends AnyFunSuite {
     val uniq = (0 until 30).map(i =>
       (1000L + i, s"unique document number $i carrying words alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
     val docs = (boiler ++ uniq).toDF("doc_id", "text")
-    val reps = Dedup.minhashLshOn(spark, docs, docs.select($"doc_id"), cap = 16)
+    val reps = Dedup.minhashLshOn(docs, docs.select($"doc_id"), cap = 16)
       .as[(Long, Long)].collect().toMap
     // the whole boilerplate group still collapses to its min id —
     // star edges (member ↔ bucket min) verify at jaccard 1.0
