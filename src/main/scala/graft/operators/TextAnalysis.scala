@@ -177,16 +177,11 @@ object TextAnalysis {
     * positive drops a training doc, never leaks an eval gram. */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
     val docs = Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), col("text"))
     // cached: the benchmark-gram set and the training-side probe both
     // read this frame (in production the benchmark is its own small
     // table and the corpus side stays a single uncached scan)
-    val grams = docs
-      .withColumn("gram", explode(expr(
-        s"CASE WHEN size(toks) >= $n THEN transform(sequence(0, size(toks) - $n), " +
-          s"i -> concat_ws(' ', slice(toks, i + 1, $n))) END")))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
-      .cache()
+    val grams = gramHashes(docs, n).cache()
     val benchGrams = grams.filter(col("doc_id") % 20 === 0).select(col("gh")).distinct()
     val hits = grams.filter(col("doc_id") % 20 =!= 0)
       .join(broadcast(benchGrams), "gh")
@@ -197,6 +192,18 @@ object TextAnalysis {
       .withColumn("contaminated", (col("hit_ct") > 0).cast(LongType))
       .orderBy(col("doc_id"))
   }
+
+  /** (doc_id, gh): xxhash64'd word `n`-grams of a (doc_id, text) frame.
+    * Pure split/explode/hash projection — stream-safe, so the SAME
+    * code decontaminates a batch corpus or a readStream of incoming
+    * docs against a static benchmark gram set (stream-static join;
+    * proven stream ≡ batch in LlmOpsSpec). */
+  def gramHashes(docs: DataFrame, n: Int = 5): DataFrame =
+    docs.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .withColumn("gram", explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN transform(sequence(0, size(toks) - $n), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $n))) END")))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
 
   /** Deterministic stratified downsampling: per-language keep rates
     * applied via an integer-hash threshold, so the sample is

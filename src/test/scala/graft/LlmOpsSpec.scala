@@ -191,6 +191,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(overlap >= 0.95, s"quantized/float overlap $overlap < 0.95")
   }
 
+  test("decontamination runs as a stream-static join (streaming corpus ≡ batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val table = graft.sources.Tables.documents(spark, sf)
+    // static side: the benchmark gram set (its own small table in
+    // production); stream side: training docs arriving in micro-batches
+    val benchGrams = TextAnalysis.gramHashes(
+        table.filter($"doc_id" % 20 === 0).select($"doc_id", $"text"))
+      .select("gh").distinct()
+    val docs = table.select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)](spark)
+    val hits = TextAnalysis.gramHashes(mem.toDF().toDF("doc_id", "text"))
+      .filter($"doc_id" % 20 =!= 0)
+      .join(broadcast(benchGrams), "gh")
+      // countDistinct is unsupported in streaming aggs; size(collect_set)
+      // is the exact equivalent
+      .groupBy($"doc_id").agg(size(collect_set($"gh")).cast("long").as("hit_ct"))
+    val q = hits.writeStream.format("memory").queryName("decontam_stream")
+      .outputMode(OutputMode.Complete).start()
+    mem.addData(docs.take(docs.size / 2)); q.processAllAvailable()
+    mem.addData(docs.drop(docs.size / 2)); q.processAllAvailable(); q.stop()
+    val got = spark.table("decontam_stream").as[(Long, Long)].collect().toMap
+    val want = TextAnalysis.decontaminate(spark, sf).filter($"hit_ct" > 0)
+      .select($"doc_id", $"hit_ct").as[(Long, Long)].collect().toMap
+    assert(want.nonEmpty, "fixture has no contaminated docs — test is vacuous")
+    assert(got == want, s"stream hits=${got.size} diverged from batch hits=${want.size}")
+  }
+
   test("multimodal feature extraction is deterministic and length-consistent") {
     import spark.implicits._
     val feats = Multimodal.mediaFeatures(spark, sf)
