@@ -155,9 +155,13 @@ object Dedup {
       sig.select(lit(bnd).as("band_idx"), col(s"band_$bnd").as("bucket"), col("doc_id"))
     }.reduce(_ unionByName _)
     val w = Window.partitionBy(col("band_idx"), col("bucket"))
+    // cached: three consumers below (both sides of the small-bucket
+    // self-join + the giant-bucket star) would each re-run the window
+    // shuffle+sort otherwise — measured 3x the query time uncached
     val stats = buckets
       .withColumn("mn", min(col("doc_id")).over(w))
       .withColumn("cnt", count(lit(1)).over(w))
+      .cache()
     val small = stats.filter(col("cnt") <= cap)
     val pairsSmall = small.as("a").join(small.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.bucket") === col("b.bucket") &&
