@@ -316,20 +316,41 @@ object Similarity {
       return e.sparkSession.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0).as("rk"),
           lit(0L).as("neighbor_id"), lit(0.0).as("sim"))
-    val db = ivfAssign(e, ids, cents)
-      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("eb"))
-    val probes = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
-        explode(GraftExpressions.nearestCentroidsFloat(
-          col("embedding"), ids, cents, NProbe)).as("centroid_id"))
-    probes.join(db, Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))
+    annIvfOn(e, e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding")), ids, cents, k)
+  }
+
+  /** IVF search core over an explicit model and an arbitrary
+    * (query_id, embedding) query frame — the query side may be a
+    * STREAM: assignment/probe selection are stateless projections and
+    * the cell join is stream-static, so the same code serves online
+    * queries against the indexed corpus (proven stream ≡ batch in
+    * LlmOpsSpec; the streaming form ranks via a sorted collect_list
+    * aggregate since rank windows don't exist in streaming). */
+  private[graft] def annIvfOn(e: DataFrame, queries: DataFrame,
+                              ids: Array[Int], cents: Array[Array[Float]],
+                              k: Int = 5): DataFrame = {
+    annIvfScored(e, queries, ids, cents)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** The stream-safe prefix of IVF search: probe-cell explosion + cell
+    * equi-join + exact cosine, no windows. */
+  private[graft] def annIvfScored(e: DataFrame, queries: DataFrame,
+                                  ids: Array[Int], cents: Array[Array[Float]]): DataFrame = {
+    val db = ivfAssign(e, ids, cents)
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("eb"))
+    val probes = queries
+      .select(col("query_id"), col("embedding").as("ea"),
+        explode(GraftExpressions.nearestCentroidsFloat(
+          col("embedding"), ids, cents, NProbe)).as("centroid_id"))
+    probes.join(db, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))
   }
 
   /** How many nearest cells each vector PROBES during semantic dedup.

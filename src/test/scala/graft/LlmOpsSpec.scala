@@ -191,6 +191,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(overlap >= 0.95, s"quantized/float overlap $overlap < 0.95")
   }
 
+  test("IVF ANN serves a STREAM of query vectors (stream-static) ≡ batch top-k") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    // one shared model: k-means float averaging is order-sensitive, so
+    // batch and stream must rank against the SAME centroids
+    val (ids, cents) = Similarity.kmeansModel(spark, sf)
+    val queryVecs = e.filter($"vec_id" < 32)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val want = Similarity.annIvfOn(e, queryVecs, ids, cents)
+      .select("query_id", "rk", "neighbor_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+    // stream side: the same query vectors arrive in micro-batches; the
+    // scored prefix is identical code, ranking becomes a sorted
+    // collect_list aggregate (Complete mode) since rank windows don't
+    // exist in streaming
+    val mem = MemoryStream[(Long, Seq[Float])](spark)
+    val topk = Similarity.annIvfScored(
+        e, mem.toDF().toDF("query_id", "embedding"), ids, cents)
+      .groupBy($"query_id")
+      .agg(expr("slice(array_sort(collect_list(struct(-sim AS neg, neighbor_id))), 1, 5)")
+        .as("top"))
+      .select($"query_id", expr("transform(top, s -> s.neighbor_id)").as("neighbors"))
+    val q = topk.writeStream.format("memory").queryName("ann_stream")
+      .outputMode(OutputMode.Complete).start()
+    val batches = queryVecs.as[(Long, Seq[Float])].collect().toSeq
+    mem.addData(batches.take(16)); q.processAllAvailable()
+    mem.addData(batches.drop(16)); q.processAllAvailable(); q.stop()
+    val got = spark.table("ann_stream").as[(Long, Seq[Long])].collect().toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (qid, ns) =>
+      assert(got(qid) == ns, s"query $qid: stream=${got(qid)} batch=$ns")
+    }
+  }
+
   test("decontamination runs as a stream-static join (streaming corpus ≡ batch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
