@@ -231,6 +231,31 @@ object TextAnalysis {
         col("keep_per_mille"), col("sampled"))
       .orderBy(col("doc_id"))
 
+  /** Per-source curation report — the "which crawl sources are junk"
+    * table every corpus pipeline maintains: per `source`, document
+    * count, quality-filter survivors, exact-dedup uniques, token mass,
+    * and the quality-score range. Aggregates are exact (counts, BIGINT
+    * sums, min/max of identically-computed doubles), so the whole
+    * report is oracle-checkable. Shape: one wide scan + one shuffle on
+    * `source` (the dedup-rep flag rides a hash semi-join). */
+  def sourceQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stats = textStats(spark, dir)
+      .select(col("doc_id"), col("source"), col("token_ct"), col("quality_score"))
+    val kept = qualityFilter(spark, dir).select(col("doc_id"), col("keep"))
+    val reps = exactReps(spark, dir).withColumn("is_rep", lit(1L))
+    stats
+      .join(kept, "doc_id")
+      .join(reps, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_ct"),
+        sum(col("keep")).as("kept_ct"),
+        sum(coalesce(col("is_rep"), lit(0L))).as("uniq_ct"),
+        sum(col("token_ct")).as("token_sum"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus vocabulary statistics: top-k tokens by frequency with
     * document frequency and the cumulative (Zipf) share of the total
     * token mass. The canonical "what's in this corpus" report; shape =
@@ -300,6 +325,7 @@ object TextAnalysis {
     "text_corpus_split" -> ((s, d) => corpusSplit(s, d)),
     "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
+    "text_source_quality" -> ((s, d) => sourceQuality(s, d)),
     "text_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
     "text_fingerprints_md5" -> ((s, d) => fingerprintsMd5(s, d)))
@@ -468,6 +494,33 @@ object TextAnalysis {
         |  CAST(CASE WHEN COALESCE(h.hit_ct, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "text_source_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks, length(text) AS char_ct FROM documents
+         |), m AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(toks) AS BIGINT) AS token_ct,
+         |    CAST(${duckCnt(stopEn)} AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+         |    CAST(char_ct - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len
+         |  FROM t
+         |), q AS (
+         |  SELECT doc_id, source, token_ct,
+         |    least(CAST(token_ct AS DOUBLE) / 100.0, 1.0) * 0.4 + stopword_ratio * 0.3 + ttr * 0.3 AS quality_score,
+         |    CASE WHEN NOT (token_ct < 10 OR token_ct > 5000 OR stopword_ratio < 0.01
+         |                   OR ttr < 0.2 OR avg_token_len > 12.0) THEN 1 ELSE 0 END AS keep
+         |  FROM m
+         |), reps AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |)
+         |SELECT source, COUNT(*) AS doc_ct,
+         |  CAST(SUM(keep) AS BIGINT) AS kept_ct,
+         |  CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS uniq_ct,
+         |  CAST(SUM(token_ct) AS BIGINT) AS token_sum,
+         |  MIN(quality_score) AS min_quality,
+         |  MAX(quality_score) AS max_quality
+         |FROM q LEFT JOIN reps r ON q.doc_id = r.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
     "text_vocab_topk" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
