@@ -191,6 +191,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(overlap >= 0.95, s"quantized/float overlap $overlap < 0.95")
   }
 
+  test("ingestion near-dup flags a STREAM of new docs vs static corpus ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val d = graft.sources.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val corpus = d.filter($"doc_id" % 2 === 0)
+    val feed = d.filter($"doc_id" % 2 === 1).as[(Long, String)].collect().toSeq
+    val want = Dedup.ingestNearDups(corpus, d.filter($"doc_id" % 2 === 1))
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, dup, j) => id -> ((dup, j)) }.toMap
+    assert(want.nonEmpty, "no cross-parity near-dups in fixture — test is vacuous")
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Dedup.ingestNearDups(corpus, mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode(OutputMode.Complete).start()
+    mem.addData(feed.take(feed.size / 2)); q.processAllAvailable()
+    mem.addData(feed.drop(feed.size / 2)); q.processAllAvailable(); q.stop()
+    val got = spark.table("ingest_dedup")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, dup, j) => id -> ((dup, j)) }.toMap
+    assert(got == want, s"stream flagged ${got.size} docs, batch ${want.size}")
+  }
+
   test("IVF ANN serves a STREAM of query vectors (stream-static) ≡ batch top-k") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
