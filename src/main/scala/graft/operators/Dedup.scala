@@ -152,9 +152,11 @@ object Dedup {
     * one shuffle on the bucket key (the window and the self-join
     * partition identically). */
   private[graft] def minhashCandidatesFrom(sig: DataFrame, cap: Int = BucketCap): DataFrame = {
-    val buckets = (0 until NumBands).map { bnd =>
-      sig.select(lit(bnd).as("band_idx"), col(s"band_$bnd").as("bucket"), col("doc_id"))
-    }.reduce(_ unionByName _)
+    // single-pass unpivot of the band columns (one scan of the cached
+    // signatures instead of one per band)
+    val buckets = sig.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map(b => col(s"band_$b")): _*))
+        .as(Seq("band_idx", "bucket")))
     val w = Window.partitionBy(col("band_idx"), col("bucket"))
     // cached: three consumers below (both sides of the small-bucket
     // self-join + the giant-bucket star) would each re-run the window
@@ -206,18 +208,20 @@ object Dedup {
       .select(col("doc_id"), GraftExpressions.shingleHashes(toks(col("text")), 3).as("sh"))
       .cache()
     val sigC = minhashSignaturesFrom(shC).cache()
-    val bucketsC = (0 until NumBands).map { bnd =>
-      sigC.select(lit(bnd).as("band_idx"), col(s"band_$bnd").as("bucket"),
-        col("doc_id").as("corpus_doc"))
-    }.reduce(_ unionByName _)
-    val sigN = newDocs
+    // posexplode, NOT a per-band union: a k-way union re-evaluates its
+    // upstream k times when it can't be cached — and the stream side
+    // can never be cached, so each band would re-shingle + re-minhash
+    // every micro-batch
+    val bucketsC = sigC.select(col("doc_id").as("corpus_doc"),
+      posexplode(array((0 until NumBands).map(b => col(s"band_$b")): _*))
+        .as(Seq("band_idx", "bucket")))
+    val bandN = newDocs
       .select(col("doc_id"), GraftExpressions.shingleHashes(toks(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"),
         GraftExpressions.minhashSig(col("sh"), NumHashes).as("sig"))
-    val bandN = (0 until NumBands).map { bnd =>
-      sigN.select(col("doc_id"), col("sh"), lit(bnd).as("band_idx"), bandCol(bnd).as("bucket"))
-    }.reduce(_ unionByName _)
+      .select(col("doc_id"), col("sh"),
+        posexplode(array((0 until NumBands).map(bandCol): _*)).as(Seq("band_idx", "bucket")))
     // a pair colliding in several bands is verified once per collision;
     // the final per-doc aggregate absorbs the duplicates (a streaming
     // dropDuplicates would add watermark state for no semantic gain)
@@ -263,7 +267,14 @@ object Dedup {
       .orderBy(col("doc_id"))
 
   /** SimHash near-dup pairs: chunk-collision candidates verified by
-    * Hamming distance <= maxDist. */
+    * Hamming distance <= maxDist.
+    *
+    * Scale note: "emit every pair" is itself O(m²) for a group of m
+    * mass-duplicated docs — no candidate capping can change what this
+    * operator RETURNS. Corpora where that's a hazard should use the
+    * rep-collapse form ([[minhashLsh]], whose giant-bucket star cap
+    * keeps both candidates and output linear) and treat pair
+    * enumeration as a diagnostic on bounded slices. */
   def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     val sig = simhash(spark, dir).cache()
     val buckets = (0 until 4).map { i =>
