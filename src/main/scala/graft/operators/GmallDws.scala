@@ -35,6 +35,7 @@ object GmallDws {
 
   /** W1/M1: channel page-view window (vc,ch,ar,is_new → uv/sv/pv/dur/uj). */
   def trafficChannel(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dws.trafficChannel") {
     withStt(pageLog(spark, dir))
       .groupBy(col("stt"), col("edt"), col("vc"), col("ch"), col("ar"), col("is_new"))
       .agg(
@@ -43,9 +44,11 @@ object GmallDws {
         count(lit(1)).as("pv_ct"),
         sum(col("during_time")).as("dur_sum"),
         sum(col("is_jump")).as("uj_ct"))
+    }
 
   /** W6/U1: keyword window from tokenized documents. */
-  def trafficKeyword(spark: SparkSession, dir: String): DataFrame = {
+  def trafficKeyword(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dws.trafficKeyword") {
     val d = Tables.documents(spark, dir)
     d.select(
         date_format(date_add(lit("2024-01-01").cast(DateType), (col("doc_id") % 30).cast(IntegerType)), "yyyy-MM-dd").as("dt"),
@@ -111,7 +114,8 @@ object GmallDws {
   }
 
   /** W5/D5: order window — unique/new users + reduce/origin amounts (DECIMAL). */
-  def tradeOrder(spark: SparkSession, dir: String): DataFrame = {
+  def tradeOrder(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dws.tradeOrder") {
     val oe = ordersEnriched(spark, dir)
     val users = oe.groupBy(col("dt")).agg(
       countDistinct(col("user_id")).as("order_unique_user_count"),
@@ -126,7 +130,8 @@ object GmallDws {
   }
 
   /** D1/D5: payment-success window (paid ≙ o_orderstatus='F'). */
-  def tradePaymentSuc(spark: SparkSession, dir: String): DataFrame = {
+  def tradePaymentSuc(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dws.tradePaymentSuc") {
     val paid = ordersEnriched(spark, dir).filter(col("o_orderstatus") === "F")
     dtStt(paid.groupBy(col("dt")).agg(
         countDistinct(col("user_id")).as("payment_suc_unique_user_count"),
@@ -136,6 +141,7 @@ object GmallDws {
 
   /** W3: province order window — exact distinct order ids + amount (DECIMAL). */
   def tradeProvinceOrder(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dws.tradeProvinceOrder") {
     dtStt(orderWide(spark, dir)
         .groupBy(col("dt"), col("province_id"), col("province_name"))
         .agg(
@@ -143,9 +149,11 @@ object GmallDws {
           sum(col("split_total_amount")).as("order_amount")))
       .select(col("stt"), col("edt"), col("province_id"), col("province_name"),
         col("order_count"), col("order_amount"))
+    }
 
   /** W2/J4: trademark×category×user×spu order window (DECIMAL amount). */
   def tradeTmCatUserSpuOrder(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dws.tradeTmCatUserSpuOrder") {
     dtStt(orderWide(spark, dir)
         .groupBy(col("dt"), col("trademark_id"), col("trademark_name"),
           col("category1_id"), col("category1_name"), col("category2_id"), col("category2_name"),
@@ -154,15 +162,18 @@ object GmallDws {
           countDistinct(col("order_id")).as("order_count"),
           sum(col("split_total_amount")).as("order_amount")))
       .drop("dt")
+    }
 
   /** W4: trademark×category×user refund window. */
   def tradeTmCatUserRefund(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dws.tradeTmCatUserRefund") {
     dtStt(orderWide(spark, dir).filter(col("l_returnflag") === "R")
         .groupBy(col("dt"), col("trademark_id"), col("trademark_name"),
           col("category1_id"), col("category1_name"), col("category2_id"), col("category2_name"),
           col("category3_id"), col("category3_name"), col("user_id"))
         .agg(countDistinct(col("order_id")).as("refund_count")))
       .drop("dt")
+    }
 
   // -------------------- query wrappers (DOUBLE at the boundary) ----
 
