@@ -250,6 +250,30 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF centroid model round-trips through parquet and serves identically") {
+    import spark.implicits._
+    // index build and serving are separate jobs in production: the
+    // model must survive storage bit-exactly (floats round-trip
+    // losslessly through parquet) and serve the same results
+    val (ids, cents) = Similarity.kmeansModel(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_model").toString
+    ids.zip(cents.map(_.toSeq)).toSeq.toDF("centroid_id", "ce")
+      .write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir).orderBy($"centroid_id").collect()
+    val lids = loaded.map(_.getInt(0))
+    val lcents = loaded.map(_.getSeq[Float](1).toArray)
+    assert(lids.sameElements(ids))
+    assert(lcents.length == cents.length &&
+      lcents.zip(cents).forall { case (a, b) => a.sameElements(b) })
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 8).select($"vec_id".as("query_id"), $"embedding")
+    val served = Similarity.annIvfOn(e, q, lids, lcents)
+      .select("query_id", "rk", "neighbor_id").as[(Long, Int, Long)].collect().toSeq
+    val direct = Similarity.annIvfOn(e, q, ids, cents)
+      .select("query_id", "rk", "neighbor_id").as[(Long, Int, Long)].collect().toSeq
+    assert(served == direct && served.nonEmpty)
+  }
+
   test("decontamination runs as a stream-static join (streaming corpus ≡ batch)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
