@@ -245,11 +245,29 @@ object Similarity {
     * old DataFrame-chained version re-ran every previous Lloyd
     * iteration on each downstream action. At 100 TB each iteration is
     * one scan + one small aggregation. */
+  /** Per-(session, dir, corpus-tag) k-means model memo. The model is
+    * C×dims driver-side scalars — cheap to hold, expensive to rebuild
+    * (1 + iters Spark actions), and float-averaging makes every
+    * rebuild drift in the last ulp; memoizing gives each session ONE
+    * consistent model per corpus (every query ranking against the same
+    * centroids) and drops ~1 s per IVF/semantic-dedup call. Same
+    * single-evaluation locking discipline as [[Memo]]. */
+  private val models = scala.collection.concurrent.TrieMap[
+    (SparkSession, String, String), (Array[Int], Array[Array[Float]])]()
+  private def memoModel(spark: SparkSession, dir: String, tag: String)
+                       (build: => (Array[Int], Array[Array[Float]]))
+  : (Array[Int], Array[Array[Float]]) =
+    models.get((spark, dir, tag)).getOrElse(synchronized {
+      models.getOrElseUpdate((spark, dir, tag), build)
+    })
+
   def kmeansModel(spark: SparkSession, dir: String,
                   iters: Int = KMeansIters): (Array[Int], Array[Array[Float]]) =
-    kmeansModelOn(
-      Tables.spread(spark, Tables.embeddings(spark, dir)).select(col("vec_id"), col("embedding")),
-      iters)
+    memoModel(spark, dir, s"embeddings-$iters") {
+      kmeansModelOn(
+        Tables.spread(spark, Tables.embeddings(spark, dir)).select(col("vec_id"), col("embedding")),
+        iters)
+    }
 
   /** Same, over an arbitrary (vec_id, embedding) corpus frame. */
   def kmeansModelOn(corpus: DataFrame,
@@ -377,9 +395,10 @@ object Similarity {
     * dup_of) with dup_of = the smallest-id retained witness (-1 when
     * kept). Not SQL-expressible (k-means); gated by the planted-pair
     * recall + zero-false-drop spec instead of a DuckDB oracle. */
-  def semanticDedupOn(corpus: DataFrame, threshold: Double = 0.9): DataFrame = {
+  def semanticDedupOn(corpus: DataFrame, threshold: Double = 0.9,
+                      model: Option[(Array[Int], Array[Array[Float]])] = None): DataFrame = {
     val e = corpus.select(col("vec_id"), col("embedding"))
-    val (ids, cents) = kmeansModelOn(e)
+    val (ids, cents) = model.getOrElse(kmeansModelOn(e))
     if (ids.isEmpty)
       return e.sparkSession.emptyDataFrame
         .select(lit(0L).as("vec_id"), lit(0L).as("centroid_id"),
@@ -408,8 +427,11 @@ object Similarity {
     * operator demonstrably deduplicates (the raw corpus's max pair
     * cosine ≈ 0.55 sits far below the 0.9 threshold — over it alone
     * the query would be a no-op). */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
-    semanticDedupOn(plantedCorpus(spark, dir))
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedCorpus(spark, dir)
+    semanticDedupOn(corpus,
+      model = Some(memoModel(spark, dir, "planted") { kmeansModelOn(corpus) }))
+  }
 
   /** embeddings ∪ jittered copies at vec_id + PlantOffset (cosine with
     * their original ≈ 0.96) — shared by [[nearDupPlanted]] and
