@@ -467,7 +467,25 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Embedding-table QA: corpus size, dimensionality, and the
+    * quantized-norm distribution — the sanity report run before any
+    * ANN/dedup job (degenerate embeddings show up as zero or wildly
+    * ranged norms; mixed dims break every dot product). Quantized
+    * integer norms keep every aggregate exact, so the whole report is
+    * oracle-checkable. Single scan + one 1-row aggregate. */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .select(col("vec_id"), size(col("q")).as("dims"), col("nrm"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("dims")).as("distinct_dims"),
+        min(col("dims")).as("dims"),
+        min(col("nrm")).as("min_nrm"),
+        max(col("nrm")).as("max_nrm"),
+        sum(col("nrm")).as("sum_nrm"),
+        sum(when(col("nrm") === 0, 1L).otherwise(0L)).as("zero_vecs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_embedding_stats" -> ((s, d) => embeddingStats(s, d)),
     "sim_ann_topk" -> ((s, d) => annTopK(s, d)),
     "sim_neardup_pairs" -> ((s, d) => nearDupPairs(s, d)),
     "sim_neardup_lsh" -> ((s, d) => nearDupLsh(s, d)),
@@ -489,6 +507,15 @@ object Similarity {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_embedding_stats" -> (s"WITH $quantCte\n" +
+      """SELECT COUNT(*) AS n_vecs,
+        |  COUNT(DISTINCT len(q)) AS distinct_dims,
+        |  CAST(MIN(len(q)) AS INTEGER) AS dims,
+        |  CAST(MIN(nrm) AS BIGINT) AS min_nrm,
+        |  CAST(MAX(nrm) AS BIGINT) AS max_nrm,
+        |  CAST(SUM(nrm) AS BIGINT) AS sum_nrm,
+        |  CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vecs
+        |FROM qn""".stripMargin),
     "sim_ann_topk" -> (s"WITH $quantCte\n" +
       """, scored AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
