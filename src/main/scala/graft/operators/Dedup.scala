@@ -203,11 +203,21 @@ object Dedup {
     * through the band unpivot (8× in-flight duplication of ~10² longs
     * per doc) — the price of verifying without a stream-stream join. */
   def ingestNearDups(corpusDocs: DataFrame, newDocs: DataFrame,
-                     threshold: Double = 0.015): DataFrame = {
-    val shC = corpusDocs
-      .select(col("doc_id"), GraftExpressions.shingleHashes(toks(col("text")), 3).as("sh"))
-      .cache()
-    val sigC = minhashSignaturesFrom(shC).cache()
+                     threshold: Double = 0.015,
+                     corpusMemo: Option[(SparkSession, String)] = None): DataFrame = {
+    // `corpusMemo = Some((session, dir))` routes the corpus-side index
+    // through the shared Memo store — one persisted copy per session
+    // reused by every ingest call (and freed by Memo.invalidate);
+    // without it each call pins its own cache copy until session end,
+    // so ad-hoc corpora should be passed with a memo key or unpersisted
+    // by the caller via Memo.invalidate on their dir
+    def memoOr(name: String)(build: => DataFrame): DataFrame =
+      corpusMemo.map { case (s, d) => Memo(s, d, name)(build) }.getOrElse(build.cache())
+    val shC = memoOr("dedup.ingest.sh") {
+      corpusDocs
+        .select(col("doc_id"), GraftExpressions.shingleHashes(toks(col("text")), 3).as("sh"))
+    }
+    val sigC = memoOr("dedup.ingest.sig")(minhashSignaturesFrom(shC))
     // posexplode, NOT a per-band union: a k-way union re-evaluates its
     // upstream k times when it can't be cached — and the stream side
     // can never be cached, so each band would re-shingle + re-minhash
@@ -244,7 +254,8 @@ object Dedup {
   def ingestLsh(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"))
-    ingestNearDups(d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1))
+    ingestNearDups(d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        corpusMemo = Some((spark, dir)))
       .orderBy(col("doc_id"))
   }
 

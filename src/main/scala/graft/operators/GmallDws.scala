@@ -71,7 +71,8 @@ object GmallDws {
   }
 
   /** D5 (two states): home / good_detail page daily-UV window. */
-  def trafficHomeDetail(spark: SparkSession, dir: String): DataFrame = {
+  def trafficHomeDetail(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dws.trafficHomeDetail") {
     val pages = pageLog(spark, dir)
       .filter(col("page_id").isin("home", "good_detail"))
       .withColumn("is_page_daily_first",
@@ -85,7 +86,8 @@ object GmallDws {
   }
 
   /** D6: login window — unique users + back-flow (gap ≥ 8 days). */
-  def userLogin(spark: SparkSession, dir: String): DataFrame = {
+  def userLogin(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dws.userLogin") {
     val firsts = pageLog(spark, dir).filter(col("is_daily_first") === 1)
       .withColumn("prev_dt", lag(col("dt"), 1).over(Window.partitionBy("user_id").orderBy(col("dt"))))
       .withColumn("is_back",
@@ -98,12 +100,15 @@ object GmallDws {
 
   /** Register window (`DwsUserUserRegisterWindow.java:68-88`). */
   def userRegister(spark: SparkSession, dir: String): DataFrame =
-    withStt(pageLog(spark, dir).filter(col("event_type") === "signup"))
-      .groupBy(col("stt"), col("edt"))
-      .agg(count(lit(1)).as("register_ct"))
+    Memo(spark, dir, "dws.userRegister") {
+      withStt(pageLog(spark, dir).filter(col("event_type") === "signup"))
+        .groupBy(col("stt"), col("edt"))
+        .agg(count(lit(1)).as("register_ct"))
+    }
 
   /** D5: cart-add unique-user window (cart ≙ click events). */
-  def tradeCartAddUu(spark: SparkSession, dir: String): DataFrame = {
+  def tradeCartAddUu(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dws.tradeCartAddUu") {
     val carts = pageLog(spark, dir).filter(col("event_type") === "click")
       .withColumn("is_cart_daily_first",
         when(row_number().over(Window.partitionBy("user_id", "dt")

@@ -25,18 +25,47 @@ private[operators] object Memo {
     val key = (spark, dir, name)
     memo.get(key).getOrElse(synchronized {
       // Opportunistically drop entries pinned to stopped sessions so the
-      // map doesn't retain dead SparkSessions for the JVM's lifetime.
+      // maps don't retain dead SparkSessions for the JVM's lifetime.
       memo.keys.toSeq
         .filter { case (s, _, _) => s.sparkContext.isStopped }
         .foreach(memo.remove)
+      values.keys.toSeq
+        .filter { case (s, _, _) => s.sparkContext.isStopped }
+        .foreach(values.remove)
       memo.getOrElseUpdate(key, build.persist())
     })
   }
 
-  /** Drop (and unpersist) every memoized frame for `dir` — all dirs if
-    * None — in this session, across all modules. */
-  def invalidate(spark: SparkSession, dir: Option[String]): Unit =
+  // Driver-side VALUE memo (k-means models, other small derived
+  // objects) sharing the frame store's key scheme and lifecycle, so
+  // one invalidate() call clears BOTH — a split per-module store would
+  // serve stale models after a dir backfill. Unlike frame builds,
+  // value builds run eager Spark actions (seconds), so they run
+  // OUTSIDE any lock: a racing duplicate build wastes work but leaks
+  // nothing (no persist), and putIfAbsent makes one winner visible.
+  private val values =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), Any]()
+
+  def value[T](spark: SparkSession, dir: String, name: String)(build: => T): T = {
+    val key = (spark, dir, name)
+    values.get(key) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val built = build
+        values.putIfAbsent(key, built)
+        values(key).asInstanceOf[T]
+    }
+  }
+
+  /** Drop (and unpersist) every memoized frame — and drop every
+    * memoized value — for `dir` (all dirs if None) in this session,
+    * across all modules. */
+  def invalidate(spark: SparkSession, dir: Option[String]): Unit = {
     memo.keys.toSeq
       .filter { case (s, d, _) => s == spark && dir.forall(_ == d) }
       .foreach { k => memo.remove(k).foreach(_.unpersist()) }
+    values.keys.toSeq
+      .filter { case (s, d, _) => s == spark && dir.forall(_ == d) }
+      .foreach(values.remove)
+  }
 }

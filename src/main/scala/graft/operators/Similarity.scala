@@ -245,21 +245,18 @@ object Similarity {
     * old DataFrame-chained version re-ran every previous Lloyd
     * iteration on each downstream action. At 100 TB each iteration is
     * one scan + one small aggregation. */
-  /** Per-(session, dir, corpus-tag) k-means model memo. The model is
-    * C×dims driver-side scalars — cheap to hold, expensive to rebuild
-    * (1 + iters Spark actions), and float-averaging makes every
-    * rebuild drift in the last ulp; memoizing gives each session ONE
-    * consistent model per corpus (every query ranking against the same
-    * centroids) and drops ~1 s per IVF/semantic-dedup call. Same
-    * single-evaluation locking discipline as [[Memo]]. */
-  private val models = scala.collection.concurrent.TrieMap[
-    (SparkSession, String, String), (Array[Int], Array[Array[Float]])]()
+  /** Per-(session, dir, corpus-tag) k-means model memo via
+    * [[Memo.value]] — the model is C×dims driver-side scalars, cheap
+    * to hold and 1 + iters Spark actions to rebuild, and
+    * float-averaging makes every rebuild drift in the last ulp;
+    * memoizing gives each session ONE consistent model per corpus
+    * (every query ranking against the same centroids) and drops ~1 s
+    * per IVF/semantic-dedup call. Living in Memo's store means a dir
+    * backfill's `Memo.invalidate` clears models together with frames. */
   private def memoModel(spark: SparkSession, dir: String, tag: String)
                        (build: => (Array[Int], Array[Array[Float]]))
   : (Array[Int], Array[Array[Float]]) =
-    models.get((spark, dir, tag)).getOrElse(synchronized {
-      models.getOrElseUpdate((spark, dir, tag), build)
-    })
+    Memo.value(spark, dir, s"sim.model.$tag")(build)
 
   def kmeansModel(spark: SparkSession, dir: String,
                   iters: Int = KMeansIters): (Array[Int], Array[Array[Float]]) =
@@ -335,7 +332,8 @@ object Similarity {
         .select(lit(0L).as("query_id"), lit(0).as("rk"),
           lit(0L).as("neighbor_id"), lit(0.0).as("sim"))
     annIvfOn(e, e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding")), ids, cents, k)
+      .select(col("vec_id").as("query_id"), col("embedding")), ids, cents, k,
+      excludeSelf = true)
   }
 
   /** IVF search core over an explicit model and an arbitrary
@@ -347,8 +345,13 @@ object Similarity {
     * aggregate since rank windows don't exist in streaming). */
   private[graft] def annIvfOn(e: DataFrame, queries: DataFrame,
                               ids: Array[Int], cents: Array[Array[Float]],
-                              k: Int = 5): DataFrame = {
-    annIvfScored(e, queries, ids, cents)
+                              k: Int = 5, excludeSelf: Boolean = false): DataFrame = {
+    val scored = annIvfScored(e, queries, ids, cents)
+    // self-exclusion is OPT-IN: it only makes sense when query ids live
+    // in the corpus id space (annIvf's queries ARE corpus vectors); for
+    // an arbitrary query frame (request ids, a stream) an accidental id
+    // collision must not silently drop a true neighbor
+    (if (excludeSelf) scored.filter(col("query_id") =!= col("neighbor_id")) else scored)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rk") <= k)
@@ -367,7 +370,6 @@ object Similarity {
         explode(GraftExpressions.nearestCentroidsFloat(
           col("embedding"), ids, cents, NProbe)).as("centroid_id"))
     probes.join(db, Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))
   }
 
@@ -392,9 +394,16 @@ object Similarity {
     * anywhere (plan-asserted in LlmOpsSpec).
     *
     * Output: one row per corpus vector — (vec_id, centroid_id, keep,
-    * dup_of) with dup_of = the smallest-id retained witness (-1 when
-    * kept). Not SQL-expressible (k-means); gated by the planted-pair
-    * recall + zero-false-drop spec instead of a DuckDB oracle. */
+    * dup_of) with dup_of = the smallest similar smaller-id NEIGHBOR
+    * (-1 when kept). The witness may itself be dropped — greedy min-id
+    * dedup produces witness CHAINS (a→b→c), strictly decreasing in id,
+    * that always terminate at a retained vector (the standard SemDeDup
+    * transitive-drop behavior: near-dup is not transitive, so a
+    * chain-dropped vector need not be ≥-threshold similar to its
+    * chain's root). Consumers wanting the retained representative
+    * follow dup_of to a keep=1 row; chain termination is spec-asserted.
+    * Not SQL-expressible (k-means); gated by the planted-pair recall +
+    * zero-false-drop spec instead of a DuckDB oracle. */
   def semanticDedupOn(corpus: DataFrame, threshold: Double = 0.9,
                       model: Option[(Array[Int], Array[Array[Float]])] = None): DataFrame = {
     val e = corpus.select(col("vec_id"), col("embedding"))

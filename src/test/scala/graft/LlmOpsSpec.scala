@@ -175,6 +175,14 @@ class LlmOpsSpec extends AnyFunSuite {
     // witness ids are well-formed: smaller than the dropped vector when
     // set, -1 exactly when kept
     assert(rows.forall(r => if (r._2 == 1L) r._3 == -1L else r._3 >= 0L && r._3 < r._1))
+    // witness chains terminate at a RETAINED vector (ids strictly
+    // decrease, so following dup_of must reach a keep=1 row)
+    val byId = rows.map(r => r._1 -> r).toMap
+    rows.filter(_._2 == 0L).foreach { r =>
+      var cur = r
+      while (cur._2 == 0L) cur = byId(cur._3)
+      assert(cur._2 == 1L)
+    }
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
       s"semantic dedup plan contains a cross join:\n$plan")
