@@ -32,6 +32,22 @@ import graft.streaming.LogStream
   *    `comment_info` inserts ⟕ `base_dic` on `appraise`.
   *  - `dwd_user_register`        — `DwdUserRegister.java:66`:
   *    `user_info` inserts projected to (user_id, date_id, create_time).
+  *  - `dwd_trade_order_detail`   — `DwdTradeOrderDetail.java:137-190`:
+  *    the flagship 5-table join: `order_detail` inserts ⋈ `order_info`
+  *    (inserts AND updates — the app keeps both, so an order that
+  *    mutates emits one wide row per order_info envelope) ⟕
+  *    `order_detail_activity` inserts ⟕ `order_detail_coupon` inserts
+  *    ⋈ `base_dic` on source_type.
+  *  - `dwd_trade_order_add`      — `DwdTradeOrderAdd.java:71-76`:
+  *    the order-detail wide rows whose order_info side is an insert.
+  *  - `dwd_trade_pay_detail_suc` — `DwdTradePayDetailSuc.java:91-134`:
+  *    `payment_info` updates (`payment_status='1602'`,
+  *    `old['payment_status']` non-null) ⋈ the order-detail wide rows
+  *    ⋈ `base_dic` on payment_type.
+  *  - `dwd_trade_cart_add`       — `DwdTradeCartAdd.java:43-94`:
+  *    `cart_info` inserts plus sku_num-increase updates, with the P5
+  *    conditional delta (`sku_num` = new−old on updates) ⋈ `base_dic`
+  *    on source_type.
   *
   * The CDC input is a deterministic Maxwell-envelope fixture derived
   * from `orders`/`customer` rows ([[envelope]]): each business table's
@@ -74,25 +90,38 @@ object GmallDwdDb {
       LogStream.maxwellEnvelope(envelopeJson(spark, dir)))
 
   /** The raw JSON fixture — one `value` column of Maxwell envelope
-    * lines, deterministically derived from `orders` and `customer`.
-    * Modulus rules (o = o_orderkey, c = c_custkey):
+    * lines, deterministically derived from `orders`, `lineitem` and
+    * `customer`. Modulus rules (o = o_orderkey, c = c_custkey,
+    * l = l_orderkey, n = l_linenumber):
     *
-    * | table             | type   | rule        | notes |
-    * |-------------------|--------|-------------|-------|
-    * | order_refund_info | insert | o%10==3     | refund fact |
-    * | order_info        | update | o%20==3     | status 1005, old has order_status |
-    * | order_info        | update | o%20==13    | status 1005, old LACKS order_status (negative) |
-    * | order_info        | update | o%20==7     | status 1003, old has order_status (cancel) |
-    * | order_info        | update | o%20==17    | status 1003, old LACKS order_status (negative) |
-    * | coupon_use        | insert | o%4==0      | get |
-    * | coupon_use        | update | o%8==0      | old has using_time (order) |
-    * | coupon_use        | update | o%16==0     | old has used_time (pay) |
-    * | coupon_use        | update | o%8==4      | old has neither (negative) |
-    * | favor_info        | insert | o%5==1      | |
-    * | favor_info        | update | o%10==2     | cancel-restore (old is_cancel 1→0) |
-    * | favor_info        | update | o%10==7     | cancel 0→1 (negative) |
-    * | comment_info      | insert | o%6==2      | appraise 1201..1204 |
-    * | user_info         | insert | c%3==0      | register |
+    * | table                 | type   | rule            | notes |
+    * |-----------------------|--------|-----------------|-------|
+    * | order_info            | insert | every o         | full payload, status 1001 |
+    * | order_refund_info     | insert | o%10==3         | refund fact |
+    * | order_info            | update | o%20==3         | status 1005, old has order_status |
+    * | order_info            | update | o%20==13        | status 1005, old LACKS order_status (negative) |
+    * | order_info            | update | o%20==7         | status 1003, old has order_status (cancel) |
+    * | order_info            | update | o%20==17        | status 1003, old LACKS order_status (negative) |
+    * | order_detail          | insert | l%3==0          | one per lineitem, source_type 2401..2404 |
+    * | order_detail          | update | l%3==0 ∧ (l+n)%7==0 | rejected by the insert-only filter (negative) |
+    * | order_detail_activity | insert | l%3==0 ∧ (l+n)%3==1 | decorates its order_detail row |
+    * | order_detail_coupon   | insert | l%3==0 ∧ (l+n)%4==2 | decorates its order_detail row |
+    * | cart_info             | insert | o%7==1          | sku_num = o%5+1 |
+    * | cart_info             | update | o%7==2          | sku_num increase, delta = o%4+1 |
+    * | cart_info             | update | o%7==3          | sku_num DECREASE (negative) |
+    * | cart_info             | update | o%7==4          | old LACKS sku_num (negative) |
+    * | payment_info          | update | o%9==0          | status 1602, old has payment_status |
+    * | payment_info          | update | o%9==3          | status 1602, old LACKS payment_status (negative) |
+    * | payment_info          | update | o%9==6          | status 1601 ≠ success (negative) |
+    * | coupon_use            | insert | o%4==0          | get |
+    * | coupon_use            | update | o%8==0          | old has using_time (order) |
+    * | coupon_use            | update | o%16==0         | old has used_time (pay) |
+    * | coupon_use            | update | o%8==4          | old has neither (negative) |
+    * | favor_info            | insert | o%5==1          | |
+    * | favor_info            | update | o%10==2         | cancel-restore (old is_cancel 1→0) |
+    * | favor_info            | update | o%10==7         | cancel 0→1 (negative) |
+    * | comment_info          | insert | o%6==2          | appraise 1201..1204 |
+    * | user_info             | insert | c%3==0          | register |
     */
   def envelopeJson(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.spread(spark, Tables.orders(spark, dir))
@@ -117,16 +146,37 @@ object GmallDwdDb {
         lit("create_time"), dt),
       noOld, ts).as("value"))
 
+    // full Maxwell order_info payload (Maxwell `data` carries the whole
+    // row on updates too); DwdTradeOrderDetail.java:59-87 projects every
+    // key, so the fixture populates them all deterministically
+    def orderInfoData(status: Column, operateTime: Column) = map(
+      lit("id"), s(okey),
+      lit("consignee"), concat(lit("name_"), s(col("o_custkey") % 1000)),
+      lit("consignee_tel"), concat(lit("13"), s(okey % 100000000)),
+      lit("total_amount"), s(col("o_totalprice").cast(DecimalType(18, 2))),
+      lit("order_status"), status,
+      lit("user_id"), s(col("o_custkey")),
+      lit("payment_way"), concat(lit("250"), s(okey % 2 + 1)),
+      lit("out_trade_no"), concat(lit("trade_"), s(okey)),
+      lit("trade_body"), concat(lit("body "), s(okey % 10)),
+      lit("operate_time"), operateTime,
+      lit("expire_time"), dtPlus1,
+      lit("tracking_no"), concat(lit("trk"), s(okey)),
+      lit("province_id"), s(col("o_custkey") % 25),
+      lit("activity_reduce_amount"), s((okey % 50).cast(DecimalType(18, 2))),
+      lit("coupon_reduce_amount"), s((okey % 30).cast(DecimalType(18, 2))),
+      lit("original_total_amount"), s(col("o_totalprice").cast(DecimalType(18, 2))),
+      lit("feight_fee"), s((okey % 20).cast(DecimalType(18, 2))),
+      lit("feight_fee_reduce"), s((okey % 5).cast(DecimalType(18, 2))))
+    // one insert per order — the 5-table join's inner side
+    val orderIns = o.select(jsonEnv("order_info", "insert",
+      orderInfoData(lit("1001"), dt), noOld, ts).as("value"))
     // order_info status updates: the old-map presence of `order_status`
     // is what DwdTradeOrderRefund.java:87-99 / DwdTradeCancelDetail
     // .java:74-76 filter on, so emit both shapes per status
     def orderUpd(m: Long, status: String, oldHasStatus: Boolean) =
       o.filter(okey % 20 === m).select(jsonEnv("order_info", "update",
-        map(
-          lit("id"), s(okey),
-          lit("province_id"), s(col("o_custkey") % 25),
-          lit("order_status"), lit(status),
-          lit("operate_time"), dtPlus1),
+        orderInfoData(lit(status), dtPlus1),
         if (oldHasStatus) map(lit("order_status"), lit("1001"))
         else map(lit("operate_time"), dt),
         ts).as("value"))
@@ -134,6 +184,101 @@ object GmallDwdDb {
     val refundAckNeg = orderUpd(13, "1005", oldHasStatus = false)
     val cancel = orderUpd(7, "1003", oldHasStatus = true)
     val cancelNeg = orderUpd(17, "1003", oldHasStatus = false)
+
+    // order_detail + its activity/coupon decorations, one per lineitem
+    // of every third order (DwdTradeOrderDetail.java:33-130's four
+    // topic_db slices); create_time/ts ride l_shipdate so no
+    // lineitem⋈orders join is needed to synthesize the envelope
+    val li = Tables.spread(spark, Tables.lineitem(spark, dir))
+      .filter(col("l_orderkey") % 3 === 0)
+    val lkey = col("l_orderkey")
+    val lno = col("l_linenumber")
+    val lts = unix_timestamp(col("l_shipdate"))
+    val ldt = date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+    val detailId = concat(lit("d"), s(lkey), lit("-"), s(lno))
+    val one = lit(1).cast(DecimalType(18, 2))
+    def detailData = map(
+      lit("id"), detailId,
+      lit("order_id"), s(lkey),
+      lit("sku_id"), s(col("l_partkey")),
+      lit("sku_name"), concat(lit("sku_"), s(col("l_partkey"))),
+      lit("order_price"), s(col("l_extendedprice").cast(DecimalType(18, 2))),
+      lit("sku_num"), s(col("l_quantity").cast(IntegerType)),
+      lit("create_time"), ldt,
+      lit("source_type"), concat(lit("240"), s((lkey + lno) % 4 + 1)),
+      lit("source_id"), s(col("l_suppkey")),
+      lit("split_total_amount"), s((col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (one - col("l_discount").cast(DecimalType(18, 2)))).cast(DecimalType(18, 4))),
+      lit("split_activity_amount"), s((col("l_extendedprice").cast(DecimalType(18, 2)) *
+        col("l_discount").cast(DecimalType(18, 2))).cast(DecimalType(18, 4))),
+      lit("split_coupon_amount"), s((col("l_extendedprice").cast(DecimalType(18, 2)) *
+        col("l_tax").cast(DecimalType(18, 2))).cast(DecimalType(18, 4))))
+    val detailIns = li.select(jsonEnv("order_detail", "insert",
+      detailData, noOld, lts).as("value"))
+    val detailUpdNeg = li.filter((lkey + lno) % 7 === 0)
+      .select(jsonEnv("order_detail", "update",
+        detailData, map(lit("sku_num"), lit("0")), lts).as("value"))
+    val activityIns = li.filter((lkey + lno) % 3 === 1)
+      .select(jsonEnv("order_detail_activity", "insert", map(
+        lit("id"), concat(lit("a"), s(lkey), lit("-"), s(lno)),
+        lit("order_id"), s(lkey),
+        lit("order_detail_id"), detailId,
+        lit("activity_id"), s(lkey % 10 + 1),
+        lit("activity_rule_id"), s(lkey % 30 + 1),
+        lit("sku_id"), s(col("l_partkey")),
+        lit("create_time"), ldt), noOld, lts).as("value"))
+    val couponIns = li.filter((lkey + lno) % 4 === 2)
+      .select(jsonEnv("order_detail_coupon", "insert", map(
+        lit("id"), concat(lit("c"), s(lkey), lit("-"), s(lno)),
+        lit("order_id"), s(lkey),
+        lit("order_detail_id"), detailId,
+        lit("coupon_id"), s(lkey % 50),
+        lit("coupon_use_id"), concat(lit("cu"), s(lkey)),
+        lit("sku_id"), s(col("l_partkey")),
+        lit("create_time"), ldt), noOld, lts).as("value"))
+
+    // cart_info: insert, qualifying increase update, and the two
+    // negative shapes DwdTradeCartAdd.java:56-59 must reject
+    def cartData(skuNum: Column) = map(
+      lit("id"), concat(lit("ct"), s(okey)),
+      lit("user_id"), s(col("o_custkey")),
+      lit("sku_id"), s(okey % 200),
+      lit("cart_price"), s(col("o_totalprice").cast(DecimalType(18, 2))),
+      lit("sku_num"), s(skuNum),
+      lit("sku_name"), concat(lit("sku_"), s(okey % 200)),
+      lit("is_checked"), s(okey % 2),
+      lit("create_time"), dt,
+      lit("operate_time"), dtPlus1,
+      lit("is_ordered"), s(okey % 2),
+      lit("order_time"), dtPlus2,
+      lit("source_type"), concat(lit("240"), s(okey % 4 + 1)),
+      lit("source_id"), s(okey % 100))
+    val cartIns = o.filter(okey % 7 === 1).select(jsonEnv("cart_info", "insert",
+      cartData(okey % 5 + 1), noOld, ts).as("value"))
+    val cartUpd = o.filter(okey % 7 === 2).select(jsonEnv("cart_info", "update",
+      cartData(okey % 5 + 1 + okey % 4 + 1),
+      map(lit("sku_num"), s(okey % 5 + 1)), ts).as("value"))
+    val cartUpdDecNeg = o.filter(okey % 7 === 3).select(jsonEnv("cart_info", "update",
+      cartData(okey % 5 + 1), map(lit("sku_num"), s(okey % 5 + 3)), ts).as("value"))
+    val cartUpdNoNumNeg = o.filter(okey % 7 === 4).select(jsonEnv("cart_info", "update",
+      cartData(okey % 5 + 1), map(lit("is_checked"), lit("0")), ts).as("value"))
+
+    // payment_info: success update + the two negatives
+    // DwdTradePayDetailSuc.java:96-105 must reject
+    def payData(status: String) = map(
+      lit("id"), concat(lit("py"), s(okey)),
+      lit("user_id"), s(col("o_custkey")),
+      lit("order_id"), s(okey),
+      lit("payment_type"), concat(lit("110"), s(okey % 2 + 1)),
+      lit("total_amount"), s(col("o_totalprice").cast(DecimalType(18, 2))),
+      lit("payment_status"), lit(status),
+      lit("callback_time"), dtPlus1)
+    val paySuc = o.filter(okey % 9 === 0).select(jsonEnv("payment_info", "update",
+      payData("1602"), map(lit("payment_status"), lit("1601")), ts).as("value"))
+    val payNegOld = o.filter(okey % 9 === 3).select(jsonEnv("payment_info", "update",
+      payData("1602"), map(lit("callback_time"), dt), ts).as("value"))
+    val payNegStatus = o.filter(okey % 9 === 6).select(jsonEnv("payment_info", "update",
+      payData("1601"), map(lit("payment_status"), lit("1601")), ts).as("value"))
 
     def couponData(timeKey: Option[(String, Column)]) = {
       val base = Seq(
@@ -187,16 +332,23 @@ object GmallDwdDb {
         lit("create_time"), date_format(regDate, "yyyy-MM-dd HH:mm:ss")),
       noOld, unix_timestamp(regDate)).as("value"))
 
-    Seq(refundAck, refundAckNeg, cancel, cancelNeg, couponGet, couponOrder,
-      couponPay, couponNeg, favorIns, favorRestore, favorCancel, comment, register)
+    Seq(orderIns, refundAck, refundAckNeg, cancel, cancelNeg,
+      detailIns, detailUpdNeg, activityIns, couponIns,
+      cartIns, cartUpd, cartUpdDecNeg, cartUpdNoNumNeg,
+      paySuc, payNegOld, payNegStatus,
+      couponGet, couponOrder, couponPay, couponNeg,
+      favorIns, favorRestore, favorCancel, comment, register)
       .foldLeft(refundIns)(_ unionByName _)
   }
 
   /** The `base_dic` dictionary snapshot (`utils/MysqlUtil.java` lookup
-    * table): every code the fixture can emit, dic_name = "dic_"+code. */
+    * table): every code the fixture can emit, dic_name = "dic_"+code
+    * (110x payment/refund types, 120x appraise, 130x refund reasons,
+    * 240x source types). */
   def baseDic(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val codes = Seq("1101", "1102") ++ (1 to 4).map("120" + _) ++ (1 to 7).map("130" + _)
+    val codes = Seq("1101", "1102") ++ (1 to 4).map("120" + _) ++
+      (1 to 7).map("130" + _) ++ (1 to 4).map("240" + _)
     codes.toDF("dic_code").withColumn("dic_name", concat(lit("dic_"), col("dic_code")))
   }
 
