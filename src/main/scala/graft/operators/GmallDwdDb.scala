@@ -148,8 +148,15 @@ object GmallDwdDb {
 
     // full Maxwell order_info payload (Maxwell `data` carries the whole
     // row on updates too); DwdTradeOrderDetail.java:59-87 projects every
-    // key, so the fixture populates them all deterministically
-    def orderInfoData(status: Column, operateTime: Column) = map(
+    // key, so the fixture populates them all deterministically.
+    // `process_status` mirrors `order_status` (the source table keeps
+    // them in lockstep) and `parent_order_id` is present only for every
+    // 100th order — Maxwell omits absent columns, modeled by
+    // map_filter-ing null values out of the payload.
+    def orderInfoData(status: Column, operateTime: Column) = map_filter(map(
+      lit("process_status"), status,
+      lit("parent_order_id"),
+        when(okey % 100 === 0, s(okey + 1000000)).otherwise(nullStr),
       lit("id"), s(okey),
       lit("consignee"), concat(lit("name_"), s(col("o_custkey") % 1000)),
       lit("consignee_tel"), concat(lit("13"), s(okey % 100000000)),
@@ -167,7 +174,8 @@ object GmallDwdDb {
       lit("coupon_reduce_amount"), s((okey % 30).cast(DecimalType(18, 2))),
       lit("original_total_amount"), s(col("o_totalprice").cast(DecimalType(18, 2))),
       lit("feight_fee"), s((okey % 20).cast(DecimalType(18, 2))),
-      lit("feight_fee_reduce"), s((okey % 5).cast(DecimalType(18, 2))))
+      lit("feight_fee_reduce"), s((okey % 5).cast(DecimalType(18, 2)))),
+      (_, v) => v.isNotNull)
     // one insert per order — the 5-table join's inner side
     val orderIns = o.select(jsonEnv("order_info", "insert",
       orderInfoData(lit("1001"), dt), noOld, ts).as("value"))
@@ -188,14 +196,24 @@ object GmallDwdDb {
     // order_detail + its activity/coupon decorations, one per lineitem
     // of every third order (DwdTradeOrderDetail.java:33-130's four
     // topic_db slices); create_time/ts ride l_shipdate so no
-    // lineitem⋈orders join is needed to synthesize the envelope
+    // lineitem⋈orders join is needed to synthesize the envelope.
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+    // but a CDC `id` is a source-table PK — disambiguate duplicates
+    // with a row_number over the payload columns, deterministic up to
+    // fully-identical (hence interchangeable) rows, so the DuckDB
+    // oracle reproduces the exact id multiset
+    val dupRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"), col("l_shipdate"))
     val li = Tables.spread(spark, Tables.lineitem(spark, dir))
       .filter(col("l_orderkey") % 3 === 0)
+      .withColumn("rn", row_number().over(dupRank))
     val lkey = col("l_orderkey")
     val lno = col("l_linenumber")
     val lts = unix_timestamp(col("l_shipdate"))
     val ldt = date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")
-    val detailId = concat(lit("d"), s(lkey), lit("-"), s(lno))
+    val detailId = concat(lit("d"), s(lkey), lit("-"), s(lno), lit("-"), s(col("rn")))
     val one = lit(1).cast(DecimalType(18, 2))
     def detailData = map(
       lit("id"), detailId,
@@ -489,6 +507,178 @@ object GmallDwdDb {
   def userRegister(spark: SparkSession, dir: String): DataFrame =
     userRegisterOn(envelope(spark, dir)).orderBy(col("user_id").cast(LongType))
 
+  // ------------------------------------------------------------------
+  // The flagship 5-table order-detail join (`DwdTradeOrderDetail
+  // .java:137-190`) and its three consumers. Each slice below is one of
+  // the app's four topic_db filters (its TODO 3-6); the wide join is
+  // TODO 8. All `*On` forms are envelope-in, frame-out so the same
+  // transforms run on readStream micro-batches (GmallDwdDbSpec proves
+  // streaming ≡ batch with `Joins.streamStream` supplying the
+  // state-bounded streaming join the batch form gets for free).
+  //
+  // Determinism divergence (documented): the reference stamps the wide
+  // row with `current_row_timestamp() ts` and the ingest proctime `pt`
+  // (both wall-clock); this engine carries the order-detail envelope's
+  // event `ts` instead so the result is replayable and oracle-checkable.
+  // The Maxwell `old` map rides the internal wide frame (the order_add
+  // filter and the reference's downstream apps read `type`/`old`) but is
+  // projected off the named query, whose sink is a flat columnar table.
+
+  /** `DwdTradeOrderDetail.java:32-51`: order_detail inserts, with the
+    * derived `split_original_amount` = sku_num × order_price. */
+  def orderDetailSliceOn(env: DataFrame): DataFrame =
+    LogStream.cdcSlice(env, "order_detail", Seq("insert"))
+      .select(d("id").as("order_detail_id"), d("order_id").as("order_id"),
+        d("sku_id").as("sku_id"), d("sku_name").as("sku_name"),
+        d("order_price").as("order_price"), d("sku_num").as("sku_num"),
+        d("create_time").as("order_create_time"),
+        d("source_type").as("source_type"), d("source_id").as("source_id"),
+        s((d("sku_num").cast(DecimalType(16, 2)) *
+          d("order_price").cast(DecimalType(16, 2))).cast(DecimalType(18, 4)))
+          .as("split_original_amount"),
+        d("split_total_amount").as("split_total_amount"),
+        d("split_activity_amount").as("split_activity_amount"),
+        d("split_coupon_amount").as("split_coupon_amount"),
+        col("ts"), col("pt"))
+
+  /** `DwdTradeOrderDetail.java:59-87`: order_info inserts AND updates —
+    * the app keeps both, so a mutating order emits one wide row per
+    * order_info envelope, `type`/`old` carried for downstream filters. */
+  def orderInfoSliceOn(env: DataFrame): DataFrame =
+    LogStream.cdcSlice(env, "order_info", Seq("insert", "update"))
+      .select(d("id").as("oi_id"), d("consignee").as("consignee"),
+        d("consignee_tel").as("consignee_tel"),
+        d("total_amount").as("total_amount"),
+        d("order_status").as("order_status"), d("user_id").as("user_id"),
+        d("payment_way").as("payment_way"),
+        d("out_trade_no").as("out_trade_no"), d("trade_body").as("trade_body"),
+        d("operate_time").as("operate_time"), d("expire_time").as("expire_time"),
+        d("process_status").as("process_status"),
+        d("tracking_no").as("tracking_no"),
+        d("parent_order_id").as("parent_order_id"),
+        d("province_id").as("province_id"),
+        d("activity_reduce_amount").as("activity_reduce_amount"),
+        d("coupon_reduce_amount").as("coupon_reduce_amount"),
+        d("original_total_amount").as("original_total_amount"),
+        d("feight_fee").as("feight_fee"),
+        d("feight_fee_reduce").as("feight_fee_reduce"),
+        col("type"), col("old"))
+
+  /** `DwdTradeOrderDetail.java:94-107`: order_detail_activity inserts. */
+  def activitySliceOn(env: DataFrame): DataFrame =
+    LogStream.cdcSlice(env, "order_detail_activity", Seq("insert"))
+      .select(d("order_detail_id").as("oa_order_detail_id"),
+        d("activity_id").as("activity_id"),
+        d("activity_rule_id").as("activity_rule_id"),
+        d("create_time").as("activity_create_time"))
+
+  /** `DwdTradeOrderDetail.java:114-127`: order_detail_coupon inserts. */
+  def couponSliceOn(env: DataFrame): DataFrame =
+    LogStream.cdcSlice(env, "order_detail_coupon", Seq("insert"))
+      .select(d("order_detail_id").as("oc_order_detail_id"),
+        d("coupon_id").as("coupon_id"),
+        d("coupon_use_id").as("coupon_use_id"),
+        d("create_time").as("coupon_create_time"))
+
+  /** TODO 8, the 5-way join: od ⋈ oi ⟕ activity ⟕ coupon ⋈ dic.
+    *
+    * Scale notes: od ⋈ oi is the one fact-fact shuffle (on the order
+    * key, AQE skew-handled); activity/coupon are sparse decorations
+    * joined on the detail key; `base_dic` is an explicit broadcast
+    * (`FOR SYSTEM_TIME AS OF` lookup ≈ stream-static broadcast). No
+    * sort here — ordering is the named query's presentation concern. */
+  def tradeOrderDetailWideOn(od: DataFrame, oi: DataFrame, oa: DataFrame,
+                             oc: DataFrame, dic: DataFrame): DataFrame =
+    od.join(oi, od("order_id") === oi("oi_id"))
+      .join(oa, od("order_detail_id") === oa("oa_order_detail_id"), "left")
+      .join(oc, od("order_detail_id") === oc("oc_order_detail_id"), "left")
+      .join(broadcast(dic), od("source_type") === dic("dic_code"))
+      .drop("oi_id", "oa_order_detail_id", "oc_order_detail_id", "dic_code")
+
+  /** The wide frame, memoized per (session, dir) — the batch analog of
+    * the app's `dwd_trade_order_detail` Kafka topic, read by order_add,
+    * pay_detail_suc and the DWS consumers exactly as the reference's
+    * downstream apps re-consume the topic. */
+  def tradeOrderDetailWide(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "tradeOrderDetailWide") {
+      val env = envelope(spark, dir)
+      tradeOrderDetailWideOn(orderDetailSliceOn(env), orderInfoSliceOn(env),
+        activitySliceOn(env), couponSliceOn(env), baseDic(spark))
+    }
+
+  private def wideNamed(wide: DataFrame): DataFrame =
+    wide.drop("old", "pt")
+      .orderBy(col("order_id").cast(LongType), col("order_detail_id"), col("type"))
+
+  /** `DwdTradeOrderDetail.java:137-190` as a named query. */
+  def tradeOrderDetail(spark: SparkSession, dir: String): DataFrame =
+    wideNamed(tradeOrderDetailWide(spark, dir))
+
+  /** `DwdTradeOrderAdd.java:71-76`: wide rows whose order_info side is
+    * an insert — the order-placement slice of the topic. */
+  def tradeOrderAdd(spark: SparkSession, dir: String): DataFrame =
+    wideNamed(tradeOrderDetailWide(spark, dir).filter(col("type") === "insert"))
+
+  /** `DwdTradePayDetailSuc.java:91-134`: payment-success updates ⋈ the
+    * order-detail wide rows ⋈ base_dic on payment_type. The wide side
+    * is NOT filtered by type (the reference consumes the whole topic),
+    * so orders whose order_info mutated contribute one identical output
+    * row per wide variant — reproduced by the oracle's multiplicity. */
+  def tradePayDetailSucOn(env: DataFrame, wide: DataFrame, dic: DataFrame): DataFrame = {
+    val pay = LogStream.cdcSlice(env, "payment_info", Seq("update"))
+      .filter(d("payment_status") === "1602" &&
+        LogStream.columnChanged(col("old"), "payment_status"))
+      .select(d("order_id").as("pay_order_id"),
+        d("payment_type").as("payment_type_code"),
+        d("callback_time").as("callback_time"), col("ts").as("pay_ts"))
+    val w = wide.drop("ts", "pt", "old")
+    // the wide frame already carries a (source_type) dic_name; alias the
+    // payment-type lookup's columns so the two decodes don't collide
+    val payDic = dic.select(col("dic_code").as("pay_dic_code"),
+      col("dic_name").as("payment_type_name"))
+    pay.join(w, col("pay_order_id") === w("order_id"))
+      .join(broadcast(payDic), col("payment_type_code") === col("pay_dic_code"))
+      .select(col("order_detail_id"), col("order_id"), col("user_id"),
+        col("sku_id"), col("province_id"), col("activity_id"),
+        col("activity_rule_id"), col("coupon_id"), col("payment_type_code"),
+        col("payment_type_name"), col("callback_time"),
+        col("source_id"), col("source_type"), col("sku_num"),
+        col("split_original_amount"), col("split_activity_amount"),
+        col("split_coupon_amount"),
+        col("split_total_amount").as("split_payment_amount"),
+        col("pay_ts").as("ts"))
+  }
+
+  def tradePayDetailSuc(spark: SparkSession, dir: String): DataFrame =
+    tradePayDetailSucOn(envelope(spark, dir), tradeOrderDetailWide(spark, dir),
+      baseDic(spark))
+      .orderBy(col("order_id").cast(LongType), col("order_detail_id"))
+
+  /** `DwdTradeCartAdd.java:43-94`: cart inserts plus sku_num-increase
+    * updates with the P5 conditional delta (insert → new value, update
+    * → new − old), ⋈ base_dic on source_type. */
+  def tradeCartAddOn(env: DataFrame, dic: DataFrame): DataFrame =
+    env.filter(col("table") === "cart_info" &&
+        (col("type") === "insert" ||
+          (col("type") === "update" &&
+            LogStream.columnChanged(col("old"), "sku_num") &&
+            d("sku_num").cast(IntegerType) >
+              col("old").getItem("sku_num").cast(IntegerType))))
+      .join(broadcast(dic), d("source_type") === col("dic_code"))
+      .select(d("id").as("id"), d("user_id").as("user_id"),
+        d("sku_id").as("sku_id"), d("cart_price").as("cart_price"),
+        when(col("type") === "insert", d("sku_num").cast(IntegerType))
+          .otherwise(d("sku_num").cast(IntegerType) -
+            col("old").getItem("sku_num").cast(IntegerType)).as("sku_num"),
+        d("sku_name").as("sku_name"), d("is_checked").as("is_checked"),
+        d("create_time").as("create_time"), d("operate_time").as("operate_time"),
+        d("is_ordered").as("is_ordered"), d("order_time").as("order_time"),
+        d("source_type").as("source_type"), d("source_id").as("source_id"),
+        col("dic_name"), col("ts"))
+
+  def tradeCartAdd(spark: SparkSession, dir: String): DataFrame =
+    tradeCartAddOn(envelope(spark, dir), baseDic(spark)).orderBy(col("id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dwd_trade_cancel_detail" -> tradeCancelDetail,
     "dwd_trade_order_refund" -> tradeOrderRefund,
@@ -497,7 +687,89 @@ object GmallDwdDb {
     "dwd_tool_coupon_pay" -> toolCouponPay,
     "dwd_interaction_favor_add" -> interactionFavorAdd,
     "dwd_interaction_comment" -> interactionComment,
-    "dwd_user_register" -> userRegister)
+    "dwd_user_register" -> userRegister,
+    "dwd_trade_order_detail" -> tradeOrderDetail,
+    "dwd_trade_order_add" -> tradeOrderAdd,
+    "dwd_trade_pay_detail_suc" -> tradePayDetailSuc,
+    "dwd_trade_cart_add" -> tradeCartAdd)
+
+  /** DuckDB rebuild of the wide rows straight from the base tables with
+    * the fixture's modulus rules: od = lineitem slice (l%3==0), oi = one
+    * insert per order UNION the 1005/1003 update shapes, joined on the
+    * order key; activity/coupon decorations and the dic decode are pure
+    * expressions of (okey, lno). Helper cols okey/odate are EXCLUDEd in
+    * each final projection. */
+  private val flagshipWideCte: String =
+    """WITH od AS (
+      |  SELECT l_orderkey AS okey, l_linenumber AS lno, l_partkey, l_suppkey,
+      |         CAST(l_quantity AS INTEGER) AS qty,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |         CAST(l_discount AS DECIMAL(18,2)) AS disc,
+      |         CAST(l_tax AS DECIMAL(18,2)) AS tax,
+      |         l_shipdate AS sdate,
+      |         ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+      |           ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice,
+      |                    l_discount, l_tax, l_shipdate) AS rn
+      |  FROM lineitem WHERE l_orderkey % 3 = 0
+      |), oi AS (
+      |  SELECT o_orderkey AS o, o_custkey AS c,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS total, o_orderdate AS odate,
+      |         '1001' AS order_status,
+      |         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS operate_time,
+      |         'insert' AS type
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)), o_orderdate,
+      |         CASE WHEN o_orderkey % 20 IN (3,13) THEN '1005' ELSE '1003' END,
+      |         strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S'),
+      |         'update'
+      |  FROM orders WHERE o_orderkey % 20 IN (3,7,13,17)
+      |), wide AS (
+      |  SELECT
+      |    od.okey, oi.odate,
+      |    'd' || CAST(od.okey AS VARCHAR) || '-' || CAST(od.lno AS VARCHAR) || '-' || CAST(od.rn AS VARCHAR) AS order_detail_id,
+      |    CAST(od.okey AS VARCHAR) AS order_id,
+      |    CAST(od.l_partkey AS VARCHAR) AS sku_id,
+      |    'sku_' || CAST(od.l_partkey AS VARCHAR) AS sku_name,
+      |    CAST(od.price AS VARCHAR) AS order_price,
+      |    CAST(od.qty AS VARCHAR) AS sku_num,
+      |    strftime(od.sdate, '%Y-%m-%d %H:%M:%S') AS order_create_time,
+      |    '240' || CAST((od.okey + od.lno) % 4 + 1 AS VARCHAR) AS source_type,
+      |    CAST(od.l_suppkey AS VARCHAR) AS source_id,
+      |    CAST(CAST(CAST(od.qty AS DECIMAL(16,2)) * CAST(od.price AS DECIMAL(16,2)) AS DECIMAL(18,4)) AS VARCHAR) AS split_original_amount,
+      |    CAST(CAST(od.price * (CAST(1 AS DECIMAL(18,2)) - od.disc) AS DECIMAL(18,4)) AS VARCHAR) AS split_total_amount,
+      |    CAST(CAST(od.price * od.disc AS DECIMAL(18,4)) AS VARCHAR) AS split_activity_amount,
+      |    CAST(CAST(od.price * od.tax AS DECIMAL(18,4)) AS VARCHAR) AS split_coupon_amount,
+      |    'name_' || CAST(oi.c % 1000 AS VARCHAR) AS consignee,
+      |    '13' || CAST(oi.o % 100000000 AS VARCHAR) AS consignee_tel,
+      |    CAST(oi.total AS VARCHAR) AS total_amount,
+      |    oi.order_status,
+      |    CAST(oi.c AS VARCHAR) AS user_id,
+      |    '250' || CAST(oi.o % 2 + 1 AS VARCHAR) AS payment_way,
+      |    'trade_' || CAST(oi.o AS VARCHAR) AS out_trade_no,
+      |    'body ' || CAST(oi.o % 10 AS VARCHAR) AS trade_body,
+      |    oi.operate_time,
+      |    strftime(oi.odate + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS expire_time,
+      |    oi.order_status AS process_status,
+      |    'trk' || CAST(oi.o AS VARCHAR) AS tracking_no,
+      |    CASE WHEN oi.o % 100 = 0 THEN CAST(oi.o + 1000000 AS VARCHAR) END AS parent_order_id,
+      |    CAST(oi.c % 25 AS VARCHAR) AS province_id,
+      |    CAST(CAST(oi.o % 50 AS DECIMAL(18,2)) AS VARCHAR) AS activity_reduce_amount,
+      |    CAST(CAST(oi.o % 30 AS DECIMAL(18,2)) AS VARCHAR) AS coupon_reduce_amount,
+      |    CAST(oi.total AS VARCHAR) AS original_total_amount,
+      |    CAST(CAST(oi.o % 20 AS DECIMAL(18,2)) AS VARCHAR) AS feight_fee,
+      |    CAST(CAST(oi.o % 5 AS DECIMAL(18,2)) AS VARCHAR) AS feight_fee_reduce,
+      |    oi.type,
+      |    CASE WHEN (od.okey + od.lno) % 3 = 1 THEN CAST(od.okey % 10 + 1 AS VARCHAR) END AS activity_id,
+      |    CASE WHEN (od.okey + od.lno) % 3 = 1 THEN CAST(od.okey % 30 + 1 AS VARCHAR) END AS activity_rule_id,
+      |    CASE WHEN (od.okey + od.lno) % 3 = 1 THEN strftime(od.sdate, '%Y-%m-%d %H:%M:%S') END AS activity_create_time,
+      |    CASE WHEN (od.okey + od.lno) % 4 = 2 THEN CAST(od.okey % 50 AS VARCHAR) END AS coupon_id,
+      |    CASE WHEN (od.okey + od.lno) % 4 = 2 THEN 'cu' || CAST(od.okey AS VARCHAR) END AS coupon_use_id,
+      |    CASE WHEN (od.okey + od.lno) % 4 = 2 THEN strftime(od.sdate, '%Y-%m-%d %H:%M:%S') END AS coupon_create_time,
+      |    'dic_240' || CAST((od.okey + od.lno) % 4 + 1 AS VARCHAR) AS dic_name,
+      |    CAST(epoch(od.sdate) AS BIGINT) AS ts
+      |  FROM od JOIN oi ON od.okey = oi.o
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dwd_trade_cancel_detail" ->
@@ -585,5 +857,45 @@ object GmallDwdDb {
         |  strftime(DATE '1995-01-01' + CAST(c_custkey % 365 AS INTEGER), '%Y-%m-%d %H:%M:%S') AS create_time,
         |  CAST(epoch(DATE '1995-01-01' + CAST(c_custkey % 365 AS INTEGER)) AS BIGINT) AS ts
         |FROM customer WHERE c_custkey % 3 = 0
-        |ORDER BY CAST(user_id AS BIGINT)""".stripMargin)
+        |ORDER BY CAST(user_id AS BIGINT)""".stripMargin,
+    "dwd_trade_order_detail" ->
+      s"""$flagshipWideCte
+         |SELECT * EXCLUDE (okey, odate) FROM wide
+         |ORDER BY okey, order_detail_id, type""".stripMargin,
+    "dwd_trade_order_add" ->
+      s"""$flagshipWideCte
+         |SELECT * EXCLUDE (okey, odate) FROM wide WHERE type = 'insert'
+         |ORDER BY okey, order_detail_id""".stripMargin,
+    "dwd_trade_pay_detail_suc" ->
+      s"""$flagshipWideCte
+         |SELECT order_detail_id, order_id, user_id, sku_id, province_id,
+         |  activity_id, activity_rule_id, coupon_id,
+         |  '110' || CAST(okey % 2 + 1 AS VARCHAR) AS payment_type_code,
+         |  'dic_110' || CAST(okey % 2 + 1 AS VARCHAR) AS payment_type_name,
+         |  strftime(odate + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS callback_time,
+         |  source_id, source_type, sku_num, split_original_amount,
+         |  split_activity_amount, split_coupon_amount,
+         |  split_total_amount AS split_payment_amount,
+         |  CAST(epoch(odate) AS BIGINT) AS ts
+         |FROM wide WHERE okey % 9 = 0
+         |ORDER BY okey, order_detail_id""".stripMargin,
+    "dwd_trade_cart_add" ->
+      """SELECT 'ct' || CAST(o_orderkey AS VARCHAR) AS id,
+        |  CAST(o_custkey AS VARCHAR) AS user_id,
+        |  CAST(o_orderkey % 200 AS VARCHAR) AS sku_id,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS cart_price,
+        |  CAST(CASE WHEN o_orderkey % 7 = 1 THEN o_orderkey % 5 + 1
+        |            ELSE o_orderkey % 4 + 1 END AS INTEGER) AS sku_num,
+        |  'sku_' || CAST(o_orderkey % 200 AS VARCHAR) AS sku_name,
+        |  CAST(o_orderkey % 2 AS VARCHAR) AS is_checked,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS create_time,
+        |  strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS operate_time,
+        |  CAST(o_orderkey % 2 AS VARCHAR) AS is_ordered,
+        |  strftime(o_orderdate + INTERVAL 2 DAY, '%Y-%m-%d %H:%M:%S') AS order_time,
+        |  '240' || CAST(o_orderkey % 4 + 1 AS VARCHAR) AS source_type,
+        |  CAST(o_orderkey % 100 AS VARCHAR) AS source_id,
+        |  'dic_240' || CAST(o_orderkey % 4 + 1 AS VARCHAR) AS dic_name,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS ts
+        |FROM orders WHERE o_orderkey % 7 IN (1, 2)
+        |ORDER BY id""".stripMargin)
 }
