@@ -21,12 +21,6 @@ object Dedup {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** 3-token shingles of a token array (empty when fewer than 3 tokens). */
-  private def shingleExpr: Column = expr(
-    "CASE WHEN size(toks) < 3 THEN array() ELSE " +
-      "array_distinct(transform(sequence(0, size(toks) - 3), " +
-      "i -> concat_ws('_', toks[i], toks[i+1], toks[i+2]))) END")
-
   /** Exact dedup: hash-groupBy on content (md5 here; 128-bit at scale).
     * Representative = min doc_id per content group. */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -36,28 +30,48 @@ object Dedup {
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("dup_count"))
       .orderBy(col("rep_doc_id"))
 
-  /** Exact n-gram Jaccard near-dup pairs: explode distinct 3-shingles,
-    * self-join on shingle (inverted index), score only co-bucketed
-    * pairs. This is the ground truth minhash approximates. */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.015): DataFrame = {
-    val d = Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .select(col("doc_id"), shingleExpr.as("sh"))
-    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
-    // inverted index keyed by the shingle's 64-bit hash: same join
-    // semantics (collisions negligible and deterministic), ~4x less
-    // shuffle than the raw shingle strings
-    val inv = d.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
-    val pairs = inv.as("a").join(inv.as("b"),
+  /** Document-frequency cap for the [[ngramJaccard]] inverted index:
+    * shingles present in more than this many documents are dropped from
+    * CANDIDATE GENERATION only (verification still intersects the full
+    * shingle sets, so every emitted row carries exact inter/jaccard).
+    * Without it a boilerplate shingle with df = 10⁶ puts df²/2 pair
+    * rows on one reducer — the same blow-up [[minhashCandidatesFrom]]
+    * caps with its bucket star. A pair is lost only when EVERY shared
+    * shingle is hot; near-dups above any useful threshold share many
+    * shingles, almost all rare, so the cap trades a sliver of recall on
+    * mass-duplicated boilerplate (which [[exact]] and [[minhashLsh]]'s
+    * star-capped path already collapse) for survival at corpus scale.
+    * Fixture dfs top out at 25 (sf0.1), so the driver oracle — uncapped
+    * by construction — stays hash-equal. */
+  val HotShingleDfCap = 64
+
+  /** Exact n-gram Jaccard near-dup pairs: explode distinct 3-shingle
+    * hashes, self-join on shingle within the df cap (inverted index) to
+    * propose pairs, then verify each pair exactly on the full shingle
+    * sets. This is the ground truth minhash approximates.
+    *
+    * Scale shape: one shuffle keys the inverted index by shingle (the
+    * df window and the self-join share that partitioning), one keys
+    * pair dedup, and the verify joins touch candidate pairs only. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.015,
+                   dfCap: Int = HotShingleDfCap): DataFrame = {
+    // one shingle scan, shared by the index and both verify sides (the
+    // fused codegen'd hash pass — no shingle-string materialization)
+    val sh = shingled(spark, dir).cache()
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val wS = Window.partitionBy(col("s"))
+    val rare = inv.withColumn("df", count(lit(1)).over(wS))
+      .filter(col("df") <= dfCap).select(col("doc_id"), col("s"))
+    val cand = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) /
+        (size(col("sha")) + size(col("shb")) - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
