@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
-import graft.streaming.LogStream
+import graft.streaming.{Joins, LogStream}
 
 /** The reference's remaining DWD-db apps as named queries, each one the
   * batch form of its Flink app's filter+join over a Maxwell CDC
@@ -562,7 +562,7 @@ object GmallDwdDb {
         d("original_total_amount").as("original_total_amount"),
         d("feight_fee").as("feight_fee"),
         d("feight_fee_reduce").as("feight_fee_reduce"),
-        col("type"), col("old"))
+        col("type"), col("old"), col("ts").as("oi_ts"))
 
   /** `DwdTradeOrderDetail.java:94-107`: order_detail_activity inserts. */
   def activitySliceOn(env: DataFrame): DataFrame =
@@ -570,7 +570,7 @@ object GmallDwdDb {
       .select(d("order_detail_id").as("oa_order_detail_id"),
         d("activity_id").as("activity_id"),
         d("activity_rule_id").as("activity_rule_id"),
-        d("create_time").as("activity_create_time"))
+        d("create_time").as("activity_create_time"), col("ts").as("oa_ts"))
 
   /** `DwdTradeOrderDetail.java:114-127`: order_detail_coupon inserts. */
   def couponSliceOn(env: DataFrame): DataFrame =
@@ -578,7 +578,7 @@ object GmallDwdDb {
       .select(d("order_detail_id").as("oc_order_detail_id"),
         d("coupon_id").as("coupon_id"),
         d("coupon_use_id").as("coupon_use_id"),
-        d("create_time").as("coupon_create_time"))
+        d("create_time").as("coupon_create_time"), col("ts").as("oc_ts"))
 
   /** TODO 8, the 5-way join: od ⋈ oi ⟕ activity ⟕ coupon ⋈ dic.
     *
@@ -593,7 +593,8 @@ object GmallDwdDb {
       .join(oa, od("order_detail_id") === oa("oa_order_detail_id"), "left")
       .join(oc, od("order_detail_id") === oc("oc_order_detail_id"), "left")
       .join(broadcast(dic), od("source_type") === dic("dic_code"))
-      .drop("oi_id", "oa_order_detail_id", "oc_order_detail_id", "dic_code")
+      .drop("oi_id", "oa_order_detail_id", "oc_order_detail_id", "dic_code",
+        "oi_ts", "oa_ts", "oc_ts")
 
   /** The wide frame, memoized per (session, dir) — the batch analog of
     * the app's `dwd_trade_order_detail` Kafka topic, read by order_add,
@@ -605,6 +606,43 @@ object GmallDwdDb {
       tradeOrderDetailWideOn(orderDetailSliceOn(env), orderInfoSliceOn(env),
         activitySliceOn(env), couponSliceOn(env), baseDic(spark))
     }
+
+  /** The flagship join in STREAMING form: the same four `*On` slices
+    * over a `readStream` envelope, composed with `Joins.streamStream`
+    * (J1 inner + two J2 left-outers) and the J3 broadcast dic lookup.
+    *
+    * The reference bounds join state with a 3-day idle-state retention
+    * (`DwdTradeOrderDetail.java:26`) — a PROCESSING-time TTL, safe
+    * because CDC envelopes of one order arrive within seconds of each
+    * other. Spark bounds stream-stream state with watermarks + an
+    * EVENT-time range, so the 3-day TTL maps to `od.ts within
+    * [other.ts ± boundSec]` (default 3 days): equivalent for streams
+    * whose event times track arrival, which is what CDC `ts` is.
+    * Output matches [[tradeOrderDetailWideOn]] minus `pt`/`old`
+    * (processing-time / map columns a flat streaming sink drops);
+    * GmallDwdDbSpec asserts at-rest equality with the batch form and
+    * D2 latest-wins collapsing the per-mutation wide variants. */
+  def tradeOrderDetailStreamOn(env: DataFrame, dic: DataFrame,
+                               boundSec: Long = 3L * 24 * 3600,
+                               wmDelay: String = "2 seconds"): DataFrame = {
+    val od = orderDetailSliceOn(env)
+      .withColumn("od_et", timestamp_seconds(col("ts"))).withWatermark("od_et", wmDelay)
+    val oi = orderInfoSliceOn(env)
+      .withColumn("oi_et", timestamp_seconds(col("oi_ts"))).withWatermark("oi_et", wmDelay)
+    val oa = activitySliceOn(env)
+      .withColumn("oa_et", timestamp_seconds(col("oa_ts"))).withWatermark("oa_et", wmDelay)
+    val oc = couponSliceOn(env)
+      .withColumn("oc_et", timestamp_seconds(col("oc_ts"))).withWatermark("oc_et", wmDelay)
+    val j1 = Joins.streamStream(od, oi, "order_id", "oi_id",
+      "od_et", "oi_et", boundSec, boundSec)
+    val j2 = Joins.streamStream(j1, oa, "order_detail_id", "oa_order_detail_id",
+      "od_et", "oa_et", boundSec, boundSec, joinType = "leftOuter")
+    val j3 = Joins.streamStream(j2, oc, "order_detail_id", "oc_order_detail_id",
+      "od_et", "oc_et", boundSec, boundSec, joinType = "leftOuter")
+    j3.join(broadcast(dic), col("source_type") === dic("dic_code"))
+      .drop("oi_id", "oa_order_detail_id", "oc_order_detail_id", "dic_code",
+        "oi_ts", "oa_ts", "oc_ts", "od_et", "oi_et", "oa_et", "oc_et", "pt", "old")
+  }
 
   private def wideNamed(wide: DataFrame): DataFrame =
     wide.drop("old", "pt")

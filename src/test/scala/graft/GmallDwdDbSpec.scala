@@ -103,6 +103,100 @@ class GmallDwdDbSpec extends AnyFunSuite {
     }
   }
 
+  test("flagship 5-table join: streaming form ≡ batch wide rows; D2 collapses mutations") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.streaming.Stateful
+
+    // hand-authored CDC lines with realistic arrival-time spacing (all
+    // envelopes of one order within seconds — the regime the reference's
+    // 3-day TTL assumes; the parquet-derived fixture spreads od/oi event
+    // times by months, so it exercises the BATCH form only)
+    def od(id: String, order: String, st: String, t: Long) =
+      s"""{"database":"g","table":"order_detail","type":"insert","data":{"id":"$id","order_id":"$order","sku_id":"7","sku_name":"sku_7","order_price":"10.00","sku_num":"2","create_time":"1995-03-01 00:00:00","source_type":"$st","source_id":"3","split_total_amount":"19.00","split_activity_amount":"0.50","split_coupon_amount":"0.50"},"ts":$t}"""
+    def oi(order: String, typ: String, status: String, old: String, t: Long) =
+      s"""{"database":"g","table":"order_info","type":"$typ","data":{"id":"$order","consignee":"n","total_amount":"20.00","order_status":"$status","user_id":"42","province_id":"5","operate_time":"1995-03-01 01:00:00","original_total_amount":"20.00","activity_reduce_amount":"0.50","coupon_reduce_amount":"0.50"}$old,"ts":$t}"""
+    def oa(detail: String, t: Long) =
+      s"""{"database":"g","table":"order_detail_activity","type":"insert","data":{"order_detail_id":"$detail","activity_id":"5","activity_rule_id":"8","create_time":"1995-03-01 00:00:00"},"ts":$t}"""
+    def oc(detail: String, t: Long) =
+      s"""{"database":"g","table":"order_detail_coupon","type":"insert","data":{"order_detail_id":"$detail","coupon_id":"9","coupon_use_id":"cu9","create_time":"1995-03-01 00:00:00"},"ts":$t}"""
+    val lines = Seq(
+      od("d1", "1", "2401", 100), // activity-decorated, order mutates → 2 variants
+      od("d2", "1", "2402", 100), // no decorations → null padding
+      od("d3", "2", "2403", 200), // coupon-decorated
+      od("d9", "9", "2404", 300), // order_info never arrives → inner join drops
+      oi("1", "insert", "1001", "", 101),
+      oi("1", "update", "1002", ""","old":{"order_status":"1001"}""", 150),
+      oi("2", "insert", "1001", "", 201),
+      oa("d1", 102),
+      oa("dx", 103), // decoration for an unknown detail → dropped by left join
+      oc("d3", 202),
+      // negative: od update must be rejected by the insert-only slice
+      s"""{"database":"g","table":"order_detail","type":"update","data":{"id":"d1","order_id":"1","sku_num":"9"},"old":{"sku_num":"2"},"ts":160}""")
+
+    val dic = GmallDwdDb.baseDic(spark)
+    val benv = LogStream.maxwellEnvelope(lines.toDF("value"))
+    val batch = GmallDwdDb.tradeOrderDetailWideOn(
+      GmallDwdDb.orderDetailSliceOn(benv), GmallDwdDb.orderInfoSliceOn(benv),
+      GmallDwdDb.activitySliceOn(benv), GmallDwdDb.couponSliceOn(benv), dic)
+      .drop("pt", "old")
+    val cols = batch.columns.sorted
+    val want = batch.select(cols.map(col): _*).collect().map(_.toString).toSet
+
+    val mem = MemoryStream[String](spark)
+    val q = GmallDwdDb.tradeOrderDetailStreamOn(
+        LogStream.maxwellEnvelope(mem.toDF()), dic)
+      .writeStream.format("memory").queryName("flagship_wide")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(lines)
+    q.processAllAvailable()
+    // flush the outer-join + 3-day-bound state: per round, one sentinel
+    // per table (keys chosen to never join) advances every branch's
+    // watermark; three rounds propagate it through the 2-deep join chain
+    (1 to 3).foreach { r =>
+      val t = 5000000L * r
+      mem.addData(Seq(od(s"sd$r", s"90$r", "2401", t), oi(s"91$r", "insert", "1001", "", t),
+        oa(s"sx$r", t), oc(s"sy$r", t)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val wideT = spark.table("flagship_wide")
+    assert(wideT.columns.sorted.toSeq == cols.toSeq,
+      s"streaming columns ${wideT.columns.sorted.toSeq} != batch $cols")
+    val got = wideT.filter(!col("order_detail_id").startsWith("sd"))
+      .select(cols.map(col): _*).collect().map(_.toString).toSet
+    assert(want.nonEmpty && got == want, "streaming wide rows diverged from batch")
+
+    // D2 latest-wins over the wide stream (the upsert-Kafka hop the
+    // reference puts between DwdTradeOrderDetail and its consumers):
+    // per order_detail_id the newest (ts, payload) variant survives —
+    // ties on od-ts resolve by payload, so the update variant wins
+    val keyed = wideT.filter(!col("order_detail_id").startsWith("sd"))
+      .select(col("order_detail_id"), col("ts"), col("type"), col("order_status"))
+      .collect().map(r => Stateful.Keyed(r.getString(0),
+        new Timestamp(r.getLong(1) * 1000L), r.getString(2) + "|" + r.getString(3)))
+    val kmem = MemoryStream[Stateful.Keyed](spark)
+    val dq = Stateful.latestWins(kmem.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("flagship_d2")
+      .outputMode(OutputMode.Append).start()
+    kmem.addData(keyed.toSeq)
+    dq.processAllAvailable()
+    Seq(10000000000L, 20000000000L).zipWithIndex.foreach { case (t, i) =>
+      kmem.addData(Stateful.Keyed(s"zz$i", new Timestamp(t), "s"))
+      dq.processAllAvailable()
+    }
+    dq.stop()
+    val gotD2 = spark.table("flagship_d2").as[Stateful.Keyed].collect()
+      .filterNot(_.key.startsWith("zz")).map(k => k.key -> k.payload).toMap
+    val wantD2 = keyed.groupBy(_.key).map { case (k, rs) =>
+      k -> rs.maxBy(r => (r.ts.getTime, r.payload)).payload }
+    assert(gotD2 == wantD2, "streaming D2 diverged from batch row_number form")
+    assert(wantD2("d1") == "update|1002" && wantD2("d2") == "update|1002")
+    assert(wantD2("d3") == "insert|1001" && !wantD2.contains("d9"))
+  }
+
   test("cancel detail joins only 1003-with-old-status orders") {
     val cd = GmallDwdDb.tradeCancelDetail(spark, sf)
     val keys = cd.select(col("order_id").cast("long")).distinct()
