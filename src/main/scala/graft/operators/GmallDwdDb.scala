@@ -737,7 +737,7 @@ object GmallDwdDb {
     * order key; activity/coupon decorations and the dic decode are pure
     * expressions of (okey, lno). Helper cols okey/odate are EXCLUDEd in
     * each final projection. */
-  private val flagshipWideCte: String =
+  private[operators] val flagshipWideCte: String =
     """WITH od AS (
       |  SELECT l_orderkey AS okey, l_linenumber AS lno, l_partkey, l_suppkey,
       |         CAST(l_quantity AS INTEGER) AS qty,

@@ -156,6 +156,30 @@ object GmallDws {
         col("order_count"), col("order_amount"))
     }
 
+  /** W3 over the CDC pipeline: `DwsTradeProvinceOrderWindow.java:55-140`
+    * actually consumes the `dwd_trade_order_detail` Kafka topic, not the
+    * star-schema facts — this variant does the same, reading the
+    * flagship wide frame ([[GmallDwdDb.tradeOrderDetailWide]], shared
+    * via Memo) so the DWD→DWS dataflow is proven end-to-end. The
+    * reference dedupes the topic's per-mutation variants with D2
+    * latest-wins state (`:83-117`); the batch form is the row_number
+    * filter below (variants of one detail are od-side-identical, so any
+    * deterministic tiebreak yields the same aggregate). */
+  def tradeProvinceOrderCdc(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dws.tradeProvinceOrderCdc") {
+      val latest = GmallDwdDb.tradeOrderDetailWide(spark, dir)
+        .withColumn("drn", row_number().over(
+          Window.partitionBy(col("order_detail_id")).orderBy(col("type").desc)))
+        .filter(col("drn") === 1)
+      dtStt(latest
+          .withColumn("dt", substring(col("order_create_time"), 1, 10))
+          .groupBy(col("dt"), col("province_id"))
+          .agg(countDistinct(col("order_id")).as("order_count"),
+            sum(col("split_total_amount").cast(DecimalType(18, 4))).as("order_amount")))
+        .select(col("stt"), col("edt"), col("province_id"),
+          col("order_count"), col("order_amount"))
+    }
+
   /** W2/J4: trademark×category×user×spu order window (DECIMAL amount). */
   def tradeTmCatUserSpuOrder(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "dws.tradeTmCatUserSpuOrder") {
@@ -201,6 +225,7 @@ object GmallDws {
       Seq("order_activity_reduce_amount", "order_coupon_reduce_amount", "order_origin_total_amount"), Seq("stt")),
     "dws_trade_payment_suc_window" -> q(tradePaymentSuc, Nil, Seq("stt")),
     "dws_trade_province_order_window" -> q(tradeProvinceOrder, Seq("order_amount"), Seq("stt", "province_id")),
+    "dws_trade_province_order_cdc_window" -> q(tradeProvinceOrderCdc, Seq("order_amount"), Seq("stt", "province_id")),
     "dws_trade_trademark_category_user_spu_order_window" -> q(tradeTmCatUserSpuOrder,
       Seq("order_amount"), Seq("stt", "trademark_id", "category3_id", "user_id", "spu_id")),
     "dws_trade_trademark_category_user_refund_window" -> q(tradeTmCatUserRefund,
@@ -362,6 +387,22 @@ object GmallDws {
         |FROM dws_trade_order_window ORDER BY stt""".stripMargin),
     "dws_trade_payment_suc_window" -> withTrade(dws8Cte,
       "SELECT stt, edt, payment_suc_unique_user_count, payment_suc_new_user_count FROM dws_trade_payment_suc_window ORDER BY stt"),
+    "dws_trade_province_order_cdc_window" ->
+      s"""${GmallDwdDb.flagshipWideCte},
+         |latest AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY order_detail_id ORDER BY type DESC) AS drn
+         |  FROM wide
+         |), agg AS (
+         |  SELECT substring(order_create_time, 1, 10) AS dt, province_id,
+         |    COUNT(DISTINCT order_id) AS order_count,
+         |    SUM(CAST(split_total_amount AS DECIMAL(18,4))) AS order_amount
+         |  FROM latest WHERE drn = 1
+         |  GROUP BY 1, 2
+         |)
+         |SELECT dt || ' 00:00:00' AS stt,
+         |  strftime(CAST(dt AS DATE) + 1, '%Y-%m-%d') || ' 00:00:00' AS edt,
+         |  province_id, order_count, CAST(order_amount AS DOUBLE) AS order_amount
+         |FROM agg ORDER BY stt, province_id""".stripMargin,
     "dws_trade_province_order_window" -> withTrade(dws9Cte,
       """SELECT stt, edt, province_id, province_name, order_count,
         | CAST(order_amount AS DOUBLE) AS order_amount
