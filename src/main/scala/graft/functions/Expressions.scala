@@ -31,6 +31,7 @@ object GraftExpressions {
   def nearestCentroidsFloat(vec: Column, centIds: Array[Int], cents: Array[Array[Float]], k: Int): Column =
     toColumn(NearestCentroidsFloat(toExpression(vec), centIds, cents, k))
   def segmentTokens(c: Column): Column = toColumn(SegmentTokens(toExpression(c)))
+  def mediaHeader(c: Column): Column = toColumn(MediaHeaderInfo(toExpression(c)))
 }
 
 
@@ -121,6 +122,32 @@ case class SegmentTokens(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.Tokenizer.segmentArrayData($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SegmentTokens =
+    copy(newChild)
+}
+
+/** Media container header probe: binary → packed long
+  * `[format:4][width:20][height:20][channels:4][sample_rate:16]` —
+  * see [[MediaHeaders]] for the PNG/JPEG/WAV parsing. Codegen emits a
+  * direct static call (the [[SegmentTokens]] pattern): the probe reads
+  * a few dozen header bytes with no allocation, so format detection
+  * and dimension extraction run at scan speed inside whole-stage
+  * codegen — no `mapPartitions`, no Encoder round trip.
+  */
+case class MediaHeaderInfo(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(child.dataType == BinaryType,
+      s"graft_media_header requires a binary argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaHeaders.packedInfo(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MediaHeaders.packedInfo($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaHeaderInfo =
     copy(newChild)
 }
 

@@ -57,5 +57,10 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_segment_tokens",
         "graft_segment_tokens(str) - keyword tokens: latin/digit runs + CJK bigrams"),
       (args: Seq[Expression]) => { arity(args, 1, "graft_segment_tokens"); SegmentTokens(args.head) }))
+
+    ext.injectFunction((FunctionIdentifier("graft_media_header"),
+      info("graft_media_header",
+        "graft_media_header(bin) - packed PNG/JPEG/WAV header info: [format:4][width:20][height:20][channels:4][sample_rate:16]"),
+      (args: Seq[Expression]) => { arity(args, 1, "graft_media_header"); MediaHeaderInfo(args.head) }))
   }
 }

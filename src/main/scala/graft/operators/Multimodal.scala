@@ -1,70 +1,105 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.functions.GraftExpressions
 
 /** Multimodal column plumbing: opaque `binary` payloads with typed
-  * metadata, processed batch-wise with `mapPartitions`.
+  * metadata, probed at scan speed.
   *
-  * The image/audio decode libraries are not in this container, so the
-  * decode step is a clearly-marked deterministic STUB (byte histogram
-  * + checksum standing in for pixel decoding / feature extraction).
-  * Everything around it — the binary column, the metadata struct, the
-  * partition-wise batch processing shape, the fixed-size feature
-  * schema — is the real Spark plumbing a production pipeline needs:
-  * swap `decodeStub` for an actual decoder and nothing else changes.
+  * The fixture has no real media files, so [[mediaTable]] synthesizes
+  * payloads that carry REAL container headers — a valid PNG signature
+  * + IHDR, a JPEG SOI/APP0/COM/SOF0 marker sequence, a RIFF/WAVE
+  * `fmt ` chunk — with dimensions/channels/sample-rate derived
+  * deterministically from `doc_id`, followed by the document text as
+  * stand-in content bytes. [[mediaFeatures]] then recovers format and
+  * geometry by PARSING THE BYTES with the codegen'd
+  * [[graft.functions.MediaHeaderInfo]] probe (magic-byte detection,
+  * IHDR/SOF0/fmt-chunk field extraction) — so the query proves the
+  * header-parse path end to end, and the DuckDB oracle can rebuild
+  * every output column from `doc_id` + text length alone. A full
+  * pixel/sample decode still needs codec libraries this container
+  * lacks; headers are the honest, library-free 90% of curation-time
+  * media introspection (format routing, aspect filtering, bitrate
+  * math).
   *
   * Scale notes: payloads stay columnar (parquet binary) end to end;
-  * the decode pass is per-partition with no shuffle; feature output is
-  * a flat schema so downstream similarity/dedup can run codegen'd.
+  * the probe reads a few dozen bytes per row inside whole-stage
+  * codegen (no `mapPartitions`, no Encoder round trip, no shuffle);
+  * feature output is a flat schema so downstream similarity/dedup
+  * runs codegen'd too.
   */
 object Multimodal {
 
-  case class MediaRecord(doc_id: Long, kind: String, payload: Array[Byte],
-                         meta_len: Long, meta_lang: String)
-  case class MediaFeatures(doc_id: Long, kind: String, byte_len: Long, checksum: Long,
-                           h0: Long, h1: Long, h2: Long, h3: Long,
-                           fake_width: Int, fake_height: Int)
+  private def byteHex(v: Column, shift: Int): Column =
+    lpad(hex(shiftright(v, shift).bitwiseAND(lit(255L))), 2, "0")
+  private def le16Hex(v: Column): Column = concat(byteHex(v, 0), byteHex(v, 8))
+  private def le32Hex(v: Column): Column =
+    concat(byteHex(v, 0), byteHex(v, 8), byteHex(v, 16), byteHex(v, 24))
 
-  /** STUB decoder: stands in for image/audio decode + feature extract.
-    * Deterministic over payload bytes; replace with a real codec binding
-    * in production. */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val bs = r.payload
-    var checksum = 0L
-    val hist = new Array[Long](4)
-    var i = 0
-    while (i < bs.length) {
-      val b = bs(i) & 0xff
-      checksum = checksum * 31 + b
-      hist(b % 4) += 1
-      i += 1
-    }
-    MediaFeatures(r.doc_id, r.kind, bs.length.toLong, checksum,
-      hist(0), hist(1), hist(2), hist(3),
-      fake_width = 64 + (math.abs(checksum) % 577).toInt,
-      fake_height = 64 + (math.abs(checksum) % 433).toInt)
-  }
+  // deterministic per-doc media parameters, mirrored by the oracle
+  private def width: Column = (lit(64) + col("doc_id") % 577).cast("long")
+  private def height: Column = (lit(64) + col("doc_id") % 433).cast("long")
+  private def wavChannels: Column = (lit(1) + col("doc_id") % 2).cast("long")
+  private def wavRate: Column = (lit(8000) + (col("doc_id") % 8) * 1000).cast("long")
 
-  /** documents → media table: binary payload + metadata struct. */
+  /** PNG signature + IHDR (33 bytes): bit depth 8, color type 6
+    * (RGBA); the CRC is a placeholder — dimension probes don't
+    * checksum. */
+  private def pngHeaderHex: Column = concat(
+    lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+    lpad(hex(width), 8, "0"), lpad(hex(height), 8, "0"),
+    lit("0806000000" + "DEADBEEF"))
+
+  /** JPEG SOI + APP0(JFIF) + COM + SOF0 (49 bytes) — the COM segment
+    * makes the probe's marker scan actually skip variable-length
+    * segments before it finds the frame header. */
+  private def jpegHeaderHex: Column = concat(
+    lit("FFD8" + "FFE000104A46494600010100000100010000" +
+      "FFFE0008677261667400" + "FFC0" + "0011" + "08"),
+    lpad(hex(height), 4, "0"), lpad(hex(width), 4, "0"),
+    lit("03" + "012200" + "021101" + "031101"))
+
+  /** RIFF/WAVE header + `fmt ` chunk + empty `data` chunk header
+    * (44 bytes), 16-bit PCM; chunk sizes are placeholders. */
+  private def wavHeaderHex: Column = concat(
+    lit("52494646" + "00000000" + "57415645" + "666D7420" + "10000000" + "0100"),
+    le16Hex(wavChannels), le32Hex(wavRate), le32Hex(wavRate * wavChannels * 2),
+    le16Hex(wavChannels * 2), lit("1000" + "64617461" + "00000000"))
+
+  /** documents → media table: binary payload (real container header +
+    * text content bytes) + metadata struct. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(spark, Tables.documents(spark, dir)).select(
       col("doc_id"),
       when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
+      concat(
+        unhex(when(col("doc_id") % 3 === 0, pngHeaderHex)
+          .when(col("doc_id") % 3 === 1, wavHeaderHex)
+          .otherwise(jpegHeaderHex)),
+        encode(col("text"), "UTF-8")).as("payload"),
       struct(col("n_chars").as("len"), col("lang").as("lang")).as("meta"))
 
-  /** Partition-wise decode/feature-extract over the binary column. */
+  /** Header probe over the binary column: one codegen'd expression
+    * returns the packed info long; the per-field unpacks below are
+    * plain bit ops in the same codegen span. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = mediaTable(spark, dir).select(
-        col("doc_id"), col("kind"), col("payload"),
-        col("meta").getField("len").as("meta_len"),
-        col("meta").getField("lang").as("meta_lang"))
-      .as[MediaRecord]
-    media.mapPartitions(_.map(decodeStub)).toDF()
+    val info = GraftExpressions.mediaHeader(col("payload"))
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("kind"), info.as("info"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .select(col("doc_id"), col("kind"),
+        when(shiftright(col("info"), 60).bitwiseAND(lit(15L)) === 1, "png")
+          .when(shiftright(col("info"), 60).bitwiseAND(lit(15L)) === 2, "jpeg")
+          .when(shiftright(col("info"), 60).bitwiseAND(lit(15L)) === 3, "wav")
+          .otherwise("unknown").as("format"),
+        shiftright(col("info"), 40).bitwiseAND(lit(0xFFFFFL)).as("width"),
+        shiftright(col("info"), 20).bitwiseAND(lit(0xFFFFFL)).as("height"),
+        shiftright(col("info"), 16).bitwiseAND(lit(15L)).as("channels"),
+        col("info").bitwiseAND(lit(0xFFFFL)).as("sample_rate"),
+        col("byte_len"))
       .orderBy(col("doc_id"))
   }
 
@@ -91,9 +126,21 @@ object Multimodal {
     "mm_media_features" -> ((s, d) => mediaFeatures(s, d)),
     "mm_frame_samples" -> ((s, d) => frameSamples(s, d)))
 
-  // decodeStub's checksum loop is not SQL-expressible -> rows-only for
-  // mm_media_features; frame samples are byte lookups, oracle-able.
   val oracles: Map[String, String] = Map(
+    // every feature is header-derived, and the headers derive from
+    // doc_id by the fixture rules — so DuckDB rebuilds the full row
+    // (header sizes: PNG 33, WAV 44, JPEG 49 bytes; text is ASCII, so
+    // content bytes = length(text))
+    "mm_media_features" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS format,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + doc_id % 577 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + doc_id % 433 END AS BIGINT) AS height,
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 4 WHEN 1 THEN 1 + doc_id % 2 ELSE 3 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000 ELSE 0 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 33 WHEN 1 THEN 44 ELSE 49 END + length(text) AS BIGINT) AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_samples" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -312,17 +312,59 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == want, s"stream hits=${got.size} diverged from batch hits=${want.size}")
   }
 
-  test("multimodal feature extraction is deterministic and length-consistent") {
+  test("multimodal header probe parses real PNG/JPEG/WAV bytes; survives corrupt input") {
+    import graft.functions.MediaHeaders
+    // hand-assembled REAL headers, independent of the fixture synthesis
+    def png(w: Int, h: Int, colorType: Int): Array[Byte] =
+      (Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a,
+        0, 0, 0, 13, 'I'.toInt, 'H'.toInt, 'D'.toInt, 'R'.toInt,
+        w >> 24, (w >> 16) & 255, (w >> 8) & 255, w & 255,
+        h >> 24, (h >> 16) & 255, (h >> 8) & 255, h & 255,
+        8, colorType, 0, 0, 0, 1, 2, 3, 4) map (_.toByte))
+    def jpeg(w: Int, h: Int, comps: Int): Array[Byte] =
+      (Array(0xff, 0xd8, // SOI
+        0xff, 0xe0, 0, 16, 'J'.toInt, 'F'.toInt, 'I'.toInt, 'F'.toInt, 0, 1, 1, 0, 0, 1, 0, 1, 0, 0, // APP0
+        0xff, 0xfe, 0, 4, 'h'.toInt, 'i'.toInt, // COM to skip
+        0xff, 0xc0, 0, 17, 8, h >> 8, h & 255, w >> 8, w & 255, comps,
+        1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) map (_.toByte))
+    def wav(ch: Int, rate: Int): Array[Byte] =
+      "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVEfmt ".getBytes ++
+        (Array(16, 0, 0, 0, 1, 0, ch & 255, ch >> 8,
+          rate & 255, (rate >> 8) & 255, (rate >> 16) & 255, rate >> 24,
+          0, 0, 0, 0, 4, 0, 16, 0) map (_.toByte))
+    assert(MediaHeaders.packedInfo(png(800, 600, 6)) ==
+      MediaHeaders.pack(MediaHeaders.FmtPng, 800, 600, 4, 0))
+    assert(MediaHeaders.packedInfo(png(1, 1, 2)) ==
+      MediaHeaders.pack(MediaHeaders.FmtPng, 1, 1, 3, 0))
+    assert(MediaHeaders.packedInfo(jpeg(1920, 1080, 3)) ==
+      MediaHeaders.pack(MediaHeaders.FmtJpeg, 1920, 1080, 3, 0))
+    assert(MediaHeaders.packedInfo(wav(2, 44100)) ==
+      MediaHeaders.pack(MediaHeaders.FmtWav, 0, 0, 2, 44100))
+    // corrupt/truncated/foreign payloads: unknown, never a throw
+    assert(MediaHeaders.packedInfo(Array[Byte]()) == 0L)
+    assert(MediaHeaders.packedInfo("not a media file".getBytes) == 0L)
+    assert(MediaHeaders.packedInfo(png(800, 600, 6).take(20)) == 0L)
+    assert(MediaHeaders.packedInfo(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte)) ==
+      MediaHeaders.pack(MediaHeaders.FmtJpeg, 0, 0, 0, 0))
+  }
+
+  test("multimodal feature extraction is deterministic, parsed from payload bytes") {
     import spark.implicits._
     val feats = Multimodal.mediaFeatures(spark, sf)
     val again = Multimodal.mediaFeatures(spark, sf)
     assert(feats.collect().toSeq == again.collect().toSeq)
-    // payload is the UTF-8 text: byte_len must equal the documents n_chars
+    // every payload's parsed format must match its doc_id synthesis rule
+    // and the full byte length = header + UTF-8 text bytes
     val joined = feats.join(
       graft.sources.Tables.documents(spark, sf).select($"doc_id", $"n_chars"), "doc_id")
-    assert(joined.filter($"byte_len" =!= $"n_chars").count() == 0)
-    // histogram buckets partition the bytes
-    assert(joined.filter($"h0" + $"h1" + $"h2" + $"h3" =!= $"byte_len").count() == 0)
+    val headerLen = when($"format" === "png", 33)
+      .when($"format" === "wav", 44).when($"format" === "jpeg", 49)
+    assert(joined.filter($"format" === "unknown").count() == 0)
+    assert(joined.filter($"byte_len" =!= $"n_chars" + headerLen).count() == 0)
+    // the probe is an expression, not a lambda: the plan must stay
+    // whole-stage-codegen with no DeserializeToObject/MapPartitions
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions") && !plan.contains("DeserializeToObject"), plan)
   }
 
   test("fnv1a64 expression matches the reference Scala implementation") {
