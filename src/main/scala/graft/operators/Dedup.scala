@@ -347,8 +347,29 @@ object Dedup {
         |  JOIN sizes na ON pairs.doc_a = na.doc_id
         |  JOIN sizes nb ON pairs.doc_b = nb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
-        |ORDER BY doc_a, doc_b""".stripMargin)
-  // minhash/simhash signatures are hash-function-defined (not ANSI-SQL
-  // expressible) -> rows-only check; their ground truth is
-  // dedup_ngram_jaccard, and LlmOpsSpec asserts LSH recall against it.
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // SimHash is FNV-over-tokens + bit votes — fully reproducible in
+    // DuckDB (DuckSql.simhashCtes runs the same wrapping arithmetic in
+    // HUGEINT). The pairs oracle is the EXACT Hamming<=3 pair set: the
+    // 16-bit-chunk pigeonhole makes the engine's candidate filter
+    // lossless for dist<=3, so engine output == exact pairs (also
+    // asserted by LlmOpsSpec).
+    "dedup_simhash" ->
+      s"""WITH ${DuckSql.simhashCtes("documents")}
+         |SELECT doc_id, simhash,
+         |  CAST(su % 65536 AS BIGINT) AS chunk0,
+         |  CAST((su >> 16) % 65536 AS BIGINT) AS chunk1,
+         |  CAST((su >> 32) % 65536 AS BIGINT) AS chunk2,
+         |  CAST((su >> 48) % 65536 AS BIGINT) AS chunk3
+         |FROM simdocs ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH ${DuckSql.simhashCtes("documents")}
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM simdocs a JOIN simdocs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  // minhash signatures/buckets remain hash-defined rows-only checks;
+  // their ground truth is dedup_ngram_jaccard, and LlmOpsSpec asserts
+  // LSH recall against it.
 }

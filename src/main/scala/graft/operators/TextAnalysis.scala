@@ -476,6 +476,23 @@ object TextAnalysis {
         |FROM b ORDER BY doc_id""".stripMargin,
     "text_fingerprints_md5" ->
       "SELECT doc_id, md5(text) AS md5_hex FROM documents ORDER BY doc_id",
+    // FNV-1a reproduced in DuckDB via HUGEINT mod-2^64 reduction
+    // (DuckSql.fnvU) — full value oracle for the rolling content hash
+    "text_fingerprints" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text,
+         |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS prefix
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, md5(text) AS md5_hex,
+         |    ${DuckSql.fnvU("text")} AS hu,
+         |    ${DuckSql.fnvU("prefix")} AS pu
+         |  FROM p
+         |)
+         |SELECT doc_id, md5_hex,
+         |  ${DuckSql.signed64("hu")} AS fnv64,
+         |  ${DuckSql.signed64("pu")} AS prefix_fnv64
+         |FROM h ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
