@@ -78,7 +78,13 @@ object Bench {
     // ok:false marks a run whose total excludes failed queries — a smaller
     // value than a clean run's must never be read as a speedup
     val ok = errors.isEmpty
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"runs":${runsJson.mkString("{", ",", "}")},"errors":$errs,"cpu_vs_wall":${num(wallVsCpu)},"load_avg_start":${num(loadStart)},"load_avg_end":${num(osBean.getSystemLoadAverage)},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"runs":${runsJson.mkString("{", ",", "}")},"errors":$errs,"cpu_vs_wall":${num(wallVsCpu)},"load_avg_start":${num(loadStart)},"load_avg_end":${num(osBean.getSystemLoadAverage)},"sf":"$sfDir"}"""
+    println(json)
+    // the driver's BENCH capture truncates long stdout lines, losing
+    // "total" and half the per-query map; the full JSON on disk keeps
+    // round-over-round gates comparing complete query sets
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json)
+    catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: $e") }
     spark.stop()
   }
 }

@@ -46,32 +46,38 @@ object Dedup {
   val HotShingleDfCap = 64
 
   /** Exact n-gram Jaccard near-dup pairs: explode distinct 3-shingle
-    * hashes, self-join on shingle within the df cap (inverted index) to
-    * propose pairs, then verify each pair exactly on the full shingle
-    * sets. This is the ground truth minhash approximates.
+    * hashes, drop shingles hotter than the df cap, self-join the
+    * remaining inverted index and count per-pair co-occurrences. This
+    * is the ground truth minhash approximates.
     *
-    * Scale shape: one shuffle keys the inverted index by shingle (the
-    * df window and the self-join share that partitioning), one keys
-    * pair dedup, and the verify joins touch candidate pairs only. */
+    * Scale shape: the hot-shingle blacklist is one map-side-combined
+    * aggregation whose result is tiny by construction (only shingles
+    * with df > cap survive) and broadcasts into an anti-join — on the
+    * fixture it is EMPTY (max df 25), so `inter` stays the exact
+    * distinct-shingle intersection and the uncapped oracle matches; at
+    * corpus scale pairs held together only by boilerplate shingles are
+    * surrendered and `inter` counts rare shared shingles only —
+    * conservative jaccard, bounded reducers. Denominators always use
+    * the full shingle-set sizes. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.015,
                    dfCap: Int = HotShingleDfCap): DataFrame = {
-    // one shingle scan, shared by the index and both verify sides (the
-    // fused codegen'd hash pass — no shingle-string materialization)
+    // one shingle scan, shared by sizes and the index (the fused
+    // codegen'd hash pass — no shingle-string materialization)
     val sh = shingled(spark, dir).cache()
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val wS = Window.partitionBy(col("s"))
-    val rare = inv.withColumn("df", count(lit(1)).over(wS))
-      .filter(col("df") <= dfCap).select(col("doc_id"), col("s"))
-    val cand = rare.as("a").join(rare.as("b"),
+    val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("s"))
+    val rare = inv.join(broadcast(hot), Seq("s"), "left_anti")
+    val pairs = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", col("inter").cast(DoubleType) /
-        (size(col("sha")) + size(col("shb")) - col("inter")).cast(DoubleType))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -368,8 +374,70 @@ object Dedup {
          |  bit_count(xor(a.simhash, b.simhash)) AS hamming
          |FROM simdocs a JOIN simdocs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin)
-  // minhash signatures/buckets remain hash-defined rows-only checks;
-  // their ground truth is dedup_ngram_jaccard, and LlmOpsSpec asserts
-  // LSH recall against it.
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // The FULL MinHash+LSH pipeline rebuilt in DuckDB: shingle FNV
+    // hashes, 32 Java-wrapping permutation minima (HUGEINT mod-2^64),
+    // band 4-tuple grouping (≡ the engine's xxhash64 bucket keys),
+    // the BucketCap=32 giant-bucket star, exact shingle-set verify at
+    // t=0.015, and the min-neighbor rep collapse over every document.
+    "dedup_minhash_lsh" ->
+      s"""WITH ${DuckSql.minhashCtes("documents")},
+         |stats AS (
+         |  SELECT doc_id, band_idx, b0, b1, b2, b3,
+         |    MIN(doc_id) OVER w AS mn, COUNT(*) OVER w AS cnt
+         |  FROM bands WINDOW w AS (PARTITION BY band_idx, b0, b1, b2, b3)
+         |), cand AS (
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM stats a JOIN stats b
+         |      ON a.band_idx = b.band_idx AND a.b0 = b.b0 AND a.b1 = b.b1
+         |      AND a.b2 = b.b2 AND a.b3 = b.b3 AND a.doc_id < b.doc_id
+         |    WHERE a.cnt <= 32
+         |    UNION ALL
+         |    SELECT mn AS doc_a, doc_id AS doc_b FROM stats WHERE cnt > 32 AND doc_id <> mn
+         |  )
+         |), verified AS (
+         |  SELECT doc_a, doc_b
+         |  FROM cand
+         |    JOIN sh sa ON cand.doc_a = sa.doc_id
+         |    JOIN sh sb ON cand.doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |        CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.015
+         |), reps AS (
+         |  SELECT doc_id, MIN(other) AS m FROM (
+         |    SELECT doc_b AS doc_id, doc_a AS other FROM verified
+         |    UNION ALL
+         |    SELECT doc_a AS doc_id, doc_b AS other FROM verified
+         |  ) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, LEAST(d.doc_id, COALESCE(r.m, d.doc_id)) AS rep_doc_id
+         |FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // Ingest form: odd doc_ids (the stream) probe the even-doc banded
+    // index (no cap on the probe path, matching ingestNearDups), every
+    // collision exact-verified; per flagged doc the smallest corpus
+    // duplicate and best jaccard.
+    "dedup_ingest_lsh" ->
+      s"""WITH ${DuckSql.minhashCtes("documents")},
+         |cand AS (
+         |  SELECT n.doc_id, c.doc_id AS corpus_doc
+         |  FROM bands n JOIN bands c
+         |    ON n.band_idx = c.band_idx AND n.b0 = c.b0 AND n.b1 = c.b1
+         |    AND n.b2 = c.b2 AND n.b3 = c.b3
+         |  WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+         |), scored AS (
+         |  SELECT cand.doc_id, cand.corpus_doc,
+         |    CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE) /
+         |      CAST(len(sn.sh) + len(sc.sh) - len(list_intersect(sn.sh, sc.sh)) AS DOUBLE) AS jaccard
+         |  FROM cand
+         |    JOIN sh sn ON cand.doc_id = sn.doc_id
+         |    JOIN sh sc ON cand.corpus_doc = sc.doc_id
+         |)
+         |SELECT doc_id, MIN(corpus_doc) AS dup_of, MAX(jaccard) AS best_jaccard
+         |FROM scored WHERE jaccard >= 0.015
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  // the remaining hash-defined rows-only checks are the
+  // embedding-geometry paths (hyperplane/centroid models); their
+  // ground truth is the oracled brute-force baseline, and LlmOpsSpec
+  // gates recall against it.
 }

@@ -13,18 +13,60 @@ package graft.operators
   */
 private[operators] object DuckSql {
 
-  /** Unsigned (HUGEINT, 0..2^64) FNV-1a 64 of a string expression. */
+  /** Unsigned (HUGEINT, 0..2^64) FNV-1a 64 of a string expression.
+    * The char-index lambda variable is `fnvc`, NOT `i`: callers embed
+    * this inside their own lambdas (e.g. the shingle-position
+    * transform in [[minhashCtes]]), and DuckDB lambda variables
+    * shadow — a generic `i` here would silently capture the caller's
+    * loop variable inside `$arg`. */
   def fnvU(arg: String): String =
     s"""list_reduce(
        |  list_prepend(CAST('14695981039346656037' AS HUGEINT),
        |    list_transform(range(1, length($arg) + 1),
-       |      i -> CAST(unicode(substring($arg, CAST(i AS INT), 1)) AS HUGEINT))),
+       |      fnvc -> CAST(unicode(substring($arg, CAST(fnvc AS INT), 1)) AS HUGEINT))),
        |  (acc, b) -> (xor(acc, b) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
 
   /** HUGEINT in 0..2^64 → signed two's-complement BIGINT. */
   def signed64(arg: String): String =
     s"""CAST(CASE WHEN $arg >= CAST('9223372036854775808' AS HUGEINT)
        |  THEN $arg - CAST('18446744073709551616' AS HUGEINT) ELSE $arg END AS BIGINT)""".stripMargin
+
+  /** Java-wrapping minhash permutation of an unsigned-HUGEINT hash
+    * `v` (already reduced mod 2^64): reinterpret as signed, truncated
+    * `%` by the Mersenne prime 2^61-1, then normalize negatives —
+    * exactly [[graft.functions.MinHashSignature]]'s arithmetic. */
+  private val permMod: String =
+    """CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+      |  THEN CASE WHEN (v - CAST('18446744073709551616' AS HUGEINT)) % CAST('2305843009213693951' AS HUGEINT) < 0
+      |    THEN (v - CAST('18446744073709551616' AS HUGEINT)) % CAST('2305843009213693951' AS HUGEINT) + CAST('2305843009213693951' AS HUGEINT)
+      |    ELSE (v - CAST('18446744073709551616' AS HUGEINT)) % CAST('2305843009213693951' AS HUGEINT) END
+      |  ELSE v % CAST('2305843009213693951' AS HUGEINT) END""".stripMargin
+
+  /** MinHash pipeline CTE bodies over a (doc_id, text) relation:
+    * `sh(doc_id, sh)` — distinct FNV hashes of the 3-token shingles
+    * (mirrors [[graft.functions.ShingleHashes]]: FNV over
+    * '_'-separated token bytes); `sig(doc_id, sig)` — the 32
+    * permutation minima (docs with ≥1 shingle only); `bands(doc_id,
+    * band_idx, b0..b3)` — the 8×4 band unpivot. Band equality on the
+    * raw 4-tuples ≡ the engine's xxhash64 bucket keys (the hash is
+    * just a compact grouping key). */
+  def minhashCtes(from: String): String =
+    s"""mh_docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $from),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(tk) < 3 THEN CAST([] AS HUGEINT[]) ELSE
+       |    list_distinct(list_transform(range(1, len(tk) - 1),
+       |      i -> ${fnvU("array_to_string(list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 2), '_')")})) END AS sh
+       |  FROM mh_docs
+       |), sig AS (
+       |  SELECT doc_id, list_transform(range(0, 32), i -> list_min(
+       |    list_transform(
+       |      list_transform(sh, x -> (CAST(2*i+1 AS HUGEINT) * x + CAST('11400714819323198485' AS HUGEINT) + CAST(i AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)),
+       |      v -> $permMod))) AS sig
+       |  FROM sh WHERE len(sh) > 0
+       |), bands AS (
+       |  SELECT doc_id, i AS band_idx, sig[4*i+1] AS b0, sig[4*i+2] AS b1, sig[4*i+3] AS b2, sig[4*i+4] AS b3
+       |  FROM sig, range(0, 8) t(i)
+       |)""".stripMargin
 
   /** Per-doc SimHash pipeline (mirrors [[graft.functions.SimHash64]]):
     * given `text`, emits CTE bodies `simdocs(doc_id, su, simhash)`

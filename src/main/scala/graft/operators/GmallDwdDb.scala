@@ -60,10 +60,14 @@ import graft.streaming.{Joins, LogStream}
   * tables with the same modulus rules.
   *
   * Scale notes: envelope synthesis + parsing is stateless row-at-a-time
-  * codegen work (no shuffle); the one fact-fact join
-  * (cancel ⋈ order-detail) shuffles on the order key with AQE; dic
-  * lookups are explicit broadcasts. The parsed envelope is memoized
-  * per (session, dir) the way GmallDwd memoizes its DWD frames.
+  * codegen work (no shuffle). Fact-fact joins shuffle on their keys
+  * with AQE (cancel ⋈ order-detail on the order key; the flagship
+  * od ⋈ oi on the order key, its activity/coupon decorations on the
+  * detail key; pay ⋈ wide on the order key); dic lookups are explicit
+  * broadcasts. The parsed envelope and the flagship wide frame are
+  * memoized per (session, dir) the way GmallDwd memoizes its DWD
+  * frames — the wide frame is built once and re-read by order_add,
+  * pay_detail_suc and the DWS consumer, like the reference's topic.
   */
 object GmallDwdDb {
 
