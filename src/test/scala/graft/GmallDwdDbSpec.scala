@@ -197,6 +197,22 @@ class GmallDwdDbSpec extends AnyFunSuite {
     assert(wantD2("d3") == "insert|1001" && !wantD2.contains("d9"))
   }
 
+  test("flagship wide plan: broadcast dic lookup, shuffle fact joins, no cartesian") {
+    // build the join fresh from the slices (the memoized frame would
+    // plan as a cached scan and hide the join structure)
+    val dic = GmallDwdDb.baseDic(spark)
+    val wide = GmallDwdDb.tradeOrderDetailWideOn(
+      GmallDwdDb.orderDetailSliceOn(env), GmallDwdDb.orderInfoSliceOn(env),
+      GmallDwdDb.activitySliceOn(env), GmallDwdDb.couponSliceOn(env), dic)
+    val plan = wide.queryExecution.executedPlan.toString
+    // the dictionary decode must be a broadcast, never a shuffle; the
+    // fact-fact joins shuffle on their keys; nothing may degenerate to
+    // a cartesian/nested-loop
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
   test("cancel detail joins only 1003-with-old-status orders") {
     val cd = GmallDwdDb.tradeCancelDetail(spark, sf)
     val keys = cd.select(col("order_id").cast("long")).distinct()
