@@ -88,10 +88,20 @@ object GmallDwdDb {
       lit("gmall").as("database"), lit(table).as("table"), lit(typ).as("type"),
       data.as("data"), old.as("old"), ts.as("ts")))
 
-  /** Parsed Maxwell envelope fixture (memoized, persisted). */
+  /** Parsed Maxwell envelope fixture (memoized, persisted).
+    *
+    * Hash-repartitioned by `table` before the persist: the raw union
+    * of 26 per-table synth frames carries 26 × spread-parallelism
+    * partitions, so every slice scan would schedule ~800 tasks to
+    * read one table's rows — task-launch overhead, not data, was the
+    * measured floor of every `dwd_*` query. One partition set keyed
+    * by table (the batch analog of a topic partitioned by table)
+    * keeps per-batch stats homogeneous, so the cached scan still
+    * prunes to the queried table AND launches cores-many tasks. */
   def envelope(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "cdcEnvelope")(
-      LogStream.maxwellEnvelope(envelopeJson(spark, dir)))
+      LogStream.maxwellEnvelope(envelopeJson(spark, dir))
+        .repartition(spark.sparkContext.defaultParallelism, col("table")))
 
   /** The raw JSON fixture — one `value` column of Maxwell envelope
     * lines, deterministically derived from `orders`, `lineitem` and
