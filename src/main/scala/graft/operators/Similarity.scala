@@ -460,8 +460,9 @@ object Similarity {
     }
 
   /** Float fast path (codegen'd CosineSimFloat) — the bench variant of
-    * annTopK; sims differ from the quantized oracle in the last ulps,
-    * so it ships rows-only. */
+    * annTopK. Sims differ from the QUANTIZED oracle in the last ulps,
+    * but the float path has its own bit-exact oracle: a DuckDB
+    * list_reduce replaying the expression's exact IEEE fold order. */
   def annTopKFloat(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
     val e = Tables.spread(spark, Tables.embeddings(spark, dir))
     val q = e.filter(col("vec_id") < nQueries)
@@ -545,5 +546,33 @@ object Similarity {
         |FROM qn a JOIN qn b ON a.vec_id < b.vec_id
         |WHERE CAST(CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS BIGINT) AS DOUBLE)
         |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.3
-        |ORDER BY vec_a, vec_b""".stripMargin))
+        |ORDER BY vec_a, vec_b""".stripMargin),
+    // Bit-exact float-path oracle: CosineSimFloat is a sequential
+    // left-fold in IEEE double (dot/na/nb accumulated in index order,
+    // then dot / (sqrt(na) * sqrt(nb))); list_reduce over the same
+    // per-element products replays the identical operation sequence,
+    // so the doubles match to the last bit — verified, not assumed.
+    "sim_ann_topk_float" ->
+      """WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT a.query_id, b.neighbor_id, ea, eb FROM
+        |    (SELECT vec_id AS query_id, e AS ea FROM ev WHERE vec_id < 32) a
+        |    JOIN (SELECT vec_id AS neighbor_id, e AS eb FROM ev) b ON query_id <> neighbor_id
+        |), scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(ea)+1), i -> ea[i] * eb[i])), (acc, x) -> acc + x) AS dot,
+        |    list_reduce(list_prepend(0.0, list_transform(ea, x -> x * x)), (acc, x) -> acc + x) AS na,
+        |    list_reduce(list_prepend(0.0, list_transform(eb, x -> x * x)), (acc, x) -> acc + x) AS nb
+        |  FROM pairs
+        |), sims AS (
+        |  SELECT query_id, neighbor_id,
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim
+        |  FROM scored
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM sims
+        |)
+        |SELECT query_id, rk, neighbor_id, sim FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin)
 }
