@@ -505,6 +505,41 @@ object Similarity {
     "sim_ann_topk_float" -> ((s, d) => annTopKFloat(s, d)),
     "sim_semantic_dedup" -> ((s, d) => semanticDedup(s, d)))
 
+  /** DuckDB rebuild of the hyperplane-LSH buckets: plane components
+    * are FNV-derived ([[planeComponent]] — low 32 bits / 2^31 − 1, all
+    * steps IEEE-exact), per-plane dots replay HyperplaneBuckets' exact
+    * double fold order, and the per-table code packs sign bits
+    * identically. Yields `buckets(vec_id, t, bucket)` plus `ev` (the
+    * double-cast embeddings) for bit-exact float re-scoring. */
+  private lazy val lshCtes: String = {
+    val nPlanes = NumTables * PlanesPerTable
+    s"""plane_comp AS (
+       |  SELECT p, j,
+       |    CAST(${DuckSql.fnvU("'plane_' || CAST(p AS VARCHAR) || '_' || CAST(j AS VARCHAR)")} % CAST(4294967296 AS HUGEINT) AS DOUBLE) / 2147483648.0 - 1.0 AS comp
+       |  FROM range(0, $nPlanes) tp(p), range(0, 64) tj(j)
+       |),
+       |planes AS (SELECT p, list(comp ORDER BY j) AS pl FROM plane_comp GROUP BY p),
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |plane_dots AS (
+       |  SELECT vec_id, p,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, len(e)+1), i -> e[i] * pl[i])), (acc, x) -> acc + x) AS dot
+       |  FROM ev, planes
+       |),
+       |buckets AS (
+       |  SELECT vec_id, p // $PlanesPerTable AS t,
+       |    CAST(SUM(CASE WHEN dot >= 0 THEN 1 << (p % $PlanesPerTable) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM plane_dots GROUP BY vec_id, p // $PlanesPerTable
+       |)""".stripMargin
+  }
+
+  /** Radius-2 probe set in DuckDB list syntax: the bucket, its 6
+    * Hamming-1 flips, and the 15 Hamming-2 flips (= [[probeBuckets]]
+    * at radius 2). */
+  private def probeList(b: String): String =
+    s"""[$b] ||
+       |    [xor($b, 1 << i) FOR i IN range(0, $PlanesPerTable)] ||
+       |    flatten([[xor(xor($b, 1 << i), 1 << j) FOR j IN range(i + 1, $PlanesPerTable)] FOR i IN range(0, ${PlanesPerTable - 1})])""".stripMargin
+
   private val quantCte =
     """qv AS (
       |  SELECT vec_id,
@@ -574,5 +609,67 @@ object Similarity {
         |  FROM sims
         |)
         |SELECT query_id, rk, neighbor_id, sim FROM ranked WHERE rk <= 5
-        |ORDER BY query_id, rk""".stripMargin)
+        |ORDER BY query_id, rk""".stripMargin,
+    // Full LSH rebuild (buckets + radius-2 probes + bit-exact float
+    // re-score) — the DuckDB twin of annLsh; verified bit-exact.
+    "sim_ann_lsh" ->
+      s"""WITH $lshCtes,
+         |probes AS (
+         |  SELECT t, vec_id AS query_id, unnest(
+         |    ${probeList("bucket")}
+         |  ) AS bucket
+         |  FROM buckets WHERE vec_id < 32
+         |),
+         |cand AS (
+         |  SELECT DISTINCT query_id, b.vec_id AS neighbor_id
+         |  FROM probes p JOIN buckets b ON p.t = b.t AND p.bucket = b.bucket
+         |  WHERE query_id <> b.vec_id
+         |),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, len(ea)+1), i -> ea[i] * eb[i])), (acc, x) -> acc + x) AS dot,
+         |    list_reduce(list_prepend(0.0, list_transform(ea, x -> x * x)), (acc, x) -> acc + x) AS na,
+         |    list_reduce(list_prepend(0.0, list_transform(eb, x -> x * x)), (acc, x) -> acc + x) AS nb
+         |  FROM cand
+         |    JOIN (SELECT vec_id, e AS ea FROM ev) qa ON cand.query_id = qa.vec_id
+         |    JOIN (SELECT vec_id, e AS eb FROM ev) qb ON cand.neighbor_id = qb.vec_id
+         |),
+         |sims AS (
+         |  SELECT query_id, neighbor_id,
+         |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim
+         |  FROM scored
+         |),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+         |  FROM sims
+         |)
+         |SELECT query_id, rk, neighbor_id, sim FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
+    // Same buckets, all-pairs probing (a-side radius 2, a < b), with
+    // the quantized-integer verify — exact division/sqrt on BIGINTs.
+    "sim_neardup_lsh" ->
+      s"""WITH $lshCtes,
+         |$quantCte,
+         |probes AS (
+         |  SELECT t, vec_id AS pa, unnest(
+         |    ${probeList("bucket")}
+         |  ) AS bucket
+         |  FROM buckets
+         |),
+         |cand AS (
+         |  SELECT DISTINCT pa AS vec_a, b.vec_id AS vec_b
+         |  FROM probes p JOIN buckets b ON p.t = b.t AND p.bucket = b.bucket
+         |  WHERE pa < b.vec_id
+         |),
+         |scored AS (
+         |  SELECT vec_a, vec_b,
+         |    CAST(CAST(list_sum([qa.q[i] * qb.q[i] FOR i IN range(1, len(qa.q) + 1)]) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(qa.nrm AS DOUBLE)) * sqrt(CAST(qb.nrm AS DOUBLE))) AS sim
+         |  FROM cand
+         |    JOIN qn qa ON cand.vec_a = qa.vec_id
+         |    JOIN qn qb ON cand.vec_b = qb.vec_id
+         |)
+         |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin)
 }
