@@ -511,7 +511,7 @@ object Similarity {
     * double fold order, and the per-table code packs sign bits
     * identically. Yields `buckets(vec_id, t, bucket)` plus `ev` (the
     * double-cast embeddings) for bit-exact float re-scoring. */
-  private lazy val lshCtes: String = {
+  private def lshCtes(src: String = "embeddings"): String = {
     val nPlanes = NumTables * PlanesPerTable
     s"""plane_comp AS (
        |  SELECT p, j,
@@ -519,7 +519,7 @@ object Similarity {
        |  FROM range(0, $nPlanes) tp(p), range(0, 64) tj(j)
        |),
        |planes AS (SELECT p, list(comp ORDER BY j) AS pl FROM plane_comp GROUP BY p),
-       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM $src),
        |plane_dots AS (
        |  SELECT vec_id, p,
        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(e)+1), i -> e[i] * pl[i])), (acc, x) -> acc + x) AS dot
@@ -532,24 +532,78 @@ object Similarity {
        |)""".stripMargin
   }
 
-  /** Radius-2 probe set in DuckDB list syntax: the bucket, its 6
-    * Hamming-1 flips, and the 15 Hamming-2 flips (= [[probeBuckets]]
-    * at radius 2). */
-  private def probeList(b: String): String =
-    s"""[$b] ||
-       |    [xor($b, 1 << i) FOR i IN range(0, $PlanesPerTable)] ||
-       |    flatten([[xor(xor($b, 1 << i), 1 << j) FOR j IN range(i + 1, $PlanesPerTable)] FOR i IN range(0, ${PlanesPerTable - 1})])""".stripMargin
+  /** Probe set in DuckDB list syntax: the bucket, its 6 Hamming-1
+    * flips, and (radius 2) the 15 Hamming-2 flips — [[probeBuckets]]
+    * verbatim. */
+  private def probeList(b: String, radius: Int = 2): String = {
+    val h1 = s"[xor($b, 1 << i) FOR i IN range(0, $PlanesPerTable)]"
+    val h2 = s"flatten([[xor(xor($b, 1 << i), 1 << j) FOR j IN range(i + 1, $PlanesPerTable)] FOR i IN range(0, ${PlanesPerTable - 1})])"
+    if (radius >= 2) s"[$b] ||\n    $h1 ||\n    $h2"
+    else s"[$b] ||\n    $h1"
+  }
 
-  private val quantCte =
-    """qv AS (
+  /** The planted corpus rebuilt in DuckDB: Spark's 32-bit Murmur3
+    * (`hash(vec_id, i)`, seed 42 — hashLong then hashInt, every mix
+    * step as chained-CTE mod-2^32 arithmetic) decides the ±30% jitter
+    * parity per component, the factor expression replays the engine's
+    * exact double ops, and the product rounds to FLOAT like the
+    * engine's CAST. Yields `corpus(vec_id, embedding)` = originals ∪
+    * jittered copies at id + 2^20. NOTE: the jitter hash reads the
+    * ORIGINAL vec_id (in the engine both projections of one select see
+    * input columns), while the output id carries the offset. */
+  private lazy val plantedCtes: String = {
+    def mul32(a: String, c: Long) = s"CAST((CAST($a AS HUGEINT) * $c) % 4294967296 AS BIGINT)"
+    def rotl(x: String, r: Int) = s"((($x) * ${1L << r}) % 4294967296 + ($x) // ${1L << (32 - r)})"
+    def mixK1(x: String) = mul32(rotl(mul32(x, 0xcc9e2d51L), 15), 0x1b873593L)
+    def mixH1(h: String, k: String) =
+      s"(((${rotl(s"xor($h, $k)", 13)}) * 5 + ${0xe6546b64L}) % 4294967296)"
+    s"""orig AS (SELECT vec_id, embedding FROM embeddings),
+       |exploded AS (
+       |  SELECT vec_id, i - 1 AS i, embedding[i] AS comp
+       |  FROM orig, UNNEST(range(1, len(embedding) + 1)) t(i)
+       |),
+       |mm0 AS (
+       |  SELECT vec_id, i, comp,
+       |    vec_id % 4294967296 AS lo, (vec_id // 4294967296) % 4294967296 AS hi
+       |  FROM exploded
+       |),
+       |mm1 AS (SELECT *, ${mixK1("lo")} AS k1, ${mixK1("hi")} AS k2 FROM mm0),
+       |mm2 AS (SELECT *, ${mixH1("42", "k1")} AS h1 FROM mm1),
+       |mm3 AS (SELECT *, ${mixH1("h1", "k2")} AS h2 FROM mm2),
+       |mm4 AS (SELECT *, xor(h2, 8) AS f1 FROM mm3),
+       |mm5 AS (SELECT *, xor(f1, f1 // 65536) AS f2 FROM mm4),
+       |mm6 AS (SELECT *, ${mul32("f2", 0x85ebca6bL)} AS f3 FROM mm5),
+       |mm7 AS (SELECT *, xor(f3, f3 // 8192) AS f4 FROM mm6),
+       |mm8 AS (SELECT *, ${mul32("f4", 0xc2b2ae35L)} AS f5 FROM mm7),
+       |mm9 AS (SELECT *, xor(f5, f5 // 65536) AS hL FROM mm8),
+       |mm10 AS (SELECT *, ${mixK1("i % 4294967296")} AS k3 FROM mm9),
+       |mm11 AS (SELECT *, ${mixH1("hL", "k3")} AS g1 FROM mm10),
+       |mm12 AS (SELECT *, xor(g1, 4) AS g2 FROM mm11),
+       |mm13 AS (SELECT *, xor(g2, g2 // 65536) AS g3 FROM mm12),
+       |mm14 AS (SELECT *, ${mul32("g3", 0x85ebca6bL)} AS g4 FROM mm13),
+       |mm15 AS (SELECT *, xor(g4, g4 // 8192) AS g5 FROM mm14),
+       |mm16 AS (SELECT *, ${mul32("g5", 0xc2b2ae35L)} AS g6 FROM mm15),
+       |mm17 AS (SELECT vec_id, i, comp, xor(g6, g6 // 65536) % 2 AS parity FROM mm16),
+       |jittered AS (
+       |  SELECT vec_id + $PlantOffset AS vec_id,
+       |    CAST(list(CAST(CAST(comp AS DOUBLE) * (1.0 + 0.3 * (CAST(parity AS DOUBLE) * 2.0 - 1.0)) AS FLOAT) ORDER BY i) AS FLOAT[]) AS embedding
+       |  FROM mm17 GROUP BY vec_id
+       |),
+       |corpus AS (SELECT * FROM orig UNION ALL SELECT * FROM jittered)""".stripMargin
+  }
+
+  private def quantCteOn(src: String) =
+    s"""qv AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-      |  FROM embeddings
+      |  FROM $src
       |), qn AS (
       |  SELECT vec_id, q,
       |    CAST(list_sum([q[i] * q[i] FOR i IN range(1, len(q) + 1)]) AS BIGINT) AS nrm
       |  FROM qv
       |)""".stripMargin
+
+  private val quantCte = quantCteOn("embeddings")
 
   val oracles: Map[String, String] = Map(
     "sim_embedding_stats" -> (s"WITH $quantCte\n" +
@@ -613,7 +667,7 @@ object Similarity {
     // Full LSH rebuild (buckets + radius-2 probes + bit-exact float
     // re-score) — the DuckDB twin of annLsh; verified bit-exact.
     "sim_ann_lsh" ->
-      s"""WITH $lshCtes,
+      s"""WITH ${lshCtes()},
          |probes AS (
          |  SELECT t, vec_id AS query_id, unnest(
          |    ${probeList("bucket")}
@@ -649,7 +703,7 @@ object Similarity {
     // Same buckets, all-pairs probing (a-side radius 2, a < b), with
     // the quantized-integer verify — exact division/sqrt on BIGINTs.
     "sim_neardup_lsh" ->
-      s"""WITH $lshCtes,
+      s"""WITH ${lshCtes()},
          |$quantCte,
          |probes AS (
          |  SELECT t, vec_id AS pa, unnest(
@@ -671,5 +725,32 @@ object Similarity {
          |    JOIN qn qb ON cand.vec_b = qb.vec_id
          |)
          |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Planted-regime evaluation: murmur3-jittered corpus (plantedCtes)
+    // through the same LSH machinery at radius 1, t = 0.9.
+    "sim_neardup_planted" ->
+      s"""WITH $plantedCtes,
+         |${lshCtes("corpus")},
+         |${quantCteOn("corpus")},
+         |probes AS (
+         |  SELECT t, vec_id AS pa, unnest(
+         |    ${probeList("bucket", radius = 1)}
+         |  ) AS bucket
+         |  FROM buckets
+         |),
+         |cand AS (
+         |  SELECT DISTINCT pa AS vec_a, b.vec_id AS vec_b
+         |  FROM probes p JOIN buckets b ON p.t = b.t AND p.bucket = b.bucket
+         |  WHERE pa < b.vec_id
+         |),
+         |scored AS (
+         |  SELECT vec_a, vec_b,
+         |    CAST(CAST(list_sum([qa.q[i] * qb.q[i] FOR i IN range(1, len(qa.q) + 1)]) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(qa.nrm AS DOUBLE)) * sqrt(CAST(qb.nrm AS DOUBLE))) AS sim
+         |  FROM cand
+         |    JOIN qn qa ON cand.vec_a = qa.vec_id
+         |    JOIN qn qb ON cand.vec_b = qb.vec_id
+         |)
+         |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.9
          |ORDER BY vec_a, vec_b""".stripMargin)
 }
