@@ -635,10 +635,17 @@ object GmallDwdDb {
     * Output matches [[tradeOrderDetailWideOn]] minus `pt`/`old`
     * (processing-time / map columns a flat streaming sink drops);
     * GmallDwdDbSpec asserts at-rest equality with the batch form and
-    * D2 latest-wins collapsing the per-mutation wide variants. */
+    * D2 latest-wins collapsing the per-mutation wide variants.
+    *
+    * `keepEventTime` retains the detail-side watermarked `od_et`
+    * column: a DOWNSTREAM stateful operator (e.g. a windowed DWS agg
+    * chained in the same query) must window on an already-watermarked
+    * column — re-calling withWatermark after a stateful operator is
+    * disallowed under multiple-stateful-operator support. */
   def tradeOrderDetailStreamOn(env: DataFrame, dic: DataFrame,
                                boundSec: Long = 3L * 24 * 3600,
-                               wmDelay: String = "2 seconds"): DataFrame = {
+                               wmDelay: String = "2 seconds",
+                               keepEventTime: Boolean = false): DataFrame = {
     val od = orderDetailSliceOn(env)
       .withColumn("od_et", timestamp_seconds(col("ts"))).withWatermark("od_et", wmDelay)
     val oi = orderInfoSliceOn(env)
@@ -653,9 +660,11 @@ object GmallDwdDb {
       "od_et", "oa_et", boundSec, boundSec, joinType = "leftOuter")
     val j3 = Joins.streamStream(j2, oc, "order_detail_id", "oc_order_detail_id",
       "od_et", "oc_et", boundSec, boundSec, joinType = "leftOuter")
+    val dropped = Seq("oi_id", "oa_order_detail_id", "oc_order_detail_id", "dic_code",
+      "oi_ts", "oa_ts", "oc_ts", "oi_et", "oa_et", "oc_et", "pt", "old") ++
+      (if (keepEventTime) Nil else Seq("od_et"))
     j3.join(broadcast(dic), col("source_type") === dic("dic_code"))
-      .drop("oi_id", "oa_order_detail_id", "oc_order_detail_id", "dic_code",
-        "oi_ts", "oa_ts", "oc_ts", "od_et", "oi_et", "oa_et", "oc_et", "pt", "old")
+      .drop(dropped: _*)
   }
 
   private def wideNamed(wide: DataFrame): DataFrame =

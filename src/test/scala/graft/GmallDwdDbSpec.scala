@@ -15,6 +15,19 @@ class GmallDwdDbSpec extends AnyFunSuite {
 
   private lazy val env = GmallDwdDb.envelope(spark, sf)
 
+  // hand-authored CDC lines with realistic arrival-time spacing (all
+  // envelopes of one order within seconds — the regime the reference's
+  // 3-day TTL assumes; the parquet-derived fixture spreads od/oi event
+  // times by months, so it exercises the BATCH form only)
+  private def od(id: String, order: String, st: String, t: Long) =
+    s"""{"database":"g","table":"order_detail","type":"insert","data":{"id":"$id","order_id":"$order","sku_id":"7","sku_name":"sku_7","order_price":"10.00","sku_num":"2","create_time":"1995-03-01 00:00:00","source_type":"$st","source_id":"3","split_total_amount":"19.00","split_activity_amount":"0.50","split_coupon_amount":"0.50"},"ts":$t}"""
+  private def oi(order: String, typ: String, status: String, old: String, t: Long) =
+    s"""{"database":"g","table":"order_info","type":"$typ","data":{"id":"$order","consignee":"n","total_amount":"20.00","order_status":"$status","user_id":"42","province_id":"${(order.toLong % 25).toString}","operate_time":"1995-03-01 01:00:00","original_total_amount":"20.00","activity_reduce_amount":"0.50","coupon_reduce_amount":"0.50"}$old,"ts":$t}"""
+  private def oa(detail: String, t: Long) =
+    s"""{"database":"g","table":"order_detail_activity","type":"insert","data":{"order_detail_id":"$detail","activity_id":"5","activity_rule_id":"8","create_time":"1995-03-01 00:00:00"},"ts":$t}"""
+  private def oc(detail: String, t: Long) =
+    s"""{"database":"g","table":"order_detail_coupon","type":"insert","data":{"order_detail_id":"$detail","coupon_id":"9","coupon_use_id":"cu9","create_time":"1995-03-01 00:00:00"},"ts":$t}"""
+
   test("fixture contains negative envelopes for every filter") {
     // coupon_use updates whose old has neither using_time nor used_time
     assert(env.filter(col("table") === "coupon_use" && col("type") === "update" &&
@@ -110,18 +123,6 @@ class GmallDwdDbSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.streaming.Stateful
 
-    // hand-authored CDC lines with realistic arrival-time spacing (all
-    // envelopes of one order within seconds — the regime the reference's
-    // 3-day TTL assumes; the parquet-derived fixture spreads od/oi event
-    // times by months, so it exercises the BATCH form only)
-    def od(id: String, order: String, st: String, t: Long) =
-      s"""{"database":"g","table":"order_detail","type":"insert","data":{"id":"$id","order_id":"$order","sku_id":"7","sku_name":"sku_7","order_price":"10.00","sku_num":"2","create_time":"1995-03-01 00:00:00","source_type":"$st","source_id":"3","split_total_amount":"19.00","split_activity_amount":"0.50","split_coupon_amount":"0.50"},"ts":$t}"""
-    def oi(order: String, typ: String, status: String, old: String, t: Long) =
-      s"""{"database":"g","table":"order_info","type":"$typ","data":{"id":"$order","consignee":"n","total_amount":"20.00","order_status":"$status","user_id":"42","province_id":"5","operate_time":"1995-03-01 01:00:00","original_total_amount":"20.00","activity_reduce_amount":"0.50","coupon_reduce_amount":"0.50"}$old,"ts":$t}"""
-    def oa(detail: String, t: Long) =
-      s"""{"database":"g","table":"order_detail_activity","type":"insert","data":{"order_detail_id":"$detail","activity_id":"5","activity_rule_id":"8","create_time":"1995-03-01 00:00:00"},"ts":$t}"""
-    def oc(detail: String, t: Long) =
-      s"""{"database":"g","table":"order_detail_coupon","type":"insert","data":{"order_detail_id":"$detail","coupon_id":"9","coupon_use_id":"cu9","create_time":"1995-03-01 00:00:00"},"ts":$t}"""
     val lines = Seq(
       od("d1", "1", "2401", 100), // activity-decorated, order mutates → 2 variants
       od("d2", "1", "2402", 100), // no decorations → null padding
@@ -195,6 +196,72 @@ class GmallDwdDbSpec extends AnyFunSuite {
     assert(gotD2 == wantD2, "streaming D2 diverged from batch row_number form")
     assert(wantD2("d1") == "update|1002" && wantD2("d2") == "update|1002")
     assert(wantD2("d3") == "insert|1001" && !wantD2.contains("d9"))
+  }
+
+  test("flagship stream chains into a windowed DWS agg (one query, 4 stateful operators)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    // the reference's DWD→DWS dataflow as ONE streaming query: the
+    // 3-join flagship wide stream feeding a tumbling province window —
+    // Spark's multiple-stateful-operator support, proven at-rest equal
+    // to the batch form
+    // every detail carries its activity/coupon decorations: MATCHED
+    // left-outer rows emit eagerly and flow into the window while it
+    // is open. (Null-padded rows emit only at watermark close, by
+    // which point the downstream agg's late-record filter — delayed by
+    // the joins' 3-day bounds — already passed their event time, so a
+    // chained window never counts them: the documented Spark
+    // multiple-stateful-operator caveat. Production shape: land the
+    // wide stream in the topic/table hop — the D2 test's path — when
+    // unmatched rows matter to downstream aggregations.)
+    val lines = Seq(
+      od("w1", "1", "2401", 100), od("w2", "1", "2402", 110), od("w3", "2", "2403", 200),
+      od("w9", "9", "2404", 300), // order_info never arrives → dropped
+      oa("w1", 102), oc("w1", 103), oa("w2", 111), oc("w2", 112),
+      oa("w3", 202), oc("w3", 203),
+      oi("1", "insert", "1001", "", 101),
+      oi("1", "update", "1002", ""","old":{"order_status":"1001"}""", 150),
+      oi("2", "insert", "1001", "", 201))
+    val dic = GmallDwdDb.baseDic(spark)
+    // windows on `etCol`: the stream reuses the join's watermarked
+    // od_et (re-watermarking after a stateful operator is disallowed);
+    // the batch expectation derives the same instant from ts
+    def windowed(wide: org.apache.spark.sql.DataFrame, etCol: org.apache.spark.sql.Column) = wide
+      .groupBy(window(etCol, "60 seconds"), col("province_id"))
+      .agg(count(lit(1)).as("row_ct"))
+      .select(col("window.start").cast("long").as("ws"), col("province_id"), col("row_ct"))
+    val benv = LogStream.maxwellEnvelope(lines.toDF("value"))
+    val want = windowed(GmallDwdDb.tradeOrderDetailWideOn(
+        GmallDwdDb.orderDetailSliceOn(benv), GmallDwdDb.orderInfoSliceOn(benv),
+        GmallDwdDb.activitySliceOn(benv), GmallDwdDb.couponSliceOn(benv), dic),
+      timestamp_seconds(col("ts")))
+      .collect().map(_.toString).toSet
+
+    val mem = MemoryStream[String](spark)
+    val agg = windowed(
+      GmallDwdDb.tradeOrderDetailStreamOn(LogStream.maxwellEnvelope(mem.toDF()), dic,
+        keepEventTime = true),
+      col("od_et"))
+    val q = agg.writeStream.format("memory").queryName("flagship_dws")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(lines)
+    q.processAllAvailable()
+    // sentinels must SURVIVE the inner join (matching od+oi ids) so the
+    // window operator observes their event time and closes the real
+    // windows; one extra round for the agg's additional watermark hop
+    (1 to 5).foreach { r =>
+      val t = 5000000L * r
+      mem.addData(Seq(od(s"sd$r", s"90$r", "2401", t), oi(s"90$r", "insert", "1001", "", t),
+        oa(s"sx$r", t), oc(s"sy$r", t)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("flagship_dws")
+      .filter(col("ws") < 1000000L) // sentinel windows start near 5M·r
+      .collect().map(_.toString).toSet
+    assert(want.nonEmpty && got == want,
+      s"streaming DWD→DWS window diverged: got=$got want=$want")
   }
 
   test("flagship wide plan: broadcast dic lookup, shuffle fact joins, no cartesian") {

@@ -278,4 +278,43 @@ object GraftProps extends Properties("graft") {
       val run = Seq.fill(n)(Seq("中", "文", "分", "词", "器")((n * 7) % 5)).mkString
       Tokenizer.segment(run).size == n - 1
     }
+
+  // ---------------------------------------- media header probe (pure)
+
+  import graft.functions.MediaHeaders
+
+  private val genDim = Gen.choose(1, 0xFFFF)
+
+  property("MediaHeaders: PNG round-trip over random dims and color types") =
+    forAll(genDim, genDim, Gen.oneOf(0, 2, 3, 4, 6)) { (w, h, ct) =>
+      val bs = (Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a,
+        0, 0, 0, 13, 'I'.toInt, 'H'.toInt, 'D'.toInt, 'R'.toInt,
+        w >> 24, (w >> 16) & 255, (w >> 8) & 255, w & 255,
+        h >> 24, (h >> 16) & 255, (h >> 8) & 255, h & 255,
+        8, ct, 0, 0, 0, 9) map (_.toByte))
+      val ch = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)(ct)
+      MediaHeaders.packedInfo(bs) == MediaHeaders.pack(MediaHeaders.FmtPng, w, h, ch, 0)
+    }
+
+  property("MediaHeaders: JPEG marker scan skips variable segments to SOFn") =
+    forAll(genDim, genDim, Gen.choose(1, 4), Gen.choose(0, 30)) { (w, h, comps, pad) =>
+      // SOI + a COM segment of `pad` content bytes + SOF0
+      val com = Array(0xff, 0xfe, (pad + 2) >> 8, (pad + 2) & 255) ++ Array.fill(pad)(0x41)
+      val bs = (Array(0xff, 0xd8) ++ com ++
+        Array(0xff, 0xc0, 0, 17, 8, h >> 8, h & 255, w >> 8, w & 255, comps) ++
+        Array.fill(9)(0)) map (_.toByte)
+      MediaHeaders.packedInfo(bs) == MediaHeaders.pack(MediaHeaders.FmtJpeg, w, h, comps, 0)
+    }
+
+  property("MediaHeaders: WAV fmt chunk round-trip; truncation never throws") =
+    forAll(Gen.choose(1, 8), Gen.choose(1, 0xFFFF), Gen.choose(0, 44)) { (ch, rate, cut) =>
+      val full = ("RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVEfmt ".getBytes ++
+        (Array(16, 0, 0, 0, 1, 0, ch & 255, ch >> 8,
+          rate & 255, (rate >> 8) & 255, (rate >> 16) & 255, rate >> 24,
+          0, 0, 0, 0, 4, 0, 16, 0) map (_.toByte)))
+      val whole = MediaHeaders.packedInfo(full) ==
+        MediaHeaders.pack(MediaHeaders.FmtWav, 0, 0, ch, rate)
+      val truncated = MediaHeaders.packedInfo(full.take(cut)) // must not throw
+      whole && (truncated == 0L || cut >= 2)
+    }
 }
