@@ -83,6 +83,61 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Transitive dedup groups: connected components of the verified
+    * near-dup pair graph (the [[ngramJaccard]] pairs) via min-label
+    * propagation to fixpoint. Real pipelines collapse duplicate
+    * GROUPS, not 1-hop neighbor pairs: A≈B≈C must land in one group
+    * even when A and C never co-bucket ([[minhashLsh]]'s rep map is
+    * the 1-hop approximation of this closure).
+    *
+    * Scale notes: each round is one shuffle (edges ⋈ labels, groupBy
+    * min) and the round count is the component diameter; graphs with
+    * long chains should switch to alternating large-star/small-star
+    * contraction (O(log n) rounds, same join shapes, edge-rewrite per
+    * round) — the direct form here keeps oracle-checkable fixpoint
+    * semantics. Two load-bearing details: (1) each round's labels are
+    * `localCheckpoint`ed — without truncating lineage the plan doubles
+    * per round and the driver OOMs building a 2^k-node tree long before
+    * any executor does real work (at cluster scale use reliable
+    * `checkpoint` so a lost executor can't drop a round); (2) only
+    * vertices that appear in an edge enter the loop — isolated docs
+    * (the overwhelming majority of a real corpus) are their own rep by
+    * definition and are glued back with one left join at the end, so
+    * loop cost scales with the near-dup graph, not the corpus. The
+    * driver reads one convergence count per round; labels never leave
+    * executors. */
+  def dedupComponents(spark: SparkSession, dir: String, maxIter: Int = 30): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("rep_doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("rep_doc_id").as("nrep")), "doc_b")
+        .groupBy(col("doc_a")).agg(min(col("nrep")).as("nmin"))
+        .withColumnRenamed("doc_a", "doc_id")
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep_doc_id"), coalesce(col("nmin"), col("rep_doc_id"))).as("rep_doc_id"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.select(col("doc_id"), col("rep_doc_id").as("old")), "doc_id")
+        .filter(col("rep_doc_id") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("rep_doc_id", "rep"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep_doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val NumHashes = 32
   val BandSize = 4
   val NumBands: Int = NumHashes / BandSize // 8
@@ -323,30 +378,36 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => exact(s, d)),
+    "dedup_components" -> ((s, d) => dedupComponents(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "dedup_ingest_lsh" -> ((s, d) => ingestLsh(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)))
 
+  /** Shared ngram pair CTE bodies: `pairs(doc_a, doc_b, inter)` +
+    * `sizes(doc_id, n)` from the raw (uncapped) inverted index. */
+  private val ngramPairCtes: String =
+    """t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+      |    ELSE [toks[i] || '_' || toks[i+1] || '_' || toks[i+2] FOR i IN range(1, len(toks) - 1)] END) AS sh
+      |  FROM t
+      |), sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+      |inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY rep_doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |), sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
-        |    ELSE [toks[i] || '_' || toks[i+1] || '_' || toks[i+2] FOR i IN range(1, len(toks) - 1)] END) AS sh
-        |  FROM t
-        |), sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
-        |inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |)
+      s"""WITH $ngramPairCtes
         |SELECT doc_a, doc_b, inter,
         |  CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
         |FROM pairs
@@ -354,6 +415,25 @@ object Dedup {
         |  JOIN sizes nb ON pairs.doc_b = nb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Transitive closure of the same pair graph: a recursive min-label
+    // reachability CTE — pure set semantics, so the fixpoint matches
+    // the engine's label propagation exactly.
+    "dedup_components" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |    JOIN sizes na ON pairs.doc_a = na.doc_id
+        |    JOIN sizes nb ON pairs.doc_b = nb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
+        |),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach AS (
+        |  SELECT doc_id AS u, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        |)
+        |SELECT u AS doc_id, MIN(r) AS rep_doc_id FROM reach GROUP BY u
+        |ORDER BY doc_id""".stripMargin,
     // SimHash is FNV-over-tokens + bit votes — fully reproducible in
     // DuckDB (DuckSql.simhashCtes runs the same wrapping arithmetic in
     // HUGEINT). The pairs oracle is the EXACT Hamming<=3 pair set: the

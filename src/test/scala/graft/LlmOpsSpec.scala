@@ -64,6 +64,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nCandUncapped >= 7140, s"uncapped control should be all-pairs, got $nCandUncapped")
   }
 
+  test("dedup components = union-find closure of the verified pair graph") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val labels = Dedup.dedupComponents(spark, sf)
+      .select("doc_id", "rep_doc_id").as[(Long, Long)].collect().toMap
+    // driver-side union-find ground truth over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // every doc labeled, rep = min doc_id of its true component
+    labels.foreach { case (d, r) =>
+      assert(r == find(d), s"doc $d: rep $r != union-find root ${find(d)}")
+    }
+    // idempotence: a representative is its own representative
+    labels.values.foreach(r => assert(labels(r) == r, s"rep $r is not a fixpoint"))
+    // sanity: the graph actually has multi-hop chains to close (A≈B≈C
+    // with no direct A-C edge), or the test proves nothing
+    val direct = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val transitiveOnly = labels.exists { case (d, r) =>
+      d != r && !direct.getOrElse(d, Set.empty).contains(r)
+    }
+    assert(transitiveOnly, "fixture has no multi-hop component; closure untested")
+  }
+
   test("simhash pairs = exact Hamming<=3 pairs (pigeonhole guarantees recall)") {
     import spark.implicits._
     val sigs = Dedup.simhash(spark, sf).select("doc_id", "simhash")
