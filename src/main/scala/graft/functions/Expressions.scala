@@ -32,6 +32,8 @@ object GraftExpressions {
     toColumn(NearestCentroidsFloat(toExpression(vec), centIds, cents, k))
   def segmentTokens(c: Column): Column = toColumn(SegmentTokens(toExpression(c)))
   def mediaHeader(c: Column): Column = toColumn(MediaHeaderInfo(toExpression(c)))
+  def minhashSetAgg(hash: Column, numHashes: Int): Column =
+    toColumn(MinHashSetAgg(toExpression(hash), numHashes).toAggregateExpression())
 }
 
 
@@ -695,5 +697,84 @@ case class NearestCentroidsFloat(child: Expression, centIds: Array[Int],
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidsFloat =
+    copy(child = newChild)
+}
+
+/** MinHash signature of a SET OF ROWS: the grouped-aggregate form of
+  * [[MinHashSignature]] (same permutation family, slot i minimizes
+  * (2i+1)·x + (φ64+i) mod 2⁶¹−1 with Java wrapping arithmetic), so a
+  * group's signature equals the scalar expression applied to the
+  * group's element array — one signature per `groupBy` key instead of
+  * one per document.
+  *
+  * This is the corpus-level similarity primitive: per-source (or
+  * per-dump, per-snapshot) signatures estimate cross-corpus Jaccard as
+  * the fraction of agreeing slots — comparing two 10-TB crawls costs
+  * two aggregations plus a 32-row join, no pairwise document work.
+  * Partial aggregation applies (map-side combine: the buffer is a
+  * slot-wise running min, merge is slot-wise min), so the shuffle
+  * carries one numHashes-long buffer per (partition, key), not the
+  * element stream.
+  */
+case class MinHashSetAgg(
+    child: Expression,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  private val Prime = (1L << 61) - 1
+  private val Golden = 0x9e3779b97f4a7c15L
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(child.dataType == LongType,
+      s"graft_minhash_set_agg requires a BIGINT element hash, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var i = 0
+      while (i < numHashes) {
+        val m = ((2L * i + 1L) * x + (Golden + i)) % Prime
+        val pm = if (m < 0) m + Prime else m
+        if (pm < buf(i)) buf(i) = pm
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(numHashes * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(numHashes)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSetAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashSetAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSetAgg =
     copy(child = newChild)
 }

@@ -62,5 +62,12 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_media_header",
         "graft_media_header(bin) - packed PNG/JPEG/WAV header info: [format:4][width:20][height:20][channels:4][sample_rate:16]"),
       (args: Seq[Expression]) => { arity(args, 1, "graft_media_header"); MediaHeaderInfo(args.head) }))
+
+    ext.injectFunction((FunctionIdentifier("graft_minhash_set_agg"),
+      info("graft_minhash_set_agg",
+        "graft_minhash_set_agg(hash, n) - aggregate: n-permutation minhash signature of the group's hash set"),
+      (args: Seq[Expression]) => { arity(args, 2, "graft_minhash_set_agg")
+        MinHashSetAgg(args.head, intArg(args(1), "graft_minhash_set_agg"))
+          .toAggregateExpression() }))
   }
 }

@@ -83,6 +83,15 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Default-parameter [[ngramJaccard]] output, memoized per
+    * (session, dir): the verified near-dup pair set is the shared
+    * upstream of the pair listing, the transitive-closure grouping and
+    * the cross-source matrix — computing the inverted-index self-join
+    * once and persisting is the same shared-frame design as the DWS
+    * memo (one materialization, many consumers). */
+  private def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dedup_ngram_pairs")(ngramJaccard(spark, dir))
+
   /** Transitive dedup groups: connected components of the verified
     * near-dup pair graph (the [[ngramJaccard]] pairs) via min-label
     * propagation to fixpoint. Real pipelines collapse duplicate
@@ -107,7 +116,7 @@ object Dedup {
     * driver reads one convergence count per round; labels never leave
     * executors. */
   def dedupComponents(spark: SparkSession, dir: String, maxIter: Int = 30): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
@@ -121,14 +130,14 @@ object Dedup {
         .join(labels.select(col("doc_id").as("doc_b"), col("rep_doc_id").as("nrep")), "doc_b")
         .groupBy(col("doc_a")).agg(min(col("nrep")).as("nmin"))
         .withColumnRenamed("doc_a", "doc_id")
+      // old and new label side by side in ONE join: the checkpointed
+      // frame serves both the convergence count and the next round
       val updated = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("rep_doc_id").as("old_rep"),
           least(col("rep_doc_id"), coalesce(col("nmin"), col("rep_doc_id"))).as("rep_doc_id"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.select(col("doc_id"), col("rep_doc_id").as("old")), "doc_id")
-        .filter(col("rep_doc_id") =!= col("old")).count()
-      labels = updated
+      val changed = updated.filter(col("rep_doc_id") =!= col("old_rep")).count()
+      labels = updated.select(col("doc_id"), col("rep_doc_id"))
       converged = changed == 0
       i += 1
     }
@@ -136,6 +145,128 @@ object Dedup {
       .join(labels.withColumnRenamed("rep_doc_id", "rep"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep_doc_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Exact-substring overlap pairs: documents sharing at least one
+    * verbatim run of [[SubstringK]] consecutive tokens (the windowed-
+    * hash approximation of suffix-array exact-substring dedup — a long
+    * shared substring of length L ≥ k is witnessed by L−k+1 shared
+    * k-windows, so recall for runs ≥ k tokens is exact up to hash
+    * collisions). Emits (doc_a, doc_b, shared_windows); shared_windows
+    * approximates overlap mass in tokens.
+    *
+    * Scale shape: identical to [[ngramJaccard]] — one fused codegen
+    * scan hashes every k-window (no window strings materialized), a
+    * broadcast hot-window blacklist bounds the inverted-index self-join
+    * (a window shared by df docs otherwise emits df²/2 rows on one
+    * reducer), and only candidate pairs are ever paired. k = 8 makes a
+    * chance window collision ~vocab⁻⁸ — hot windows are real
+    * boilerplate, which exact/minhash dedup already collapse. */
+  def substringPairs(spark: SparkSession, dir: String, k: Int = SubstringK,
+                     dfCap: Int = HotShingleDfCap): DataFrame =
+    substringPairsOn(Tables.spread(spark, Tables.documents(spark, dir)), k, dfCap)
+
+  /** [[substringPairs]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def substringPairsOn(docs: DataFrame, k: Int = SubstringK,
+                                      dfCap: Int = HotShingleDfCap): DataFrame = {
+    val win = docs.select(col("doc_id"),
+      explode(GraftExpressions.shingleHashes(toks(col("text")), k)).as("w"))
+    val hot = win.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("w"))
+    val rare = win.join(broadcast(hot), Seq("w"), "left_anti")
+    rare.as("a").join(rare.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val SubstringK = 8
+
+  /** Cross-source duplication matrix: for every unordered source pair,
+    * how many verified near-dup pairs straddle it and how many distinct
+    * documents they involve — the curation report that tells you which
+    * crawls/dumps mirror each other before you weight them. Diagonal
+    * rows (source_x = source_y) are within-source duplication.
+    *
+    * Scale shape: the expensive part is [[ngramJaccard]]'s candidate
+    * generation, shared work; this adds two equi-joins of the (small)
+    * pair set against the doc→source projection and a grouped count —
+    * the distinct-doc count shuffles only pair-touched doc ids. */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val tagged = verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      .join(meta.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(meta.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"),
+        col("doc_a"), col("doc_b"))
+    val pairCt = tagged.groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("pair_count"))
+    val docCt = tagged.select(col("source_x"), col("source_y"), col("doc_a").as("doc_id"))
+      .unionByName(tagged.select(col("source_x"), col("source_y"), col("doc_b").as("doc_id")))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(countDistinct(col("doc_id")).as("doc_count"))
+    pairCt.join(docCt, Seq("source_x", "source_y"))
+      .orderBy(col("source_x"), col("source_y"))
+  }
+
+  /** Per-source corpus minhash signatures via the grouped-aggregate
+    * form ([[graft.functions.MinHashSetAgg]]): each source's signature
+    * is the 32-permutation minima over the UNION of its documents'
+    * shingle hashes — the corpus-level fingerprint that lets two
+    * crawls/dumps be compared for overlap without any per-document
+    * pairwise work. Long format (source, h_idx, h_min) so the driver
+    * hash-compare sees scalar columns.
+    *
+    * Scale shape: one shingle scan (fused codegen), then a partial-
+    * aggregating groupBy — map-side combine reduces each (partition,
+    * source) to one 32-long buffer before the shuffle, so signature
+    * cost is scan-bound regardless of corpus size. */
+  def sourceSignatures(spark: SparkSession, dir: String): DataFrame =
+    sourceSignatureWide(spark, dir)
+      .select(col("source"), posexplode(col("sig")))
+      .select(col("source"), col("pos").cast(LongType).as("h_idx"), col("col").as("h_min"))
+      .orderBy(col("source"), col("h_idx"))
+
+  private def sourceSignatureWide(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("source"), explode(GraftExpressions.shingleHashes(toks(col("text")), 3)).as("x"))
+      .groupBy(col("source"))
+      .agg(GraftExpressions.minhashSetAgg(col("x"), NumHashes).as("sig"))
+
+  /** Estimated vs exact cross-source Jaccard: for every source pair,
+    * the number of agreeing signature slots ([[sourceSignatures]] —
+    * agree_ct/32 estimates J) next to the EXACT distinct-shingle
+    * intersection and set sizes, so the estimate's error is visible in
+    * the result itself.
+    *
+    * Scale shape: the estimate side joins 32·S signature rows (S =
+    * source count) — trivial at any corpus size; that is the entire
+    * point of corpus-level signatures. The exact side (the accuracy
+    * audit) self-joins the per-source distinct shingle index; each
+    * shingle's fan-out is bounded by S, so pair volume ≤ S²/2 per
+    * shingle — it scales with sources, not documents. */
+  def sourceJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sig = sourceSignatures(spark, dir)
+    val est = sig.as("a").join(sig.as("b"),
+        col("a.h_idx") === col("b.h_idx") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_x"), col("b.source").as("source_y"))
+      .agg(sum(when(col("a.h_min") === col("b.h_min"), 1L).otherwise(0L)).as("agree_ct"))
+    val dinv = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("source"), explode(GraftExpressions.shingleHashes(toks(col("text")), 3)).as("x"))
+      .distinct()
+    val sizes = dinv.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = dinv.as("a").join(dinv.as("b"),
+        col("a.x") === col("b.x") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_x"), col("b.source").as("source_y"))
+      .agg(count(lit(1)).as("inter_ct"))
+    est.join(inter, Seq("source_x", "source_y"), "left")
+      .join(sizes.select(col("source").as("source_x"), col("n").as("n_x")), Seq("source_x"))
+      .join(sizes.select(col("source").as("source_y"), col("n").as("n_y")), Seq("source_y"))
+      .select(col("source_x"), col("source_y"), col("agree_ct"),
+        coalesce(col("inter_ct"), lit(0L)).as("inter_ct"), col("n_x"), col("n_y"))
+      .orderBy(col("source_x"), col("source_y"))
   }
 
   val NumHashes = 32
@@ -379,7 +510,11 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => exact(s, d)),
     "dedup_components" -> ((s, d) => dedupComponents(s, d)),
-    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "dedup_substring" -> ((s, d) => substringPairs(s, d)),
+    "dedup_cross_source" -> ((s, d) => crossSourceDups(s, d)),
+    "dedup_source_signatures" -> ((s, d) => sourceSignatures(s, d)),
+    "dedup_source_jaccard" -> ((s, d) => sourceJaccard(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => verifiedPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "dedup_ingest_lsh" -> ((s, d) => ingestLsh(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
@@ -402,7 +537,56 @@ object Dedup {
       |  GROUP BY a.doc_id, b.doc_id
       |)""".stripMargin
 
+  /** Per-source signature CTE bodies: `srcinv(source, x)` — the raw
+    * shingle-hash stream per source — and `srcsig(source, h_idx,
+    * h_min)` — the grouped 32-permutation minima, replaying
+    * [[graft.functions.MinHashSetAgg]]'s wrapping arithmetic in
+    * HUGEINT (the [[DuckSql.minhashCtes]] machinery, grouped by source
+    * instead of doc). */
+  private val sourceSigCtes: String =
+    s"""srcdocs AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+      |srcsh AS (
+      |  SELECT source, CASE WHEN len(tk) < 3 THEN CAST([] AS HUGEINT[]) ELSE
+      |    list_transform(range(1, len(tk) - 1),
+      |      i -> ${DuckSql.fnvU("array_to_string(list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 2), '_')")}) END AS sh
+      |  FROM srcdocs
+      |), srcinv AS (SELECT source, unnest(sh) AS x FROM srcsh),
+      |srcperm AS (
+      |  SELECT source, i AS h_idx, ${DuckSql.permModOfV} AS pm FROM (
+      |    SELECT source, i,
+      |      (CAST(2*i+1 AS HUGEINT) * x + CAST('11400714819323198485' AS HUGEINT) + CAST(i AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS v
+      |    FROM srcinv, range(0, 32) t(i))
+      |), srcsig AS (
+      |  SELECT source, h_idx, CAST(MIN(pm) AS BIGINT) AS h_min FROM srcperm GROUP BY source, h_idx
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_source_signatures" ->
+      s"""WITH $sourceSigCtes
+        |SELECT source, h_idx, h_min FROM srcsig ORDER BY source, h_idx""".stripMargin,
+    "dedup_source_jaccard" ->
+      s"""WITH $sourceSigCtes,
+        |est AS (
+        |  SELECT a.source AS source_x, b.source AS source_y,
+        |    CAST(SUM(CASE WHEN a.h_min = b.h_min THEN 1 ELSE 0 END) AS BIGINT) AS agree_ct
+        |  FROM srcsig a JOIN srcsig b ON a.h_idx = b.h_idx AND a.source < b.source
+        |  GROUP BY a.source, b.source
+        |),
+        |sdinv AS (SELECT DISTINCT source, x FROM srcinv),
+        |ssizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sdinv GROUP BY source),
+        |sinter AS (
+        |  SELECT a.source AS source_x, b.source AS source_y,
+        |    CAST(COUNT(*) AS BIGINT) AS inter_ct
+        |  FROM sdinv a JOIN sdinv b ON a.x = b.x AND a.source < b.source
+        |  GROUP BY a.source, b.source
+        |)
+        |SELECT est.source_x, est.source_y, agree_ct,
+        |  COALESCE(inter_ct, CAST(0 AS BIGINT)) AS inter_ct, sa.n AS n_x, sb.n AS n_y
+        |FROM est
+        |  LEFT JOIN sinter ON est.source_x = sinter.source_x AND est.source_y = sinter.source_y
+        |  JOIN ssizes sa ON est.source_x = sa.source
+        |  JOIN ssizes sb ON est.source_y = sb.source
+        |ORDER BY est.source_x, est.source_y""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY rep_doc_id""".stripMargin,
@@ -418,6 +602,50 @@ object Dedup {
     // Transitive closure of the same pair graph: a recursive min-label
     // reachability CTE — pure set semantics, so the fixpoint matches
     // the engine's label propagation exactly.
+    // k-window strings replay ShingleHashes' distinct k=8 windows (the
+    // engine hashes, the oracle compares strings — same distinct sets
+    // modulo 64-bit collisions, the ngram-oracle precedent). Uncapped:
+    // fixture window dfs top out at 4, far under HotShingleDfCap.
+    "dedup_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), w AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 8 THEN []
+        |    ELSE [list_aggregate(toks[i:i+7], 'string_agg', '_') FOR i IN range(1, len(toks) - 6)] END) AS ws
+        |  FROM t
+        |), inv AS (SELECT doc_id, unnest(ws) AS w FROM w)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared_windows
+        |FROM inv a JOIN inv b ON a.w = b.w AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cross_source" ->
+      s"""WITH $ngramPairCtes,
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |    JOIN sizes na ON pairs.doc_a = na.doc_id
+        |    JOIN sizes nb ON pairs.doc_b = nb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
+        |),
+        |tagged AS (
+        |  SELECT least(ma.source, mb.source) AS source_x,
+        |    greatest(ma.source, mb.source) AS source_y, doc_a, doc_b
+        |  FROM jp
+        |    JOIN documents ma ON jp.doc_a = ma.doc_id
+        |    JOIN documents mb ON jp.doc_b = mb.doc_id
+        |),
+        |pc AS (
+        |  SELECT source_x, source_y, CAST(COUNT(*) AS BIGINT) AS pair_count
+        |  FROM tagged GROUP BY source_x, source_y
+        |),
+        |dc AS (
+        |  SELECT source_x, source_y, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_count
+        |  FROM (SELECT source_x, source_y, doc_a AS doc_id FROM tagged
+        |        UNION ALL SELECT source_x, source_y, doc_b FROM tagged)
+        |  GROUP BY source_x, source_y
+        |)
+        |SELECT pc.source_x, pc.source_y, pair_count, doc_count
+        |FROM pc JOIN dc USING (source_x, source_y)
+        |ORDER BY source_x, source_y""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE $ngramPairCtes,
         |jp AS (

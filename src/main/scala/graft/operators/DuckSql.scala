@@ -35,6 +35,10 @@ private[operators] object DuckSql {
     * `v` (already reduced mod 2^64): reinterpret as signed, truncated
     * `%` by the Mersenne prime 2^61-1, then normalize negatives —
     * exactly [[graft.functions.MinHashSignature]]'s arithmetic. */
+  /** [[permMod]] for callers whose surrounding query exposes the
+    * unsigned permuted value as a column named `v`. */
+  private[operators] def permModOfV: String = permMod
+
   private val permMod: String =
     """CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
       |  THEN CASE WHEN (v - CAST('18446744073709551616' AS HUGEINT)) % CAST('2305843009213693951' AS HUGEINT) < 0

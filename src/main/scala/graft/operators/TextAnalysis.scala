@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -108,6 +109,50 @@ object TextAnalysis {
       .withColumn("keep", when(size(col("reasons")) === 0, lit(1L)).otherwise(lit(0L)))
       .select(col("doc_id"), col("keep"), concat_ws(",", col("reasons")).as("reasons"))
       .orderBy(col("doc_id"))
+
+  /** Quality decile report: docs bucketed into exact ntile(10) deciles
+    * by (token_ct, doc_id), with per-decile count, token-count range,
+    * token mass, and quality-score range — the "what does each tenth of
+    * my corpus look like" curation table.
+    *
+    * Scale design: a naive `ntile(10) OVER (ORDER BY ...)` collapses
+    * the whole corpus into ONE window partition — the canonical
+    * unscalable plan. This computes the identical assignment
+    * distributed: (1) histogram the order key (distinct token counts —
+    * bounded and tiny at any corpus size), (2) cumulative offsets +
+    * grand total over that histogram (the only single-partition window,
+    * histogram-sized by construction), (3) global rank = broadcast
+    * offset + per-key `row_number` partitioned BY the key (distributed),
+    * (4) the closed-form ntile bucket formula (first n%b buckets get
+    * ⌈n/b⌉ rows). The oracle runs the naive global ntile — equality IS
+    * the proof the decomposition reproduces it. */
+  def qualityDeciles(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val stats = textStats(spark, dir).select(col("doc_id"), col("token_ct"), col("quality_score"))
+    val hist = stats.groupBy(col("token_ct")).agg(count(lit(1)).as("ct"))
+      .withColumn("before", sum(col("ct")).over(Window.orderBy(col("token_ct")))
+        - col("ct"))
+      .withColumn("n", sum(col("ct")).over(Window.partitionBy()))
+      .withColumn("q", expr(s"n DIV $buckets"))
+      .withColumn("r", col("n") % buckets)
+    val rank = col("before") +
+      row_number().over(Window.partitionBy(col("token_ct")).orderBy(col("doc_id"))).cast(LongType)
+    stats.join(broadcast(hist), Seq("token_ct"))
+      .withColumn("rank", rank)
+      // closed-form ntile: first r buckets hold q+1 rows, the rest q
+      // (greatest(q,1) keeps the dead branch well-defined when n < b)
+      .withColumn("decile",
+        expr("CASE WHEN rank <= r * (q + 1) THEN (rank - 1) DIV (q + 1) + 1 " +
+          "ELSE r + (rank - 1 - r * (q + 1)) DIV greatest(q, 1) + 1 END")
+          .cast(LongType))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("doc_ct"),
+        min(col("token_ct")).as("min_token_ct"),
+        max(col("token_ct")).as("max_token_ct"),
+        sum(col("token_ct")).as("token_sum"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+      .orderBy(col("decile"))
+  }
 
   /** Gopher-style within-document repetition signals: duplicate-token
     * fraction, duplicate-3-gram fraction, and the most-frequent-token
@@ -318,6 +363,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_corpus_stats" -> ((s, d) => corpusStats(s, d)),
     "text_quality_filter" -> ((s, d) => qualityFilter(s, d)),
+    "text_quality_deciles" -> ((s, d) => qualityDeciles(s, d)),
     "text_stats" -> ((s, d) => textStats(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_token_counts" -> ((s, d) => tokenCounts(s, d)),
@@ -395,6 +441,29 @@ object TextAnalysis {
          |  CAST(CASE WHEN len(reasons) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
          |  COALESCE(array_to_string(reasons, ','), '') AS reasons
          |FROM f ORDER BY doc_id""".stripMargin,
+    // The oracle runs the NAIVE single-window global ntile; the engine
+    // runs the distributed histogram/offset decomposition. Hash
+    // equality proves the decomposition reproduces ntile exactly.
+    "text_quality_deciles" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS char_ct FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS token_ct,
+         |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + CAST(${duckCnt(stopEn)} AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.3
+         |      + CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.3 AS quality_score
+         |  FROM t
+         |), d AS (
+         |  SELECT token_ct, quality_score,
+         |    CAST(ntile(10) OVER (ORDER BY token_ct, doc_id) AS BIGINT) AS decile
+         |  FROM m
+         |)
+         |SELECT decile, CAST(COUNT(*) AS BIGINT) AS doc_ct,
+         |  MIN(token_ct) AS min_token_ct, MAX(token_ct) AS max_token_ct,
+         |  CAST(SUM(token_ct) AS BIGINT) AS token_sum,
+         |  MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
+         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS toks,

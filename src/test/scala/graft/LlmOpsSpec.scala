@@ -64,6 +64,59 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nCandUncapped >= 7140, s"uncapped control should be all-pairs, got $nCandUncapped")
   }
 
+  test("substring pairs: shared run of length L yields L-k+1 windows; short overlap invisible") {
+    import spark.implicits._
+    val k = Dedup.SubstringK // 8
+    val run12 = (1 to 12).map(i => s"run$i").mkString(" ")   // 12-token verbatim run
+    val run7 = (1 to 7).map(i => s"sub$i").mkString(" ")     // below-k overlap
+    def pad(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${pad("a", 10)} $run12 ${pad("b", 10)}"),
+      (2L, s"${pad("c", 10)} $run12 ${pad("d", 10)}"),
+      (3L, s"${pad("e", 10)} $run7 ${pad("f", 10)}"),
+      (4L, s"${pad("g", 10)} $run7 ${pad("h", 10)}")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringPairsOn(docs)
+      .as[(Long, Long, Long)].collect()
+    // the 12-token run is witnessed by exactly 12-k+1 = 5 shared windows
+    assert(got.toSeq == Seq((1L, 2L, 12L - k + 1)),
+      s"expected only (1,2,${12 - k + 1}), got ${got.toSeq}")
+    // recall within a pair is exact: a doc duplicated verbatim shares
+    // every one of its n-k+1 windows with its copy
+    val dup = Seq((10L, pad("x", 30)), (11L, pad("x", 30))).toDF("doc_id", "text")
+    val full = Dedup.substringPairsOn(dup).as[(Long, Long, Long)].collect()
+    assert(full.toSeq == Seq((10L, 11L, 30L - k + 1)))
+  }
+
+  test("minhash set aggregate = scalar signature of the union set; slot agreement tracks exact jaccard") {
+    import spark.implicits._
+    import graft.functions.GraftExpressions
+    // the aggregate (streaming update + partial merge across partitions)
+    // must equal the scalar MinHashSignature applied to the materialized
+    // set — same permutation family, two independent execution paths
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"source", explode(GraftExpressions.shingleHashes(split($"text", " "), 3)).as("x"))
+    val viaAgg = docs.repartition(4) // force a real merge path
+      .groupBy($"source").agg(GraftExpressions.minhashSetAgg($"x", Dedup.NumHashes).as("sig"))
+      .as[(String, Seq[Long])].collect().toMap
+    val viaScalar = docs.groupBy($"source").agg(collect_set($"x").as("xs"))
+      .select($"source", GraftExpressions.minhashSig($"xs", Dedup.NumHashes).as("sig"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(viaAgg.keySet == viaScalar.keySet)
+    viaAgg.foreach { case (src, sig) =>
+      assert(sig == viaScalar(src), s"agg signature differs from scalar signature for $src")
+    }
+    // the whole point: slot agreement estimates exact jaccard
+    val rows = Dedup.sourceJaccard(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val errs = rows.map { case (_, _, agree, inter, nx, ny) =>
+      math.abs(agree.toDouble / Dedup.NumHashes - inter.toDouble / (nx + ny - inter))
+    }
+    assert(errs.max <= 0.35, s"worst signature-estimate error ${errs.max} (32 hashes, 3sigma ~ 0.27)")
+    info(f"cross-source jaccard estimate: mean |err| ${errs.sum / errs.length}%.3f, max ${errs.max}%.3f over ${rows.length} pairs")
+  }
+
   test("dedup components = union-find closure of the verified pair graph") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccard(spark, sf)

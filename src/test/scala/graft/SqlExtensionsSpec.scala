@@ -30,6 +30,20 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(sql.map(_._2).toSet == api.select("sh").as[Long].collect().toSet)
   }
 
+  test("graft_minhash_set_agg from SQL in GROUP BY = scalar signature of the group set") {
+    import spark.implicits._
+    Seq(("a", 1L), ("a", 2L), ("a", 1L), ("b", 3L))
+      .toDF("g", "x").createOrReplaceTempView("ext_agg_t")
+    val got = spark.sql(
+      "SELECT g, graft_minhash_set_agg(x, 4) AS sig FROM ext_agg_t GROUP BY g ORDER BY g")
+      .as[(String, Seq[Long])].collect().toMap
+    val want = spark.table("ext_agg_t").groupBy($"g")
+      .agg(collect_set($"x").as("xs"))
+      .select($"g", graft.functions.GraftExpressions.minhashSig($"xs", 4).as("sig"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got == want)
+  }
+
   test("mistyped input fails analysis instead of returning garbage") {
     val e1 = intercept[Exception](
       spark.sql("SELECT graft_dot_long(array(1, 2), array(3, 4))").collect())
