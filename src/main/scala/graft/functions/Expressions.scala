@@ -34,6 +34,8 @@ object GraftExpressions {
   def mediaHeader(c: Column): Column = toColumn(MediaHeaderInfo(toExpression(c)))
   def minhashSetAgg(hash: Column, numHashes: Int): Column =
     toColumn(MinHashSetAgg(toExpression(hash), numHashes).toAggregateExpression())
+  def bloomMightContainLong(hash: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    toColumn(BloomMightContainLong(toExpression(hash), filter))
 }
 
 
@@ -776,5 +778,37 @@ case class MinHashSetAgg(
   override def withNewInputAggBufferOffset(newOffset: Int): MinHashSetAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): MinHashSetAgg =
+    copy(child = newChild)
+}
+
+/** Bloom-filter membership probe of a 64-bit hash, inside whole-stage
+  * codegen: the filter (an `org.apache.spark.util.sketch.BloomFilter`,
+  * typically built with `df.stat.bloomFilter` over the small side) is
+  * attached as a codegen reference object and probed with
+  * `mightContainLong` — no UDF boxing, no per-row filter
+  * deserialization. The sketch path for semi-join-shaped checks whose
+  * build side outgrows an exact broadcast set: false positives at the
+  * configured fpp, never false negatives.
+  */
+case class BloomMightContainLong(
+    child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(child.dataType == LongType,
+      s"graft_bloom_might_contain requires a BIGINT hash, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftBloom", filter,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      s"${ev.value} = $ref.mightContainLong($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
     copy(child = newChild)
 }

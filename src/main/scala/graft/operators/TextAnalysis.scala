@@ -238,6 +238,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Sketch-path decontamination: same contract as [[decontaminate]]
+    * (doc_id, hit_ct, contaminated over the non-benchmark partition)
+    * but the benchmark gram set is carried as a Bloom filter instead
+    * of an exact broadcast set — the scale path for when the held-out
+    * suite outgrows an exact in-memory set. Probing happens inside
+    * whole-stage codegen ([[graft.functions.BloomMightContainLong]]
+    * attaches the filter as a codegen reference object), so the corpus
+    * side stays a single scan-speed pass.
+    *
+    * Semantics: hit counts are upper bounds (false positives at
+    * `fpp`, NEVER false negatives) — a doc `decontaminate` flags is
+    * always flagged here with hit_ct at least as large; LlmOpsSpec
+    * pins both properties. The filter is a driver-side model (like
+    * the k-means centroids), memoized per (session, dir). */
+  def decontaminateBloom(spark: SparkSession, dir: String, n: Int = 5,
+                         fpp: Double = 1e-4): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val grams = gramHashes(docs, n)
+    val bloom = Memo.value(spark, dir, s"decon_bloom_$n:$fpp") {
+      val bench = grams.filter(col("doc_id") % 20 === 0).select(col("gh")).distinct()
+      bench.stat.bloomFilter("gh", math.max(bench.count(), 1L), fpp)
+    }
+    val hits = grams.filter(col("doc_id") % 20 =!= 0)
+      .filter(GraftExpressions.bloomMightContainLong(col("gh"), bloom))
+      .groupBy(col("doc_id")).agg(countDistinct(col("gh")).as("hit_ct"))
+    docs.filter(col("doc_id") % 20 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("hit_ct", coalesce(col("hit_ct"), lit(0L)))
+      .withColumn("contaminated", (col("hit_ct") > 0).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
   /** (doc_id, gh): xxhash64'd word `n`-grams of a (doc_id, text) frame.
     * Pure split/explode/hash projection — stream-safe, so the SAME
     * code decontaminates a batch corpus or a readStream of incoming

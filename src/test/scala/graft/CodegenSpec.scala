@@ -39,15 +39,27 @@ class CodegenSpec extends AnyFunSuite {
         nearestCentroidsFloat(fa, Array(0, 1), centsF, 1).as("nf1"),
         nearestCentroidsFloat(fb, Array(0, 1), centsF, 2).as("nf2"),
         segmentTokens(lit("Apple 手机壳")).as("t1"),
-        segmentTokens(lit("redmi k40")).as("t2"))
+        segmentTokens(lit("redmi k40")).as("t2"),
+        bloomMightContainLong(col("id"), CodegenSpec.testBloom).as("b1"),
+        bloomMightContainLong(col("id") + 100L, CodegenSpec.testBloom).as("b2"))
       val rows = df.collect()
       assert(rows.length == 4)
       assert(rows.head.getAs[Long]("d1") == (1 * -4 + 2 * 3 + 3 * -2 + 4 * 1))
       assert(rows.head.getAs[Long]("f1") != rows.head.getAs[Long]("f2"))
       assert(rows.head.getAs[scala.collection.Seq[Int]]("nf2").length == 2)
+      assert(rows.forall(_.getAs[Boolean]("b1")), "bloom must contain 0..3")
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
       case None => spark.conf.unset("spark.sql.codegen.fallback")
     }
+  }
+}
+
+object CodegenSpec {
+  /** Shared 0..3 filter so both probe instances reference one object. */
+  val testBloom: org.apache.spark.util.sketch.BloomFilter = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(4, 0.01)
+    (0L until 4L).foreach(bf.putLong)
+    bf
   }
 }

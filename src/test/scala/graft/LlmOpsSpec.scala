@@ -117,6 +117,30 @@ class LlmOpsSpec extends AnyFunSuite {
     info(f"cross-source jaccard estimate: mean |err| ${errs.sum / errs.length}%.3f, max ${errs.max}%.3f over ${rows.length} pairs")
   }
 
+  test("bloom decontamination: superset of exact flags, bounded false-positive docs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val exact = TextAnalysis.decontaminate(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val bloom = TextAnalysis.decontaminateBloom(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(bloom.keySet == exact.keySet, "both paths must cover the same docs")
+    // a Bloom filter can only ADD hits: never a false negative, and
+    // per-doc hit counts are upper bounds of the exact counts
+    exact.foreach { case (doc, (hitCt, contaminated)) =>
+      assert(bloom(doc)._1 >= hitCt, s"doc $doc: bloom hit_ct ${bloom(doc)._1} < exact $hitCt")
+      if (contaminated == 1L)
+        assert(bloom(doc)._2 == 1L, s"doc $doc: exact-contaminated but bloom missed it")
+    }
+    // false-positive DOCS (flagged by bloom only) stay rare: P[doc FP]
+    // <= grams_per_doc * fpp; assert a loose 5% ceiling at fpp = 1e-4
+    val fpDocs = exact.count { case (doc, (_, c)) => c == 0L && bloom(doc)._2 == 1L }
+    val cleanDocs = exact.count { case (_, (_, c)) => c == 0L }.max(1)
+    assert(fpDocs.toDouble / cleanDocs <= 0.05,
+      s"bloom flagged $fpDocs of $cleanDocs clean docs")
+    info(s"bloom decontamination: $fpDocs false-positive docs over $cleanDocs clean")
+  }
+
   test("dedup components = union-find closure of the verified pair graph") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccard(spark, sf)
