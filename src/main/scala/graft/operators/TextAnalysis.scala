@@ -283,6 +283,28 @@ object TextAnalysis {
           s"i -> concat_ws(' ', slice(toks, i + 1, $n))) END")))
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
 
+  /** Deterministic exact-k per-stratum sample: each source keeps its
+    * min(k, n) documents with the smallest md5(doc_id || salt) — the
+    * "exactly 10k docs per source" curation move that per-mille
+    * thresholds ([[sampleStratified]]) cannot hit exactly. The hash
+    * order is a uniform permutation independent of doc_id order, and
+    * fully reproducible across engines, partitionings, and retries
+    * (`rand()` is banned here for the same reason as everywhere else).
+    *
+    * Scale shape: one `row_number` window PARTITIONED BY the stratum —
+    * distributed, no global sort; a skewed giant stratum is one
+    * partition's sort of its own rows, and AQE's skew handling applies
+    * to the exchange feeding it. */
+  def sampleExactK(spark: SparkSession, dir: String, k: Int = 15): DataFrame =
+    Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"),
+        md5(concat(col("doc_id").cast(StringType), lit("|graft-sample"))).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("source"), col("rn").cast(LongType).as("rn"))
+      .orderBy(col("source"), col("rn"))
+
   /** Deterministic stratified downsampling: per-language keep rates
     * applied via an integer-hash threshold, so the sample is
     * reproducible, partition-independent, and oracle-checkable —
@@ -397,6 +419,7 @@ object TextAnalysis {
     "text_corpus_stats" -> ((s, d) => corpusStats(s, d)),
     "text_quality_filter" -> ((s, d) => qualityFilter(s, d)),
     "text_quality_deciles" -> ((s, d) => qualityDeciles(s, d)),
+    "text_sample_exact_k" -> ((s, d) => sampleExactK(s, d)),
     "text_stats" -> ((s, d) => textStats(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_token_counts" -> ((s, d) => tokenCounts(s, d)),
@@ -474,6 +497,19 @@ object TextAnalysis {
          |  CAST(CASE WHEN len(reasons) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
          |  COALESCE(array_to_string(reasons, ','), '') AS reasons
          |FROM f ORDER BY doc_id""".stripMargin,
+    // DuckDB md5 == Spark md5 (hex string of the same bytes), so the
+    // hash-permutation sample order replays exactly.
+    "text_sample_exact_k" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR) || '|graft-sample') AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn
+        |  FROM h
+        |)
+        |SELECT doc_id, source, rn FROM r WHERE rn <= 15
+        |ORDER BY source, rn""".stripMargin,
     // The oracle runs the NAIVE single-window global ntile; the engine
     // runs the distributed histogram/offset decomposition. Hash
     // equality proves the decomposition reproduces ntile exactly.

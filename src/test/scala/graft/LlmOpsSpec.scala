@@ -141,6 +141,37 @@ class LlmOpsSpec extends AnyFunSuite {
     info(s"bloom decontamination: $fpDocs false-positive docs over $cleanDocs clean")
   }
 
+  test("minhash set aggregate over a STREAM: signatures at rest = batch (state-store round trip)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.functions.GraftExpressions
+    // docs arrive in two micro-batches; the signature aggregate's
+    // buffer must survive the streaming state store between batches
+    // (serialize/deserialize of the 32-slot min array), and the
+    // at-rest signatures must equal the batch aggregation of the union
+    val all = graft.sources.Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val mem = MemoryStream[(String, String)](spark)
+    val sig = mem.toDF().toDF("source", "text")
+      .select($"source", explode(GraftExpressions.shingleHashes(split($"text", " "), 3)).as("x"))
+      .groupBy($"source").agg(GraftExpressions.minhashSetAgg($"x", Dedup.NumHashes).as("sig"))
+    val q = sig.writeStream.format("memory").queryName("src_sig_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("src_sig_stream")
+        .as[(String, Seq[Long])].collect().toMap
+      val want = graft.sources.Tables.documents(spark, sf)
+        .select($"source", explode(GraftExpressions.shingleHashes(split($"text", " "), 3)).as("x"))
+        .groupBy($"source").agg(GraftExpressions.minhashSetAgg($"x", Dedup.NumHashes).as("sig"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(got == want, "streamed signatures diverge from batch signatures")
+    } finally q.stop()
+  }
+
   test("dedup components = union-find closure of the verified pair graph") {
     import spark.implicits._
     val pairs = Dedup.ngramJaccard(spark, sf)
