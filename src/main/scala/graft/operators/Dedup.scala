@@ -147,6 +147,68 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** [[dedupComponents]] via alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the O(log n)-round form for dup graphs
+    * with long chains, where direct min-label propagation's
+    * diameter-many rounds would dominate. Same output contract (every
+    * doc → min doc_id of its component) and the same recursive-CTE
+    * oracle; the fixture equality plus a ScalaCheck property against
+    * driver-side union-find on random graphs pin the rewrite.
+    *
+    * Round shapes: large-star hangs every larger neighbor off the
+    * neighborhood minimum (one groupBy + one join per round);
+    * small-star does the same for the not-larger neighbors on the
+    * smaller-oriented edge list. Both preserve connectivity and strictly
+    * contract toward component-min stars; each round is checkpointed
+    * (same lineage discipline as the direct loop). */
+  def dedupComponentsStar(spark: SparkSession, dir: String, maxIter: Int = 20): DataFrame = {
+    val pairs = verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(starLabels(pairs, maxIter)
+        .select(col("a").as("doc_id"), col("b").as("rep")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep_doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The alternating-star contraction over an arbitrary
+    * (doc_a, doc_b) pair frame: returns the converged star edge set
+    * (a = member, b = its component's min id; component minima carry
+    * no row — they are their own representative). */
+  private[graft] def starLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("a"),
+        least(col("doc_a"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: hang every larger neighbor off the neighborhood min
+      val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("mn"), col("a")).as("m"))
+      val ls = sym.join(mins, Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star: same for the not-larger neighbors, smaller-oriented
+      val or = ls.select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      val mins2 = or.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val ss = or.join(mins2, Seq("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(mins2.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .distinct()
+        .localCheckpoint()
+      val changed = ss.exceptAll(edges).limit(1).count() + edges.exceptAll(ss).limit(1).count()
+      edges = ss
+      converged = changed == 0
+      i += 1
+    }
+    edges
+  }
+
   /** Exact-substring overlap pairs: documents sharing at least one
     * verbatim run of [[SubstringK]] consecutive tokens (the windowed-
     * hash approximation of suffix-array exact-substring dedup — a long
@@ -510,6 +572,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => exact(s, d)),
     "dedup_components" -> ((s, d) => dedupComponents(s, d)),
+    "dedup_components_star" -> ((s, d) => dedupComponentsStar(s, d)),
     "dedup_substring" -> ((s, d) => substringPairs(s, d)),
     "dedup_cross_source" -> ((s, d) => crossSourceDups(s, d)),
     "dedup_source_signatures" -> ((s, d) => sourceSignatures(s, d)),
@@ -559,6 +622,26 @@ object Dedup {
       |), srcsig AS (
       |  SELECT source, h_idx, CAST(MIN(pm) AS BIGINT) AS h_min FROM srcperm GROUP BY source, h_idx
       |)""".stripMargin
+
+  /** Recursive min-label reachability over the verified pair graph —
+    * shared by both connected-components queries (direct propagation
+    * and star contraction), which must agree exactly. */
+  private val componentsOracleSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      |jp AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |    JOIN sizes na ON pairs.doc_a = na.doc_id
+      |    JOIN sizes nb ON pairs.doc_b = nb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
+      |),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp UNION ALL SELECT doc_b, doc_a FROM jp),
+      |reach AS (
+      |  SELECT doc_id AS u, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+      |)
+      |SELECT u AS doc_id, MIN(r) AS rep_doc_id FROM reach GROUP BY u
+      |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_source_signatures" ->
@@ -646,22 +729,9 @@ object Dedup {
         |SELECT pc.source_x, pc.source_y, pair_count, doc_count
         |FROM pc JOIN dc USING (source_x, source_y)
         |ORDER BY source_x, source_y""".stripMargin,
-    "dedup_components" ->
-      s"""WITH RECURSIVE $ngramPairCtes,
-        |jp AS (
-        |  SELECT doc_a, doc_b FROM pairs
-        |    JOIN sizes na ON pairs.doc_a = na.doc_id
-        |    JOIN sizes nb ON pairs.doc_b = nb.doc_id
-        |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
-        |),
-        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp UNION ALL SELECT doc_b, doc_a FROM jp),
-        |reach AS (
-        |  SELECT doc_id AS u, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
-        |)
-        |SELECT u AS doc_id, MIN(r) AS rep_doc_id FROM reach GROUP BY u
-        |ORDER BY doc_id""".stripMargin,
+    "dedup_components" -> componentsOracleSql,
+    // the star-contraction rewrite must produce the IDENTICAL closure
+    "dedup_components_star" -> componentsOracleSql,
     // SimHash is FNV-over-tokens + bit votes — fully reproducible in
     // DuckDB (DuckSql.simhashCtes runs the same wrapping arithmetic in
     // HUGEINT). The pairs oracle is the EXACT Hamming<=3 pair set: the

@@ -317,4 +317,37 @@ object GraftProps extends Properties("graft") {
       val truncated = MediaHeaders.packedInfo(full.take(cut)) // must not throw
       whole && (truncated == 0L || cut >= 2)
     }
+
+  // ------------------------------------------------ star contraction vs union-find
+
+  private val genEdges: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 40)
+    m <- Gen.choose(0, 60)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong - 1)
+      b <- Gen.choose(0L, n.toLong - 1)
+    } yield (a, b))
+  } yield es
+
+  property("star-contraction components == union-find on random graphs") =
+    forAll(genEdges) { es =>
+      import spark.implicits._
+      val edges = es.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        val labels = graft.operators.Dedup.starLabels(
+            edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        verts.forall(v => labels.getOrElse(v, v) == find(v))
+      }
+    }
 }
