@@ -106,6 +106,13 @@ class LlmOpsSpec extends AnyFunSuite {
     viaAgg.foreach { case (src, sig) =>
       assert(sig == viaScalar(src), s"agg signature differs from scalar signature for $src")
     }
+    // partial aggregation must survive: the shuffle carries one 32-slot
+    // buffer per (partition, source), not the shingle stream — a
+    // regression to a full-shuffle agg would be invisible at test SF
+    // and catastrophic at corpus scale
+    val plan = Dedup.sourceSignatures(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_minhashsetagg"),
+      s"map-side combine missing from signature plan:\n${plan.take(2000)}")
     // the whole point: slot agreement estimates exact jaccard
     val rows = Dedup.sourceJaccard(spark, sf)
       .as[(String, String, Long, Long, Long, Long)].collect()
