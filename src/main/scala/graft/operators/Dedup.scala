@@ -164,9 +164,13 @@ object Dedup {
     * (same lineage discipline as the direct loop). */
   def dedupComponentsStar(spark: SparkSession, dir: String, maxIter: Int = 20): DataFrame = {
     val pairs = verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    // min-reduce keeps the one-row-per-doc contract even if maxIter
+    // exhausts before convergence leaves a node with two parents (a
+    // converged star set makes this a no-op)
+    val labels = starLabels(pairs, maxIter)
+      .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("rep"))
     Tables.documents(spark, dir).select(col("doc_id"))
-      .join(starLabels(pairs, maxIter)
-        .select(col("a").as("doc_id"), col("b").as("rep")), Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep_doc_id"))
       .orderBy(col("doc_id"))
   }
@@ -286,16 +290,24 @@ object Dedup {
     * source) to one 32-long buffer before the shuffle, so signature
     * cost is scan-bound regardless of corpus size. */
   def sourceSignatures(spark: SparkSession, dir: String): DataFrame =
-    sourceSignatureWide(spark, dir)
-      .select(col("source"), posexplode(col("sig")))
-      .select(col("source"), col("pos").cast(LongType).as("h_idx"), col("col").as("h_min"))
+    sourceSignaturesFrom(sourceShingles(spark, dir))
       .orderBy(col("source"), col("h_idx"))
 
-  private def sourceSignatureWide(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("source"), explode(GraftExpressions.shingleHashes(toks(col("text")), 3)).as("x"))
-      .groupBy(col("source"))
+  /** (source, x): the exploded per-source shingle-hash stream — the
+    * one corpus scan behind signatures, set sizes, and the exact
+    * intersection; memoized per (session, dir) so the signature and
+    * jaccard queries (and both consumers inside the latter) share one
+    * materialization instead of re-scanning the corpus. */
+  private def sourceShingles(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dedup_source_shingles")(
+      Tables.spread(spark, Tables.documents(spark, dir))
+        .select(col("source"), explode(GraftExpressions.shingleHashes(toks(col("text")), 3)).as("x")))
+
+  private def sourceSignaturesFrom(inv: DataFrame): DataFrame =
+    inv.groupBy(col("source"))
       .agg(GraftExpressions.minhashSetAgg(col("x"), NumHashes).as("sig"))
+      .select(col("source"), posexplode(col("sig")))
+      .select(col("source"), col("pos").cast(LongType).as("h_idx"), col("col").as("h_min"))
 
   /** Estimated vs exact cross-source Jaccard: for every source pair,
     * the number of agreeing signature slots ([[sourceSignatures]] —
@@ -310,14 +322,13 @@ object Dedup {
     * shingle's fan-out is bounded by S, so pair volume ≤ S²/2 per
     * shingle — it scales with sources, not documents. */
   def sourceJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sig = sourceSignatures(spark, dir)
+    val inv = sourceShingles(spark, dir)
+    val sig = sourceSignaturesFrom(inv).cache()
     val est = sig.as("a").join(sig.as("b"),
         col("a.h_idx") === col("b.h_idx") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_x"), col("b.source").as("source_y"))
       .agg(sum(when(col("a.h_min") === col("b.h_min"), 1L).otherwise(0L)).as("agree_ct"))
-    val dinv = Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("source"), explode(GraftExpressions.shingleHashes(toks(col("text")), 3)).as("x"))
-      .distinct()
+    val dinv = inv.distinct()
     val sizes = dinv.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = dinv.as("a").join(dinv.as("b"),
         col("a.x") === col("b.x") && col("a.source") < col("b.source"))
@@ -600,6 +611,18 @@ object Dedup {
       |  GROUP BY a.doc_id, b.doc_id
       |)""".stripMargin
 
+  /** `jp(doc_a, doc_b)`: the pairs above the default verify threshold
+    * (0.015) — one definition shared by every oracle that consumes the
+    * verified pair graph, so a threshold change cannot silently
+    * diverge them. */
+  private val ngramJpCte: String =
+    """jp AS (
+      |  SELECT doc_a, doc_b FROM pairs
+      |    JOIN sizes na ON pairs.doc_a = na.doc_id
+      |    JOIN sizes nb ON pairs.doc_b = nb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
+      |)""".stripMargin
+
   /** Per-source signature CTE bodies: `srcinv(source, x)` — the raw
     * shingle-hash stream per source — and `srcsig(source, h_idx,
     * h_min)` — the grouped 32-permutation minima, replaying
@@ -615,7 +638,7 @@ object Dedup {
       |  FROM srcdocs
       |), srcinv AS (SELECT source, unnest(sh) AS x FROM srcsh),
       |srcperm AS (
-      |  SELECT source, i AS h_idx, ${DuckSql.permModOfV} AS pm FROM (
+      |  SELECT source, i AS h_idx, ${DuckSql.permMod} AS pm FROM (
       |    SELECT source, i,
       |      (CAST(2*i+1 AS HUGEINT) * x + CAST('11400714819323198485' AS HUGEINT) + CAST(i AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT) AS v
       |    FROM srcinv, range(0, 32) t(i))
@@ -628,12 +651,7 @@ object Dedup {
     * and star contraction), which must agree exactly. */
   private val componentsOracleSql: String =
     s"""WITH RECURSIVE $ngramPairCtes,
-      |jp AS (
-      |  SELECT doc_a, doc_b FROM pairs
-      |    JOIN sizes na ON pairs.doc_a = na.doc_id
-      |    JOIN sizes nb ON pairs.doc_b = nb.doc_id
-      |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
-      |),
+      |$ngramJpCte,
       |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp UNION ALL SELECT doc_b, doc_a FROM jp),
       |reach AS (
       |  SELECT doc_id AS u, doc_id AS r FROM documents
@@ -703,12 +721,7 @@ object Dedup {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_cross_source" ->
       s"""WITH $ngramPairCtes,
-        |jp AS (
-        |  SELECT doc_a, doc_b FROM pairs
-        |    JOIN sizes na ON pairs.doc_a = na.doc_id
-        |    JOIN sizes nb ON pairs.doc_b = nb.doc_id
-        |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
-        |),
+        |$ngramJpCte,
         |tagged AS (
         |  SELECT least(ma.source, mb.source) AS source_x,
         |    greatest(ma.source, mb.source) AS source_y, doc_a, doc_b

@@ -32,14 +32,11 @@ private[operators] object DuckSql {
        |  THEN $arg - CAST('18446744073709551616' AS HUGEINT) ELSE $arg END AS BIGINT)""".stripMargin
 
   /** Java-wrapping minhash permutation of an unsigned-HUGEINT hash
-    * `v` (already reduced mod 2^64): reinterpret as signed, truncated
-    * `%` by the Mersenne prime 2^61-1, then normalize negatives —
-    * exactly [[graft.functions.MinHashSignature]]'s arithmetic. */
-  /** [[permMod]] for callers whose surrounding query exposes the
-    * unsigned permuted value as a column named `v`. */
-  private[operators] def permModOfV: String = permMod
-
-  private val permMod: String =
+    * named `v` — a lambda variable or a column alias — already reduced
+    * mod 2^64: reinterpret as signed, truncated `%` by the Mersenne
+    * prime 2^61-1, then normalize negatives — exactly
+    * [[graft.functions.MinHashSignature]]'s arithmetic. */
+  private[operators] val permMod: String =
     """CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
       |  THEN CASE WHEN (v - CAST('18446744073709551616' AS HUGEINT)) % CAST('2305843009213693951' AS HUGEINT) < 0
       |    THEN (v - CAST('18446744073709551616' AS HUGEINT)) % CAST('2305843009213693951' AS HUGEINT) + CAST('2305843009213693951' AS HUGEINT)

@@ -127,7 +127,10 @@ object TextAnalysis {
     * ⌈n/b⌉ rows). The oracle runs the naive global ntile — equality IS
     * the proof the decomposition reproduces it. */
   def qualityDeciles(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
-    val stats = textStats(spark, dir).select(col("doc_id"), col("token_ct"), col("quality_score"))
+    // cached: the histogram build and the join probe side both read it,
+    // and tokenize-and-score is the dominant cost of the query
+    val stats = textStats(spark, dir)
+      .select(col("doc_id"), col("token_ct"), col("quality_score")).cache()
     val hist = stats.groupBy(col("token_ct")).agg(count(lit(1)).as("ct"))
       .withColumn("before", sum(col("ct")).over(Window.orderBy(col("token_ct")))
         - col("ct"))
@@ -256,10 +259,13 @@ object TextAnalysis {
                          fpp: Double = 1e-4): DataFrame = {
     val docs = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"))
-    val grams = gramHashes(docs, n)
+    // cached like decontaminate's: the bloom build (count + aggregate)
+    // and the corpus probe all read this projection
+    val grams = gramHashes(docs, n).cache()
     val bloom = Memo.value(spark, dir, s"decon_bloom_$n:$fpp") {
-      val bench = grams.filter(col("doc_id") % 20 === 0).select(col("gh")).distinct()
-      bench.stat.bloomFilter("gh", math.max(bench.count(), 1L), fpp)
+      val bench = grams.filter(col("doc_id") % 20 === 0).select(col("gh")).distinct().cache()
+      try bench.stat.bloomFilter("gh", math.max(bench.count(), 1L), fpp)
+      finally bench.unpersist()
     }
     val hits = grams.filter(col("doc_id") % 20 =!= 0)
       .filter(GraftExpressions.bloomMightContainLong(col("gh"), bloom))
