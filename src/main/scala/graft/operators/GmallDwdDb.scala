@@ -524,8 +524,8 @@ object GmallDwdDb {
   // ------------------------------------------------------------------
   // The flagship 5-table order-detail join (`DwdTradeOrderDetail
   // .java:137-190`) and its three consumers. Each slice below is one of
-  // the app's four topic_db filters (its TODO 3-6); the wide join is
-  // TODO 8. All `*On` forms are envelope-in, frame-out so the same
+  // the app's four topic_db filters (its numbered steps 3-6); the wide
+  // join is its step 8. All `*On` forms are envelope-in, frame-out so the same
   // transforms run on readStream micro-batches (GmallDwdDbSpec proves
   // streaming ≡ batch with `Joins.streamStream` supplying the
   // state-bounded streaming join the batch form gets for free).
@@ -594,7 +594,7 @@ object GmallDwdDb {
         d("coupon_use_id").as("coupon_use_id"),
         d("create_time").as("coupon_create_time"), col("ts").as("oc_ts"))
 
-  /** TODO 8, the 5-way join: od ⋈ oi ⟕ activity ⟕ coupon ⋈ dic.
+  /** The app's step 8, the 5-way join: od ⋈ oi ⟕ activity ⟕ coupon ⋈ dic.
     *
     * Scale notes: od ⋈ oi is the one fact-fact shuffle (on the order
     * key, AQE skew-handled); activity/coupon are sparse decorations
