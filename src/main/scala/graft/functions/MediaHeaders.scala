@@ -24,9 +24,14 @@ object MediaHeaders {
   val FmtJpeg = 2
   val FmtWav = 3
 
+  /** Out-of-range fields SATURATE to the field maximum rather than
+    * wrap: a 96 kHz WAV reports 65535 (recognizably "at the cap"),
+    * never a confidently-wrong 30464. */
   def pack(fmt: Long, w: Long, h: Long, ch: Long, rate: Long): Long =
-    (fmt << 60) | ((w & 0xFFFFFL) << 40) | ((h & 0xFFFFFL) << 20) |
-      ((ch & 0xFL) << 16) | (rate & 0xFFFFL)
+    (fmt << 60) | (sat(w, 0xFFFFFL) << 40) | (sat(h, 0xFFFFFL) << 20) |
+      (sat(ch, 0xFL) << 16) | sat(rate, 0xFFFFL)
+
+  private def sat(v: Long, max: Long): Long = if (v < 0 || v > max) max else v
 
   private def u(b: Byte): Int = b & 0xff
   private def be16(bs: Array[Byte], i: Int): Int = (u(bs(i)) << 8) | u(bs(i + 1))
@@ -72,6 +77,10 @@ object MediaHeaders {
     // which are huffman/arithmetic tables, not frame headers)
     var i = 2
     while (i + 3 < bs.length && u(bs(i)) == 0xff) {
+      // ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad the
+      // space before a marker — skip them or a fill byte would be
+      // read as a length-prefixed segment and jump past the SOF
+      while (i + 3 < bs.length && u(bs(i + 1)) == 0xff) i += 1
       val marker = u(bs(i + 1))
       if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
         if (i + 9 >= bs.length) return pack(FmtJpeg, 0, 0, 0, 0)

@@ -31,18 +31,19 @@ object Dedup {
       .orderBy(col("rep_doc_id"))
 
   /** Document-frequency cap for the [[ngramJaccard]] inverted index:
-    * shingles present in more than this many documents are dropped from
-    * CANDIDATE GENERATION only (verification still intersects the full
-    * shingle sets, so every emitted row carries exact inter/jaccard).
-    * Without it a boilerplate shingle with df = 10⁶ puts df²/2 pair
-    * rows on one reducer — the same blow-up [[minhashCandidatesFrom]]
-    * caps with its bucket star. A pair is lost only when EVERY shared
-    * shingle is hot; near-dups above any useful threshold share many
-    * shingles, almost all rare, so the cap trades a sliver of recall on
-    * mass-duplicated boilerplate (which [[exact]] and [[minhashLsh]]'s
-    * star-capped path already collapse) for survival at corpus scale.
-    * Fixture dfs top out at 25 (sf0.1), so the driver oracle — uncapped
-    * by construction — stays hash-equal. */
+    * shingles present in more than this many documents are dropped
+    * before the pair self-join, so `inter` counts RARE shared shingles
+    * only — a conservative (never inflated) intersection, while the
+    * denominators always use the full shingle-set sizes. Without the
+    * cap a boilerplate shingle with df = 10⁶ puts df²/2 pair rows on
+    * one reducer — the same blow-up [[minhashCandidatesFrom]] caps
+    * with its bucket star. The trade: a pair whose shared shingles are
+    * MOSTLY hot is under-scored and can fall below threshold; genuine
+    * near-dups above any useful threshold share many shingles, almost
+    * all rare, and mass-duplicated boilerplate is already collapsed by
+    * [[exact]] and [[minhashLsh]]'s star-capped path. Fixture dfs top
+    * out at 25 (sf0.1), so the cap is inert there and the driver
+    * oracle — uncapped by construction — stays hash-equal. */
   val HotShingleDfCap = 64
 
   /** Exact n-gram Jaccard near-dup pairs: explode distinct 3-shingle
@@ -62,8 +63,11 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.015,
                    dfCap: Int = HotShingleDfCap): DataFrame = {
     // one shingle scan, shared by sizes and the index (the fused
-    // codegen'd hash pass — no shingle-string materialization)
-    val sh = shingled(spark, dir).cache()
+    // codegen'd hash pass — no shingle-string materialization); the
+    // frame is Memo-persisted per (session, dir), so repeated calls
+    // (different thresholds, the minhash ground-truth spec) share one
+    // copy instead of pinning a new cache each
+    val sh = shingled(spark, dir)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -141,6 +145,10 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged) System.err.println(
+      s"[graft] dedupComponents: no fixpoint within $maxIter rounds (component diameter " +
+        s"exceeds budget) — labels are a partial closure; use dedupComponentsStar " +
+        "(O(log n) rounds) or raise maxIter")
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels.withColumnRenamed("rep_doc_id", "rep"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep_doc_id"))
@@ -210,6 +218,9 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged) System.err.println(
+      s"[graft] starLabels: star contraction did not stabilize within $maxIter rounds — " +
+        "labels are a partial closure (callers min-reduce, so output stays one row per doc)")
     edges
   }
 
@@ -353,8 +364,9 @@ object Dedup {
     * hashes equals Jaccard over distinct shingles up to 64-bit hash
     * collisions (negligible). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), GraftExpressions.shingleHashes(toks(col("text")), 3).as("sh"))
+    Memo(spark, dir, "dedup_shingled")(
+      Tables.spread(spark, Tables.documents(spark, dir))
+        .select(col("doc_id"), GraftExpressions.shingleHashes(toks(col("text")), 3).as("sh")))
 
   /** Per-doc minhash signature banded into LSH bucket keys.
     * The i-th "permutation" of a shingle hash is (a_i·h + b_i) mod

@@ -91,13 +91,26 @@ object GmallDwdDb {
   /** Parsed Maxwell envelope fixture (memoized, persisted).
     *
     * Hash-repartitioned by `table` before the persist: the raw union
-    * of 26 per-table synth frames carries 26 × spread-parallelism
-    * partitions, so every slice scan would schedule ~800 tasks to
-    * read one table's rows — task-launch overhead, not data, was the
-    * measured floor of every `dwd_*` query. One partition set keyed
-    * by table (the batch analog of a topic partitioned by table)
+    * of 26 per-table synth frames carries 26 ×
+    * spread-parallelism partitions, so every slice scan would schedule
+    * ~800 tasks to read one table's rows — task-launch overhead, not
+    * data, was the measured floor of every `dwd_*` query. Keying by
+    * table alone (the batch analog of a topic partitioned by table)
     * keeps per-batch stats homogeneous, so the cached scan still
-    * prunes to the queried table AND launches cores-many tasks. */
+    * prunes to the queried table AND launches cores-many tasks.
+    *
+    * Known trade, kept deliberately: keying by table alone puts the
+    * dominant table (`order_detail`, one row per lineitem) in ONE
+    * partition. At fixture SFs that single task is the measured
+    * optimum — adding a row salt (8-way, whether on all tables or the
+    * fact tables only) was benchmarked 2-4× SLOWER across the `dwd_*`
+    * family, because every slice scan then probes many mixed
+    * partitions instead of pruning to one. On a real cluster, where
+    * one table's CDC volume exceeds a task's comfortable working set,
+    * extend the repartition key with
+    * `pmod(xxhash64(data("id")), lit(k))` for the fact tables — the
+    * scan-side plans are unchanged, only the partition count per
+    * table grows. */
   def envelope(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "cdcEnvelope")(
       LogStream.maxwellEnvelope(envelopeJson(spark, dir))

@@ -487,6 +487,17 @@ class LlmOpsSpec extends AnyFunSuite {
       MediaHeaders.pack(MediaHeaders.FmtJpeg, 1920, 1080, 3, 0))
     assert(MediaHeaders.packedInfo(wav(2, 44100)) ==
       MediaHeaders.pack(MediaHeaders.FmtWav, 0, 0, 2, 44100))
+    // ITU T.81 B.1.1.2 fill bytes: 0xFF padding before a marker is
+    // legal (common in camera output) and must not derail the scan
+    val jp = jpeg(1920, 1080, 3)
+    val filled = jp.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ jp.drop(2)
+    assert(MediaHeaders.packedInfo(filled) ==
+      MediaHeaders.pack(MediaHeaders.FmtJpeg, 1920, 1080, 3, 0))
+    // out-of-range fields saturate to the field cap, never wrap: a
+    // 96 kHz WAV must not report a confidently-wrong 30464 Hz
+    assert(MediaHeaders.packedInfo(wav(2, 96000)) ==
+      MediaHeaders.pack(MediaHeaders.FmtWav, 0, 0, 2, 0xFFFF))
+    assert((MediaHeaders.packedInfo(wav(2, 96000)) & 0xFFFFL) == 0xFFFFL)
     // corrupt/truncated/foreign payloads: unknown, never a throw
     assert(MediaHeaders.packedInfo(Array[Byte]()) == 0L)
     assert(MediaHeaders.packedInfo("not a media file".getBytes) == 0L)
