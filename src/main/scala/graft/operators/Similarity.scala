@@ -234,6 +234,19 @@ object Similarity {
   val NProbe = 6
   val KMeansIters = 3
 
+  /** Lloyd mean-update quantization scale: per-component contributions
+    * are `round(x * 1e6)` BIGINTs, so the per-cell sum is exact integer
+    * arithmetic — ORDER-INDEPENDENT (float summation order varies with
+    * partitioning, making `avg` non-deterministic across runs) and
+    * partial-agg friendly (map-side combine of longs). One double
+    * division + float cast per (cell, dim) then reconstructs the mean
+    * with ~1e-6 component granularity — far below what a coarse
+    * quantizer can resolve. Headroom: |x| ≤ ~4 ⇒ |q| ≤ 4e6, so BIGINT
+    * sums stay exact past 1e12 vectors per cell and the double cast of
+    * the sum stays exact below 2^53. Determinism is what makes the
+    * full-value DuckDB k-means replay ([[kmeansCtes]]) possible. */
+  val MeanQuantScale = 1000000L
+
   /** Distributed k-means for the IVF coarse quantizer: deterministic
     * init (first `NumCentroids` vectors), then Lloyd iterations.
     * Assignment is a doc-local argmax over the O(C·dims) centroid
@@ -247,12 +260,12 @@ object Similarity {
     * one scan + one small aggregation. */
   /** Per-(session, dir, corpus-tag) k-means model memo via
     * [[Memo.value]] — the model is C×dims driver-side scalars, cheap
-    * to hold and 1 + iters Spark actions to rebuild, and
-    * float-averaging makes every rebuild drift in the last ulp;
-    * memoizing gives each session ONE consistent model per corpus
-    * (every query ranking against the same centroids) and drops ~1 s
-    * per IVF/semantic-dedup call. Living in Memo's store means a dir
-    * backfill's `Memo.invalidate` clears models together with frames. */
+    * to hold and 1 + iters Spark actions to rebuild (rebuilds are now
+    * bit-identical thanks to the quantized mean update, but still cost
+    * real Spark actions); memoizing gives each session ONE model per
+    * corpus and drops ~1 s per IVF/semantic-dedup call. Living in
+    * Memo's store means a dir backfill's `Memo.invalidate` clears
+    * models together with frames. */
   private def memoModel(spark: SparkSession, dir: String, tag: String)
                        (build: => (Array[Int], Array[Array[Float]]))
   : (Array[Int], Array[Array[Float]]) =
@@ -278,11 +291,16 @@ object Similarity {
     (0 until iters).foreach { _ =>
       val assigned = e.withColumn("centroid_id",
         GraftExpressions.nearestCentroidsFloat(col("embedding"), model._1, model._2, 1).getItem(0))
-      // mean vector per cell: posexplode + groupBy(cell, dim) + re-assemble
+      // mean vector per cell: posexplode + groupBy(cell, dim) + re-assemble.
+      // The mean is the deterministic quantized form (see MeanQuantScale):
+      // exact integer sum → one double division, identical on every run
+      // and replayable verbatim in the DuckDB oracle.
       val dims = assigned
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("centroid_id"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg((sum(expr(s"CAST(round(CAST(x AS DOUBLE) * $MeanQuantScale) AS BIGINT)"))
+          .cast(DoubleType) /
+          (lit(MeanQuantScale.toDouble) * count(lit(1)).cast(DoubleType))).as("m"))
       model = collectModel(dims
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
@@ -592,6 +610,91 @@ object Similarity {
        |corpus AS (SELECT * FROM orig UNION ALL SELECT * FROM jittered)""".stripMargin
   }
 
+  /** IEEE left-fold in index order — the DuckDB spelling of the
+    * sequential double accumulation every float expression in this file
+    * performs ([[graft.functions.CosineSimFloat]],
+    * [[graft.functions.NearestCentroidsFloat]]). */
+  private def ieeeFold(listExpr: String): String =
+    s"list_reduce(list_prepend(0.0, $listExpr), (acc, x) -> acc + x)"
+
+  /** DuckDB rebuild of the deterministic k-means model — the unrolled
+    * Lloyd loop of [[kmeansModelOn]], bit-exact:
+    *  - init: first `NumCentroids` vectors (`vec_id < C`), float as-is;
+    *  - assignment: argmax over `NearestCentroidsFloat`'s exact scoring
+    *    (per-element double casts, index-order fold, zero-norm → 0.0,
+    *    ties to the lower centroid id);
+    *  - mean update: the quantized integer-sum mean (`MeanQuantScale`),
+    *    exact BIGINT arithmetic → one double division → FLOAT cast, so
+    *    summation order cannot matter in either engine.
+    * Emits `kcentn(cid, ced, nc)` — final centroids as double lists with
+    * their norm folds — plus `kn(vec_id, e, na)` for the corpus side. */
+  private def kmeansCtes(src: String, iters: Int = KMeansIters): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""kv AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM $src
+         |),
+         |kn AS (
+         |  SELECT vec_id, e, ${ieeeFold("list_transform(e, x -> x * x)")} AS na FROM kv
+         |),
+         |kc0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS ce
+         |  FROM $src WHERE vec_id < $NumCentroids
+         |)""".stripMargin)
+    for (it <- 0 until iters) {
+      sb.append(
+        s""",
+           |kcn$it AS (
+           |  SELECT cid, ced, ${ieeeFold("list_transform(ced, x -> x * x)")} AS nc
+           |  FROM (SELECT cid, list_transform(ce, x -> CAST(x AS DOUBLE)) AS ced FROM kc$it)
+           |),
+           |ka$it AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT v.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |        CASE WHEN v.na = 0 OR c.nc = 0 THEN 0.0
+           |             ELSE ${ieeeFold("list_transform(range(1, len(v.e) + 1), i -> v.e[i] * c.ced[i])")}
+           |                  / (sqrt(v.na) * sqrt(c.nc)) END DESC, c.cid) AS rn
+           |    FROM kn v CROSS JOIN kcn$it c
+           |  ) WHERE rn = 1
+           |),
+           |km$it AS (
+           |  SELECT cid, i,
+           |    CAST(CAST(SUM(CAST(round(v.e[i] * $MeanQuantScale) AS BIGINT)) AS DOUBLE)
+           |      / ($MeanQuantScale.0 * CAST(COUNT(*) AS DOUBLE)) AS FLOAT) AS m
+           |  FROM ka$it a JOIN kn v USING (vec_id), UNNEST(range(1, len(v.e) + 1)) t(i)
+           |  GROUP BY cid, i
+           |),
+           |kc${it + 1} AS (
+           |  SELECT cid, CAST(list(m ORDER BY i) AS FLOAT[]) AS ce FROM km$it GROUP BY cid
+           |)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |kcentn AS (
+         |  SELECT cid, ced, ${ieeeFold("list_transform(ced, x -> x * x)")} AS nc
+         |  FROM (SELECT cid, list_transform(ce, x -> CAST(x AS DOUBLE)) AS ced FROM kc$iters)
+         |)""".stripMargin)
+    sb.toString
+  }
+
+  /** Top-`k` centroid probes per vector from the final model — the
+    * DuckDB spelling of `NearestCentroidsFloat(…, k)`'s successive
+    * strict-max selection (score desc, lower cid first on ties). */
+  private def probeCte(name: String, fromCte: String, k: Int,
+                       where: String = "TRUE"): String =
+    s"""$name AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        CASE WHEN v.na = 0 OR c.nc = 0 THEN 0.0
+       |             ELSE ${ieeeFold("list_transform(range(1, len(v.e) + 1), i -> v.e[i] * c.ced[i])")}
+       |                  / (sqrt(v.na) * sqrt(c.nc)) END DESC, c.cid) AS rn
+       |    FROM $fromCte v CROSS JOIN kcentn c WHERE $where
+       |  ) WHERE rn <= $k
+       |)""".stripMargin
+
   private def quantCteOn(src: String) =
     s"""qv AS (
       |  SELECT vec_id,
@@ -752,5 +855,61 @@ object Similarity {
          |    JOIN qn qb ON cand.vec_b = qb.vec_id
          |)
          |SELECT vec_a, vec_b, sim FROM scored WHERE sim >= 0.9
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Full-value IVF oracle: DuckDB re-runs the ENTIRE pipeline —
+    // deterministic k-means (kmeansCtes, bit-exact thanks to the
+    // quantized mean update), database cell assignment (top-1), query
+    // probes (top-NProbe), cell-confined candidate join, bit-exact
+    // float cosine re-score, rank. Retired the last-but-one rows-only
+    // check (round-7 VERDICT #1).
+    "sim_ann_ivf" ->
+      s"""WITH ${kmeansCtes("embeddings")},
+         |${probeCte("kprobe", "kn", NProbe, where = "v.vec_id < 32")},
+         |${probeCte("kafin", "kn", 1)},
+         |cand AS (
+         |  SELECT p.vec_id AS query_id, d.vec_id AS neighbor_id
+         |  FROM kprobe p JOIN kafin d ON p.cid = d.cid
+         |  WHERE p.vec_id <> d.vec_id
+         |),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    CASE WHEN qa.na = 0 OR qb.na = 0 THEN 0.0
+         |         ELSE ${ieeeFold("list_transform(range(1, len(qa.e) + 1), i -> qa.e[i] * qb.e[i])")}
+         |              / (sqrt(qa.na) * sqrt(qb.na)) END AS sim
+         |  FROM cand JOIN kn qa ON cand.query_id = qa.vec_id
+         |            JOIN kn qb ON cand.neighbor_id = qb.vec_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+         |  FROM scored
+         |)
+         |SELECT query_id, rk, neighbor_id, sim FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
+    // Full-value SemDeDup oracle: murmur3-planted corpus (plantedCtes)
+    // → deterministic k-means → final-model assignment + top-2 probes
+    // → cell-local smaller-id pairs at the 0.9 threshold → min-witness.
+    // Retires the last rows-only check.
+    "sim_semantic_dedup" ->
+      s"""WITH $plantedCtes,
+         |${kmeansCtes("corpus")},
+         |${probeCte("kprobe2", "kn", DedupProbes)},
+         |${probeCte("kafin", "kn", 1)},
+         |dpair AS (
+         |  SELECT p.vec_id, d.vec_id AS vb,
+         |    CASE WHEN qa.na = 0 OR qb.na = 0 THEN 0.0
+         |         ELSE ${ieeeFold("list_transform(range(1, len(qa.e) + 1), i -> qa.e[i] * qb.e[i])")}
+         |              / (sqrt(qa.na) * sqrt(qb.na)) END AS sim
+         |  FROM kprobe2 p JOIN kafin d ON p.cid = d.cid AND d.vec_id < p.vec_id
+         |    JOIN kn qa ON p.vec_id = qa.vec_id
+         |    JOIN kn qb ON d.vec_id = qb.vec_id
+         |),
+         |ddup AS (
+         |  SELECT vec_id, MIN(vb) AS dup_of FROM dpair WHERE sim >= 0.9 GROUP BY vec_id
+         |)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
+         |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |  COALESCE(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of
+         |FROM kafin a LEFT JOIN ddup d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin)
 }
