@@ -88,7 +88,13 @@ object MediaHeaders {
         val w = be16(bs, i + 7)
         val ch = u(bs(i + 9))
         return pack(FmtJpeg, w, h, ch, 0)
-      } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9) || marker == 0x01) {
+      } else if (marker == 0xd9 || marker == 0xda) {
+        // EOI ends the stream; SOS begins entropy-coded data, where a
+        // chance FF Cx byte pair is content, not a marker — either way
+        // no SOF frame header precedes it, so stop rather than risk
+        // reporting garbage dimensions from payload bytes
+        return pack(FmtJpeg, 0, 0, 0, 0)
+      } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
         i += 2 // standalone marker, no length field
       } else {
         if (i + 3 >= bs.length) return pack(FmtJpeg, 0, 0, 0, 0)

@@ -61,13 +61,20 @@ object Dedup {
     * conservative jaccard, bounded reducers. Denominators always use
     * the full shingle-set sizes. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.015,
-                   dfCap: Int = HotShingleDfCap): DataFrame = {
+                   dfCap: Int = HotShingleDfCap): DataFrame =
     // one shingle scan, shared by sizes and the index (the fused
     // codegen'd hash pass — no shingle-string materialization); the
     // frame is Memo-persisted per (session, dir), so repeated calls
     // (different thresholds, the minhash ground-truth spec) share one
     // copy instead of pinning a new cache each
-    val sh = shingled(spark, dir)
+    ngramJaccardOn(shingled(spark, dir), threshold, dfCap)
+
+  /** [[ngramJaccard]] over an arbitrary (doc_id, sh) shingle frame —
+    * the capped-branch fixture tests feed synthetic hot shingles
+    * through here (the parquet fixture's dfs never reach the cap, so
+    * only a synthetic corpus exercises the conservative semantics). */
+  private[graft] def ngramJaccardOn(sh: DataFrame, threshold: Double = 0.015,
+                                    dfCap: Int = HotShingleDfCap): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -140,15 +147,19 @@ object Dedup {
         .select(col("doc_id"), col("rep_doc_id").as("old_rep"),
           least(col("rep_doc_id"), coalesce(col("nmin"), col("rep_doc_id"))).as("rep_doc_id"))
         .localCheckpoint()
-      val changed = updated.filter(col("rep_doc_id") =!= col("old_rep")).count()
+      // convergence check every 2nd round (and always on the last):
+      // the count is its own driver action on top of the checkpoint
+      // job, and a zero-change round detected one round late costs one
+      // cheap extra propagation over an already-converged frame — half
+      // the per-round driver actions for the same fixpoint (a skipped
+      // check can only DELAY detection, never fake convergence)
+      if (i % 2 == 1 || i == maxIter - 1)
+        converged = updated.filter(col("rep_doc_id") =!= col("old_rep")).isEmpty
       labels = updated.select(col("doc_id"), col("rep_doc_id"))
-      converged = changed == 0
       i += 1
     }
-    if (!converged) System.err.println(
-      s"[graft] dedupComponents: no fixpoint within $maxIter rounds (component diameter " +
-        s"exceeds budget) — labels are a partial closure; use dedupComponentsStar " +
-        "(O(log n) rounds) or raise maxIter")
+    requireConverged(converged, "dedupComponents", maxIter,
+      "use dedupComponentsStar (O(log n) rounds) or raise maxIter")
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels.withColumnRenamed("rep_doc_id", "rep"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep_doc_id"))
@@ -172,9 +183,8 @@ object Dedup {
     * (same lineage discipline as the direct loop). */
   def dedupComponentsStar(spark: SparkSession, dir: String, maxIter: Int = 20): DataFrame = {
     val pairs = verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-    // min-reduce keeps the one-row-per-doc contract even if maxIter
-    // exhausts before convergence leaves a node with two parents (a
-    // converged star set makes this a no-op)
+    // min-reduce keeps the one-row-per-doc contract; on a converged
+    // star set (starLabels throws otherwise) it is a no-op guard
     val labels = starLabels(pairs, maxIter)
       .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("rep"))
     Tables.documents(spark, dir).select(col("doc_id"))
@@ -213,16 +223,27 @@ object Dedup {
         .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
         .distinct()
         .localCheckpoint()
-      val changed = ss.exceptAll(edges).limit(1).count() + edges.exceptAll(ss).limit(1).count()
+      // same every-2nd-round cadence as dedupComponents: the two
+      // exceptAll probes are the expensive driver actions here
+      if (i % 2 == 1 || i == maxIter - 1)
+        converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
       edges = ss
-      converged = changed == 0
       i += 1
     }
-    if (!converged) System.err.println(
-      s"[graft] starLabels: star contraction did not stabilize within $maxIter rounds — " +
-        "labels are a partial closure (callers min-reduce, so output stays one row per doc)")
+    requireConverged(converged, "starLabels", maxIter, "raise maxIter")
     edges
   }
+
+  /** Non-convergence is an ERROR, not a stderr note: a truncated
+    * closure is indistinguishable from a converged one in the output
+    * schema, so a caller consuming `rep_doc_id` must never receive one
+    * silently (ADVICE r7). The loops above always evaluate convergence
+    * on their final round, so a thrown budget overrun is definitive. */
+  private def requireConverged(converged: Boolean, what: String,
+                               maxIter: Int, hint: String): Unit =
+    if (!converged) throw new IllegalStateException(
+      s"[graft] $what: no fixpoint within $maxIter rounds — the labels would be " +
+        s"a partial (wrong) closure; $hint")
 
   /** Exact-substring overlap pairs: documents sharing at least one
     * verbatim run of [[SubstringK]] consecutive tokens (the windowed-
@@ -301,8 +322,14 @@ object Dedup {
     * source) to one 32-long buffer before the shuffle, so signature
     * cost is scan-bound regardless of corpus size. */
   def sourceSignatures(spark: SparkSession, dir: String): DataFrame =
-    sourceSignaturesFrom(sourceShingles(spark, dir))
-      .orderBy(col("source"), col("h_idx"))
+    memoSourceSig(spark, dir).orderBy(col("source"), col("h_idx"))
+
+  /** Aggregated per-source signatures, memoized per (session, dir):
+    * the signature query and both self-join sides of [[sourceJaccard]]
+    * read it, and Memo (not a local `.cache()`) owns the lifecycle. */
+  private def memoSourceSig(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dedup.source_sig")(
+      sourceSignaturesFrom(sourceShingles(spark, dir)))
 
   /** (source, x): the exploded per-source shingle-hash stream — the
     * one corpus scan behind signatures, set sizes, and the exact
@@ -334,7 +361,7 @@ object Dedup {
     * shingle — it scales with sources, not documents. */
   def sourceJaccard(spark: SparkSession, dir: String): DataFrame = {
     val inv = sourceShingles(spark, dir)
-    val sig = sourceSignaturesFrom(inv).cache()
+    val sig = memoSourceSig(spark, dir)
     val est = sig.as("a").join(sig.as("b"),
         col("a.h_idx") === col("b.h_idx") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_x"), col("b.source").as("source_y"))

@@ -163,13 +163,18 @@ object GmallDws {
     * via Memo) so the DWD→DWS dataflow is proven end-to-end. The
     * reference dedupes the topic's per-mutation variants with D2
     * latest-wins state (`:83-117`); the batch form is the row_number
-    * filter below (variants of one detail are od-side-identical, so any
-    * deterministic tiebreak yields the same aggregate). */
+    * filter below. The ordering is a FULL deterministic tiebreak
+    * (type, then the mutation's operate_time/order_status) — `type`
+    * alone is unique today (≤ 1 insert + 1 update per order) but would
+    * break ties arbitrarily if a second same-type mutation appeared,
+    * and the oracle must stay deterministic under the same ordering
+    * (ADVICE r7). */
   def tradeProvinceOrderCdc(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "dws.tradeProvinceOrderCdc") {
       val latest = GmallDwdDb.tradeOrderDetailWide(spark, dir)
         .withColumn("drn", row_number().over(
-          Window.partitionBy(col("order_detail_id")).orderBy(col("type").desc)))
+          Window.partitionBy(col("order_detail_id")).orderBy(
+            col("type").desc, col("operate_time").desc, col("order_status").desc)))
         .filter(col("drn") === 1)
       dtStt(latest
           .withColumn("dt", substring(col("order_create_time"), 1, 10))
@@ -390,7 +395,8 @@ object GmallDws {
     "dws_trade_province_order_cdc_window" ->
       s"""${GmallDwdDb.flagshipWideCte},
          |latest AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY order_detail_id ORDER BY type DESC) AS drn
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY order_detail_id
+         |    ORDER BY type DESC, operate_time DESC, order_status DESC) AS drn
          |  FROM wide
          |), agg AS (
          |  SELECT substring(order_create_time, 1, 10) AS dt, province_id,

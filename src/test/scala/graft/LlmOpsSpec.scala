@@ -525,6 +525,62 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("MapPartitions") && !plan.contains("DeserializeToObject"), plan)
   }
 
+  test("ngram jaccard df-cap: hot shingles drop, scores stay conservative") {
+    import spark.implicits._
+    import graft.functions.GraftExpressions
+    // 80 docs sharing a boilerplate prefix (its shingles reach df = 80,
+    // far over the cap) with pairwise-unique tails, plus one genuine
+    // near-dup pair held together by RARE shingles only — the corpus
+    // shape the parquet fixture never produces (its max df stays under
+    // the default cap, leaving the capped branch unexercised)
+    val boiler = "common boilerplate navigation header shared verbatim by every page"
+    val docs = (0 until 80).map(i =>
+      (i.toLong, s"$boiler tail$i alpha$i beta$i gamma$i delta$i")) ++ Seq(
+      (900L, "rare pair document text with many matching words one two three four five six seven"),
+      (901L, "rare pair document text with many matching words one two three four five six eight"))
+    val sh = docs.toDF("doc_id", "text")
+      .select($"doc_id", GraftExpressions.shingleHashes(split($"text", " "), 3).as("sh"))
+    val cap = 8
+    // the fixture must actually trigger the branch under test
+    val hotCt = sh.select(explode($"sh").as("s"))
+      .groupBy($"s").count().filter($"count" > cap).count()
+    assert(hotCt > 0, "fixture produced no hot shingles — the cap branch is untested")
+    val keep = $"doc_a" :: $"doc_b" :: $"inter" :: $"jaccard" :: Nil
+    val capped = Dedup.ngramJaccardOn(sh, threshold = 1e-9, dfCap = cap)
+      .select(keep: _*).as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val uncapped = Dedup.ngramJaccardOn(sh, threshold = 1e-9, dfCap = Int.MaxValue)
+      .select(keep: _*).as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // expected capped semantics from first principles on collected sets:
+    // inter counts rare shared shingles only; denominators stay full
+    val sets = sh.as[(Long, Seq[Long])].collect().toMap.view.mapValues(_.toSet).toMap
+    val df = sets.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) & sets(b)).count(df(_) <= cap) if i > 0
+      j = i.toDouble / (sets(a).size + sets(b).size - i).toDouble if j >= 1e-9
+    } yield (a, b) -> (i.toLong, j)).toMap
+    assert(capped.keySet == expected.keySet,
+      s"capped pair set ${capped.keySet} != expected ${expected.keySet}")
+    expected.foreach { case (k, (i, j)) =>
+      assert(capped(k)._1 == i, s"inter mismatch for $k")
+      assert(math.abs(capped(k)._2 - j) < 1e-12, s"jaccard mismatch for $k")
+    }
+    // conservative contract: capped pairs are a subset of uncapped and
+    // never score HIGHER (hot-only pairs vanish, never inflate)
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    capped.foreach { case (k, (_, j)) => assert(j <= uncapped(k)._2 + 1e-12) }
+    // the boilerplate block contributes no capped pairs (its shared
+    // shingles are all hot; tails are disjoint) while the rare pair
+    // survives with its full score
+    assert(!capped.keySet.exists { case (a, b) => a < 900 && b < 900 },
+      "a hot-only boilerplate pair leaked through the cap")
+    assert(capped.contains((900L, 901L)), "the rare near-dup pair was lost")
+    assert(capped((900L, 901L)) == uncapped((900L, 901L)),
+      "a pure-rare pair must be unaffected by the cap")
+  }
+
   test("fnv1a64 expression matches the reference Scala implementation") {
     import spark.implicits._
     val rows = Seq("", "a", "hello world", "é中文").toDF("s")
