@@ -17,6 +17,7 @@ object SparkEntry {
       (Analytic.queries, Analytic.oracles),
       (AsOf.queries, AsOf.oracles),
       (GmallDwdDb.queries, GmallDwdDb.oracles),
+      (DimRouter.queries, DimRouter.oracles),
       (GmallDws.queries, GmallDws.oracles),
       (GmallAds.queries, GmallAds.oracles),
       (Dedup.queries, Dedup.oracles),

@@ -165,4 +165,56 @@ object DimRouter {
   private def tableExists(spark: SparkSession, path: String): Boolean =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path))
+
+  /** A deterministic `table_process` row for the named query below —
+    * the `gmall_config` shape (`bean/TableProcess.java:11-17`) with a
+    * sink schema that exercises P9's map-key pruning (6 of the ~20
+    * payload keys survive). */
+  val orderInfoConfig: TableProcess = TableProcess(
+    sourceTable = "order_info", sinkTable = "dim_order_info",
+    sinkColumns = Seq("id", "user_id", "order_status", "total_amount",
+      "province_id", "operate_time"),
+    sinkPk = "id")
+
+  /** J5/P9/K3 as ONE oracle-named query: the Maxwell envelope fixture
+    * routed through [[route]] with [[orderInfoConfig]] (config-driven
+    * table filter + payload pruning), then the batch's inserts and
+    * updates merged latest-wins by [[upsert]] — the set-based form of
+    * `DimApp.java:70-78` + `TableProcessFunction.java:57-163` +
+    * `DimSinkFunction.java:28-59`'s per-record Phoenix upsert. Insert
+    * and update of one order carry the same CDC `ts` (second
+    * granularity), which is exactly the tie [[upsert]] resolves in
+    * favor of the update — so the merged dim shows post-mutation
+    * status/operate_time for every mutated order, verified against a
+    * DuckDB rebuild from `orders` alone. */
+  def dimOrderInfo(spark: SparkSession, dir: String): DataFrame = {
+    val env = GmallDwdDb.envelope(spark, dir)
+    val ins = route(env.filter(col("type") === "insert"),
+      Seq(orderInfoConfig))(orderInfoConfig.sinkTable)
+    val upd = route(env.filter(col("type") === "update"),
+      Seq(orderInfoConfig))(orderInfoConfig.sinkTable)
+    upsert(ins, upd, orderInfoConfig.sinkPk)
+      .orderBy(col("id").cast("bigint"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dim_order_info" -> ((s, d) => dimOrderInfo(s, d)))
+
+  /** DuckDB rebuild from `orders` alone: the fixture's order_info
+    * envelope rules (insert per order at status 1001/operate_time =
+    * orderdate; one update per okey%20 ∈ {3,13}→1005, {7,17}→1003 at
+    * operate_time + 1 day, same ts) merged latest-wins. */
+  val oracles: Map[String, String] = Map(
+    "dim_order_info" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |  CAST(o_custkey AS VARCHAR) AS user_id,
+        |  CASE WHEN o_orderkey % 20 IN (3, 13) THEN '1005'
+        |       WHEN o_orderkey % 20 IN (7, 17) THEN '1003'
+        |       ELSE '1001' END AS order_status,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_amount,
+        |  CAST(o_custkey % 25 AS VARCHAR) AS province_id,
+        |  strftime(o_orderdate + CASE WHEN o_orderkey % 20 IN (3, 7, 13, 17)
+        |    THEN INTERVAL 1 DAY ELSE INTERVAL 0 DAY END, '%Y-%m-%d %H:%M:%S') AS operate_time,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS _cdc_ts
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
 }

@@ -105,6 +105,79 @@ object GmallDwd {
       .drop("prev_ts")
   }
 
+  /** Raw `topic_log` JSON fixture with `displays` arrays — the log
+    * lines `BaseLogApp.java:41-62` consumes, synthesized
+    * deterministically from `events`: common fields mirror
+    * [[pageLog]]'s attribute rules, view/click events carry
+    * `k % 3 + 1` display entries (type cycling over the 4 gmall
+    * display kinds, item = a sku id, pos_id = slot), other event
+    * types carry none (to_json omits the null array, so the parse
+    * side sees absent-field records too). */
+  def logJson(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(
+        col("user_id"), col("ts"), col("event_type"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(LongType).as("k"))
+      .select(to_json(struct(
+        struct(
+          concat(lit("mid_"), col("user_id")).as("mid"),
+          col("user_id").cast(StringType).as("uid"),
+          concat(lit("v"), col("k") % 3).as("vc"),
+          concat(lit("ch"), col("k") % 4).as("ch"),
+          (col("user_id") % 7).cast(StringType).as("ar")).as("common"),
+        struct(
+          when(col("event_type") === "view", "home")
+            .when(col("event_type") === "click", "good_detail")
+            .when(col("event_type") === "purchase", "order")
+            .when(col("event_type") === "signup", "register")
+            .otherwise("mine").as("page_id")).as("page"),
+        when(col("event_type").isin("view", "click"), expr(
+          "transform(sequence(0, CAST(k % 3 AS INT)), i -> named_struct(" +
+            "'display_type', element_at(array('promotion','query','barrage','activity'), CAST((k + i) % 4 AS INT) + 1), " +
+            "'item', concat('sku_', CAST((k * 7 + i) % 200 AS STRING)), " +
+            "'item_type', 'sku_id', " +
+            "'pos_id', CAST(i + 1 AS STRING)))")).as("displays"),
+        unix_millis(col("ts")).as("ts"))).as("value"))
+  }
+
+  /** `BaseLogApp.java:134-147`'s display side output as a named
+    * query: the raw JSON through P1 parse/quarantine → P10 five-way
+    * split → the display branch, parent `page_id`/`ts` pushed into
+    * every exploded element. Stateless codegen end to end (parse +
+    * explode, no shuffle) — the oracle rebuilds the exploded rows
+    * from `events` directly. */
+  def displayLog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.LogStream
+    val parsed = LogStream.clean(
+      LogStream.parse(logJson(spark, dir), LogStream.pageLogSchema))
+    LogStream.splitLog(parsed)("display")
+      .select(col("common.mid").as("mid"), col("common.uid").as("uid"),
+        col("common.ch").as("ch"), col("common.vc").as("vc"), col("common.ar").as("ar"),
+        col("page_id"), col("ts"),
+        col("display_type"), col("item"), col("item_type"), col("pos_id"))
+      .orderBy(col("uid").cast(LongType), col("ts"), col("item"), col("pos_id"))
+  }
+
+  /** DuckDB rebuild of [[displayLog]] from `events` alone. */
+  val displayLogSql: String =
+    """SELECT 'mid_' || CAST(user_id AS VARCHAR) AS mid,
+      |  CAST(user_id AS VARCHAR) AS uid,
+      |  'ch' || CAST(k % 4 AS VARCHAR) AS ch,
+      |  'v' || CAST(k % 3 AS VARCHAR) AS vc,
+      |  CAST(user_id % 7 AS VARCHAR) AS ar,
+      |  CASE event_type WHEN 'view' THEN 'home' ELSE 'good_detail' END AS page_id,
+      |  epoch_ms(ts) AS ts,
+      |  ['promotion','query','barrage','activity'][CAST((k + i) % 4 AS INTEGER) + 1] AS display_type,
+      |  'sku_' || CAST((k * 7 + i) % 200 AS VARCHAR) AS item,
+      |  'sku_id' AS item_type,
+      |  CAST(i + 1 AS VARCHAR) AS pos_id
+      |FROM (
+      |  SELECT user_id, ts, event_type,
+      |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+      |  FROM events WHERE event_type IN ('view', 'click')
+      |), UNNEST(range(0, k % 3 + 1)) t(i)
+      |ORDER BY CAST(uid AS BIGINT), ts, item, pos_id""".stripMargin
+
   /** 10s tumbling window bounds as strings (the DWS `stt`/`edt`). */
   def withStt(df: DataFrame): DataFrame = {
     val w = window(col("ts"), "10 seconds")

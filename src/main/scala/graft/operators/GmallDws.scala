@@ -220,6 +220,10 @@ object GmallDws {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P10's display side output (BaseLogApp.java:134-147) — registered
+    // here with the rest of the traffic family; engine + oracle live
+    // in GmallDwd next to the page-log fixture they share rules with
+    "dwd_traffic_display_log" -> ((s, d) => GmallDwd.displayLog(s, d)),
     "dws_traffic_channel_page_view_window" -> q(trafficChannel, Nil, Seq("stt", "vc", "ch", "ar", "is_new")),
     "dws_traffic_source_keyword_page_view_window" -> q(trafficKeyword, Nil, Seq("stt", "source", "keyword")),
     "dws_traffic_page_view_window" -> q(trafficHomeDetail, Nil, Seq("stt")),
@@ -373,6 +377,7 @@ object GmallDws {
     s"WITH ${GmallDwd.orderWideCte},\n${GmallDwd.ordersEnrichedCte},\n$extra\n$select"
 
   val oracles: Map[String, String] = Map(
+    "dwd_traffic_display_log" -> GmallDwd.displayLogSql,
     "dws_traffic_channel_page_view_window" -> withPage(dws1Cte,
       "SELECT * FROM dws_traffic_channel_page_view_window ORDER BY stt, vc, ch, ar, is_new"),
     "dws_traffic_source_keyword_page_view_window" -> s"WITH $dws2Cte\nSELECT * FROM dws_traffic_source_keyword_page_view_window ORDER BY stt, source, keyword",
