@@ -204,14 +204,22 @@ object GmallDwd {
         col("coupon_reduce_amount"), col("split_total_amount"),
         col("l_returnflag"), col("o_orderstatus"))
 
-  private def orderWideBuild(spark: SparkSession, dir: String): DataFrame = {
+  private def orderWideBuild(spark: SparkSession, dir: String): DataFrame =
     // broadcast-join plans keep scan parallelism end to end; fan the
     // fact scan out so the wide projection + cache build use all cores
-    val li = Tables.spread(spark, Tables.lineitem(spark, dir))
-    val o = Tables.orders(spark, dir)
-    val p = Tables.part(spark, dir)
-    val c = Tables.customer(spark, dir)
-    val n = Tables.nation(spark, dir)
+    orderWideOn(Tables.spread(spark, Tables.lineitem(spark, dir)),
+      Tables.orders(spark, dir), Tables.part(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir))
+
+  /** The J4 dim chain over explicit frames. Every join is
+    * stream-compatible when only `li` streams: li ⋈ orders is a
+    * stream-static equi-join and the three broadcast dim hops are
+    * stateless lookups — the async-dim-join shape of
+    * `DwsTradeTrademarkCategoryUserSpuOrderWindow.java:88-199`, so the
+    * SAME chain serves the batch build and the streaming DWS window
+    * (stream ≡ batch proven in FileStreamSpec). */
+  private[graft] def orderWideOn(li: DataFrame, o: DataFrame, p: DataFrame,
+                                 c: DataFrame, n: DataFrame): DataFrame = {
     val one = lit(1).cast(DecimalType(18, 2))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(p), li("l_partkey") === p("p_partkey"))
@@ -239,7 +247,10 @@ object GmallDwd {
         dec4(dec2(col("l_extendedprice")) * dec2(col("l_tax"))).as("coupon_reduce_amount"),
         dec4(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).as("split_total_amount"),
         col("l_returnflag"),
-        col("o_orderstatus"))
+        col("o_orderstatus"),
+        // event-time passthrough for the streaming DWS window (the
+        // batch wrapper's projection drops it)
+        col("l_shipdate").as("ship_ts"))
   }
 
   /** Orders-level stream with lifetime-first markers (per user, and per

@@ -107,14 +107,34 @@ object GmallDwdDb {
     * family, because every slice scan then probes many mixed
     * partitions instead of pruning to one. On a real cluster, where
     * one table's CDC volume exceeds a task's comfortable working set,
-    * extend the repartition key with
-    * `pmod(xxhash64(data("id")), lit(k))` for the fact tables — the
-    * scan-side plans are unchanged, only the partition count per
-    * table grows. */
-  def envelope(spark: SparkSession, dir: String): DataFrame =
-    Memo(spark, dir, "cdcEnvelope")(
+    * pass `saltK > 1`: the repartition key gains
+    * `pmod(xxhash64(data("id")), saltK)` for the FACT tables (the
+    * per-row-volume ones) while dim/config tables keep their single
+    * pruned partition — the scan-side plans are unchanged, only the
+    * partition count per fact table grows. `saltK` is a config knob,
+    * not a code change, so the 100×-scale remedy is one argument;
+    * GmallDwdDbSpec pins result-equality at saltK = 4 and the
+    * partition spread it buys. */
+  def envelope(spark: SparkSession, dir: String, saltK: Int = 1): DataFrame =
+    Memo(spark, dir, if (saltK == 1) "cdcEnvelope" else s"cdcEnvelope.salt$saltK") {
+      val keys: Seq[Column] =
+        if (saltK <= 1) Seq(col("table"))
+        else Seq(col("table"),
+          when(col("table").isin(FactTables: _*),
+            pmod(xxhash64(col("data").getItem("id")), lit(saltK.toLong)))
+            .otherwise(lit(0L)))
       LogStream.maxwellEnvelope(envelopeJson(spark, dir))
-        .repartition(spark.sparkContext.defaultParallelism, col("table")))
+        .repartition(spark.sparkContext.defaultParallelism, keys: _*)
+    }
+
+  /** The envelope tables whose row volume scales with facts (orders /
+    * lineitems / payments), i.e. the ones a `saltK` spreads; the
+    * config-ish low-volume tables (user_info, base dictionaries) stay
+    * unsalted so their scans keep pruning to one partition. */
+  private val FactTables: Seq[String] = Seq(
+    "order_info", "order_detail", "order_detail_activity",
+    "order_detail_coupon", "order_refund_info", "cart_info",
+    "payment_info", "coupon_use", "favor_info", "comment_info")
 
   /** The raw JSON fixture — one `value` column of Maxwell envelope
     * lines, deterministically derived from `orders`, `lineitem` and

@@ -54,4 +54,60 @@ class FileStreamSpec extends AnyFunSuite {
     assert(clean.filter(col("type") === "update")
       .select($"old"("sku_num")).as[String].collect().toSeq == Seq("2"))
   }
+
+  test("J4 dim chain + watermarked window: streamed facts ≡ batch DWS rows") {
+    // The async-dim-join window shape
+    // (DwsTradeTrademarkCategoryUserSpuOrderWindow.java:88-199): the
+    // fact stream rides through the PRODUCTION orderWideOn chain
+    // (stream-static order join + three broadcast dim hops, all
+    // stateless) into a watermarked tumbling window keyed by
+    // trademark × category × user × spu. Append mode — windows emit on
+    // watermark close, driven by a far-future sentinel file.
+    // (countDistinct(order_id) is not append-streamable; the windowed
+    // agg uses count + sum, the same divergence GmallDws documents.)
+    import graft.operators.GmallDwd
+    import graft.sources.Tables
+    val inDir = Files.createTempDirectory("fs_li").toString
+    val src = s"$sf/lineitem.parquet"
+    Files.copy(Paths.get(src), Paths.get(inDir, "initial.parquet"))
+    val o = Tables.orders(spark, sf)
+    val p = Tables.part(spark, sf)
+    val c = Tables.customer(spark, sf)
+    val n = Tables.nation(spark, sf)
+    def windowed(wide: DataFrame): DataFrame = wide
+      // parquet ms-timestamps surface as TIMESTAMP_NTZ; watermarks
+      // require the session-zoned TIMESTAMP type (UTC-pinned session)
+      .withColumn("ship_ts", col("ship_ts").cast("timestamp"))
+      .withWatermark("ship_ts", "0 seconds")
+      .groupBy(window(col("ship_ts"), "1 day"),
+        col("tm"), col("cat1"), col("user_id"), col("spu"))
+      .agg(count(lit(1)).as("row_ct"), sum(col("split_total_amount")).as("amount"))
+      .select(col("window.start").cast("long").as("ws"), col("tm"), col("cat1"),
+        col("user_id"), col("spu"), col("row_ct"), col("amount"))
+
+    val liSchema = spark.read.parquet(src).schema
+    val agg = windowed(GmallDwd.orderWideOn(
+      spark.readStream.schema(liSchema).parquet(inDir), o, p, c, n))
+    val q = agg.writeStream.format("memory").queryName("j4_dws")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // sentinel: one fact far in the future (2099) advances the
+    // watermark past every real window; it joins a real order, so it
+    // flows through the full chain to the window operator
+    val cutoff = java.sql.Timestamp.valueOf("2090-01-01 00:00:00")
+    spark.read.parquet(src).limit(1)
+      .withColumn("l_shipdate",
+        lit("2099-01-01 00:00:00").cast(liSchema("l_shipdate").dataType))
+      .write.mode("append").parquet(inDir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("j4_dws")
+      .filter(col("ws") < cutoff.getTime / 1000)
+      .collect().map(_.toString).toSet
+    val want = windowed(GmallDwd.orderWideOn(
+        spark.read.parquet(src), o, p, c, n))
+      .collect().map(_.toString).toSet
+    assert(want.nonEmpty && got == want,
+      s"streamed J4 chain + window diverged (got ${got.size}, want ${want.size})")
+  }
 }

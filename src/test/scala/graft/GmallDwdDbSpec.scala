@@ -286,4 +286,30 @@ class GmallDwdDbSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(keys.nonEmpty && keys.forall(_ % 20 == 7))
   }
+
+  test("envelope saltK spreads fact-table partitions, results identical") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val base = GmallDwdDb.envelope(spark, sf)
+    val salted = GmallDwdDb.envelope(spark, sf, saltK = 4)
+    // the premise: keyed by table alone, the dominant fact table sits
+    // in ONE partition; salted, it spreads (that is the 100× knob)
+    def parts(df: org.apache.spark.sql.DataFrame, t: String): Long =
+      df.filter(col("table") === t).select(spark_partition_id()).distinct().count()
+    assert(parts(base, "order_detail") == 1L)
+    assert(parts(salted, "order_detail") > 1L, "saltK=4 failed to spread order_detail")
+    // low-volume tables stay pruned to a single partition
+    assert(parts(salted, "user_info") == 1L)
+    // and the flagship join built on the salted envelope is row-equal
+    // to the default wide frame — the salt is partitioning-only
+    val wideSalted = GmallDwdDb.tradeOrderDetailWideOn(
+      GmallDwdDb.orderDetailSliceOn(salted), GmallDwdDb.orderInfoSliceOn(salted),
+      GmallDwdDb.activitySliceOn(salted), GmallDwdDb.couponSliceOn(salted),
+      GmallDwdDb.baseDic(spark))
+    val wideBase = GmallDwdDb.tradeOrderDetailWide(spark, sf)
+    val key = Seq("order_detail_id", "type", "order_status", "split_total_amount",
+      "activity_id", "coupon_id", "dic_name")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(key.map(col): _*).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(rows(wideSalted).toSeq == rows(wideBase).toSeq)
+  }
 }
