@@ -105,19 +105,25 @@ object GmallDwd {
       .drop("prev_ts")
   }
 
-  /** Raw `topic_log` JSON fixture with `displays` arrays — the log
-    * lines `BaseLogApp.java:41-62` consumes, synthesized
-    * deterministically from `events`: common fields mirror
-    * [[pageLog]]'s attribute rules, view/click events carry
-    * `k % 3 + 1` display entries (type cycling over the 4 gmall
-    * display kinds, item = a sku id, pos_id = slot), other event
-    * types carry none (to_json omits the null array, so the parse
-    * side sees absent-field records too). */
+  /** Raw `topic_log` JSON fixture — the log lines
+    * `BaseLogApp.java:41-62` consumes, synthesized deterministically
+    * from `events` with every record family the five-way split routes
+    * (common fields mirror [[pageLog]]'s attribute rules):
+    *
+    *  - view/click:  page records with `k % 3 + 1` `displays` entries
+    *  - purchase:    page records with `k % 2 + 1` `actions` entries
+    *  - signup:      `start` (app-launch) records — no page field
+    *  - error:       records carrying an `err` payload
+    *
+    * to_json omits null fields, so each family's absent sections are
+    * genuinely missing from the line, exactly what the parse side must
+    * tolerate. */
   def logJson(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     e.select(
-        col("user_id"), col("ts"), col("event_type"),
-        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(LongType).as("k"))
+        col("user_id"), col("event_type"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast(LongType).as("k"),
+        unix_millis(col("ts")).as("tsm"))
       .select(to_json(struct(
         struct(
           concat(lit("mid_"), col("user_id")).as("mid"),
@@ -125,20 +131,50 @@ object GmallDwd {
           concat(lit("v"), col("k") % 3).as("vc"),
           concat(lit("ch"), col("k") % 4).as("ch"),
           (col("user_id") % 7).cast(StringType).as("ar")).as("common"),
-        struct(
+        when(col("event_type") =!= "signup", struct(
           when(col("event_type") === "view", "home")
             .when(col("event_type") === "click", "good_detail")
             .when(col("event_type") === "purchase", "order")
-            .when(col("event_type") === "signup", "register")
-            .otherwise("mine").as("page_id")).as("page"),
+            .otherwise("mine").as("page_id"))).as("page"),
+        when(col("event_type") === "signup", struct(
+          element_at(array(lit("icon"), lit("notice"), lit("install")),
+            (col("k") % 3).cast("int") + 1).as("entry"),
+          (col("k") % 1000 + 500).as("loading_time"))).as("start"),
         when(col("event_type").isin("view", "click"), expr(
           "transform(sequence(0, CAST(k % 3 AS INT)), i -> named_struct(" +
             "'display_type', element_at(array('promotion','query','barrage','activity'), CAST((k + i) % 4 AS INT) + 1), " +
             "'item', concat('sku_', CAST((k * 7 + i) % 200 AS STRING)), " +
             "'item_type', 'sku_id', " +
             "'pos_id', CAST(i + 1 AS STRING)))")).as("displays"),
-        unix_millis(col("ts")).as("ts"))).as("value"))
+        when(col("event_type") === "purchase", expr(
+          "transform(sequence(0, CAST(k % 2 AS INT)), i -> named_struct(" +
+            "'action_id', element_at(array('cart_add','favor_add','get_coupon'), CAST((k + i) % 3 AS INT) + 1), " +
+            "'item', concat('sku_', CAST((k * 5 + i) % 200 AS STRING)), " +
+            "'item_type', 'sku_id', " +
+            "'ts', tsm + (i + 1) * 1000))")).as("actions"),
+        when(col("event_type") === "error", struct(
+          concat(lit("30"), col("k") % 5).as("error_code"),
+          concat(lit("err "), col("k") % 7).as("msg"))).as("err"),
+        col("tsm").as("ts"))).as("value"))
   }
+
+  /** Parsed clean `topic_log` frame, memoized per (session, dir): the
+    * JSON synthesis + P1 parse run once and all four side-output
+    * queries split from the same persisted pass — the batch analog of
+    * the reference's one `topic_log` consumer group feeding BaseLog's
+    * five outputs. */
+  private def topicLog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.LogStream
+    memoized(spark, dir, "topicLog")(
+      LogStream.clean(LogStream.parse(logJson(spark, dir), LogStream.pageLogSchema)))
+  }
+
+  private def splitBranch(spark: SparkSession, dir: String, branch: String): DataFrame =
+    graft.streaming.LogStream.splitLog(topicLog(spark, dir))(branch)
+
+  private def commonCols: Seq[Column] = Seq(
+    col("common.mid").as("mid"), col("common.uid").as("uid"),
+    col("common.ch").as("ch"), col("common.vc").as("vc"), col("common.ar").as("ar"))
 
   /** `BaseLogApp.java:134-147`'s display side output as a named
     * query: the raw JSON through P1 parse/quarantine → P10 five-way
@@ -146,37 +182,100 @@ object GmallDwd {
     * every exploded element. Stateless codegen end to end (parse +
     * explode, no shuffle) — the oracle rebuilds the exploded rows
     * from `events` directly. */
-  def displayLog(spark: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.LogStream
-    val parsed = LogStream.clean(
-      LogStream.parse(logJson(spark, dir), LogStream.pageLogSchema))
-    LogStream.splitLog(parsed)("display")
-      .select(col("common.mid").as("mid"), col("common.uid").as("uid"),
-        col("common.ch").as("ch"), col("common.vc").as("vc"), col("common.ar").as("ar"),
-        col("page_id"), col("ts"),
-        col("display_type"), col("item"), col("item_type"), col("pos_id"))
+  def displayLog(spark: SparkSession, dir: String): DataFrame =
+    splitBranch(spark, dir, "display")
+      .select(commonCols ++ Seq(col("page_id"), col("ts"),
+        col("display_type"), col("item"), col("item_type"), col("pos_id")): _*)
       .orderBy(col("uid").cast(LongType), col("ts"), col("item"), col("pos_id"))
-  }
+
+  /** `BaseLogApp.java:148-160`'s action side output: exploded actions
+    * with the parent page_id; each action carries its OWN event time
+    * (the reference pushes the page ts into timestamp-less actions at
+    * generation; the fixture's actions are born with one). */
+  def actionLog(spark: SparkSession, dir: String): DataFrame =
+    splitBranch(spark, dir, "action")
+      .select(commonCols ++ Seq(col("page_id"),
+        col("action_id"), col("item"), col("item_type"), col("ts")): _*)
+      .orderBy(col("uid").cast(LongType), col("ts"), col("item"))
+
+  /** `BaseLogApp.java:109-116`'s start (app-launch) side output. */
+  def startLog(spark: SparkSession, dir: String): DataFrame =
+    splitBranch(spark, dir, "start")
+      .select(commonCols ++ Seq(col("start.entry").as("entry"),
+        col("start.loading_time").as("loading_time"), col("ts")): _*)
+      .orderBy(col("uid").cast(LongType), col("ts"), col("entry"))
+
+  /** `BaseLogApp.java:117-123`'s error side output (err records keep
+    * their full payload in the reference; the named query projects the
+    * error fields + identity, the analytical surface). */
+  def errLog(spark: SparkSession, dir: String): DataFrame =
+    splitBranch(spark, dir, "err")
+      .select(commonCols ++ Seq(col("err.error_code").as("error_code"),
+        col("err.msg").as("msg"), col("ts")): _*)
+      .orderBy(col("uid").cast(LongType), col("ts"), col("error_code"))
+
+  /** Shared DuckDB base for the side-output oracles: per-event common
+    * fields, rebuilt from `events` alone. */
+  private val logComCte: String =
+    """log_com AS (
+      |  SELECT 'mid_' || CAST(user_id AS VARCHAR) AS mid,
+      |    CAST(user_id AS VARCHAR) AS uid,
+      |    'ch' || CAST(k % 4 AS VARCHAR) AS ch,
+      |    'v' || CAST(k % 3 AS VARCHAR) AS vc,
+      |    CAST(user_id % 7 AS VARCHAR) AS ar,
+      |    event_type, epoch_ms(ts) AS tsm, k
+      |  FROM (
+      |    SELECT user_id, ts, event_type,
+      |      CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+      |    FROM events
+      |  )
+      |)""".stripMargin
 
   /** DuckDB rebuild of [[displayLog]] from `events` alone. */
   val displayLogSql: String =
-    """SELECT 'mid_' || CAST(user_id AS VARCHAR) AS mid,
-      |  CAST(user_id AS VARCHAR) AS uid,
-      |  'ch' || CAST(k % 4 AS VARCHAR) AS ch,
-      |  'v' || CAST(k % 3 AS VARCHAR) AS vc,
-      |  CAST(user_id % 7 AS VARCHAR) AS ar,
+    s"""WITH $logComCte
+      |SELECT mid, uid, ch, vc, ar,
       |  CASE event_type WHEN 'view' THEN 'home' ELSE 'good_detail' END AS page_id,
-      |  epoch_ms(ts) AS ts,
+      |  tsm AS ts,
       |  ['promotion','query','barrage','activity'][CAST((k + i) % 4 AS INTEGER) + 1] AS display_type,
       |  'sku_' || CAST((k * 7 + i) % 200 AS VARCHAR) AS item,
       |  'sku_id' AS item_type,
       |  CAST(i + 1 AS VARCHAR) AS pos_id
-      |FROM (
-      |  SELECT user_id, ts, event_type,
-      |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
-      |  FROM events WHERE event_type IN ('view', 'click')
-      |), UNNEST(range(0, k % 3 + 1)) t(i)
+      |FROM log_com, UNNEST(range(0, k % 3 + 1)) t(i)
+      |WHERE event_type IN ('view', 'click')
       |ORDER BY CAST(uid AS BIGINT), ts, item, pos_id""".stripMargin
+
+  /** DuckDB rebuild of [[actionLog]]. */
+  val actionLogSql: String =
+    s"""WITH $logComCte
+      |SELECT mid, uid, ch, vc, ar, 'order' AS page_id,
+      |  ['cart_add','favor_add','get_coupon'][CAST((k + i) % 3 AS INTEGER) + 1] AS action_id,
+      |  'sku_' || CAST((k * 5 + i) % 200 AS VARCHAR) AS item,
+      |  'sku_id' AS item_type,
+      |  tsm + (i + 1) * 1000 AS ts
+      |FROM log_com, UNNEST(range(0, k % 2 + 1)) t(i)
+      |WHERE event_type = 'purchase'
+      |ORDER BY CAST(uid AS BIGINT), ts, item""".stripMargin
+
+  /** DuckDB rebuild of [[startLog]]. */
+  val startLogSql: String =
+    s"""WITH $logComCte
+      |SELECT mid, uid, ch, vc, ar,
+      |  ['icon','notice','install'][CAST(k % 3 AS INTEGER) + 1] AS entry,
+      |  k % 1000 + 500 AS loading_time,
+      |  tsm AS ts
+      |FROM log_com WHERE event_type = 'signup'
+      |ORDER BY CAST(uid AS BIGINT), ts, entry""".stripMargin
+
+  /** DuckDB rebuild of [[errLog]]. */
+  val errLogSql: String =
+    s"""WITH $logComCte
+      |SELECT mid, uid, ch, vc, ar,
+      |  '30' || CAST(k % 5 AS VARCHAR) AS error_code,
+      |  'err ' || CAST(k % 7 AS VARCHAR) AS msg,
+      |  tsm AS ts
+      |FROM log_com WHERE event_type = 'error'
+      |ORDER BY CAST(uid AS BIGINT), ts, error_code""".stripMargin
 
   /** 10s tumbling window bounds as strings (the DWS `stt`/`edt`). */
   def withStt(df: DataFrame): DataFrame = {

@@ -224,6 +224,9 @@ object GmallDws {
     // here with the rest of the traffic family; engine + oracle live
     // in GmallDwd next to the page-log fixture they share rules with
     "dwd_traffic_display_log" -> ((s, d) => GmallDwd.displayLog(s, d)),
+    "dwd_traffic_action_log" -> ((s, d) => GmallDwd.actionLog(s, d)),
+    "dwd_traffic_start_log" -> ((s, d) => GmallDwd.startLog(s, d)),
+    "dwd_traffic_err_log" -> ((s, d) => GmallDwd.errLog(s, d)),
     "dws_traffic_channel_page_view_window" -> q(trafficChannel, Nil, Seq("stt", "vc", "ch", "ar", "is_new")),
     "dws_traffic_source_keyword_page_view_window" -> q(trafficKeyword, Nil, Seq("stt", "source", "keyword")),
     "dws_traffic_page_view_window" -> q(trafficHomeDetail, Nil, Seq("stt")),
@@ -378,6 +381,9 @@ object GmallDws {
 
   val oracles: Map[String, String] = Map(
     "dwd_traffic_display_log" -> GmallDwd.displayLogSql,
+    "dwd_traffic_action_log" -> GmallDwd.actionLogSql,
+    "dwd_traffic_start_log" -> GmallDwd.startLogSql,
+    "dwd_traffic_err_log" -> GmallDwd.errLogSql,
     "dws_traffic_channel_page_view_window" -> withPage(dws1Cte,
       "SELECT * FROM dws_traffic_channel_page_view_window ORDER BY stt, vc, ch, ar, is_new"),
     "dws_traffic_source_keyword_page_view_window" -> s"WITH $dws2Cte\nSELECT * FROM dws_traffic_source_keyword_page_view_window ORDER BY stt, source, keyword",
