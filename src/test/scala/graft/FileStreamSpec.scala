@@ -55,6 +55,36 @@ class FileStreamSpec extends AnyFunSuite {
       .select($"old"("sku_num")).as[String].collect().toSeq == Seq("2"))
   }
 
+  test("P10 five-sink split: one streamed pass writes all five branches ≡ batch") {
+    // the production BaseLog shape: ONE readStream consumer, ONE
+    // foreachBatch that parses, quarantines and five-way splits each
+    // micro-batch, writing every branch to its own sink — the batch
+    // analog of the reference's main + 4 side-output topic writes
+    import graft.operators.GmallDwd
+    val inDir = Files.createTempDirectory("fs_log_in").toString
+    val outDir = Files.createTempDirectory("fs_log_out").toString
+    GmallDwd.logJson(spark, sf).coalesce(1).write.mode("overwrite").text(inDir)
+    val raw = spark.readStream.text(inDir)
+    val parsed = LogStream.parse(raw, LogStream.pageLogSchema)
+    val run = parsed.writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.cache()
+        try LogStream.splitLog(LogStream.clean(b)).foreach { case (name, df) =>
+          df.write.mode("append").parquet(s"$outDir/$name")
+        } finally { b.unpersist() }
+        ()
+      }.start()
+    run.awaitTermination(120000)
+    val want = LogStream.splitLog(LogStream.clean(LogStream.parse(
+      spark.read.text(inDir), LogStream.pageLogSchema)))
+    want.foreach { case (name, df) =>
+      val got = spark.read.parquet(s"$outDir/$name").toJSON.collect().sorted.toSeq
+      val exp = df.toJSON.collect().sorted.toSeq
+      assert(got == exp, s"branch $name diverged (got ${got.size}, want ${exp.size})")
+      assert(exp.nonEmpty, s"branch $name is empty — fixture covers every branch")
+    }
+  }
+
   test("J4 dim chain + watermarked window: streamed facts ≡ batch DWS rows") {
     // The async-dim-join window shape
     // (DwsTradeTrademarkCategoryUserSpuOrderWindow.java:88-199): the
