@@ -306,6 +306,28 @@ object GraftProps extends Properties("graft") {
       MediaHeaders.packedInfo(bs) == MediaHeaders.pack(MediaHeaders.FmtJpeg, w, h, comps, 0)
     }
 
+  property("MediaHeaders: JPEG scan stops at SOS/EOI — payload FF Cx is not a frame header") =
+    forAll(Gen.oneOf(0xda, 0xd9), Gen.choose(0, 40), genDim, genDim) { (stop, pad, w, h) =>
+      // SOI + a COM segment + the stop marker (SOS with a length field,
+      // EOI standalone) + entropy/content bytes containing a bogus SOF0
+      // with plausible dimensions — the scan must report 0×0, never the
+      // planted garbage
+      val com = Array(0xff, 0xfe, 0, 2)
+      val stopSeg = if (stop == 0xda) Array(0xff, 0xda, 0, 8, 1, 1, 0, 0, 63, 0)
+                    else Array(0xff, 0xd9)
+      val fakeSof = Array(0xff, 0xc0, 0, 17, 8, h >> 8, h & 255, w >> 8, w & 255, 3)
+      val bs = (Array(0xff, 0xd8) ++ com ++ stopSeg ++
+        Array.fill(pad)(0x00) ++ fakeSof ++ Array.fill(9)(0)) map (_.toByte)
+      MediaHeaders.packedInfo(bs) == MediaHeaders.pack(MediaHeaders.FmtJpeg, 0, 0, 0, 0)
+    }
+
+  property("MediaHeaders: JPEG probe never throws on arbitrary tails") =
+    forAll(Gen.listOf(Gen.choose(0, 255))) { tail =>
+      val bs = (Array(0xff, 0xd8) ++ tail.toArray) map (_.toByte)
+      val packed = MediaHeaders.packedInfo(bs) // must not throw
+      (packed >>> 60) == MediaHeaders.FmtJpeg.toLong
+    }
+
   property("MediaHeaders: WAV fmt chunk round-trip; truncation never throws") =
     forAll(Gen.choose(1, 8), Gen.choose(1, 0xFFFF), Gen.choose(0, 44)) { (ch, rate, cut) =>
       val full = ("RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WAVEfmt ".getBytes ++
