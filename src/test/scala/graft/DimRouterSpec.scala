@@ -36,6 +36,47 @@ class DimRouterSpec extends AnyFunSuite {
     assert(routed("dim_sku_info").columns.toSeq == Seq("id", "price", "_cdc_ts"))
   }
 
+  test("streaming DIM route: foreachBatch micro-batches accumulate table state") {
+    // DimApp.java's full streaming loop: a readStream of Maxwell lines,
+    // routeAndWrite per micro-batch, DIM state accumulating across
+    // batches — update beats the prior batch's insert, delete drops,
+    // a later re-insert restores
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = Files.createTempDirectory("dim_in").toString
+    val wh = Files.createTempDirectory("dim_wh").toString
+    val batch1 = Seq(
+      """{"database":"g","table":"user_info","type":"insert","data":{"id":"1","name":"a","email":"a@x"},"ts":10}""",
+      """{"database":"g","table":"user_info","type":"insert","data":{"id":"2","name":"b","email":"b@x"},"ts":10}""",
+      """{"database":"g","table":"user_info","type":"insert","data":{"id":"3","name":"c","email":"c@x"},"ts":10}""")
+    val batch2 = Seq(
+      """{"database":"g","table":"user_info","type":"update","data":{"id":"1","name":"a2","email":"a@x"},"ts":20}""",
+      """{"database":"g","table":"user_info","type":"delete","data":{"id":"2"},"ts":21}""",
+      """{"database":"g","table":"user_info","type":"delete","data":{"id":"3"},"ts":21}""",
+      """{"database":"g","table":"user_info","type":"insert","data":{"id":"3","name":"c2","email":"c2@x"},"ts":22}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "b1.jsonl"),
+      batch1.mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val q = LogStream.maxwellEnvelope(spark.readStream.text(inDir))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$inDir-ck")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          DimRouter.routeAndWrite(spark, b, configs.take(1), wh)
+        }.start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(spark.read.parquet(s"$wh/dim_user_info").count() == 3)
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "b2.jsonl"),
+      batch2.mkString("\n").getBytes("UTF-8"))
+    runOnce() // checkpointed: only b2 is a new micro-batch
+    import spark.implicits._
+    val state = spark.read.parquet(s"$wh/dim_user_info")
+      .select($"id", $"name", $"_cdc_ts").as[(String, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(state == Seq(("1", "a2", 20L), ("3", "c2", 22L)),
+      s"cumulative DIM state diverged: $state")
+  }
+
   test("upsert is latest-wins per PK; delete rows are dropped on write") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("dim_router").toString
