@@ -34,10 +34,18 @@ object TextAnalysis {
     * `text_source_quality`) — one persisted pass serves them all, and
     * `Memo.invalidate` owns the lifecycle (no orphaned `.cache()`). */
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    Memo(spark, dir, "text.stats")(textStatsUncached(spark, dir))
+    Memo(spark, dir, "text.stats")(
+      textStatsOn(Tables.spread(spark, Tables.documents(spark, dir)))
+        .orderBy(col("doc_id")))
 
-  private def textStatsUncached(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(spark, Tables.documents(spark, dir))
+  /** The tokenize-and-score pass over an arbitrary documents frame —
+    * stateless row-local work (split + array aggregates inside
+    * codegen), so the SAME transform scores a batch corpus or a
+    * readStream of incoming documents (stream ≡ batch proven in
+    * LlmOpsSpec); streams cannot sort, so the presentation orderBy
+    * lives in the batch wrapper. */
+  private[graft] def textStatsOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         split(col("text"), " ").as("toks"), length(col("text")).cast(LongType).as("char_ct"))
       .withColumn("token_ct", size(col("toks")).cast(LongType))
@@ -53,7 +61,6 @@ object TextAnalysis {
         least(col("token_ct").cast(DoubleType) / 100.0, lit(1.0)) * 0.4 +
           col("stopword_ratio") * 0.3 + col("ttr") * 0.3)
       .drop("toks")
-      .orderBy(col("doc_id"))
 
   /** Language ID: stopword-hit n-gram heuristic, argmax with a fixed
     * priority order (en > es > de > fr > other). */
@@ -108,7 +115,13 @@ object TextAnalysis {
     * training-data heuristics (min/max length, stopword floor,
     * repetition ceiling via type-token ratio). */
   def qualityFilter(spark: SparkSession, dir: String): DataFrame =
-    textStats(spark, dir)
+    qualityFilterOn(textStats(spark, dir)).orderBy(col("doc_id"))
+
+  /** The keep/drop decision over an arbitrary [[textStatsOn]] frame —
+    * row-local like the stats pass, so the same rules gate a batch
+    * corpus or an ingest stream (stream ≡ batch in LlmOpsSpec). */
+  private[graft] def qualityFilterOn(stats: DataFrame): DataFrame =
+    stats
       .withColumn("reasons", array_compact(array(
         when(col("token_ct") < 10, "too_short"),
         when(col("token_ct") > 5000, "too_long"),
@@ -117,7 +130,6 @@ object TextAnalysis {
         when(col("avg_token_len") > 12.0, "tokens_too_long"))))
       .withColumn("keep", when(size(col("reasons")) === 0, lit(1L)).otherwise(lit(0L)))
       .select(col("doc_id"), col("keep"), concat_ws(",", col("reasons")).as("reasons"))
-      .orderBy(col("doc_id"))
 
   /** Quality decile report: docs bucketed into exact ntile(10) deciles
     * by (token_ct, doc_id), with per-decile count, token-count range,
