@@ -452,7 +452,49 @@ object TextAnalysis {
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
 
+  /** The end-to-end per-document curation decision table — the single
+    * deliverable a training-data pipeline ships downstream: for every
+    * document, the quality gate (+ violated rules), predicted
+    * language, benchmark-membership and contamination flags, exact-
+    * and near-dup representatives, and the composed `train_keep`
+    * verdict (quality-pass ∧ not benchmark ∧ not contaminated ∧ its
+    * own exact rep ∧ its own near rep). Every input is an
+    * already-oracle-checked operator; this table pins their JOIN
+    * composition with one more full-value oracle.
+    *
+    * Scale shape: the quality/langid columns are row-local scans; the
+    * joins are all on `doc_id` (co-partitionable); the dedup and
+    * decontamination inputs carry their own bucketed/broadcast scale
+    * stories. Benchmark docs (the held-out eval slice) are flagged,
+    * not dropped — `contaminated` is 0 for them by construction and
+    * `train_keep` excludes them via the flag. */
+  def curationDecisions(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ch"))
+    val exactRep = hashed.groupBy(col("ch")).agg(min(col("doc_id")).as("exact_rep_doc_id"))
+    val near = Dedup.minhashLsh(spark, dir)
+      .withColumnRenamed("rep_doc_id", "near_rep_doc_id")
+    hashed
+      .join(exactRep, "ch").drop("ch")
+      .join(qualityFilter(spark, dir), "doc_id")
+      .join(langId(spark, dir).select(col("doc_id"), col("pred_lang")), "doc_id")
+      .join(near, "doc_id")
+      .join(decontaminate(spark, dir).select(col("doc_id"), col("contaminated")),
+        Seq("doc_id"), "left")
+      .withColumn("is_benchmark", (col("doc_id") % 20 === 0).cast(LongType))
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(0L)))
+      .withColumn("train_keep",
+        (col("keep") === 1 && col("is_benchmark") === 0 && col("contaminated") === 0 &&
+          col("exact_rep_doc_id") === col("doc_id") &&
+          col("near_rep_doc_id") === col("doc_id")).cast(LongType))
+      .select(col("doc_id"), col("keep"), col("reasons"), col("pred_lang"),
+        col("is_benchmark"), col("contaminated"),
+        col("exact_rep_doc_id"), col("near_rep_doc_id"), col("train_keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_curation_decisions" -> ((s, d) => curationDecisions(s, d)),
     "text_corpus_stats" -> ((s, d) => corpusStats(s, d)),
     "text_quality_filter" -> ((s, d) => qualityFilter(s, d)),
     "text_quality_deciles" -> ((s, d) => qualityDeciles(s, d)),
@@ -470,6 +512,107 @@ object TextAnalysis {
     "text_fingerprints_md5" -> ((s, d) => fingerprintsMd5(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // The composed decision table: quality + langid + decontamination
+    // + exact/minhash reps, each CTE block identical to its standalone
+    // oracle, joined and verdict-composed exactly like the engine.
+    "text_curation_decisions" ->
+      s"""WITH qt AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS char_ct FROM documents
+         |), qm AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS token_ct,
+         |    CAST(${duckCnt(stopEn)} AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+         |    CAST(char_ct - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len
+         |  FROM qt
+         |), qf AS (
+         |  SELECT doc_id, list_filter([
+         |    CASE WHEN token_ct < 10 THEN 'too_short' END,
+         |    CASE WHEN token_ct > 5000 THEN 'too_long' END,
+         |    CASE WHEN stopword_ratio < 0.01 THEN 'no_stopwords' END,
+         |    CASE WHEN ttr < 0.2 THEN 'repetitive' END,
+         |    CASE WHEN avg_token_len > 12.0 THEN 'tokens_too_long' END],
+         |    x -> x IS NOT NULL) AS reasons
+         |  FROM qm
+         |), lt AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+         |), lc AS (
+         |  SELECT doc_id,
+         |    CAST(${duckCnt(stopEn)} AS BIGINT) AS en_ct,
+         |    CAST(${duckCnt(stopEs)} AS BIGINT) AS es_ct,
+         |    CAST(${duckCnt(stopDe)} AS BIGINT) AS de_ct,
+         |    CAST(${duckCnt(stopFr)} AS BIGINT) AS fr_ct
+         |  FROM lt
+         |), lp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN en_ct >= es_ct AND en_ct >= de_ct AND en_ct >= fr_ct AND en_ct > 0 THEN 'en'
+         |         WHEN es_ct >= de_ct AND es_ct >= fr_ct AND es_ct > 0 THEN 'es'
+         |         WHEN de_ct >= fr_ct AND de_ct > 0 THEN 'de'
+         |         WHEN fr_ct > 0 THEN 'fr'
+         |         ELSE 'und' END AS pred_lang
+         |  FROM lc
+         |), dg AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5 THEN
+         |    list_transform(range(1, len(t) - 3), i -> array_to_string(list_slice(t, i, i + 4), ' '))
+         |    END) AS gram
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+         |), dbg AS (
+         |  SELECT DISTINCT gram FROM dg WHERE doc_id % 20 = 0
+         |), dhits AS (
+         |  SELECT dg.doc_id, COUNT(DISTINCT dg.gram) AS hit_ct
+         |  FROM dg JOIN dbg USING (gram) WHERE dg.doc_id % 20 <> 0 GROUP BY dg.doc_id
+         |), er AS (
+         |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_rep_doc_id
+         |  FROM documents
+         |), ${DuckSql.minhashCtes("documents")},
+         |stats AS (
+         |  SELECT doc_id, band_idx, b0, b1, b2, b3,
+         |    MIN(doc_id) OVER w AS mn, COUNT(*) OVER w AS cnt
+         |  FROM bands WINDOW w AS (PARTITION BY band_idx, b0, b1, b2, b3)
+         |), cand AS (
+         |  SELECT DISTINCT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM stats a JOIN stats b
+         |      ON a.band_idx = b.band_idx AND a.b0 = b.b0 AND a.b1 = b.b1
+         |      AND a.b2 = b.b2 AND a.b3 = b.b3 AND a.doc_id < b.doc_id
+         |    WHERE a.cnt <= 32
+         |    UNION ALL
+         |    SELECT mn AS doc_a, doc_id AS doc_b FROM stats WHERE cnt > 32 AND doc_id <> mn
+         |  )
+         |), verified AS (
+         |  SELECT doc_a, doc_b
+         |  FROM cand
+         |    JOIN sh sa ON cand.doc_a = sa.doc_id
+         |    JOIN sh sb ON cand.doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |        CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.015
+         |), nreps AS (
+         |  SELECT doc_id, MIN(other) AS m FROM (
+         |    SELECT doc_b AS doc_id, doc_a AS other FROM verified
+         |    UNION ALL
+         |    SELECT doc_a AS doc_id, doc_b AS other FROM verified
+         |  ) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN len(qf.reasons) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |  COALESCE(array_to_string(qf.reasons, ','), '') AS reasons,
+         |  lp.pred_lang,
+         |  CAST(CASE WHEN d.doc_id % 20 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_benchmark,
+         |  CAST(CASE WHEN COALESCE(dhits.hit_ct, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated,
+         |  er.exact_rep_doc_id,
+         |  LEAST(d.doc_id, COALESCE(nreps.m, d.doc_id)) AS near_rep_doc_id,
+         |  CAST(CASE WHEN len(qf.reasons) = 0 AND d.doc_id % 20 <> 0
+         |    AND COALESCE(dhits.hit_ct, 0) = 0
+         |    AND er.exact_rep_doc_id = d.doc_id
+         |    AND LEAST(d.doc_id, COALESCE(nreps.m, d.doc_id)) = d.doc_id
+         |    THEN 1 ELSE 0 END AS BIGINT) AS train_keep
+         |FROM documents d
+         |  JOIN qf ON d.doc_id = qf.doc_id
+         |  JOIN lp ON d.doc_id = lp.doc_id
+         |  JOIN er ON d.doc_id = er.doc_id
+         |  LEFT JOIN dhits ON d.doc_id = dhits.doc_id
+         |  LEFT JOIN nreps ON d.doc_id = nreps.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "text_corpus_stats" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS char_ct FROM documents
