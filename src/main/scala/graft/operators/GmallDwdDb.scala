@@ -657,6 +657,9 @@ object GmallDwdDb {
   /** The flagship join in STREAMING form: the same four `*On` slices
     * over a `readStream` envelope, composed with `Joins.streamStream`
     * (J1 inner + two J2 left-outers) and the J3 broadcast dic lookup.
+    * On a real cluster the envelope is
+    * `graft.streaming.Kafka.topicDb(spark, servers, groupId)` — the
+    * same schema this fixture produces.
     *
     * The reference bounds join state with a 3-day idle-state retention
     * (`DwdTradeOrderDetail.java:26`) — a PROCESSING-time TTL, safe
