@@ -468,7 +468,10 @@ object TextAnalysis {
     * stories. Benchmark docs (the held-out eval slice) are flagged,
     * not dropped — `contaminated` is 0 for them by construction and
     * `train_keep` excludes them via the flag. */
-  def curationDecisions(spark: SparkSession, dir: String): DataFrame = {
+  def curationDecisions(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "text.curation")(curationDecisionsBuild(spark, dir))
+
+  private def curationDecisionsBuild(spark: SparkSession, dir: String): DataFrame = {
     val hashed = Tables.documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("ch"))
     val exactRep = hashed.groupBy(col("ch")).agg(min(col("doc_id")).as("exact_rep_doc_id"))
@@ -493,8 +496,24 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The final dataset manifest: every document's deterministic
+    * train/val/test assignment ([[corpusSplit]]) composed with the
+    * curation verdict — benchmark docs route to their own slice,
+    * curation rejects to 'dropped', survivors keep their hash split.
+    * This is the table a dataloader consumes. */
+  def datasetManifest(spark: SparkSession, dir: String): DataFrame =
+    curationDecisions(spark, dir)
+      .join(corpusSplit(spark, dir).select(col("doc_id"), col("split")), "doc_id")
+      .withColumn("final_split",
+        when(col("is_benchmark") === 1, "benchmark")
+          .when(col("train_keep") === 0, "dropped")
+          .otherwise(col("split")))
+      .select(col("doc_id"), col("split"), col("train_keep"), col("final_split"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_curation_decisions" -> ((s, d) => curationDecisions(s, d)),
+    "text_dataset_manifest" -> ((s, d) => datasetManifest(s, d)),
     "text_corpus_stats" -> ((s, d) => corpusStats(s, d)),
     "text_quality_filter" -> ((s, d) => qualityFilter(s, d)),
     "text_quality_deciles" -> ((s, d) => qualityDeciles(s, d)),
@@ -511,12 +530,12 @@ object TextAnalysis {
     "text_fingerprints" -> ((s, d) => fingerprints(s, d)),
     "text_fingerprints_md5" -> ((s, d) => fingerprintsMd5(s, d)))
 
-  val oracles: Map[String, String] = Map(
-    // The composed decision table: quality + langid + decontamination
-    // + exact/minhash reps, each CTE block identical to its standalone
-    // oracle, joined and verdict-composed exactly like the engine.
-    "text_curation_decisions" ->
-      s"""WITH qt AS (
+  // The composed decision table: quality + langid + decontamination +
+  // exact/minhash reps, each CTE block identical to its standalone
+  // oracle, joined and verdict-composed exactly like the engine; ends
+  // in `cur` so the decisions and manifest oracles share the chain.
+  private val curationCtes: String =
+      s"""qt AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS char_ct FROM documents
          |), qm AS (
          |  SELECT doc_id,
@@ -592,7 +611,7 @@ object TextAnalysis {
          |    UNION ALL
          |    SELECT doc_a AS doc_id, doc_b AS other FROM verified
          |  ) GROUP BY doc_id
-         |)
+         |), cur AS (
          |SELECT d.doc_id,
          |  CAST(CASE WHEN len(qf.reasons) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
          |  COALESCE(array_to_string(qf.reasons, ','), '') AS reasons,
@@ -612,7 +631,30 @@ object TextAnalysis {
          |  JOIN er ON d.doc_id = er.doc_id
          |  LEFT JOIN dhits ON d.doc_id = dhits.doc_id
          |  LEFT JOIN nreps ON d.doc_id = nreps.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+         |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_curation_decisions" ->
+      s"WITH $curationCtes\nSELECT * FROM cur ORDER BY doc_id",
+    "text_dataset_manifest" ->
+      s"""WITH $curationCtes,
+         |sm AS (
+         |  SELECT doc_id,
+         |    xor(xor((doc_id & 2147483647) * 2654435761, (doc_id >> 31) * 40503), doc_id >> 7) AS mixed
+         |  FROM documents
+         |), sb AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ((mixed % 100) + 100) % 100 < 90 THEN 'train'
+         |         WHEN ((mixed % 100) + 100) % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM sm
+         |)
+         |SELECT cur.doc_id, sb.split, cur.train_keep,
+         |  CASE WHEN cur.is_benchmark = 1 THEN 'benchmark'
+         |       WHEN cur.train_keep = 0 THEN 'dropped'
+         |       ELSE sb.split END AS final_split
+         |FROM cur JOIN sb ON cur.doc_id = sb.doc_id
+         |ORDER BY cur.doc_id""".stripMargin,
     "text_corpus_stats" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS char_ct FROM documents
