@@ -223,10 +223,12 @@ object Dedup {
         .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
         .distinct()
         .localCheckpoint()
-      // same every-2nd-round cadence as dedupComponents: the two
-      // exceptAll probes are the expensive driver actions here
+      // same every-2nd-round cadence as dedupComponents; multiset
+      // equality via |ss| = |edges| ∧ ss ⊆ edges — counts on the
+      // checkpointed frames are near-free, so one exceptAll cogroup
+      // replaces the previous two (still EXACT, never probabilistic)
       if (i % 2 == 1 || i == maxIter - 1)
-        converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+        converged = ss.count() == edges.count() && ss.exceptAll(edges).isEmpty
       edges = ss
       i += 1
     }
