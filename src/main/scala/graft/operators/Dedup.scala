@@ -73,8 +73,8 @@ object Dedup {
     * the capped-branch fixture tests feed synthetic hot shingles
     * through here (the parquet fixture's dfs never reach the cap, so
     * only a synthetic corpus exercises the conservative semantics). */
-  private[graft] def ngramJaccardOn(sh: DataFrame, threshold: Double = 0.015,
-                                    dfCap: Int = HotShingleDfCap): DataFrame = {
+  private[graft] def ngramJaccardOn(sh: DataFrame, threshold: Double,
+                                    dfCap: Int): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))

@@ -116,7 +116,7 @@ object GmallDwdDb {
     * GmallDwdDbSpec pins result-equality at saltK = 4 and the
     * partition spread it buys. */
   def envelope(spark: SparkSession, dir: String, saltK: Int = 1): DataFrame =
-    Memo(spark, dir, if (saltK == 1) "cdcEnvelope" else s"cdcEnvelope.salt$saltK") {
+    Memo(spark, dir, if (saltK <= 1) "cdcEnvelope" else s"cdcEnvelope.salt$saltK") {
       val keys: Seq[Column] =
         if (saltK <= 1) Seq(col("table"))
         else Seq(col("table"),

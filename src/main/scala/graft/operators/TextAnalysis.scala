@@ -472,7 +472,11 @@ object TextAnalysis {
     Memo(spark, dir, "text.curation")(curationDecisionsBuild(spark, dir))
 
   private def curationDecisionsBuild(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = Tables.documents(spark, dir)
+    // same content key as Dedup.exact / exactReps, here as the full
+    // doc→representative MAPPING (those two only need the group mins);
+    // spread like every sibling document pass so the hash scan uses
+    // all cores
+    val hashed = Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), md5(col("text")).as("ch"))
     val exactRep = hashed.groupBy(col("ch")).agg(min(col("doc_id")).as("exact_rep_doc_id"))
     val near = Dedup.minhashLsh(spark, dir)

@@ -62,7 +62,7 @@ class DimRouterSpec extends AnyFunSuite {
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           DimRouter.routeAndWrite(spark, b, configs.take(1), wh)
         }.start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "DIM micro-batch run timed out")
     }
     runOnce()
     assert(spark.read.parquet(s"$wh/dim_user_info").count() == 3)

@@ -43,7 +43,7 @@ class FileStreamSpec extends AnyFunSuite {
         ()
       }
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "parse/quarantine run timed out")
     assert(dirtySeen == 1)
 
     val clean = spark.read.parquet(outDir)
@@ -74,7 +74,7 @@ class FileStreamSpec extends AnyFunSuite {
         } finally { b.unpersist() }
         ()
       }.start()
-    run.awaitTermination(120000)
+    assert(run.awaitTermination(120000), "five-sink split run timed out")
     val want = LogStream.splitLog(LogStream.clean(LogStream.parse(
       spark.read.text(inDir), LogStream.pageLogSchema)))
     want.foreach { case (name, df) =>
@@ -120,17 +120,18 @@ class FileStreamSpec extends AnyFunSuite {
       spark.readStream.schema(liSchema).parquet(inDir), o, p, c, n))
     val q = agg.writeStream.format("memory").queryName("j4_dws")
       .outputMode(OutputMode.Append).start()
-    q.processAllAvailable()
-    // sentinel: one fact far in the future (2099) advances the
-    // watermark past every real window; it joins a real order, so it
-    // flows through the full chain to the window operator
     val cutoff = java.sql.Timestamp.valueOf("2090-01-01 00:00:00")
-    spark.read.parquet(src).limit(1)
-      .withColumn("l_shipdate",
-        lit("2099-01-01 00:00:00").cast(liSchema("l_shipdate").dataType))
-      .write.mode("append").parquet(inDir)
-    q.processAllAvailable()
-    q.stop()
+    try {
+      q.processAllAvailable()
+      // sentinel: one fact far in the future (2099) advances the
+      // watermark past every real window; it joins a real order, so it
+      // flows through the full chain to the window operator
+      spark.read.parquet(src).limit(1)
+        .withColumn("l_shipdate",
+          lit("2099-01-01 00:00:00").cast(liSchema("l_shipdate").dataType))
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
     val got = spark.table("j4_dws")
       .filter(col("ws") < cutoff.getTime / 1000)
       .collect().map(_.toString).toSet

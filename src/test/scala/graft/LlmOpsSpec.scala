@@ -525,6 +525,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("MapPartitions") && !plan.contains("DeserializeToObject"), plan)
   }
 
+  test("non-convergence within maxIter throws instead of returning a truncated closure") {
+    import spark.implicits._
+    // a 6-node chain cannot stabilize in one star round (the check
+    // compares the round's output against its input edges), and the
+    // loop must REFUSE to return the partial labels (ADVICE r7: a
+    // truncated closure is indistinguishable from a converged one in
+    // the output schema)
+    val chain = (0L until 6L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val e = intercept[IllegalStateException] {
+      Dedup.starLabels(chain.toDF("doc_a", "doc_b"), maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("no fixpoint"))
+    // the same graph under the default budget converges to the min label
+    val ok = Dedup.starLabels(chain.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect()
+    assert(ok.nonEmpty && ok.forall(_._2 == 0L))
+  }
+
   test("quality scoring + filter stream ≡ batch (online curation gate)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
