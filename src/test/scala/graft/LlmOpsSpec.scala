@@ -525,6 +525,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("MapPartitions") && !plan.contains("DeserializeToObject"), plan)
   }
 
+  test("k-means model is bit-identical across partitionings") {
+    // the round-8 invariant behind the IVF/SemDeDup full-value
+    // oracles: the quantized integer-sum mean makes the Lloyd update
+    // order-independent, so the model cannot drift with partitioning
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val m1 = Similarity.kmeansModelOn(e.repartition(2))
+    val m2 = Similarity.kmeansModelOn(e.repartition(17))
+    assert(m1._1.sameElements(m2._1))
+    assert(m1._2.length == m2._2.length &&
+      m1._2.zip(m2._2).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("non-convergence within maxIter throws instead of returning a truncated closure") {
     import spark.implicits._
     // a 6-node chain cannot stabilize in one star round (the check
