@@ -299,6 +299,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The inverse decontamination view: per BENCHMARK document, how
+    * far it has leaked into the training corpus — distinct training
+    * docs sharing ≥ 1 word `n`-gram and the count of leaked grams.
+    * [[decontaminate]] answers "which training docs must go";
+    * this answers "which eval items are compromised" (the report an
+    * eval owner reads before trusting a score). Clean benchmark docs
+    * keep a zero row.
+    *
+    * Scale shape: same as the forward path — the benchmark gram set
+    * is tiny and broadcasts; the training side is one scan + explode
+    * + broadcast-hash join + per-bench-doc partial agg. */
+  def decontaminationReport(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val grams = memoGrams(spark, dir, n)
+    val bench = grams.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("bench_doc_id"), col("gh")).distinct()
+    val hits = grams.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(bench), "gh")
+      .groupBy(col("bench_doc_id"))
+      .agg(countDistinct(col("doc_id")).as("leaked_to_ct"),
+        countDistinct(col("gh")).as("leaked_gram_ct"))
+    Tables.documents(spark, dir).select(col("doc_id").as("bench_doc_id"))
+      .filter(col("bench_doc_id") % 20 === 0)
+      .join(hits, Seq("bench_doc_id"), "left")
+      .select(col("bench_doc_id"),
+        coalesce(col("leaked_to_ct"), lit(0L)).as("leaked_to_ct"),
+        coalesce(col("leaked_gram_ct"), lit(0L)).as("leaked_gram_ct"))
+      .orderBy(col("bench_doc_id"))
+  }
+
   /** The corpus gram-hash frame behind both decontamination paths,
     * memoized per (session, dir, n) — exact and Bloom variants read
     * the identical projection, so it materializes once and Memo owns
@@ -528,6 +557,7 @@ object TextAnalysis {
     "text_repetition" -> ((s, d) => repetition(s, d)),
     "text_corpus_split" -> ((s, d) => corpusSplit(s, d)),
     "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "text_decontamination_report" -> ((s, d) => decontaminationReport(s, d)),
     "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
     "text_source_quality" -> ((s, d) => sourceQuality(s, d)),
     "text_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
@@ -875,6 +905,28 @@ object TextAnalysis {
         |  CAST(CASE WHEN COALESCE(h.hit_ct, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "text_decontamination_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5 THEN
+        |    list_transform(range(1, len(t) - 3), i -> array_to_string(list_slice(t, i, i + 4), ' '))
+        |    END) AS gram
+        |  FROM toks
+        |), bg AS (
+        |  SELECT DISTINCT doc_id AS bench_doc_id, gram FROM g WHERE doc_id % 20 = 0
+        |), hits AS (
+        |  SELECT bg.bench_doc_id,
+        |    COUNT(DISTINCT g.doc_id) AS leaked_to_ct,
+        |    COUNT(DISTINCT bg.gram) AS leaked_gram_ct
+        |  FROM g JOIN bg USING (gram) WHERE g.doc_id % 20 <> 0
+        |  GROUP BY bg.bench_doc_id
+        |)
+        |SELECT d.doc_id AS bench_doc_id,
+        |  CAST(COALESCE(h.leaked_to_ct, 0) AS BIGINT) AS leaked_to_ct,
+        |  CAST(COALESCE(h.leaked_gram_ct, 0) AS BIGINT) AS leaked_gram_ct
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.bench_doc_id
+        |WHERE d.doc_id % 20 = 0 ORDER BY d.doc_id""".stripMargin,
     "text_source_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, string_split(text, ' ') AS toks, length(text) AS char_ct FROM documents

@@ -525,6 +525,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("MapPartitions") && !plan.contains("DeserializeToObject"), plan)
   }
 
+  test("round-8 query plans: no cartesian, no lambda fallback, broadcast where claimed") {
+    import graft.operators.{DimRouter, GmallDwd, TextAnalysis}
+    // the scale-relevant shapes of the new named queries, pinned in CI
+    // like the flagship's no-cartesian assert
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val curation = plan(TextAnalysis.curationDecisions(spark, sf))
+    val dim = plan(DimRouter.dimOrderInfo(spark, sf))
+    val display = plan(GmallDwd.displayLog(spark, sf))
+    val report = plan(TextAnalysis.decontaminationReport(spark, sf))
+    Seq("curation" -> curation, "dim" -> dim, "display" -> display,
+        "report" -> report).foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct"), s"$n plan has a cartesian join")
+      assert(!p.contains("MapPartitions") && !p.contains("DeserializeToObject"),
+        s"$n plan fell out of codegen into lambda execution")
+    }
+    // the benchmark gram set broadcasts (the forward decontaminate
+    // contract holds for the inverse report too)
+    assert(report.contains("BroadcastHashJoin"), report)
+  }
+
   test("k-means model is bit-identical across partitionings") {
     // the round-8 invariant behind the IVF/SemDeDup full-value
     // oracles: the quantized integer-sum mean makes the Lloyd update
