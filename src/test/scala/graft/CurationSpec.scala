@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+import graft.streaming.Stateful
+import graft.streaming.Stateful.Keyed
+
+/** Semantics gates for the curation operators, on planted fixtures
+  * where the expected outcome is known by construction (the DuckDB
+  * oracles prove engine ≡ SQL on the real corpus; these prove the
+  * SQL means what the scaladoc claims).
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("block dedup drops the later copy of a shared block, keeps first, reassembles in order") {
+    import spark.implicits._
+    val shared = words("boiler", 16) // one exact 16-word block
+    val docs = Seq(
+      (1L, shared + " " + words("a", 16)),           // first owner of the shared block
+      (2L, words("b", 16) + " " + shared),           // later copy -> dropped
+      (3L, words("c", 20))                            // untouched (16 + partial 4)
+    ).toDF("doc_id", "text")
+    val out = Curation.blockDedupOn(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 2L, 2L, 0L, shared + " " + words("a", 16))))
+    assert(out(1) == ((2L, 2L, 1L, 1L, words("b", 16))))
+    assert(out(2) == ((3L, 2L, 2L, 0L, words("c", 20))))
+    // idempotence: dedup of the cleaned corpus drops nothing
+    val again = Curation.blockDedupOn(
+      out.toSeq.toDF("doc_id", "block_ct", "kept_ct", "dropped_ct", "text")
+        .filter(length(col("text")) > 0).select("doc_id", "text"))
+    assert(again.agg(sum("dropped_ct")).first.getLong(0) == 0L)
+  }
+
+  test("block dedup: duplicate block within ONE doc also collapses to first occurrence") {
+    import spark.implicits._
+    val b = words("x", 16)
+    val out = Curation.blockDedupOn(Seq((7L, b + " " + b)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, String)].head()
+    assert(out == ((7L, 2L, 1L, 1L, b)))
+  }
+
+  test("pack shards equals the sequential prefix sum and is partition-count independent") {
+    import spark.implicits._
+    val docs = Tables_docs()
+    val got = Curation.packShardsOn(docs)
+      .select("doc_id", "tok_ct", "tok_offset", "shard_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // sequential reference on the driver
+    val toks = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    var off = 0L
+    val exp = toks.map { case (id, t) =>
+      val r = (id, t, off, off / Curation.ShardTokens); off += t; r
+    }
+    assert(got.toSeq == exp.toSeq)
+    // same answer regardless of input partitioning
+    val repart = Curation.packShardsOn(docs.repartition(13))
+      .select("doc_id", "tok_ct", "tok_offset", "shard_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(repart.toSeq == got.toSeq)
+  }
+
+  test("pack shards: every shard except the last starts before the capacity boundary it fills") {
+    import spark.implicits._
+    val m = Curation.shardManifest(spark, sf)
+      .select("shard_id", "token_sum").as[(Long, Long)].collect().sortBy(_._1)
+    // contiguous shard ids from 0
+    assert(m.map(_._1).toSeq == m.indices.map(_.toLong))
+    // a doc never splits, so a shard can exceed capacity by at most one
+    // doc's tokens and can be short only because the NEXT doc overflowed:
+    // each shard (except the last) must have received at least one token
+    // past its start boundary before closing
+    assert(m.dropRight(1).forall(_._2 > 0))
+  }
+
+  test("pii scan finds exactly the planted fixtures; redaction removes every hit") {
+    import spark.implicits._
+    val scan = Curation.piiScan(spark, sf)
+    val bad = scan.filter(
+      (col("email_ct") =!= when(col("doc_id") % 3 === 0, 1L).otherwise(0L)) ||
+      (col("phone_ct") =!= when(col("doc_id") % 5 === 0, 1L).otherwise(0L)) ||
+      (col("ip_ct") =!= when(col("doc_id") % 7 === 0, 1L).otherwise(0L))).count()
+    assert(bad == 0L, "scan counts diverge from the planted fixture")
+    // redacted text has zero remaining matches and the placeholders
+    // appear exactly where the scan counted hits
+    val re = Curation.piiRedact(spark, sf)
+      .withColumn("email_left", size(regexp_extract_all(col("redacted"), lit(Curation.EmailRe), lit(0))))
+      .withColumn("phone_left", size(regexp_extract_all(col("redacted"), lit(Curation.PhoneRe), lit(0))))
+      .withColumn("ip_left", size(regexp_extract_all(col("redacted"), lit(Curation.IpRe), lit(0))))
+    assert(re.filter(col("email_left") + col("phone_left") + col("ip_left") > 0).count() == 0L)
+    val placeholders = re.filter(col("doc_id") % 3 === 0)
+      .filter(!col("redacted").contains("[EMAIL]")).count()
+    assert(placeholders == 0L)
+  }
+
+  test("quantization: reconstruction error bounded by half a quantization step") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = Curation.quantize(spark, sf)
+    // recompute per-element reconstruction error directly
+    val err = emb
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("scale") > 0)
+      .withColumn("max_err", expr(
+        """array_max(transform(v, x ->
+          |  abs(x - cast(floor(x / scale * 127.0d + 0.5d) as double) * scale / 127.0d)))""".stripMargin))
+      .withColumn("step", col("scale") / 127.0)
+      .filter(col("max_err") > col("step") * 0.5 + 1e-12)
+    assert(err.count() == 0L, "an element exceeded half-step reconstruction error")
+    // saturation bookkeeping: |q| = 127 must occur (the max element always saturates)
+    assert(q.filter(col("scale") > 0 && col("saturated_ct") === 0).count() == 0L)
+  }
+
+  test("streaming ingest block dedup: D1 firstWins keep-set == batch keeper set") {
+    import spark.implicits._
+    // the Dolma pass at ingest: blocks arrive in (doc_id, block_idx)
+    // order, keyed by block hash; first-wins state keeps exactly the
+    // batch keepers. Arrival order must match the batch tiebreak for
+    // the equality to be exact (a reordered stream keeps a different —
+    // but equally valid — representative per block).
+    val docs = Tables_docs().filter(col("doc_id") < 60)
+    val blocks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(toks) / 16.0d) as int) - 1),
+            |  i -> array_join(slice(toks, i * 16 + 1, 16), ' '))""".stripMargin))
+          .as(Seq("block_idx", "bstr")))
+    val keyed = blocks.select(
+        md5(col("bstr")).as("key"),
+        // event time encodes arrival order: one tick per (doc, block).
+        // Base offset keeps every ts strictly above the initial
+        // watermark (0): the stateful late-row filter drops ts <= wm,
+        // so an epoch-0 event would silently vanish from batch 1.
+        timestamp_millis(lit(1000L) + col("doc_id") * 1000L + col("block_idx")).as("ts"),
+        format_string("%06d:%04d", col("doc_id"), col("block_idx")).as("payload"))
+      .as[Keyed].collect().sortBy(_.payload)
+    val mem = MemoryStream[Keyed](spark)
+    // ttl far beyond the fixture's time span: eviction must not
+    // resurrect a block between distant micro-batches
+    val q = Stateful.firstWins(
+        mem.toDS().withWatermark("ts", "0 seconds").as[Keyed], ttlMillis = 1000000000L)
+      .writeStream.format("memory").queryName("block_first_wins")
+      .outputMode(OutputMode.Append).start()
+    keyed.grouped(200).foreach { chunk => mem.addData(chunk.toSeq); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("block_first_wins").as[Keyed].collect().map(_.payload).toSet
+    val exp = blocks
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("bstr")))
+          .orderBy(col("doc_id"), col("block_idx"))))
+      .filter(col("rn") === 1)
+      .select(format_string("%06d:%04d", col("doc_id"), col("block_idx")))
+      .as[String].collect().toSet
+    assert(got == exp, s"stream kept ${got.size} blocks, batch kept ${exp.size}")
+  }
+
+  private def Tables_docs() = graft.sources.Tables.documents(spark, sf)
+}
