@@ -24,6 +24,7 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Curation.queries, Curation.oracles),
+      (Scd2.queries, Scd2.oracles),
       (Multimodal.queries, Multimodal.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

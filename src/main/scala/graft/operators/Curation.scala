@@ -9,10 +9,12 @@ import graft.sources.Tables
 /** Corpus-curation operators a large-scale training-data pipeline
   * needs beyond per-document scoring: cross-document block-level
   * dedup (the C4/Dolma "drop repeated paragraphs" pass), token-budget
-  * sequence packing into training shards, PII scan/redaction, and
-  * int8 embedding quantization.
+  * sequence packing into training shards, PII scan/redaction, int8
+  * embedding quantization, reference-LM surprisal scoring (CCNet),
+  * temperature-weighted mixture sampling, and the deterministic
+  * per-epoch training shuffle.
   *
-  * All four are declarative single-pass/single-shuffle plans:
+  * All are declarative few-shuffle plans:
   *  - block dedup: explode → one window shuffle on the block hash →
   *    one per-doc re-aggregation (no join-back, no self-join);
   *  - packing: a two-level prefix sum (per-bucket window + a tiny
@@ -248,6 +250,166 @@ object Curation {
       .orderBy(col("vec_id"))
 
   // ---------------------------------------------------------------
+  // Two-level distributed rank + prefix sum (shared machinery)
+  // ---------------------------------------------------------------
+
+  /** Distributed rank (1-based) and exclusive running sum of `valC`
+    * over rows of each `grpC` group, ordered by (`keyC`, doc_id) —
+    * WITHOUT a group-wide single-partition window. Rows are bucketed
+    * by the first hex byte of `keyC` (256 buckets; `keyC` must be a
+    * hex digest so buckets are uniform AND bucket order == key order);
+    * per-bucket windows run in parallel, only one row per
+    * (group, bucket) reaches the offset cumsum, and the offsets come
+    * back via a broadcast join. Same two-level shape as
+    * [[packShardsOn]], keyed by hash prefix instead of doc ranges. */
+  private def rankAndPrefix(df: DataFrame, grpC: String, keyC: String,
+                            valC: String): DataFrame = {
+    val withB = df.withColumn("_bucket",
+      conv(substring(col(keyC), 1, 2), 16, 10).cast(LongType))
+    val wIn = Window.partitionBy(col(grpC), col("_bucket"))
+      .orderBy(col(keyC), col("doc_id"))
+    val inner = withB
+      .withColumn("_rn", row_number().over(wIn).cast(LongType))
+      .withColumn("_prev",
+        coalesce(sum(col(valC)).over(
+          wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wOff = Window.partitionBy(col(grpC)).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(col(grpC), col("_bucket"))
+      .agg(count(lit(1)).as("_bc"), sum(col(valC)).as("_bv"))
+      .select(col(grpC), col("_bucket"),
+        coalesce(sum(col("_bc")).over(wOff), lit(0L)).as("_cnt_off"),
+        coalesce(sum(col("_bv")).over(wOff), lit(0L)).as("_val_off"))
+    inner.join(broadcast(offsets), Seq(grpC, "_bucket"))
+      .withColumn("rank", col("_cnt_off") + col("_rn"))
+      .withColumn("cum_before", col("_val_off") + col("_prev"))
+      .drop("_bucket", "_rn", "_prev", "_cnt_off", "_val_off")
+  }
+
+  // ---------------------------------------------------------------
+  // Reference-LM surprisal scoring (CCNet-shaped quality signal)
+  // ---------------------------------------------------------------
+
+  /** Docs with doc_id % TrainMod == 0 form the reference corpus the
+    * unigram LM is trained on; every doc is then scored against it. */
+  val TrainMod = 2L
+
+  /** Per-document surprisal against a reference unigram LM, the CCNet
+    * quality signal (score each doc by how surprising its tokens are
+    * to a LM trained on trusted text). Surprisal is measured in
+    * EXACT integer bits — `bits(x) = length(bin(x))` = floor(log2 x)+1,
+    * identical in Spark and DuckDB — so token surprisal
+    * ≈ log2(total) − log2(ct) with no cross-engine float log drift;
+    * out-of-vocabulary tokens pay the maximum penalty `bits(total)`.
+    * The one float column (`avg_bits`) is a single IEEE division of
+    * two exact integers, bit-equal in both engines.
+    *
+    * Scale shape: token explode → shuffle join on token (the vocab is
+    * corpus-bounded; AQE broadcasts it when small) → one per-doc
+    * re-aggregation, map-side combined. No window, no collect. */
+  private[graft] def lmSurprisalOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("token"))
+    val vocab = toks.filter(col("doc_id") % TrainMod === 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("ct"))
+    val total = vocab.agg(sum(col("ct")).as("total_ct"))
+    toks.join(vocab, Seq("token"), "left")
+      .crossJoin(broadcast(total)) // 1-row LM normalizer
+      .withColumn("bits",
+        when(col("ct").isNull, length(bin(col("total_ct"))).cast(LongType))
+          .otherwise((length(bin(col("total_ct"))) -
+            length(bin(col("ct")))).cast(LongType)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tok_ct"),
+        sum(when(col("ct").isNull, 1L).otherwise(0L)).as("oov_ct"),
+        sum(col("bits")).as("surprisal_bits"))
+      .withColumn("avg_bits",
+        col("surprisal_bits").cast(DoubleType) / col("tok_ct").cast(DoubleType))
+  }
+
+  def lmSurprisal(spark: SparkSession, dir: String): DataFrame =
+    lmSurprisalOn(Tables.spread(spark, Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------
+  // Temperature-weighted mixture sampling to a token budget
+  // ---------------------------------------------------------------
+
+  /** Global budget = total corpus tokens / MixtureDenom. */
+  val MixtureDenom = 4L
+
+  /** Per-source token budgets at temperature τ = 0.5 (weights ∝
+    * √mass — the standard up-weighting of small sources in training
+    * mixtures), filled greedily by a deterministic md5 permutation:
+    * a doc is kept while its source's budget is not yet exhausted, so
+    * a source may overshoot its budget by at most one document.
+    *
+    * Everything is exact integer arithmetic: √mass goes through
+    * IEEE-correctly-rounded sqrt then floor (identical in both
+    * engines), budgets are bigint products/divisions (at corpora past
+    * ~10¹⁸ token·√token, widen to DECIMAL(38,0) — one cast), and the
+    * greedy fill is the two-level [[rankAndPrefix]] — per-source
+    * ranking without a per-source single-partition window, so one hot
+    * source cannot pin a reducer. */
+  private[graft] def mixtureSampleOn(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("tok_ct"))
+    val masses = base.groupBy(col("source")).agg(sum(col("tok_ct")).as("mass"))
+      .withColumn("isq", expr("cast(floor(sqrt(cast(mass as double))) as bigint)"))
+    val tot = masses.agg(sum(col("mass")).as("total_mass"),
+      sum(col("isq")).as("sum_isq"))
+    val budgets = masses.crossJoin(broadcast(tot))
+      .withColumn("source_budget",
+        expr(s"((total_mass div $MixtureDenom) * isq) div sum_isq"))
+      .select(col("source"), col("source_budget"))
+    val keyed = base.withColumn("pick_key",
+      md5(concat(col("source"), lit(":"), col("doc_id").cast(StringType))))
+    rankAndPrefix(keyed, "source", "pick_key", "tok_ct")
+      .join(broadcast(budgets), "source")
+      .withColumn("kept", (col("cum_before") < col("source_budget")).cast(LongType))
+      .select(col("doc_id"), col("source"), col("tok_ct"),
+        col("rank").as("pick_rank"), col("cum_before"),
+        col("source_budget"), col("kept"))
+  }
+
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSampleOn(Tables.spread(spark, Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------
+  // Deterministic epoch shuffle (training-order assignment)
+  // ---------------------------------------------------------------
+
+  /** Docs per shuffled shard. */
+  val ShuffleShardDocs = 64L
+
+  /** The shuffle epoch baked into the permutation key (a new epoch =
+    * a new independent permutation of the same corpus). */
+  val ShuffleEpoch = 7
+
+  /** Deterministic global shuffle for epoch [[ShuffleEpoch]]: every
+    * doc gets its exact 0-based position in the md5-permuted order
+    * and the training shard that position falls in. The global rank
+    * is computed DISTRIBUTED via [[rankAndPrefix]] (bucket windows +
+    * a 256-row offset cumsum) — the oracle's naive global-window
+    * row_number proves the decomposition exact. */
+  private[graft] def epochShuffleOn(docs: DataFrame,
+                                    epoch: Int = ShuffleEpoch): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(concat(lit(s"epoch$epoch:"), col("doc_id").cast(StringType))).as("shuffle_key"),
+      lit(1L).as("one"), lit(0L).as("grp"))
+    rankAndPrefix(keyed, "grp", "shuffle_key", "one")
+      .withColumn("shuffle_pos", col("rank") - 1L)
+      .withColumn("shard_id", expr(s"shuffle_pos div $ShuffleShardDocs"))
+      .select(col("doc_id"), col("shuffle_key"), col("shuffle_pos"),
+        col("shard_id"))
+  }
+
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffleOn(Tables.spread(spark, Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------
 
@@ -257,7 +419,10 @@ object Curation {
     "text_shard_manifest" -> ((s, d) => shardManifest(s, d)),
     "text_pii_scan" -> ((s, d) => piiScan(s, d)),
     "text_pii_redact" -> ((s, d) => piiRedact(s, d)),
-    "sim_embedding_quantize" -> ((s, d) => quantize(s, d)))
+    "sim_embedding_quantize" -> ((s, d) => quantize(s, d)),
+    "text_lm_surprisal" -> ((s, d) => lmSurprisal(s, d)),
+    "text_mixture_sample" -> ((s, d) => mixtureSample(s, d)),
+    "text_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)))
 
   // Single-line on purpose: this fragment is interpolated into
   // stripMargin'd oracle strings, where a line starting with `||`
@@ -381,5 +546,66 @@ object Curation {
         |  list_min(qv) AS q_min, list_max(qv) AS q_max,
         |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
         |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS saturated_ct
-        |FROM q ORDER BY vec_id""".stripMargin)
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "text_lm_surprisal" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+         |), v AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS ct FROM tok
+         |  WHERE doc_id % $TrainMod = 0 GROUP BY token
+         |), t AS (
+         |  SELECT CAST(SUM(ct) AS BIGINT) AS total_ct FROM v
+         |), j AS (
+         |  SELECT tok.doc_id,
+         |    CASE WHEN v.ct IS NULL THEN len(bin(t.total_ct))
+         |         ELSE len(bin(t.total_ct)) - len(bin(v.ct)) END AS bits,
+         |    CASE WHEN v.ct IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tok LEFT JOIN v USING (token) CROSS JOIN t
+         |)
+         |SELECT doc_id, COUNT(*) AS tok_ct,
+         |  CAST(SUM(oov) AS BIGINT) AS oov_ct,
+         |  CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
+         |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_mixture_sample" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_ct
+         |  FROM documents
+         |), m AS (
+         |  SELECT source, CAST(SUM(tok_ct) AS BIGINT) AS mass,
+         |    CAST(floor(sqrt(CAST(SUM(tok_ct) AS DOUBLE))) AS BIGINT) AS isq
+         |  FROM base GROUP BY source
+         |), t AS (
+         |  SELECT CAST(SUM(mass) AS BIGINT) AS total_mass,
+         |    CAST(SUM(isq) AS BIGINT) AS sum_isq FROM m
+         |), b AS (
+         |  SELECT m.source,
+         |    ((t.total_mass // $MixtureDenom) * m.isq) // t.sum_isq AS source_budget
+         |  FROM m CROSS JOIN t
+         |), r AS (
+         |  SELECT doc_id, source, tok_ct,
+         |    md5(source || ':' || CAST(doc_id AS VARCHAR)) AS pick_key
+         |  FROM base
+         |), w AS (
+         |  SELECT doc_id, source, tok_ct,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY pick_key, doc_id) AS BIGINT) AS pick_rank,
+         |    CAST(COALESCE(SUM(tok_ct) OVER (PARTITION BY source ORDER BY pick_key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM r
+         |)
+         |SELECT w.doc_id, w.source, w.tok_ct, w.pick_rank, w.cum_before,
+         |  CAST(b.source_budget AS BIGINT) AS source_budget,
+         |  CAST(CASE WHEN w.cum_before < b.source_budget THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM w JOIN b USING (source) ORDER BY doc_id""".stripMargin,
+    "text_epoch_shuffle" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    md5('epoch$ShuffleEpoch:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         |  FROM documents
+         |)
+         |SELECT doc_id, shuffle_key,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS shuffle_pos,
+         |  CAST((ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1) // $ShuffleShardDocs AS BIGINT) AS shard_id
+         |FROM k ORDER BY doc_id""".stripMargin)
 }

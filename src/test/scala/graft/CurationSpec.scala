@@ -165,5 +165,72 @@ class CurationSpec extends AnyFunSuite {
     assert(got == exp, s"stream kept ${got.size} blocks, batch kept ${exp.size}")
   }
 
+  test("lm surprisal: common tokens score low, rare higher, OOV highest — exact planted bits") {
+    import spark.implicits._
+    // train corpus = even doc_ids: vocab {a: 4, b: 1}, total 5, bits(5)=3
+    val docs = Seq(
+      (0L, "a a a a b"), // trained on
+      (1L, "a a"),       // common only: surprisal 0 per token
+      (3L, "b b"),       // rare: 3-1 = 2 bits per token
+      (5L, "zzz")        // OOV: 3 bits
+    ).toDF("doc_id", "text")
+    val got = Curation.lmSurprisalOn(docs)
+      .select("doc_id", "tok_ct", "oov_ct", "surprisal_bits")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 5L, 0L, 2L), (1L, 2L, 0L, 0L), (3L, 2L, 0L, 4L), (5L, 1L, 1L, 3L)))
+  }
+
+  test("epoch shuffle: exact permutation, partition-independent, epochs independent") {
+    import spark.implicits._
+    val docs = Tables_docs()
+    val n = docs.count()
+    val got = Curation.epochShuffleOn(docs)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+    // positions are exactly 0..n-1, each once
+    assert(got.map(_._2).sorted.toSeq == (0L until n).toSeq)
+    // two-level rank is input-partitioning independent
+    val repart = Curation.epochShuffleOn(docs.repartition(13))
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+    assert(repart.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    // a different epoch is a different permutation (not a shift/copy)
+    val other = Curation.epochShuffleOn(docs, epoch = 8)
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect()
+    val moved = got.sortBy(_._1).zip(other.sortBy(_._1)).count { case (a, b) => a._2 != b._2 }
+    assert(moved > n / 2, s"epochs 7 and 8 nearly identical: only $moved moved")
+  }
+
+  test("mixture sample: greedy fill is tight per source; sqrt temperature favors small sources") {
+    import spark.implicits._
+    val rows = Curation.mixtureSample(spark, sf)
+      .select("source", "tok_ct", "cum_before", "source_budget", "kept")
+      .as[(String, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val budget = docs.head._4
+      val keptDocs = docs.filter(_._5 == 1L)
+      val keptSum = keptDocs.map(_._2).sum
+      if (docs.exists(_._5 == 0L)) {
+        // budget binds: kept mass reaches the budget, and dropping the
+        // greedily-last kept doc would fall below it (tight fill)
+        assert(keptSum >= budget, s"$src under-filled: $keptSum < $budget")
+        val lastKept = keptDocs.maxBy(_._3) // largest cum_before among kept
+        assert(keptSum - lastKept._2 < budget, s"$src over-filled past one doc")
+      } else {
+        // the whole source fits inside its budget
+        assert(keptSum <= budget || keptDocs.size == docs.size)
+      }
+    }
+    // τ=0.5 property: the smallest source keeps a fraction of its mass
+    // at least as large as the biggest source's fraction
+    val byMass = rows.groupBy(_._1).view.mapValues { docs =>
+      val mass = docs.map(_._2).sum.toDouble
+      val kept = docs.filter(_._5 == 1L).map(_._2).sum.toDouble
+      (mass, kept / mass)
+    }.toMap
+    val smallest = byMass.minBy(_._2._1)
+    val largest = byMass.maxBy(_._2._1)
+    assert(smallest._2._2 >= largest._2._2 - 1e-9,
+      s"sqrt temperature inverted: $smallest vs $largest")
+  }
+
   private def Tables_docs() = graft.sources.Tables.documents(spark, sf)
 }
