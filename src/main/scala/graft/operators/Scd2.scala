@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.streaming.LogStream
@@ -37,6 +38,13 @@ import graft.streaming.LogStream
   * Timestamps ride as `yyyy-MM-dd HH:mm:ss` strings end-to-end:
   * lexicographic order IS chronological order for this format, both
   * engines compare bytes, and no timezone conversion can diverge.
+  *
+  * Relation to [[AsOf.asOfJoin]]: that operator matches the latest
+  * EVENT at or before t via a union + sort-carry (one shuffle, no
+  * history table); this one matches against materialized SCD2
+  * INTERVALS, which additionally distinguishes "before the first
+  * version" from "in the first version" and keys the join on an
+  * equi column, letting facts reuse an existing history table.
   */
 object Scd2 {
 
@@ -71,9 +79,14 @@ object Scd2 {
         col("is_current"))
   }
 
+  /** Memoized per (session, dir): the history is read by its own named
+    * query, the as-of consumer, and the spec — one window pass. */
+  private def historyShared(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "scd2.orderStatusHistory")(
+      orderStatusHistoryOn(GmallDwdDb.envelope(spark, dir)))
+
   def orderStatusHistory(spark: SparkSession, dir: String): DataFrame =
-    orderStatusHistoryOn(GmallDwdDb.envelope(spark, dir))
-      .orderBy(col("order_id"), col("version_num"))
+    historyShared(spark, dir).orderBy(col("order_id"), col("version_num"))
 
   /** Keyed as-of join: each fact row gets the single `hist` version
     * whose `[valid_from, valid_to)` interval contains `t`. `hist` must
@@ -108,9 +121,92 @@ object Scd2 {
         coalesce(col("version_num"), lit(0L)).as("asof_version"))
   }
 
-  def orderDetailAsOf(spark: SparkSession, dir: String): DataFrame =
-    orderDetailAsOfOn(GmallDwdDb.envelope(spark, dir))
+  def orderDetailAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val details = GmallDwdDb.orderDetailSliceOn(GmallDwdDb.envelope(spark, dir))
+      .select(col("order_detail_id"),
+        col("order_id").cast(LongType).as("order_id"),
+        col("order_create_time"))
+    val hist = historyShared(spark, dir)
+      .select(col("order_id"), col("version_num"), col("order_status"),
+        col("valid_from"), col("valid_to"))
+    asOfJoin(details, hist, "order_id", col("order_create_time"))
+      .select(col("order_detail_id"), col("order_id"),
+        col("order_create_time"),
+        coalesce(col("order_status"), lit("n/a")).as("asof_status"),
+        coalesce(col("version_num"), lit(0L)).as("asof_version"))
       .orderBy(col("order_detail_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // Streaming maintenance
+  // ------------------------------------------------------------------
+
+  /** One order_info version as it arrives on the CDC stream. */
+  case class VersionEvent(order_id: Long, user_id: String,
+                          order_status: String, valid_from: String,
+                          typ: String)
+
+  /** One SCD2 version-row upsert emitted by [[versionStream]]. */
+  case class VersionRow(order_id: Long, version_num: Long, user_id: String,
+                        order_status: String, valid_from: String,
+                        valid_to: String)
+
+  /** State of [[versionStream]]: the key's last version only. (Public:
+    * codegen'd encoders construct the class from generated Java, which
+    * cannot see a Scala-private nested class.) */
+  case class LastVersion(ver: Long, user_id: String,
+                         order_status: String, valid_from: String)
+
+  private implicit val eventEnc: Encoder[VersionEvent] = Encoders.product[VersionEvent]
+  private implicit val rowEnc: Encoder[VersionRow] = Encoders.product[VersionRow]
+  private implicit val stateEnc: Encoder[LastVersion] = Encoders.product[LastVersion]
+  private implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  /** The envelope's order_info versions as a typed event stream (works
+    * on the batch envelope and on `readStream` micro-batches alike). */
+  def versionEventsOn(env: DataFrame): Dataset[VersionEvent] =
+    LogStream.cdcSlice(env, "order_info", Seq("insert", "update"))
+      .select(d("id").cast(LongType).as("order_id"),
+        d("user_id").as("user_id"),
+        d("order_status").as("order_status"),
+        d("operate_time").as("valid_from"),
+        col("type").as("typ"))
+      .as[VersionEvent]
+
+  /** Streaming SCD2 maintenance: each arriving version emits its own
+    * OPEN row (valid_to = [[EndOfTime]]) plus the corrected CLOSED row
+    * of its predecessor — the upsert-topic shape (K2). The sink keeps,
+    * per (order_id, version_num), the row with the SMALLEST valid_to
+    * (a correction always shrinks it), which reconstructs the batch
+    * history deterministically with no arrival sequence numbers.
+    *
+    * State is O(1) per key (the last version only), the same keyspace
+    * the reference's Phoenix dim table holds — semantically unbounded
+    * like D4's last-visit state; at 100 TB back it with a compacted
+    * snapshot, not a TTL (closing a version is meaningful no matter
+    * how much later the next CDC mutation arrives). Requires per-key
+    * in-order delivery ACROSS micro-batches (Kafka key-partitioning
+    * provides it); within a batch the group iterator is sorted by
+    * (valid_from, typ), so same-batch arrivals are deterministic. */
+  def versionStream(events: Dataset[VersionEvent]): Dataset[VersionRow] =
+    events.groupByKey(_.order_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (oid: Long, it: Iterator[VersionEvent], state: GroupState[LastVersion]) =>
+          val sorted = it.toSeq.sortBy(e => (e.valid_from, e.typ))
+          var last = state.getOption.orNull
+          val out = Seq.newBuilder[VersionRow]
+          sorted.foreach { e =>
+            val k = (if (last == null) 0L else last.ver) + 1L
+            if (last != null)
+              out += VersionRow(oid, last.ver, last.user_id,
+                last.order_status, last.valid_from, e.valid_from)
+            out += VersionRow(oid, k, e.user_id, e.order_status,
+              e.valid_from, EndOfTime)
+            last = LastVersion(k, e.user_id, e.order_status, e.valid_from)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
 
   // ------------------------------------------------------------------
 

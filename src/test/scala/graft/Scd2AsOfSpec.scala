@@ -107,6 +107,41 @@ class Scd2AsOfSpec extends AnyFunSuite {
     assert(matched.exists(_._3 == 1L) && matched.exists(_._3 == 2L) && na.nonEmpty)
   }
 
+  test("streaming SCD2 maintenance: upsert-merged version rows == batch history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    // per-key in-order delivery (the Kafka key-partitioning contract):
+    // a global (valid_from, typ) sort implies per-key order
+    val events = Scd2.versionEventsOn(env).collect()
+      .sortBy(e => (e.valid_from, e.typ))
+    val mem = MemoryStream[Scd2.VersionEvent](spark)
+    val q = Scd2.versionStream(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_stream")
+      .outputMode(OutputMode.Append).start()
+    events.grouped(700).foreach { chunk =>
+      mem.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    // the upsert sink's merge rule: smallest valid_to per (key, version)
+    val got = spark.table("scd2_stream")
+      .groupBy(col("order_id"), col("version_num"))
+      .agg(min(struct(col("valid_to"), col("user_id"), col("order_status"),
+        col("valid_from"))).as("m"))
+      .select(col("order_id"), col("version_num"), col("m.user_id"),
+        col("m.order_status"), col("m.valid_from"), col("m.valid_to"))
+      .collect().map(_.toString).toSet
+    val want = Scd2.orderStatusHistoryOn(env)
+      .select("order_id", "version_num", "user_id", "order_status",
+        "valid_from", "valid_to")
+      .collect().map(_.toString).toSet
+    assert(want.nonEmpty && got == want,
+      s"streaming SCD2 diverged: ${got.size} vs ${want.size} rows")
+    // corrections really happened: some version was first emitted open,
+    // then closed by a later micro-batch (or in-batch successor)
+    assert(spark.table("scd2_stream").count() > want.size)
+  }
+
   test("as-of join plans as a keyed join with residual interval, never a nested loop") {
     val details = GmallDwdDb.orderDetailSliceOn(env)
       .select(col("order_detail_id"),
