@@ -331,6 +331,53 @@ object Curation {
     lmSurprisalOn(Tables.spread(spark, Tables.documents(spark, dir)))
       .orderBy(col("doc_id"))
 
+  /** Bigram LM with stupid-backoff, same exact-integer-bits contract as
+    * [[lmSurprisalOn]]: token i is scored −log2 P(wᵢ | wᵢ₋₁) ≈
+    * bits(U(wᵢ₋₁)) − bits(B(wᵢ₋₁,wᵢ)) when the bigram was seen in the
+    * reference half, else a 1-bit backoff penalty + the unigram
+    * surprisal (OOV pays bits(T)); each doc's first token is scored by
+    * the unigram alone. Context is recovered with `lag` over a window
+    * PARTITIONED BY doc (one doc's tokens per group — bounded, never a
+    * global sort), then two token-keyed shuffle joins (bigram, prev
+    * unigram) — the vocab frames are corpus-bounded, AQE broadcasts
+    * them when small. */
+  private[graft] def lmBigramOn(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+    val withPrev = toks.withColumn("prev",
+      lag(col("token"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val train = withPrev.filter(col("doc_id") % TrainMod === 0)
+    val uni = train.groupBy(col("token")).agg(count(lit(1)).as("uct"))
+    val bi = train.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("token")).agg(count(lit(1)).as("bct"))
+    val total = uni.agg(sum(col("uct")).as("total_ct"))
+    val uniBits = uni.select(col("token"), length(bin(col("uct"))).as("ubits"))
+    withPrev
+      .join(uniBits.withColumnRenamed("token", "prev").withColumnRenamed("ubits", "pbits"),
+        Seq("prev"), "left")
+      .join(uniBits, Seq("token"), "left")
+      .join(bi, Seq("prev", "token"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("tbits", length(bin(col("total_ct"))))
+      // unigram surprisal of the CURRENT token (OOV -> full tbits)
+      .withColumn("usurp",
+        when(col("ubits").isNull, col("tbits")).otherwise(col("tbits") - col("ubits")))
+      .withColumn("bits",
+        when(col("prev").isNull, col("usurp"))                   // doc start
+          .when(col("bct").isNotNull, col("pbits") - length(bin(col("bct")))) // seen bigram
+          .otherwise(lit(1) + col("usurp")))                     // backoff
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tok_ct"),
+        sum(when(col("prev").isNotNull && col("bct").isNull, 1L).otherwise(0L)).as("backoff_ct"),
+        sum(col("bits").cast(LongType)).as("surprisal_bits"))
+      .withColumn("avg_bits",
+        col("surprisal_bits").cast(DoubleType) / col("tok_ct").cast(DoubleType))
+  }
+
+  def lmBigram(spark: SparkSession, dir: String): DataFrame =
+    lmBigramOn(Tables.spread(spark, Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------
   // Temperature-weighted mixture sampling to a token budget
   // ---------------------------------------------------------------
@@ -421,6 +468,7 @@ object Curation {
     "text_pii_redact" -> ((s, d) => piiRedact(s, d)),
     "sim_embedding_quantize" -> ((s, d) => quantize(s, d)),
     "text_lm_surprisal" -> ((s, d) => lmSurprisal(s, d)),
+    "text_lm_bigram" -> ((s, d) => lmBigram(s, d)),
     "text_mixture_sample" -> ((s, d) => mixtureSample(s, d)),
     "text_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)))
 
@@ -567,6 +615,49 @@ object Curation {
          |  CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
          |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_lm_bigram" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+         |), tok AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS token
+         |  FROM t0
+         |), wp AS (
+         |  SELECT doc_id, pos, token,
+         |    LAG(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM tok
+         |), uni AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS uct FROM wp
+         |  WHERE doc_id % $TrainMod = 0 GROUP BY token
+         |), bi AS (
+         |  SELECT prev, token, CAST(COUNT(*) AS BIGINT) AS bct FROM wp
+         |  WHERE doc_id % $TrainMod = 0 AND prev IS NOT NULL GROUP BY prev, token
+         |), t AS (
+         |  SELECT CAST(SUM(uct) AS BIGINT) AS total_ct FROM uni
+         |), j AS (
+         |  SELECT wp.doc_id, wp.prev,
+         |    len(bin(t.total_ct)) AS tbits,
+         |    CASE WHEN u.uct IS NULL THEN len(bin(t.total_ct))
+         |         ELSE len(bin(t.total_ct)) - len(bin(u.uct)) END AS usurp,
+         |    b.bct, pu.uct AS puct
+         |  FROM wp
+         |  LEFT JOIN uni u ON wp.token = u.token
+         |  LEFT JOIN uni pu ON wp.prev = pu.token
+         |  LEFT JOIN bi b ON wp.prev = b.prev AND wp.token = b.token
+         |  CROSS JOIN t
+         |), s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN prev IS NULL THEN usurp
+         |         WHEN bct IS NOT NULL THEN len(bin(puct)) - len(bin(bct))
+         |         ELSE 1 + usurp END AS bits,
+         |    CASE WHEN prev IS NOT NULL AND bct IS NULL THEN 1 ELSE 0 END AS backoff
+         |  FROM j
+         |)
+         |SELECT doc_id, COUNT(*) AS tok_ct,
+         |  CAST(SUM(backoff) AS BIGINT) AS backoff_ct,
+         |  CAST(SUM(bits) AS BIGINT) AS surprisal_bits,
+         |  CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bits
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_mixture_sample" ->
       s"""WITH base AS (
          |  SELECT doc_id, source,

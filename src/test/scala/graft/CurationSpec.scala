@@ -180,6 +180,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq((0L, 5L, 0L, 2L), (1L, 2L, 0L, 0L), (3L, 2L, 0L, 4L), (5L, 1L, 1L, 3L)))
   }
 
+  test("bigram LM backoff: exact planted bits for seen-bigram, backoff, OOV and doc-start") {
+    import spark.implicits._
+    // train = doc 0 "a b a b": U(a)=2, U(b)=2, T=4 (3 bits),
+    // B(a,b)=2 (2 bits), B(b,a)=1 (1 bit)
+    val docs = Seq(
+      (0L, "a b a b"), // 1 + 0 + (2-1) + 0 = 2 bits, no backoff
+      (1L, "a b"),     // usurp(a)=1, seen (a,b): 2-2=0 -> 1 bit
+      (3L, "b b"),     // 1, unseen (b,b): 1+usurp(b)=2 -> 3 bits, 1 backoff
+      (5L, "zzz a")    // OOV 3, unseen (zzz,a): 1+1=2 -> 5 bits, 1 backoff
+    ).toDF("doc_id", "text")
+    val got = Curation.lmBigramOn(docs)
+      .select("doc_id", "tok_ct", "backoff_ct", "surprisal_bits")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 4L, 0L, 2L), (1L, 2L, 0L, 1L), (3L, 2L, 1L, 3L), (5L, 2L, 1L, 5L)))
+  }
+
   test("epoch shuffle: exact permutation, partition-independent, epochs independent") {
     import spark.implicits._
     val docs = Tables_docs()
