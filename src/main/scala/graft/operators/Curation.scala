@@ -262,8 +262,8 @@ object Curation {
     * (group, bucket) reaches the offset cumsum, and the offsets come
     * back via a broadcast join. Same two-level shape as
     * [[packShardsOn]], keyed by hash prefix instead of doc ranges. */
-  private def rankAndPrefix(df: DataFrame, grpC: String, keyC: String,
-                            valC: String): DataFrame = {
+  private[graft] def rankAndPrefix(df: DataFrame, grpC: String, keyC: String,
+                                   valC: String): DataFrame = {
     val withB = df.withColumn("_bucket",
       conv(substring(col(keyC), 1, 2), 16, 10).cast(LongType))
     val wIn = Window.partitionBy(col(grpC), col("_bucket"))

@@ -372,4 +372,32 @@ object GraftProps extends Properties("graft") {
         verts.forall(v => labels.getOrElse(v, v) == find(v))
       }
     }
+
+  // --------------------------------------- two-level rank/prefix ≡ naive
+
+  private val genRanked = for {
+    n <- Gen.choose(1, 80)
+    rows <- Gen.listOfN(n, for {
+      grp <- Gen.choose(0L, 2L)
+      v <- Gen.choose(0L, 9L)
+    } yield (grp, v))
+  } yield rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+
+  property("two-level rankAndPrefix == naive per-group window on random inputs") =
+    forAll(genRanked) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("doc_id", "grp", "v")
+        .withColumn("key", md5(concat(col("grp"), lit("#"), col("doc_id"))))
+      val got = graft.operators.Curation.rankAndPrefix(df, "grp", "key", "v")
+        .select("doc_id", "rank", "cum_before")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val w = Window.partitionBy(col("grp")).orderBy(col("key"), col("doc_id"))
+      val naive = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_before", coalesce(sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("doc_id", "rank", "cum_before")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      got.toSeq == naive.toSeq
+    }
 }
