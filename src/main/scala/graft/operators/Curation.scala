@@ -474,8 +474,9 @@ object Curation {
 
   // Single-line on purpose: this fragment is interpolated into
   // stripMargin'd oracle strings, where a line starting with `||`
-  // would lose its first pipe to the margin stripping.
-  private val augSql: String =
+  // would lose its first pipe to the margin stripping. Shared with the
+  // composed curation-decision oracle (TextAnalysis).
+  private[operators] val augSql: String =
     "SELECT doc_id, text" +
       " || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END" +
       " || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END" +

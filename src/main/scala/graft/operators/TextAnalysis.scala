@@ -505,11 +505,27 @@ object TextAnalysis {
     // doc→representative MAPPING (those two only need the group mins);
     // spread like every sibling document pass so the hash scan uses
     // all cores
-    val hashed = Tables.spread(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), md5(col("text")).as("ch"))
+    val docsSpread = Tables.spread(spark, Tables.documents(spark, dir))
+    val hashed = docsSpread.select(col("doc_id"), md5(col("text")).as("ch"))
     val exactRep = hashed.groupBy(col("ch")).agg(min(col("doc_id")).as("exact_rep_doc_id"))
     val near = Dedup.minhashLsh(spark, dir)
       .withColumnRenamed("rep_doc_id", "near_rep_doc_id")
+    // round-9 signals: PII is REDACTED downstream, so pii_ct is carried
+    // as bookkeeping, not a drop rule; the LM gate drops docs whose
+    // mean surprisal exceeds 90% of the OOV ceiling (≈ gibberish to the
+    // reference LM) — exact integer comparison, no float threshold
+    val pii = Curation.piiScanOn(Curation.withSyntheticPii(docsSpread))
+      .select(col("doc_id"), col("pii_ct"))
+    val tb = docsSpread.filter(col("doc_id") % Curation.TrainMod === 0)
+      .select(explode(split(lower(col("text")), " ")).as("tk"))
+      .agg(count(lit(1)).as("ttl"))
+      .select(length(bin(col("ttl"))).cast(LongType).as("tbits"))
+    val lm = Curation.lmSurprisalOn(docsSpread)
+      .select(col("doc_id"), col("tok_ct"), col("surprisal_bits"))
+      .crossJoin(broadcast(tb))
+      .withColumn("lm_gibberish",
+        (col("surprisal_bits") * 10L > col("tbits") * 9L * col("tok_ct")).cast(LongType))
+      .select(col("doc_id"), col("lm_gibberish"))
     hashed
       .join(exactRep, "ch").drop("ch")
       .join(qualityFilter(spark, dir), "doc_id")
@@ -517,15 +533,19 @@ object TextAnalysis {
       .join(near, "doc_id")
       .join(decontaminate(spark, dir).select(col("doc_id"), col("contaminated")),
         Seq("doc_id"), "left")
+      .join(pii, "doc_id")
+      .join(lm, "doc_id")
       .withColumn("is_benchmark", (col("doc_id") % 20 === 0).cast(LongType))
       .withColumn("contaminated", coalesce(col("contaminated"), lit(0L)))
       .withColumn("train_keep",
         (col("keep") === 1 && col("is_benchmark") === 0 && col("contaminated") === 0 &&
           col("exact_rep_doc_id") === col("doc_id") &&
-          col("near_rep_doc_id") === col("doc_id")).cast(LongType))
+          col("near_rep_doc_id") === col("doc_id") &&
+          col("lm_gibberish") === 0).cast(LongType))
       .select(col("doc_id"), col("keep"), col("reasons"), col("pred_lang"),
         col("is_benchmark"), col("contaminated"),
-        col("exact_rep_doc_id"), col("near_rep_doc_id"), col("train_keep"))
+        col("exact_rep_doc_id"), col("near_rep_doc_id"),
+        col("pii_ct"), col("lm_gibberish"), col("train_keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -645,6 +665,33 @@ object TextAnalysis {
          |    UNION ALL
          |    SELECT doc_a AS doc_id, doc_b AS other FROM verified
          |  ) GROUP BY doc_id
+         |), pa AS (${Curation.augSql}
+         |), pc AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(aug, '${Curation.EmailRe}'))
+         |       + len(regexp_extract_all(aug, '${Curation.PhoneRe}'))
+         |       + len(regexp_extract_all(aug, '${Curation.IpRe}')) AS BIGINT) AS pii_ct
+         |  FROM pa
+         |), ltok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+         |), lv AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS ct FROM ltok
+         |  WHERE doc_id % ${Curation.TrainMod} = 0 GROUP BY token
+         |), ltt AS (
+         |  SELECT CAST(SUM(ct) AS BIGINT) AS total_ct FROM lv
+         |), lj AS (
+         |  SELECT ltok.doc_id,
+         |    CASE WHEN lv.ct IS NULL THEN len(bin(ltt.total_ct))
+         |         ELSE len(bin(ltt.total_ct)) - len(bin(lv.ct)) END AS bits
+         |  FROM ltok LEFT JOIN lv USING (token) CROSS JOIN ltt
+         |), lmx AS (
+         |  SELECT doc_id, COUNT(*) AS ltc, CAST(SUM(bits) AS BIGINT) AS sbits
+         |  FROM lj GROUP BY doc_id
+         |), lmf AS (
+         |  SELECT lmx.doc_id,
+         |    CAST(CASE WHEN lmx.sbits * 10 > len(bin(ltt.total_ct)) * 9 * lmx.ltc
+         |      THEN 1 ELSE 0 END AS BIGINT) AS lm_gibberish
+         |  FROM lmx CROSS JOIN ltt
          |), cur AS (
          |SELECT d.doc_id,
          |  CAST(CASE WHEN len(qf.reasons) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
@@ -654,10 +701,13 @@ object TextAnalysis {
          |  CAST(CASE WHEN COALESCE(dhits.hit_ct, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated,
          |  er.exact_rep_doc_id,
          |  LEAST(d.doc_id, COALESCE(nreps.m, d.doc_id)) AS near_rep_doc_id,
+         |  pc.pii_ct,
+         |  lmf.lm_gibberish,
          |  CAST(CASE WHEN len(qf.reasons) = 0 AND d.doc_id % 20 <> 0
          |    AND COALESCE(dhits.hit_ct, 0) = 0
          |    AND er.exact_rep_doc_id = d.doc_id
          |    AND LEAST(d.doc_id, COALESCE(nreps.m, d.doc_id)) = d.doc_id
+         |    AND lmf.lm_gibberish = 0
          |    THEN 1 ELSE 0 END AS BIGINT) AS train_keep
          |FROM documents d
          |  JOIN qf ON d.doc_id = qf.doc_id
@@ -665,6 +715,8 @@ object TextAnalysis {
          |  JOIN er ON d.doc_id = er.doc_id
          |  LEFT JOIN dhits ON d.doc_id = dhits.doc_id
          |  LEFT JOIN nreps ON d.doc_id = nreps.doc_id
+         |  JOIN pc ON d.doc_id = pc.doc_id
+         |  JOIN lmf ON d.doc_id = lmf.doc_id
          |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
