@@ -457,6 +457,63 @@ object Curation {
       .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------
+  // Crawl snapshot diff (incremental corpus maintenance)
+  // ---------------------------------------------------------------
+
+  /** Deterministic "next crawl" of the corpus, so the diff operator is
+    * exercised with every outcome class on real data (both engines
+    * derive the SAME v2): docs at doc_id ≡ 0 (mod 13) disappear,
+    * ≡ 0 (mod 11) get revised text, every ≡ 0 (mod 17) spawns a new
+    * doc at doc_id + 10⁹. */
+  private[graft] def snapshotV2On(docs: DataFrame): DataFrame = {
+    val base = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    val added = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        concat(lit("new crawl "), col("text")).as("text"))
+    base.unionByName(added)
+  }
+
+  /** Content-level diff of two corpus snapshots: FULL OUTER join on
+    * doc_id, classification from join-side presence + md5 inequality —
+    * the operator never sees the synthesis rules. One shuffle on the
+    * id both sides already carry; the downstream incremental pipeline
+    * (re-dedup, re-score) touches only the added/changed slice. */
+  private[graft] def snapshotDiffOn(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"),
+      size(split(col("text"), " ")).cast(LongType).as("t1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("h2"),
+      size(split(col("text"), " ")).cast(LongType).as("t2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed"))
+      .select(col("doc_id"), col("status"),
+        coalesce(col("h1"), lit("")).as("v1_hash"),
+        coalesce(col("h2"), lit("")).as("v2_hash"),
+        (coalesce(col("t2"), lit(0L)) - coalesce(col("t1"), lit(0L))).as("tok_delta"))
+  }
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+    snapshotDiffOn(docs, snapshotV2On(docs)).orderBy(col("doc_id"))
+  }
+
+  /** The planner's view of the diff: per-status doc counts and token
+    * churn — what an incremental run must reprocess. */
+  def snapshotDiffSummary(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+    snapshotDiffOn(docs, snapshotV2On(docs))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("doc_ct"), sum(col("tok_delta")).as("token_delta"))
+      .orderBy(col("status"))
+  }
+
+  // ---------------------------------------------------------------
   // Registration
   // ---------------------------------------------------------------
 
@@ -470,7 +527,9 @@ object Curation {
     "text_lm_surprisal" -> ((s, d) => lmSurprisal(s, d)),
     "text_lm_bigram" -> ((s, d) => lmBigram(s, d)),
     "text_mixture_sample" -> ((s, d) => mixtureSample(s, d)),
-    "text_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)))
+    "text_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
+    "text_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
+    "text_snapshot_diff_summary" -> ((s, d) => snapshotDiffSummary(s, d)))
 
   // Single-line on purpose: this fragment is interpolated into
   // stripMargin'd oracle strings, where a line starting with `||`
@@ -690,6 +749,53 @@ object Curation {
          |  CAST(b.source_budget AS BIGINT) AS source_budget,
          |  CAST(CASE WHEN w.cum_before < b.source_budget THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM w JOIN b USING (source) ORDER BY doc_id""".stripMargin,
+    "text_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, 'new crawl ' || text AS text
+        |  FROM documents WHERE doc_id % 17 = 0
+        |), a AS (
+        |  SELECT doc_id, md5(text) AS h1,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t1 FROM documents
+        |), b AS (
+        |  SELECT doc_id, md5(text) AS h2,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t2 FROM v2
+        |), d AS (
+        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, h1, h2, t1, t2
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN h1 IS NULL THEN 'added' WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS status,
+        |  COALESCE(h1, '') AS v1_hash, COALESCE(h2, '') AS v2_hash,
+        |  COALESCE(t2, 0) - COALESCE(t1, 0) AS tok_delta
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "text_snapshot_diff_summary" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, 'new crawl ' || text AS text
+        |  FROM documents WHERE doc_id % 17 = 0
+        |), a AS (
+        |  SELECT doc_id, md5(text) AS h1,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t1 FROM documents
+        |), b AS (
+        |  SELECT doc_id, md5(text) AS h2,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t2 FROM v2
+        |), d AS (
+        |  SELECT CASE WHEN h1 IS NULL THEN 'added' WHEN h2 IS NULL THEN 'removed'
+        |              WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS status,
+        |    COALESCE(t2, 0) - COALESCE(t1, 0) AS tok_delta
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |)
+        |SELECT status, COUNT(*) AS doc_ct,
+        |  CAST(SUM(tok_delta) AS BIGINT) AS token_delta
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
     "text_epoch_shuffle" ->
       s"""WITH k AS (
          |  SELECT doc_id,

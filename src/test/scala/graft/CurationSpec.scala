@@ -248,5 +248,26 @@ class CurationSpec extends AnyFunSuite {
       s"sqrt temperature inverted: $smallest vs $largest")
   }
 
+  test("snapshot diff classifies by content: identity diff all-unchanged; planted crawl exact") {
+    import spark.implicits._
+    val docs = Tables_docs()
+    // identity: diff(v1, v1) — every doc unchanged, zero churn
+    val idm = Curation.snapshotDiffOn(docs, docs)
+    assert(idm.filter(col("status") =!= "unchanged" || col("tok_delta") =!= 0L).count() == 0)
+    // planted crawl: classification must reproduce the synthesis rules
+    // (the operator itself only sees hashes and join sides)
+    val rows = Curation.snapshotDiff(spark, sf)
+      .select("doc_id", "status").as[(Long, String)].collect()
+    rows.foreach { case (id, st) =>
+      val exp =
+        if (id >= 1000000000L) "added"
+        else if (id % 13 == 0) "removed"
+        else if (id % 11 == 0) "changed"
+        else "unchanged"
+      assert(st == exp, s"doc $id: $st != $exp")
+    }
+    assert(rows.map(_._2).toSet == Set("added", "removed", "changed", "unchanged"))
+  }
+
   private def Tables_docs() = graft.sources.Tables.documents(spark, sf)
 }
