@@ -307,13 +307,24 @@ object Curation {
     * Scale shape: token explode → shuffle join on token (the vocab is
     * corpus-bounded; AQE broadcasts it when small) → one per-doc
     * re-aggregation, map-side combined. No window, no collect. */
-  private[graft] def lmSurprisalOn(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(lower(col("text")), " ")).as("token"))
-    val vocab = toks.filter(col("doc_id") % TrainMod === 0)
+  /** Unigram LM of the reference half of `docs`: (vocab counts,
+    * 1-row total) — the static side of at-ingest scoring. */
+  private[graft] def lmModelOn(docs: DataFrame): (DataFrame, DataFrame) = {
+    val vocab = docs.filter(col("doc_id") % TrainMod === 0)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("ct"))
-    val total = vocab.agg(sum(col("ct")).as("total_ct"))
-    toks.join(vocab, Seq("token"), "left")
+    (vocab, vocab.agg(sum(col("ct")).as("total_ct")))
+  }
+
+  /** Scoring pass against a pre-built LM — stream-compatible: `docs`
+    * may be a readStream micro-batch frame (the vocab join and 1-row
+    * total are stream-static; the per-doc agg runs Complete/update
+    * downstream). */
+  private[graft] def lmScoreOn(docs: DataFrame, vocab: DataFrame,
+                               total: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .join(vocab, Seq("token"), "left")
       .crossJoin(broadcast(total)) // 1-row LM normalizer
       .withColumn("bits",
         when(col("ct").isNull, length(bin(col("total_ct"))).cast(LongType))
@@ -325,6 +336,10 @@ object Curation {
         sum(col("bits")).as("surprisal_bits"))
       .withColumn("avg_bits",
         col("surprisal_bits").cast(DoubleType) / col("tok_ct").cast(DoubleType))
+
+  private[graft] def lmSurprisalOn(docs: DataFrame): DataFrame = {
+    val (vocab, total) = lmModelOn(docs)
+    lmScoreOn(docs, vocab, total)
   }
 
   def lmSurprisal(spark: SparkSession, dir: String): DataFrame =

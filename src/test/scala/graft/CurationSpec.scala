@@ -248,6 +248,27 @@ class CurationSpec extends AnyFunSuite {
       s"sqrt temperature inverted: $smallest vs $largest")
   }
 
+  test("LM scoring runs at ingest: STREAM of docs vs static LM ≡ batch surprisal") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val docs = Tables_docs().select(col("doc_id"), col("text"))
+    val (vocab, total) = Curation.lmModelOn(docs)
+    val want = Curation.lmSurprisal(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val feed = docs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Curation.lmScoreOn(mem.toDF().toDF("doc_id", "text"), vocab, total)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode(OutputMode.Complete).start()
+    mem.addData(feed.take(feed.size / 2)); q.processAllAvailable()
+    mem.addData(feed.drop(feed.size / 2)); q.processAllAvailable(); q.stop()
+    val got = spark.table("lm_stream")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"streamed LM scores diverge: ${got.size} vs ${want.size}")
+  }
+
   test("snapshot diff classifies by content: identity diff all-unchanged; planted crawl exact") {
     import spark.implicits._
     val docs = Tables_docs()
