@@ -307,23 +307,34 @@ object Curation {
     * Scale shape: token explode → shuffle join on token (the vocab is
     * corpus-bounded; AQE broadcasts it when small) → one per-doc
     * re-aggregation, map-side combined. No window, no collect. */
-  /** Unigram LM of the reference half of `docs`: (vocab counts,
-    * 1-row total) — the static side of at-ingest scoring. */
-  private[graft] def lmModelOn(docs: DataFrame): (DataFrame, DataFrame) = {
-    val vocab = docs.filter(col("doc_id") % TrainMod === 0)
-      .select(explode(split(lower(col("text")), " ")).as("token"))
+  /** Positioned lowered tokens of every doc — the frame every LM
+    * consumer reads. Memoized per (session, dir): surprisal, bigram
+    * and the composed curation decision share one tokenize pass (same
+    * discipline as the `text.stats`/`text.grams` memos). */
+  private def tokensShared(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "curation.tokens")(
+      Tables.spread(spark, Tables.documents(spark, dir))
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token"))))
+
+  /** Unigram LM over a positioned-token frame: (vocab counts, 1-row
+    * total) — the static side of at-ingest scoring. */
+  private[graft] def lmModelTokens(toks: DataFrame): (DataFrame, DataFrame) = {
+    val vocab = toks.filter(col("doc_id") % TrainMod === 0)
       .groupBy(col("token")).agg(count(lit(1)).as("ct"))
     (vocab, vocab.agg(sum(col("ct")).as("total_ct")))
   }
 
-  /** Scoring pass against a pre-built LM — stream-compatible: `docs`
-    * may be a readStream micro-batch frame (the vocab join and 1-row
-    * total are stream-static; the per-doc agg runs Complete/update
-    * downstream). */
-  private[graft] def lmScoreOn(docs: DataFrame, vocab: DataFrame,
-                               total: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(split(lower(col("text")), " ")).as("token"))
+  private[graft] def lmModelOn(docs: DataFrame): (DataFrame, DataFrame) =
+    lmModelTokens(docs.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token"))))
+
+  /** Scoring pass over a token frame against a pre-built LM — ONE code
+    * path for batch and streaming (the vocab join and 1-row total are
+    * stream-static; the per-doc agg runs Complete/update downstream). */
+  private[graft] def lmScoreTokens(toks: DataFrame, vocab: DataFrame,
+                                   total: DataFrame): DataFrame =
+    toks.select(col("doc_id"), col("token"))
       .join(vocab, Seq("token"), "left")
       .crossJoin(broadcast(total)) // 1-row LM normalizer
       .withColumn("bits",
@@ -337,14 +348,34 @@ object Curation {
       .withColumn("avg_bits",
         col("surprisal_bits").cast(DoubleType) / col("tok_ct").cast(DoubleType))
 
+  /** Stream-compatible doc-frame form (explodes inline). */
+  private[graft] def lmScoreOn(docs: DataFrame, vocab: DataFrame,
+                               total: DataFrame): DataFrame =
+    lmScoreTokens(docs.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token"))),
+      vocab, total)
+
   private[graft] def lmSurprisalOn(docs: DataFrame): DataFrame = {
     val (vocab, total) = lmModelOn(docs)
     lmScoreOn(docs, vocab, total)
   }
 
+  /** Unordered form shared with the composed curation decision. */
+  private[operators] def lmSurprisalShared(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokensShared(spark, dir)
+    val (vocab, total) = lmModelTokens(toks)
+    lmScoreTokens(toks, vocab, total)
+  }
+
   def lmSurprisal(spark: SparkSession, dir: String): DataFrame =
-    lmSurprisalOn(Tables.spread(spark, Tables.documents(spark, dir)))
-      .orderBy(col("doc_id"))
+    lmSurprisalShared(spark, dir).orderBy(col("doc_id"))
+
+  /** 1-row bits(T) of the reference LM — the OOV ceiling the
+    * composed LM-gibberish gate compares against. */
+  private[operators] def lmTotalBits(spark: SparkSession, dir: String): DataFrame = {
+    val (_, total) = lmModelTokens(tokensShared(spark, dir))
+    total.select(length(bin(col("total_ct"))).cast(LongType).as("tbits"))
+  }
 
   /** Bigram LM with stupid-backoff, same exact-integer-bits contract as
     * [[lmSurprisalOn]]: token i is scored −log2 P(wᵢ | wᵢ₋₁) ≈
@@ -356,9 +387,11 @@ object Curation {
     * global sort), then two token-keyed shuffle joins (bigram, prev
     * unigram) — the vocab frames are corpus-bounded, AQE broadcasts
     * them when small. */
-  private[graft] def lmBigramOn(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+  private[graft] def lmBigramOn(docs: DataFrame): DataFrame =
+    lmBigramTokens(docs.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token"))))
+
+  private[graft] def lmBigramTokens(toks: DataFrame): DataFrame = {
     val withPrev = toks.withColumn("prev",
       lag(col("token"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
     val train = withPrev.filter(col("doc_id") % TrainMod === 0)
@@ -390,7 +423,7 @@ object Curation {
   }
 
   def lmBigram(spark: SparkSession, dir: String): DataFrame =
-    lmBigramOn(Tables.spread(spark, Tables.documents(spark, dir)))
+    lmBigramTokens(tokensShared(spark, dir))
       .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------

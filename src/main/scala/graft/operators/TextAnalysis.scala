@@ -516,13 +516,9 @@ object TextAnalysis {
     // reference LM) — exact integer comparison, no float threshold
     val pii = Curation.piiScanOn(Curation.withSyntheticPii(docsSpread))
       .select(col("doc_id"), col("pii_ct"))
-    val tb = docsSpread.filter(col("doc_id") % Curation.TrainMod === 0)
-      .select(explode(split(lower(col("text")), " ")).as("tk"))
-      .agg(count(lit(1)).as("ttl"))
-      .select(length(bin(col("ttl"))).cast(LongType).as("tbits"))
-    val lm = Curation.lmSurprisalOn(docsSpread)
+    val lm = Curation.lmSurprisalShared(spark, dir)
       .select(col("doc_id"), col("tok_ct"), col("surprisal_bits"))
-      .crossJoin(broadcast(tb))
+      .crossJoin(broadcast(Curation.lmTotalBits(spark, dir)))
       .withColumn("lm_gibberish",
         (col("surprisal_bits") * 10L > col("tbits") * 9L * col("tok_ct")).cast(LongType))
       .select(col("doc_id"), col("lm_gibberish"))
