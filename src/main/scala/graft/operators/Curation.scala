@@ -505,6 +505,32 @@ object Curation {
       .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------
+  // Vocabulary encoding (docs → token-id sequences)
+  // ---------------------------------------------------------------
+
+  /** The corpus encoded as token-id sequences — what a training job
+    * actually consumes. Ids are assigned by corpus frequency rank
+    * (ct desc, then token — fully deterministic), 1-based; the output
+    * is the exploded (doc_id, pos, token_id) form so downstream
+    * packing/sharding stays row-oriented.
+    *
+    * The ranking window runs over the AGGREGATED vocabulary, not the
+    * corpus: tokenizer vocabularies are bounded (≤ millions of rows at
+    * any corpus size), so the single-partition sort is the standard
+    * shape — the corpus-scale work is the explode and the token-keyed
+    * id join, both shuffle-partitioned. */
+  def tokenIds(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokensShared(spark, dir)
+    val ids = toks.groupBy(col("token")).agg(count(lit(1)).as("ct"))
+      .withColumn("token_id", row_number().over(
+        Window.orderBy(col("ct").desc, col("token"))).cast(LongType))
+      .select(col("token"), col("token_id"))
+    toks.join(ids, "token")
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("token_id"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  // ---------------------------------------------------------------
   // Crawl snapshot diff (incremental corpus maintenance)
   // ---------------------------------------------------------------
 
@@ -577,7 +603,8 @@ object Curation {
     "text_mixture_sample" -> ((s, d) => mixtureSample(s, d)),
     "text_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
     "text_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
-    "text_snapshot_diff_summary" -> ((s, d) => snapshotDiffSummary(s, d)))
+    "text_snapshot_diff_summary" -> ((s, d) => snapshotDiffSummary(s, d)),
+    "text_token_ids" -> ((s, d) => tokenIds(s, d)))
 
   // Single-line on purpose: this fragment is interpolated into
   // stripMargin'd oracle strings, where a line starting with `||`
@@ -844,6 +871,23 @@ object Curation {
         |SELECT status, COUNT(*) AS doc_ct,
         |  CAST(SUM(tok_delta) AS BIGINT) AS token_delta
         |FROM d GROUP BY status ORDER BY status""".stripMargin,
+    "text_token_ids" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |), tok AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, len(toks))) AS pos, unnest(toks) AS token
+        |  FROM t0
+        |), v AS (
+        |  SELECT token, COUNT(*) AS ct FROM tok GROUP BY token
+        |), ids AS (
+        |  SELECT token,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY ct DESC, token) AS BIGINT) AS token_id
+        |  FROM v
+        |)
+        |SELECT tok.doc_id, CAST(tok.pos AS BIGINT) AS pos, ids.token_id
+        |FROM tok JOIN ids USING (token)
+        |ORDER BY doc_id, pos""".stripMargin,
     "text_epoch_shuffle" ->
       s"""WITH k AS (
          |  SELECT doc_id,

@@ -290,5 +290,31 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSet == Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("token ids: dense 1..V by frequency, positions dense per doc") {
+    import spark.implicits._
+    val ids = Curation.tokenIds(spark, sf).cache()
+    try {
+      // ids are a dense 1..V range over the vocabulary
+      val distinctIds = ids.select("token_id").distinct()
+      val v = distinctIds.count()
+      val mm = distinctIds.agg(min("token_id"), max("token_id"))
+        .as[(Long, Long)].head()
+      assert(mm == ((1L, v)), s"ids not dense: $mm vs V=$v")
+      // every doc's positions are exactly 0..len-1
+      val badPos = ids.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"))
+        .filter(col("mn") =!= 0L || col("mx") =!= col("n") - 1).count()
+      assert(badPos == 0L, "a doc has non-dense positions")
+      // id 1 belongs to the corpus-most-frequent token (ties by token):
+      // recompute independently from the raw text
+      val top = Tables_docs()
+        .select(explode(split(lower(col("text")), " ")).as("t"))
+        .groupBy("t").count().orderBy(col("count").desc, col("t"))
+        .as[(String, Long)].head()
+      val id1ct = ids.filter(col("token_id") === 1L).count()
+      assert(id1ct == top._2, s"id 1 occurs $id1ct times, top token ${top._1} ${top._2}")
+    } finally ids.unpersist()
+  }
+
   private def Tables_docs() = graft.sources.Tables.documents(spark, sf)
 }
