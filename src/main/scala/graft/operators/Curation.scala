@@ -311,11 +311,16 @@ object Curation {
     * consumer reads. Memoized per (session, dir): surprisal, bigram
     * and the composed curation decision share one tokenize pass (same
     * discipline as the `text.stats`/`text.grams` memos). */
+  /** THE tokenization rule — single definition shared by every LM path
+    * (batch, streaming, memoized) and mirrored by every DuckDB oracle
+    * as `string_split(lower(text), ' ')`. */
+  private[graft] def tokensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+
   private def tokensShared(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "curation.tokens")(
-      Tables.spread(spark, Tables.documents(spark, dir))
-        .select(col("doc_id"),
-          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token"))))
+      tokensOf(Tables.spread(spark, Tables.documents(spark, dir))))
 
   /** Unigram LM over a positioned-token frame: (vocab counts, 1-row
     * total) — the static side of at-ingest scoring. */
@@ -326,8 +331,7 @@ object Curation {
   }
 
   private[graft] def lmModelOn(docs: DataFrame): (DataFrame, DataFrame) =
-    lmModelTokens(docs.select(col("doc_id"),
-      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token"))))
+    lmModelTokens(tokensOf(docs))
 
   /** Scoring pass over a token frame against a pre-built LM — ONE code
     * path for batch and streaming (the vocab join and 1-row total are
@@ -351,31 +355,36 @@ object Curation {
   /** Stream-compatible doc-frame form (explodes inline). */
   private[graft] def lmScoreOn(docs: DataFrame, vocab: DataFrame,
                                total: DataFrame): DataFrame =
-    lmScoreTokens(docs.select(col("doc_id"),
-      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token"))),
-      vocab, total)
+    lmScoreTokens(tokensOf(docs), vocab, total)
 
   private[graft] def lmSurprisalOn(docs: DataFrame): DataFrame = {
     val (vocab, total) = lmModelOn(docs)
     lmScoreOn(docs, vocab, total)
   }
 
+  /** Memoized reference vocab: the one corpus-scale aggregation both
+    * the surprisal scorer and the gibberish-gate ceiling derive from
+    * (each then runs only a tiny agg over the persisted vocab). */
+  private def lmVocabShared(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "curation.lmVocab")(
+      lmModelTokens(tokensShared(spark, dir))._1)
+
   /** Unordered form shared with the composed curation decision. */
   private[operators] def lmSurprisalShared(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokensShared(spark, dir)
-    val (vocab, total) = lmModelTokens(toks)
-    lmScoreTokens(toks, vocab, total)
+    val vocab = lmVocabShared(spark, dir)
+    lmScoreTokens(tokensShared(spark, dir), vocab,
+      vocab.agg(sum(col("ct")).as("total_ct")))
   }
 
   def lmSurprisal(spark: SparkSession, dir: String): DataFrame =
     lmSurprisalShared(spark, dir).orderBy(col("doc_id"))
 
-  /** 1-row bits(T) of the reference LM — the OOV ceiling the
-    * composed LM-gibberish gate compares against. */
-  private[operators] def lmTotalBits(spark: SparkSession, dir: String): DataFrame = {
-    val (_, total) = lmModelTokens(tokensShared(spark, dir))
-    total.select(length(bin(col("total_ct"))).cast(LongType).as("tbits"))
-  }
+  /** 1-row bits(T) of the reference LM — the OOV ceiling the composed
+    * LM-gibberish gate compares against; a 1-row agg over the SAME
+    * memoized vocab the scorer reads (no second corpus-scale pass). */
+  private[operators] def lmTotalBits(spark: SparkSession, dir: String): DataFrame =
+    lmVocabShared(spark, dir).agg(sum(col("ct")).as("total_ct"))
+      .select(length(bin(col("total_ct"))).cast(LongType).as("tbits"))
 
   /** Bigram LM with stupid-backoff, same exact-integer-bits contract as
     * [[lmSurprisalOn]]: token i is scored −log2 P(wᵢ | wᵢ₋₁) ≈
@@ -388,8 +397,7 @@ object Curation {
     * unigram) — the vocab frames are corpus-bounded, AQE broadcasts
     * them when small. */
   private[graft] def lmBigramOn(docs: DataFrame): DataFrame =
-    lmBigramTokens(docs.select(col("doc_id"),
-      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token"))))
+    lmBigramTokens(tokensOf(docs))
 
   private[graft] def lmBigramTokens(toks: DataFrame): DataFrame = {
     val withPrev = toks.withColumn("prev",
@@ -617,6 +625,57 @@ object Curation {
       " || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END" +
       " AS aug FROM documents"
 
+  /** Shared two-level prefix-sum rebuild (text_pack_shards +
+    * text_shard_manifest read the same `packed` CTE — one definition,
+    * engine/oracle parity cannot drift between the siblings). */
+  private val packCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_ct,
+       |    doc_id // $PackBucketDocs AS bucket
+       |  FROM documents
+       |), i AS (
+       |  SELECT doc_id, tok_ct, bucket,
+       |    COALESCE(SUM(tok_ct) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS inner_prev
+       |  FROM t
+       |), bt AS (
+       |  SELECT bucket, SUM(tok_ct) AS bt FROM t GROUP BY bucket
+       |), bo AS (
+       |  SELECT bucket, COALESCE(SUM(bt) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bucket_prev
+       |  FROM bt
+       |), packed AS (
+       |  SELECT i.doc_id, i.tok_ct,
+       |    CAST(bo.bucket_prev + i.inner_prev AS BIGINT) AS tok_offset,
+       |    CAST((bo.bucket_prev + i.inner_prev) // $ShardTokens AS BIGINT) AS shard_id
+       |  FROM i JOIN bo USING (bucket)
+       |)""".stripMargin
+
+  /** Shared crawl-diff rebuild (the v2 synthesis rules live ONCE for
+    * both snapshot oracles). */
+  private val diffCtes: String =
+    """v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000 AS doc_id, 'new crawl ' || text AS text
+      |  FROM documents WHERE doc_id % 17 = 0
+      |), va AS (
+      |  SELECT doc_id, md5(text) AS h1,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t1 FROM documents
+      |), vb AS (
+      |  SELECT doc_id, md5(text) AS h2,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t2 FROM v2
+      |), diffd AS (
+      |  SELECT COALESCE(va.doc_id, vb.doc_id) AS doc_id,
+      |    CASE WHEN h1 IS NULL THEN 'added' WHEN h2 IS NULL THEN 'removed'
+      |         WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS status,
+      |    COALESCE(h1, '') AS v1_hash, COALESCE(h2, '') AS v2_hash,
+      |    COALESCE(t2, 0) - COALESCE(t1, 0) AS tok_delta
+      |  FROM va FULL OUTER JOIN vb ON va.doc_id = vb.doc_id
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_block_dedup" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -646,50 +705,14 @@ object Curation {
          |  COALESCE(kept.clean_text, '') AS clean_text
          |FROM tot LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_pack_shards" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_ct,
-         |    doc_id // $PackBucketDocs AS bucket
-         |  FROM documents
-         |), i AS (
-         |  SELECT doc_id, tok_ct, bucket,
-         |    COALESCE(SUM(tok_ct) OVER (PARTITION BY bucket ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS inner_prev
-         |  FROM t
-         |), bt AS (
-         |  SELECT bucket, SUM(tok_ct) AS bt FROM t GROUP BY bucket
-         |), bo AS (
-         |  SELECT bucket, COALESCE(SUM(bt) OVER (ORDER BY bucket
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bucket_prev
-         |  FROM bt
-         |)
-         |SELECT i.doc_id, i.tok_ct,
-         |  CAST(bo.bucket_prev + i.inner_prev AS BIGINT) AS tok_offset,
-         |  CAST((bo.bucket_prev + i.inner_prev) // $ShardTokens AS BIGINT) AS shard_id
-         |FROM i JOIN bo USING (bucket) ORDER BY doc_id""".stripMargin,
+      s"""WITH $packCtes
+         |SELECT doc_id, tok_ct, tok_offset, shard_id
+         |FROM packed ORDER BY doc_id""".stripMargin,
     "text_shard_manifest" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_ct,
-         |    doc_id // $PackBucketDocs AS bucket
-         |  FROM documents
-         |), i AS (
-         |  SELECT doc_id, tok_ct, bucket,
-         |    COALESCE(SUM(tok_ct) OVER (PARTITION BY bucket ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS inner_prev
-         |  FROM t
-         |), bt AS (
-         |  SELECT bucket, SUM(tok_ct) AS bt FROM t GROUP BY bucket
-         |), bo AS (
-         |  SELECT bucket, COALESCE(SUM(bt) OVER (ORDER BY bucket
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bucket_prev
-         |  FROM bt
-         |), p AS (
-         |  SELECT i.doc_id, i.tok_ct,
-         |    CAST((bo.bucket_prev + i.inner_prev) // $ShardTokens AS BIGINT) AS shard_id
-         |  FROM i JOIN bo USING (bucket)
-         |)
+      s"""WITH $packCtes
          |SELECT shard_id, COUNT(*) AS doc_ct, CAST(SUM(tok_ct) AS BIGINT) AS token_sum,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-         |FROM p GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+         |FROM packed GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "text_pii_scan" ->
       s"""WITH a AS ($augSql), c AS (
          |  SELECT doc_id,
@@ -825,52 +848,14 @@ object Curation {
          |  CAST(CASE WHEN w.cum_before < b.source_budget THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM w JOIN b USING (source) ORDER BY doc_id""".stripMargin,
     "text_snapshot_diff" ->
-      """WITH v2 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
-        |  FROM documents WHERE doc_id % 13 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000000 AS doc_id, 'new crawl ' || text AS text
-        |  FROM documents WHERE doc_id % 17 = 0
-        |), a AS (
-        |  SELECT doc_id, md5(text) AS h1,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t1 FROM documents
-        |), b AS (
-        |  SELECT doc_id, md5(text) AS h2,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t2 FROM v2
-        |), d AS (
-        |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, h1, h2, t1, t2
-        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
-        |)
-        |SELECT doc_id,
-        |  CASE WHEN h1 IS NULL THEN 'added' WHEN h2 IS NULL THEN 'removed'
-        |       WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS status,
-        |  COALESCE(h1, '') AS v1_hash, COALESCE(h2, '') AS v2_hash,
-        |  COALESCE(t2, 0) - COALESCE(t1, 0) AS tok_delta
-        |FROM d ORDER BY doc_id""".stripMargin,
+      s"""WITH $diffCtes
+         |SELECT doc_id, status, v1_hash, v2_hash, tok_delta
+         |FROM diffd ORDER BY doc_id""".stripMargin,
     "text_snapshot_diff_summary" ->
-      """WITH v2 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text
-        |  FROM documents WHERE doc_id % 13 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000000 AS doc_id, 'new crawl ' || text AS text
-        |  FROM documents WHERE doc_id % 17 = 0
-        |), a AS (
-        |  SELECT doc_id, md5(text) AS h1,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t1 FROM documents
-        |), b AS (
-        |  SELECT doc_id, md5(text) AS h2,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t2 FROM v2
-        |), d AS (
-        |  SELECT CASE WHEN h1 IS NULL THEN 'added' WHEN h2 IS NULL THEN 'removed'
-        |              WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS status,
-        |    COALESCE(t2, 0) - COALESCE(t1, 0) AS tok_delta
-        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
-        |)
-        |SELECT status, COUNT(*) AS doc_ct,
-        |  CAST(SUM(tok_delta) AS BIGINT) AS token_delta
-        |FROM d GROUP BY status ORDER BY status""".stripMargin,
+      s"""WITH $diffCtes
+         |SELECT status, COUNT(*) AS doc_ct,
+         |  CAST(SUM(tok_delta) AS BIGINT) AS token_delta
+         |FROM diffd GROUP BY status ORDER BY status""".stripMargin,
     "text_token_ids" ->
       """WITH t0 AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents

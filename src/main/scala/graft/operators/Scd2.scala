@@ -61,15 +61,11 @@ object Scd2 {
     * the following day, and `'insert' < 'update'` breaks the tie if a
     * source ever stamps both with one time. */
   def orderStatusHistoryOn(env: DataFrame): DataFrame = {
+    // builds on versionEventsOn so the batch history and the streaming
+    // maintenance path provably read the SAME projection
     val w = Window.partitionBy(col("order_id"))
-      .orderBy(col("valid_from"), col("type"))
-    LogStream.cdcSlice(env, "order_info", Seq("insert", "update"))
-      .select(
-        d("id").cast(LongType).as("order_id"),
-        d("user_id").as("user_id"),
-        d("order_status").as("order_status"),
-        d("operate_time").as("valid_from"),
-        col("type"))
+      .orderBy(col("valid_from"), col("typ"))
+    versionEventsOn(env).toDF()
       .withColumn("version_num", row_number().over(w).cast(LongType))
       .withColumn("valid_to",
         coalesce(lead(col("valid_from"), 1).over(w), lit(EndOfTime)))
@@ -106,12 +102,14 @@ object Scd2 {
     * `l_shipdate` (≥ order date + 1 day), so orders with a status
     * update resolve to version 2 while untouched orders stay on
     * version 1 — both paths exercised on real data. */
-  def orderDetailAsOfOn(env: DataFrame): DataFrame = {
+  /** `hist` defaults to a fresh history build; the named query passes
+    * the memoized frame instead — ONE body either way. */
+  def orderDetailAsOfOn(env: DataFrame, hist0: DataFrame = null): DataFrame = {
     val details = GmallDwdDb.orderDetailSliceOn(env)
       .select(col("order_detail_id"),
         col("order_id").cast(LongType).as("order_id"),
         col("order_create_time"))
-    val hist = orderStatusHistoryOn(env)
+    val hist = Option(hist0).getOrElse(orderStatusHistoryOn(env))
       .select(col("order_id"), col("version_num"), col("order_status"),
         col("valid_from"), col("valid_to"))
     asOfJoin(details, hist, "order_id", col("order_create_time"))
@@ -121,21 +119,9 @@ object Scd2 {
         coalesce(col("version_num"), lit(0L)).as("asof_version"))
   }
 
-  def orderDetailAsOf(spark: SparkSession, dir: String): DataFrame = {
-    val details = GmallDwdDb.orderDetailSliceOn(GmallDwdDb.envelope(spark, dir))
-      .select(col("order_detail_id"),
-        col("order_id").cast(LongType).as("order_id"),
-        col("order_create_time"))
-    val hist = historyShared(spark, dir)
-      .select(col("order_id"), col("version_num"), col("order_status"),
-        col("valid_from"), col("valid_to"))
-    asOfJoin(details, hist, "order_id", col("order_create_time"))
-      .select(col("order_detail_id"), col("order_id"),
-        col("order_create_time"),
-        coalesce(col("order_status"), lit("n/a")).as("asof_status"),
-        coalesce(col("version_num"), lit(0L)).as("asof_version"))
+  def orderDetailAsOf(spark: SparkSession, dir: String): DataFrame =
+    orderDetailAsOfOn(GmallDwdDb.envelope(spark, dir), historyShared(spark, dir))
       .orderBy(col("order_detail_id"))
-  }
 
   // ------------------------------------------------------------------
   // Streaming maintenance

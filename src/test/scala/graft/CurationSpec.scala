@@ -69,17 +69,28 @@ class CurationSpec extends AnyFunSuite {
     assert(repart.toSeq == got.toSeq)
   }
 
-  test("pack shards: every shard except the last starts before the capacity boundary it fills") {
+  test("pack shards: every shard except the last fills to its capacity boundary") {
     import spark.implicits._
     val m = Curation.shardManifest(spark, sf)
       .select("shard_id", "token_sum").as[(Long, Long)].collect().sortBy(_._1)
     // contiguous shard ids from 0
     assert(m.map(_._1).toSeq == m.indices.map(_.toLong))
-    // a doc never splits, so a shard can exceed capacity by at most one
-    // doc's tokens and can be short only because the NEXT doc overflowed:
-    // each shard (except the last) must have received at least one token
-    // past its start boundary before closing
-    assert(m.dropRight(1).forall(_._2 > 0))
+    // a doc never splits, so shard k closes only once its last doc's
+    // END crosses the (k+1)·capacity boundary — every shard except the
+    // last must reach its boundary, and each shard's first doc must
+    // START inside [k·capacity, (k+1)·capacity)
+    val C = Curation.ShardTokens
+    val ends = Curation.packShards(spark, sf)
+      .groupBy(col("shard_id"))
+      .agg(max(col("tok_offset") + col("tok_ct")).as("end"),
+        min(col("tok_offset")).as("start"))
+      .select("shard_id", "start", "end")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val last = ends.last._1
+    ends.foreach { case (k, start, end) =>
+      assert(start >= k * C && start < (k + 1) * C, s"shard $k starts at $start")
+      if (k != last) assert(end >= (k + 1) * C, s"shard $k closed early at $end")
+    }
   }
 
   test("pii scan finds exactly the planted fixtures; redaction removes every hit") {
