@@ -24,6 +24,7 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Curation.queries, Curation.oracles),
+      (Search.queries, Search.oracles),
       (Scd2.queries, Scd2.oracles),
       (Multimodal.queries, Multimodal.oracles))
 

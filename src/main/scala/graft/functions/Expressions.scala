@@ -36,6 +36,10 @@ object GraftExpressions {
     toColumn(MinHashSetAgg(toExpression(hash), numHashes).toAggregateExpression())
   def bloomMightContainLong(hash: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
     toColumn(BloomMightContainLong(toExpression(hash), filter))
+  def cmsSketchAgg(hash: Column, depth: Int, width: Int): Column =
+    toColumn(CmsSketchAgg(toExpression(hash), depth, width).toAggregateExpression())
+  def cmsEstimateLong(hash: Column, sketch: Array[Long], depth: Int, width: Int): Column =
+    toColumn(CmsEstimateLong(toExpression(hash), sketch, depth, width))
 }
 
 
@@ -810,5 +814,152 @@ case class BloomMightContainLong(
     })
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}
+
+/** Shared count-min row hashing: row `d` maps element hash `x` to slot
+  * `((2d+1)·x + (φ64+d)) mod (2⁶¹−1) mod width` — the same pairwise-
+  * independent permutation family as [[MinHashSetAgg]], so the sketch
+  * builder ([[CmsSketchAgg]]) and the probe ([[CmsEstimateLong]])
+  * agree by construction. Kept in one object (and mirrored verbatim in
+  * both expressions' generated Java) because a builder/probe drift
+  * would silently break the sketch's ≥-true-count guarantee. */
+object CmsHash {
+  val Prime: Long = (1L << 61) - 1
+  val Golden: Long = 0x9e3779b97f4a7c15L
+  def slot(x: Long, d: Int, width: Int): Int = {
+    val m = ((2L * d + 1L) * x + (Golden + d)) % Prime
+    val pm = if (m < 0) m + Prime else m
+    (pm % width).toInt
+  }
+}
+
+/** Count-min sketch of a stream of 64-bit element hashes: a
+  * `depth × width` grid of counters; each element increments one
+  * counter per row, estimate = min over rows — never below the true
+  * count, above it only on all-rows collisions.
+  *
+  * This is the scale primitive for frequency queries over domains too
+  * large to groupBy (URLs, n-grams, user agents at 100 TB): partial
+  * aggregation applies (update is counter increments, merge is
+  * element-wise add — commutative and associative, so partition order
+  * never changes the result), and the shuffle carries one
+  * `depth·width`-long grid per partition instead of one row per
+  * distinct element. The exact-recount pattern in
+  * `Search.heavyHitters` turns the lossy sketch into an exact answer:
+  * probe-filter the stream (superset of true heavy hitters, because
+  * estimates never undercount), then exactly count only the
+  * survivors. */
+case class CmsSketchAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(child.dataType == LongType,
+      s"graft_cms_sketch requires a BIGINT element hash, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var d = 0
+      while (d < depth) {
+        buf(d * width + CmsHash.slot(x, d, width)) += 1L
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(depth * width)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsSketchAgg =
+    copy(child = newChild)
+}
+
+/** Count-min frequency estimate of a 64-bit hash, inside whole-stage
+  * codegen: the sketch (built by [[CmsSketchAgg]], collected once —
+  * model-sized, `depth·width` longs) rides along as a codegen
+  * reference object; the probe is `depth` multiply-mod-index loads and
+  * a running min — no UDF boxing, no shuffle. Estimates are exact or
+  * high, never low, which is what makes sketch-guided exact recounts
+  * sound. */
+case class CmsEstimateLong(
+    child: Expression,
+    sketch: Array[Long],
+    depth: Int,
+    width: Int) extends UnaryExpression {
+  require(sketch.length == depth * width,
+    s"sketch length ${sketch.length} != depth $depth * width $width")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(child.dataType == LongType,
+      s"graft_cms_estimate requires a BIGINT hash, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[Long]
+    var est = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val v = sketch(d * width + CmsHash.slot(x, d, width))
+      if (v < est) est = v
+      d += 1
+    }
+    est
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftCms", sketch, "long[]")
+      val est = ctx.freshName("est")
+      val d = ctx.freshName("d")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      // same arithmetic as CmsHash.slot, inlined for codegen
+      s"""long $est = Long.MAX_VALUE;
+         |for (int $d = 0; $d < $depth; $d++) {
+         |  long $m = ((2L * $d + 1L) * $c + (0x9e3779b97f4a7c15L + $d)) % ${CmsHash.Prime}L;
+         |  if ($m < 0) $m += ${CmsHash.Prime}L;
+         |  long $v = $ref[$d * $width + (int) ($m % $width)];
+         |  if ($v < $est) $est = $v;
+         |}
+         |${ev.value} = $est;""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CmsEstimateLong =
     copy(child = newChild)
 }

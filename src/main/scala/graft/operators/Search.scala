@@ -1,0 +1,408 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.GraftExpressions
+import graft.sources.Tables
+
+/** Corpus search operators: BM25 lexical retrieval over an inverted
+  * index, sketch-guided heavy hitters (frequent collocations), and a
+  * hybrid lexical→semantic rerank — the retrieval surface a curation
+  * pipeline needs for "find training docs like X", boilerplate-phrase
+  * mining, and contamination triage.
+  *
+  * Scale shapes:
+  *  - BM25: postings are filtered to the query terms with a BROADCAST
+  *    semi-shaped join BEFORE any shuffle, so no corpus-wide shuffle
+  *    exists anywhere in the plan — the only aggregations run over
+  *    matched postings (an inverted-index lookup, not an index build).
+  *    Top-k per query is two-phase (per-salt partial top-k, then a
+  *    final top-k over ≤ salt·k rows) so one popular query term never
+  *    pins a corpus-sized partition under a rank window.
+  *  - Heavy hitters: one pass builds a count-min sketch (partial
+  *    aggregation: the shuffle carries one depth×width grid per
+  *    partition, NOT one row per distinct element); a second pass
+  *    probe-filters the stream against the broadcast-sized sketch
+  *    (row-level, codegen'd, no shuffle) and exactly counts only the
+  *    survivors. Because count-min never undercounts, the candidate
+  *    set is a superset of the true heavy hitters and the final exact
+  *    filter makes the output EXACT — sketch params affect only how
+  *    much the recount shuffle carries, never the answer.
+  *
+  * Cross-engine determinism: BM25's idf needs a logarithm, but libm
+  * `ln` differs between the JVM and C++ engines by 1 ulp on ~0.1% of
+  * inputs (measured). Instead the scoring uses ln(x) ≈ 2²⁰·(x^(1/2²⁰)
+  * − 1) via 20 iterated square roots: sqrt is IEEE-754
+  * correctly-rounded in every engine, subtraction and scaling by a
+  * power of two are exact, so the approximation (4·10⁻⁶ relative
+  * error, verified against true ln) is BIT-IDENTICAL in Spark and
+  * DuckDB. Per-term scores are then floor-quantized to 10⁻⁶ units and
+  * summed as exact BIGINTs, eliminating float-summation-order hazards
+  * in the per-document total.
+  */
+object Search {
+
+  /** Fixed retrieval workload: queries over the corpus vocabulary.
+    * Literal in both the engine plan and the DuckDB oracle. */
+  private[graft] val SearchQueries: Seq[(String, String)] = Seq(
+    "q1" -> "spark window agg",
+    "q2" -> "hash join merge",
+    "q3" -> "stream batch vector")
+
+  /** BM25 constants (Lucene defaults), written as the same literals in
+    * engine and oracle so constant parsing is identical. */
+  private val LnIters = 20
+  private val LnScale = 1048576.0 // 2^20
+  private val ScoreScale = 1000000.0
+
+  /** Deterministic ln: 20 iterated sqrts, then exact re-scale. */
+  private def detLn(x: Column): Column =
+    ((1 to LnIters).foldLeft(x)((c, _) => sqrt(c)) - lit(1.0)) * lit(LnScale)
+
+  private def duckDetLn(e: String): String = {
+    val nested = (1 to LnIters).foldLeft(e)((s, _) => s"sqrt($s)")
+    s"(($nested - 1.0) * 1048576.0)"
+  }
+
+  // ---------------------------------------------------------------
+  // BM25 retrieval
+  // ---------------------------------------------------------------
+
+  /** Per-(query, doc) BM25 scores in exact fixed-point: postings
+    * filtered to query terms pre-shuffle, df/corpus stats broadcast,
+    * per-term scores floor-quantized to BIGINT micro-units and summed
+    * exactly. */
+  private[graft] def bm25ScoredOn(docs: DataFrame,
+                                      queries: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dd = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("dl"))
+    // corpus stats: ONE row (doc count + total length), broadcast
+    val stats = dd.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val qterms = queries.toDF("qid", "qtext")
+      .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
+    // the broadcast join IS the index lookup: rows for non-query
+    // tokens never reach a shuffle
+    val tf = dd
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .join(broadcast(qterms), col("token") === col("term"))
+      .groupBy(col("qid"), col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    // df per (query, term): counts rows of the already-distinct
+    // (qid, term, doc) frame — tiny, broadcast back
+    val dfr = tf.groupBy(col("qid"), col("term")).agg(count(lit(1)).as("dfv"))
+    val j = tf.join(broadcast(dfr), Seq("qid", "term")).crossJoin(broadcast(stats))
+    // expression order mirrors the oracle SQL token for token — every
+    // op is IEEE correctly-rounded, so bits agree cross-engine
+    val nd = col("n_docs").cast(DoubleType)
+    val dfd = col("dfv").cast(DoubleType)
+    val tfd = col("tf").cast(DoubleType)
+    val dld = col("dl").cast(DoubleType)
+    val avgdl = col("tot_dl").cast(DoubleType) / nd
+    val idf = detLn(lit(1.0) + (nd - dfd + lit(0.5)) / (dfd + lit(0.5)))
+    val tfn = (tfd * lit(2.2)) / (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (dld / avgdl)))
+    j.withColumn("fp", floor(idf * tfn * lit(ScoreScale)).cast(LongType))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("fp")).as("score_fp"), count(lit(1)).as("matched_terms"))
+  }
+
+  /** Docs-per-salt-class for the two-phase top-k. */
+  private val SaltBuckets = 32
+
+  /** Exact two-phase per-query top-k: phase 1 ranks inside (qid, salt)
+    * classes — every global top-k member is in its class's top-k, so
+    * phase 2's final rank window only ever sees ≤ SaltBuckets·k rows
+    * per query instead of every matching document. */
+  private[graft] def topKTwoPhase(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("salt", pmod(col("doc_id"), lit(SaltBuckets)))
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy(col("qid"), col("salt"))
+          .orderBy(col("score_fp").desc, col("doc_id"))))
+      .filter(col("lrk") <= k)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score_fp").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("doc_id"),
+        col("score_fp"), col("matched_terms"))
+
+  private def bm25Memo(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "search_bm25_scored")(
+      bm25ScoredOn(Tables.spread(spark, Tables.documents(spark, dir)), SearchQueries))
+
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    topKTwoPhase(bm25Memo(spark, dir), k).orderBy(col("qid"), col("rk"))
+
+  // ---------------------------------------------------------------
+  // Hybrid retrieval: BM25 candidates → embedding cosine rerank
+  // ---------------------------------------------------------------
+
+  /** Candidate pool width for the rerank stage. */
+  private val HybridCandidates = 20
+
+  /** Lexical-then-semantic retrieval: take the BM25 top
+    * [[HybridCandidates]] per query, use the top-1 document's
+    * embedding as the pseudo-relevance anchor, and re-rank the pool by
+    * exact quantized cosine to the anchor ([[Similarity.quantizedOn]]:
+    * integer dot products, deterministic doubles only at the final
+    * division). The embedding table is probed with a BROADCAST of the
+    * (queries·candidates)-row pool — embeddings never shuffle. */
+  def hybridRerank(spark: SparkSession, dir: String): DataFrame = {
+    val cand = topKTwoPhase(bm25Memo(spark, dir), HybridCandidates)
+    val qv = Similarity.quantizedOn(Tables.spread(spark, Tables.embeddings(spark, dir)))
+    val anchors = qv.join(
+        broadcast(cand.filter(col("rk") === 1)
+          .select(col("qid"), col("doc_id").as("anchor_id"))),
+        col("vec_id") === col("anchor_id"))
+      .select(col("qid"), col("q").as("qa"), col("nrm").as("na"))
+    val pool = qv.join(
+        broadcast(cand.select(col("qid"), col("doc_id"), col("score_fp"))),
+        col("vec_id") === col("doc_id"))
+      .select(col("qid"), col("doc_id"), col("score_fp"),
+        col("q").as("qb"), col("nrm").as("nb"))
+    pool.join(broadcast(anchors), Seq("qid"))
+      .withColumn("dot", GraftExpressions.dotLong(col("qa"), col("qb")))
+      .withColumn("sim", col("dot").cast(DoubleType) /
+        (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("doc_id"))))
+      .select(col("qid"), col("rk"), col("doc_id"), col("score_fp"), col("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------
+  // Exact phrase search (positional inverted index)
+  // ---------------------------------------------------------------
+
+  /** Fixed phrase workload — p3 repeats a token so overlapping
+    * occurrences ("batch batch batch batch" holds two of them) are
+    * exercised, not just assumed. */
+  private[graft] val PhraseQueries: Seq[(String, String)] = Seq(
+    "p1" -> "table scan",
+    "p2" -> "sort merge",
+    "p3" -> "batch batch batch")
+
+  /** Exact phrase occurrences via the positional-index join: a token
+    * at position `pos` matching phrase slot `idx` votes for a match
+    * starting at `pos − idx`; a start position with all `plen` slots
+    * voting is an occurrence. Overlapping occurrences count — the
+    * standard positional-index contract.
+    *
+    * Scale shape: the broadcast join against the phrase terms prunes
+    * the postings BEFORE any shuffle (same discipline as BM25), so the
+    * vote aggregation only ever groups matched postings — cost scales
+    * with the phrase terms' document frequency, not the corpus. No
+    * substring scan: the oracle recomputes the same semantics from
+    * positions independently in DuckDB. */
+  private[graft] def phraseOccurrencesOn(docs: DataFrame,
+                                         phrases: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pterms = phrases.toDF("pid", "ptext")
+      .select(col("pid"), posexplode(split(col("ptext"), " ")).as(Seq("idx", "term")))
+    val plens = phrases.map { case (pid, t) => (pid, t.split(" ").length.toLong) }
+      .toDF("pid", "plen")
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+    tok.join(broadcast(pterms), col("token") === col("term"))
+      .select(col("pid"), col("doc_id"), (col("pos") - col("idx")).as("start"))
+      .groupBy(col("pid"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("hits"))
+      .join(broadcast(plens), Seq("pid"))
+      .filter(col("hits") === col("plen"))
+      .groupBy(col("pid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("start")).cast(LongType).as("first_pos"))
+      .orderBy(col("pid"), col("doc_id"))
+  }
+
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseOccurrencesOn(Tables.spread(spark, Tables.documents(spark, dir)), PhraseQueries)
+
+  // ---------------------------------------------------------------
+  // Sketch-guided heavy hitters (frequent collocations)
+  // ---------------------------------------------------------------
+
+  /** Count-min geometry: 4 rows × 4096 slots = 128 KiB of counters —
+    * partial-agg buffer and probe reference object alike. Width is
+    * sized to the collocation domain (vocab²); at URL/n-gram
+    * cardinalities widen the grid, which changes only collision rates
+    * (pruning efficiency), never the exact output. */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 4096
+
+  /** Heavy-hitter threshold: an element is heavy when its exact count
+    * reaches ceil(total/PhiInv) — the standard φ-heavy-hitter contract
+    * with φ = 1/PhiInv, distribution-independent. */
+  private[operators] val PhiInv = 800.0
+
+  /** Adjacent-token bigrams (collocations), one row per occurrence. */
+  private[graft] def bigramsOn(docs: DataFrame): DataFrame =
+    docs.select(split(lower(col("text")), " ").as("toks"))
+      .select(explode(expr(
+        """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |         slice(toks, 2, greatest(size(toks) - 1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bigram"))
+
+  private def bigramMemo(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "search_bigrams")(
+      bigramsOn(Tables.spread(spark, Tables.documents(spark, dir))))
+
+  /** EXACT φ-heavy-hitter collocations via the two-pass sketch plan:
+    * pass 1 aggregates the count-min grid + the stream total (one
+    * model-sized collect, like the k-means centroids); pass 2
+    * probe-filters every occurrence row against the broadcast sketch
+    * and exactly counts only candidates. The final `count ≥ threshold`
+    * filter removes count-min false positives, so the result equals
+    * the plain exact groupBy — which is exactly what the DuckDB oracle
+    * computes. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val bg = bigramMemo(spark, dir)
+    val (sketch, total) = Memo.value(spark, dir, "search_cms") {
+      val r = bg.agg(
+        GraftExpressions.cmsSketchAgg(xxhash64(col("bigram")), CmsDepth, CmsWidth).as("sk"),
+        count(lit(1)).as("total")).head()
+      (r.getSeq[Long](0).toArray, r.getLong(1))
+    }
+    // same double division + ceil in the oracle: CAST(ceil(total / 800.0) AS BIGINT)
+    val threshold = math.ceil(total / PhiInv).toLong
+    bg.filter(GraftExpressions.cmsEstimateLong(
+        xxhash64(col("bigram")), sketch, CmsDepth, CmsWidth) >= lit(threshold))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("bigram_ct"))
+      .filter(col("bigram_ct") >= lit(threshold))
+      .select(col("bigram"), col("bigram_ct"), lit(threshold).as("threshold"))
+      .orderBy(col("bigram_ct").desc, col("bigram"))
+  }
+
+  // ---------------------------------------------------------------
+  // Driver contract
+  // ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
+    "search_hybrid_rerank" -> ((s, d) => hybridRerank(s, d)),
+    "search_phrase" -> ((s, d) => phraseSearch(s, d)),
+    "search_heavy_hitters" -> ((s, d) => heavyHitters(s, d)))
+
+  // ---------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------
+
+  private def queryValues: String =
+    SearchQueries.map { case (qid, text) => s"('$qid', '$text')" }.mkString(", ")
+
+  /** The BM25 CTE chain, ending in ranked rows `r(qid, rk, doc_id,
+    * score_fp, matched_terms)` — shared by the top-k and hybrid
+    * oracles. Scoring expressions mirror the engine token for token
+    * (same literals, same association), with the iterated-sqrt ln. */
+  private def bm25Ctes: String = {
+    val idf = duckDetLn(
+      "(1.0 + (CAST(n_docs AS DOUBLE) - CAST(dfv AS DOUBLE) + 0.5) / (CAST(dfv AS DOUBLE) + 0.5))")
+    s"""q(qid, qtext) AS (VALUES $queryValues),
+       |qt AS (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+       |dd AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dd
+       |), tok AS (
+       |  SELECT doc_id, dl, unnest(toks) AS token FROM dd
+       |), tfm AS (
+       |  SELECT qt.qid, qt.term, tok.doc_id, tok.dl, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM tok JOIN qt ON tok.token = qt.term
+       |  GROUP BY 1, 2, 3, 4
+       |), dfr AS (
+       |  SELECT qid, term, CAST(COUNT(*) AS BIGINT) AS dfv FROM tfm GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT tfm.qid, tfm.doc_id,
+       |    CAST(floor($idf
+       |      * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)
+       |          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+       |              / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       |      * 1000000.0) AS BIGINT) AS fp
+       |  FROM tfm JOIN dfr ON tfm.qid = dfr.qid AND tfm.term = dfr.term, stats
+       |), g AS (
+       |  SELECT qid, doc_id, CAST(SUM(fp) AS BIGINT) AS score_fp,
+       |    CAST(COUNT(*) AS BIGINT) AS matched_terms
+       |  FROM sc GROUP BY 1, 2
+       |), r AS (
+       |  SELECT qid, doc_id, score_fp, matched_terms,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS rk
+       |  FROM g
+       |)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "search_bm25_topk" ->
+      s"""WITH $bm25Ctes
+         |SELECT qid, CAST(rk AS INTEGER) AS rk, doc_id, score_fp, matched_terms
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "search_hybrid_rerank" ->
+      (s"WITH $bm25Ctes,\n" + Similarity.quantCteOn("embeddings") +
+        s""",
+           |anc AS (
+           |  SELECT r.qid, qn.q AS qa, qn.nrm AS na
+           |  FROM r JOIN qn ON r.doc_id = qn.vec_id WHERE r.rk = 1
+           |), pool AS (
+           |  SELECT r.qid, r.doc_id, r.score_fp, qn.q AS qb, qn.nrm AS nb
+           |  FROM r JOIN qn ON r.doc_id = qn.vec_id WHERE r.rk <= $HybridCandidates
+           |), sc2 AS (
+           |  SELECT pool.qid, pool.doc_id, pool.score_fp,
+           |    CAST(CAST(list_sum([anc.qa[i] * pool.qb[i] FOR i IN range(1, len(anc.qa) + 1)]) AS BIGINT) AS DOUBLE)
+           |      / (sqrt(CAST(anc.na AS DOUBLE)) * sqrt(CAST(pool.nb AS DOUBLE))) AS sim
+           |  FROM pool JOIN anc ON pool.qid = anc.qid
+           |)
+           |SELECT qid,
+           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS INTEGER) AS rk,
+           |  doc_id, score_fp, sim
+           |FROM sc2 ORDER BY qid, rk""".stripMargin),
+    "search_phrase" -> {
+      val phraseValues = PhraseQueries
+        .map { case (pid, t) => s"('$pid', '$t')" }.mkString(", ")
+      s"""WITH p(pid, ptext) AS (VALUES $phraseValues),
+         |pt AS (
+         |  SELECT pid, i - 1 AS idx, ts[i] AS term
+         |  FROM (SELECT pid, string_split(ptext, ' ') AS ts FROM p),
+         |       unnest(range(1, len(ts) + 1)) AS u(i)
+         |), pl AS (
+         |  SELECT pid, CAST(len(string_split(ptext, ' ')) AS BIGINT) AS plen FROM p
+         |), tok AS (
+         |  SELECT doc_id, i - 1 AS pos, ts[i] AS token
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+         |       unnest(range(1, len(ts) + 1)) AS u(i)
+         |), votes AS (
+         |  SELECT pt.pid, tok.doc_id, tok.pos - pt.idx AS start
+         |  FROM tok JOIN pt ON tok.token = pt.term
+         |), occ AS (
+         |  SELECT v.pid, v.doc_id, v.start
+         |  FROM votes v GROUP BY 1, 2, 3
+         |  HAVING CAST(COUNT(*) AS BIGINT) = (SELECT plen FROM pl WHERE pl.pid = v.pid)
+         |)
+         |SELECT pid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |  CAST(MIN(start) AS BIGINT) AS first_pos
+         |FROM occ GROUP BY 1, 2 ORDER BY pid, doc_id""".stripMargin
+    },
+    "search_heavy_hitters" ->
+      """WITH dd AS (
+        |  SELECT string_split(lower(text), ' ') AS ts FROM documents
+        |), bg AS (
+        |  SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+        |  FROM dd, unnest(range(1, len(ts))) AS u(i)
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM bg
+        |), c AS (
+        |  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS bigram_ct FROM bg GROUP BY 1
+        |)
+        |SELECT bigram, bigram_ct,
+        |  CAST(ceil(CAST(total AS DOUBLE) / 800.0) AS BIGINT) AS threshold
+        |FROM c, tot
+        |WHERE bigram_ct >= CAST(ceil(CAST(total AS DOUBLE) / 800.0) AS BIGINT)
+        |ORDER BY bigram_ct DESC, bigram""".stripMargin)
+}

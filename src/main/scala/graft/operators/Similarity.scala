@@ -23,8 +23,10 @@ import graft.functions.GraftExpressions
   */
 object Similarity {
 
-  /** Integer-quantized vectors: q = round(x * 1000), exact in BIGINT. */
-  private def quantizedOn(e: DataFrame): DataFrame =
+  /** Integer-quantized vectors: q = round(x * 1000), exact in BIGINT.
+    * Shared with [[Search]]'s hybrid rerank so engine and oracle
+    * quantization live in exactly one place each. */
+  private[operators] def quantizedOn(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
       .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
@@ -695,7 +697,7 @@ object Similarity {
        |  ) WHERE rn <= $k
        |)""".stripMargin
 
-  private def quantCteOn(src: String) =
+  private[operators] def quantCteOn(src: String) =
     s"""qv AS (
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q

@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CmsHash, GraftExpressions}
+import graft.operators.Search
+
+/** Search-operator gates: count-min sketch soundness (the ≥-true-count
+  * guarantee that makes sketch-guided exact recounts exact), heavy
+  * hitters ≡ plain exact groupBy, two-phase top-k ≡ single-window
+  * top-k, BM25 scores vs an independent driver-side recomputation, and
+  * the plan shapes the 100 TB story rests on (broadcast postings
+  * lookup, partial sketch aggregation).
+  */
+class SearchSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val Depth = 4
+  private val Width = 64 // deliberately tiny: forces collisions
+
+  test("count-min estimate never undercounts, even with forced collisions") {
+    import spark.implicits._
+    // Zipf-ish multiset over a domain (1024) far wider than the sketch
+    val elems = (1 to 4000).map(i => (i % 1024).toLong * 2654435761L)
+    val df = elems.toDF("h").repartition(7)
+    val sketch = df
+      .agg(GraftExpressions.cmsSketchAgg(col("h"), Depth, Width).as("sk"))
+      .head().getSeq[Long](0).toArray
+    val exact = elems.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = df.distinct()
+      .withColumn("est", GraftExpressions.cmsEstimateLong(col("h"), sketch, Depth, Width))
+      .as[(Long, Long)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (h, e) =>
+      assert(e >= exact(h), s"estimate $e < true count ${exact(h)} for $h")
+    }
+    // tiny width ⇒ at least one collision actually overestimates,
+    // otherwise this test exercises nothing
+    assert(est.exists { case (h, e) => e > exact(h) },
+      "sketch too wide for the domain — collisions unexercised")
+  }
+
+  test("sketch merge is partition-count independent") {
+    import spark.implicits._
+    val elems = (1 to 2000).map(i => (i % 300).toLong)
+    def sketchWith(parts: Int): Array[Long] = elems.toDF("h").repartition(parts)
+      .agg(GraftExpressions.cmsSketchAgg(col("h"), Depth, Width).as("sk"))
+      .head().getSeq[Long](0).toArray
+    assert(sketchWith(1).sameElements(sketchWith(13)))
+  }
+
+  test("interpreted estimate equals codegen'd estimate") {
+    import spark.implicits._
+    // the probe's generated Java inlines CmsHash.slot — pin agreement
+    val sketch = (0 until Depth * Width).map(_.toLong % 17).toArray
+    val hashes = (-50L to 50L).map(_ * 0x9e3779b97f4a7c15L)
+    val fromExpr = hashes.toDF("h")
+      .withColumn("est", GraftExpressions.cmsEstimateLong(col("h"), sketch, Depth, Width))
+      .as[(Long, Long)].collect().toMap
+    hashes.foreach { x =>
+      val manual = (0 until Depth)
+        .map(d => sketch(d * Width + CmsHash.slot(x, d, Width))).min
+      assert(fromExpr(x) == manual, s"codegen/interpreted drift at $x")
+    }
+  }
+
+  test("heavy hitters equals the plain exact groupBy") {
+    import spark.implicits._
+    val hh = Search.heavyHitters(spark, sf)
+      .select("bigram", "bigram_ct").as[(String, Long)].collect()
+    assert(hh.nonEmpty, "no heavy hitters at sf0.001 — threshold miscalibrated")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val exactAll = Search.bigramsOn(docs)
+      .groupBy("bigram").agg(count(lit(1)).as("ct"))
+      .as[(String, Long)].collect().toMap
+    val total = exactAll.values.sum
+    val threshold = math.ceil(total / 800.0).toLong
+    val expected = exactAll.filter(_._2 >= threshold)
+    assert(hh.toMap == expected,
+      s"sketch-guided set (${hh.length}) != exact set (${expected.size})")
+    // and the sketch actually pruned: candidates must be a strict
+    // subset of the full stream (estimates bounded ⇒ some light
+    // bigrams fall below threshold at the probe)
+    assert(hh.length < exactAll.size)
+  }
+
+  test("two-phase top-k equals single-window top-k") {
+    import spark.implicits._
+    val scored = Search.bm25ScoredOn(
+      graft.sources.Tables.documents(spark, sf), Search.SearchQueries)
+    import org.apache.spark.sql.expressions.Window
+    val single = scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score_fp").desc, col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .select("qid", "rk", "doc_id", "score_fp")
+      .as[(String, Int, Long, Long)].collect().sorted
+    val two = Search.topKTwoPhase(scored, 10)
+      .select("qid", "rk", "doc_id", "score_fp")
+      .as[(String, Int, Long, Long)].collect().sorted
+    assert(two.nonEmpty && two.sameElements(single))
+  }
+
+  test("BM25 fixed-point scores match an independent driver-side recomputation") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }.toMap
+    val n = corpus.size.toLong
+    val totDl = corpus.values.map(_.size.toLong).sum
+    val avgdl = totDl.toDouble / n.toDouble
+    def detLn(x0: Double): Double = {
+      var v = x0
+      var i = 0
+      while (i < 20) { v = math.sqrt(v); i += 1 }
+      (v - 1.0) * 1048576.0
+    }
+    def expectedScore(terms: Seq[String], toks: Seq[String]): (Long, Long) = {
+      val matched = terms.filter(toks.contains)
+      val fps = matched.map { term =>
+        val dfv = corpus.values.count(_.contains(term)).toDouble
+        val tf = toks.count(_ == term).toDouble
+        val dl = toks.size.toDouble
+        val idf = detLn(1.0 + (n.toDouble - dfv + 0.5) / (dfv + 0.5))
+        val tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        math.floor(idf * tfn * 1000000.0).toLong
+      }
+      (fps.sum, matched.size.toLong)
+    }
+    val got = Search.bm25ScoredOn(docs, Search.SearchQueries)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val byQid = Search.SearchQueries.toMap
+    got.foreach { case (qid, docId, scoreFp, mt) =>
+      val (expFp, expMt) = expectedScore(byQid(qid).split(" ").toSeq, corpus(docId))
+      assert(scoreFp == expFp && mt == expMt,
+        s"$qid doc $docId: engine ($scoreFp, $mt) != reference ($expFp, $expMt)")
+    }
+  }
+
+  test("plan shapes: broadcast postings lookup; sketch partial-aggregates") {
+    val bmPlan = Search.bm25TopK(spark, sf).queryExecution.executedPlan.toString
+    assert(bmPlan.contains("BroadcastHashJoin"),
+      "postings lookup must broadcast the query terms")
+    assert(!bmPlan.contains("CartesianProduct"),
+      "corpus-stats attach must stay a broadcast, not a cartesian")
+    import spark.implicits._
+    val skPlan = (1L to 10L).toDF("h")
+      .agg(GraftExpressions.cmsSketchAgg(col("h"), Depth, Width))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(skPlan.contains("partial_cmssketchagg"),
+      "sketch build must map-side partial-aggregate")
+  }
+
+  test("phrase search equals a driver-side sliding-window recount") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toVector }.toMap
+    val got = Search.phraseOccurrencesOn(docs, Search.PhraseQueries)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val expected = (for {
+      (pid, ptext) <- Search.PhraseQueries
+      p = ptext.split(" ").toVector
+      (id, toks) <- corpus
+      starts = (0 to toks.size - p.size).filter(i => toks.slice(i, i + p.size) == p)
+      if starts.nonEmpty
+    } yield (pid, id, starts.size.toLong, starts.head.toLong)).toSet
+    assert(got.toSet == expected,
+      s"engine ${got.length} rows != naive ${expected.size} rows")
+  }
+
+  test("phrase search counts OVERLAPPING occurrences") {
+    import spark.implicits._
+    val one = Seq((1L, "x batch batch batch batch y"), (2L, "batch batch"))
+      .toDF("doc_id", "text")
+    val got = Search.phraseOccurrencesOn(one, Seq("p3" -> "batch batch batch"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    // starts 1 and 2 overlap inside the 4-token run; doc 2 is too short
+    assert(got == Set(("p3", 1L, 2L, 1L)))
+  }
+
+  test("count-min sketch over a STREAM: at-rest grid = batch grid (state-store round trip)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    // bigrams arrive in two micro-batches; the sketch buffer must
+    // survive serialize/deserialize through the streaming state store,
+    // and the at-rest grid must equal the batch aggregation of the
+    // union — the ingest-time form of the heavy-hitter pass 1
+    val all = Search.bigramsOn(graft.sources.Tables.documents(spark, sf))
+      .as[String].collect()
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val mem = MemoryStream[String](spark)
+    val sk = mem.toDF().toDF("bigram")
+      .agg(GraftExpressions.cmsSketchAgg(
+        xxhash64(col("bigram")), Search.CmsDepth, Search.CmsWidth).as("sk"))
+    val q = sk.writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("cms_stream").head().getSeq[Long](0)
+      val want = all.toSeq.toDF("bigram")
+        .agg(GraftExpressions.cmsSketchAgg(
+          xxhash64(col("bigram")), Search.CmsDepth, Search.CmsWidth).as("sk"))
+        .head().getSeq[Long](0)
+      assert(got == want, "streamed sketch diverges from batch sketch")
+      assert(got.sum > 0)
+    } finally q.stop()
+  }
+
+  test("hybrid rerank: anchor ranks itself first with sim 1.0") {
+    import spark.implicits._
+    val h = Search.hybridRerank(spark, sf)
+      .select("qid", "rk", "doc_id", "sim")
+      .as[(String, Int, Long, Double)].collect()
+    assert(h.nonEmpty)
+    val top = h.filter(_._2 == 1)
+    assert(top.nonEmpty)
+    top.foreach { case (qid, _, _, sim) =>
+      assert(math.abs(sim - 1.0) < 1e-12, s"$qid anchor self-sim $sim != 1.0")
+    }
+  }
+}
