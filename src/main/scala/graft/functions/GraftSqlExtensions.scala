@@ -69,5 +69,12 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { arity(args, 2, "graft_minhash_set_agg")
         MinHashSetAgg(args.head, intArg(args(1), "graft_minhash_set_agg"))
           .toAggregateExpression() }))
+
+    ext.injectFunction((FunctionIdentifier("graft_cms_sketch_agg"),
+      info("graft_cms_sketch_agg",
+        "graft_cms_sketch_agg(hash, depth, width) - aggregate: count-min sketch grid (depth*width counters) of the group's hashes"),
+      (args: Seq[Expression]) => { arity(args, 3, "graft_cms_sketch_agg")
+        CmsSketchAgg(args.head, intArg(args(1), "graft_cms_sketch_agg"),
+          intArg(args(2), "graft_cms_sketch_agg")).toAggregateExpression() }))
   }
 }

@@ -70,32 +70,43 @@ object Search {
   // BM25 retrieval
   // ---------------------------------------------------------------
 
-  /** Per-(query, doc) BM25 scores in exact fixed-point: postings
-    * filtered to query terms pre-shuffle, df/corpus stats broadcast,
-    * per-term scores floor-quantized to BIGINT micro-units and summed
-    * exactly. */
-  private[graft] def bm25ScoredOn(docs: DataFrame,
-                                      queries: Seq[(String, String)]): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Query-independent BM25 index frames — what a serving tier
+    * materializes ONCE per corpus build: per-(term, doc) term
+    * frequency with document length, per-term document frequency, and
+    * the one-row corpus stats. Each is a plain partial-aggregated
+    * groupBy; at 100 TB this is the index-build job, output sized by
+    * postings/vocabulary. */
+  private[graft] def bm25Index(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val dd = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("dl"))
-    // corpus stats: ONE row (doc count + total length), broadcast
     val stats = dd.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-    val qterms = queries.toDF("qid", "qtext")
-      .select(col("qid"), explode(split(col("qtext"), " ")).as("term"))
-    // the broadcast join IS the index lookup: rows for non-query
-    // tokens never reach a shuffle
     val tf = dd
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
-      .join(broadcast(qterms), col("token") === col("term"))
-      .groupBy(col("qid"), col("term"), col("doc_id"), col("dl"))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-    // df per (query, term): counts rows of the already-distinct
-    // (qid, term, doc) frame — tiny, broadcast back
-    val dfr = tf.groupBy(col("qid"), col("term")).agg(count(lit(1)).as("dfv"))
-    val j = tf.join(broadcast(dfr), Seq("qid", "term")).crossJoin(broadcast(stats))
+    val tdf = tf.groupBy(col("term")).agg(count(lit(1)).as("dfv"))
+    (tf, tdf, stats)
+  }
+
+  /** BM25 scoring of a frame of `(qid, qtext)` queries against the
+    * static index frames — the SERVING shape: the query side (tiny)
+    * broadcasts into the postings lookup, term df and corpus stats
+    * broadcast into the scoring, and ONE aggregation sums the exact
+    * fixed-point per-term scores per (query, doc). `qdf` may be a
+    * STREAMING frame (queries arriving online): every join is then
+    * stream-static and the final groupBy is the single stateful
+    * operator — proven at-rest ≡ batch in SearchSpec. */
+  private[graft] def bm25ServeOn(qdf: DataFrame, tf: DataFrame,
+                                 tdf: DataFrame, stats: DataFrame): DataFrame = {
+    val qterms = qdf.select(col("qid"), explode(split(col("qtext"), " ")).as("qterm"))
+    // a streaming side cannot take a broadcast hint; batch query sets
+    // broadcast so postings rows for non-query terms never shuffle
+    val qside = if (qdf.isStreaming) qterms else broadcast(qterms)
+    val j = tf.join(qside, col("qterm") === col("term"))
+      .join(broadcast(tdf.select(col("term").as("dterm"), col("dfv"))),
+        col("term") === col("dterm"))
+      .crossJoin(broadcast(stats))
     // expression order mirrors the oracle SQL token for token — every
     // op is IEEE correctly-rounded, so bits agree cross-engine
     val nd = col("n_docs").cast(DoubleType)
@@ -108,6 +119,31 @@ object Search {
     j.withColumn("fp", floor(idf * tfn * lit(ScoreScale)).cast(LongType))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("fp")).as("score_fp"), count(lit(1)).as("matched_terms"))
+  }
+
+  /** Per-(query, doc) BM25 scores in exact fixed-point: the index
+    * build and the serving join composed in one batch plan. The
+    * per-term df the oracle computes per (qid, term) equals the
+    * query-independent per-term df — a term's document frequency does
+    * not depend on which query asked. */
+  private[graft] def bm25ScoredOn(docs: DataFrame,
+                                  queries: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (tf, tdf, stats) = bm25Index(docs)
+    bm25ServeOn(queries.toDF("qid", "qtext"), tf, tdf, stats)
+  }
+
+  /** The memoized index frames every search query shares — built once
+    * per (session, dir), like the reference's shared DWD topics. */
+  private[graft] def indexFrames(spark: SparkSession, dir: String)
+  : (DataFrame, DataFrame, DataFrame) = {
+    def docs = Tables.spread(spark, Tables.documents(spark, dir))
+    val tf = Memo(spark, dir, "search.bm25.tf")(bm25Index(docs)._1)
+    val tdf = Memo(spark, dir, "search.bm25.tdf")(
+      tf.groupBy(col("term")).agg(count(lit(1)).as("dfv")))
+    val stats = Memo(spark, dir, "search.bm25.stats")(bm25Index(docs)._3)
+    (tf, tdf, stats)
   }
 
   /** Docs-per-salt-class for the two-phase top-k. */
@@ -132,8 +168,11 @@ object Search {
         col("score_fp"), col("matched_terms"))
 
   private def bm25Memo(spark: SparkSession, dir: String): DataFrame =
-    Memo(spark, dir, "search_bm25_scored")(
-      bm25ScoredOn(Tables.spread(spark, Tables.documents(spark, dir)), SearchQueries))
+    Memo(spark, dir, "search_bm25_scored") {
+      val (tf, tdf, stats) = indexFrames(spark, dir)
+      import spark.implicits._
+      bm25ServeOn(SearchQueries.toDF("qid", "qtext"), tf, tdf, stats)
+    }
 
   def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     topKTwoPhase(bm25Memo(spark, dir), k).orderBy(col("qid"), col("rk"))
@@ -173,6 +212,31 @@ object Search {
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("doc_id"))))
       .select(col("qid"), col("rk"), col("doc_id"), col("score_fp"), col("sim"))
       .orderBy(col("qid"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------
+  // Inverted-index materialization (the index itself as a table)
+  // ---------------------------------------------------------------
+
+  /** The per-term index statistics a serving tier would materialize:
+    * document frequency, collection frequency, and the top-scoring
+    * posting (highest tf, lowest doc_id tiebreak). One shuffle on the
+    * term key builds it from the (token, doc, tf) frame — the
+    * `row_number` ranks within one term's postings only, so no
+    * corpus-wide window exists. At 100 TB this is the index-build job:
+    * partial-aggregated term counts, output sized by vocabulary, not
+    * corpus. */
+  def postings(spark: SparkSession, dir: String): DataFrame = {
+    val tf = indexFrames(spark, dir)._1
+      .select(col("term").as("token"), col("doc_id"), col("tf"))
+    tf.withColumn("rn", row_number().over(
+        Window.partitionBy(col("token"))
+          .orderBy(col("tf").desc, col("doc_id"))))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        max(when(col("rn") === 1, col("doc_id"))).as("top_doc_id"),
+        max(when(col("rn") === 1, col("tf"))).as("top_tf"))
+      .orderBy(col("token"))
   }
 
   // ---------------------------------------------------------------
@@ -288,6 +352,7 @@ object Search {
     "search_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "search_hybrid_rerank" -> ((s, d) => hybridRerank(s, d)),
     "search_phrase" -> ((s, d) => phraseSearch(s, d)),
+    "search_postings" -> ((s, d) => postings(s, d)),
     "search_heavy_hitters" -> ((s, d) => heavyHitters(s, d)))
 
   // ---------------------------------------------------------------
@@ -389,6 +454,18 @@ object Search {
          |  CAST(MIN(start) AS BIGINT) AS first_pos
          |FROM occ GROUP BY 1, 2 ORDER BY pid, doc_id""".stripMargin
     },
+    "search_postings" ->
+      """WITH tf AS (
+        |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn FROM tf
+        |)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+        |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS top_doc_id,
+        |  MAX(CASE WHEN rn = 1 THEN tf END) AS top_tf
+        |FROM r GROUP BY 1 ORDER BY token""".stripMargin,
     "search_heavy_hitters" ->
       """WITH dd AS (
         |  SELECT string_split(lower(text), ' ') AS ts FROM documents

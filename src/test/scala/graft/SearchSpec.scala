@@ -211,6 +211,49 @@ class SearchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("BM25 serving over a STREAM of queries: at-rest scores = batch scores") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    // queries arrive online in two micro-batches and probe the STATIC
+    // materialized index (stream-static joins + one stateful agg) —
+    // the retrieval-serving shape; at rest it must equal the batch
+    // scoring of the same query set
+    val (tf, tdf, stats) = Search.indexFrames(spark, sf)
+    val mem = MemoryStream[(String, String)](spark)
+    val served = Search.bm25ServeOn(mem.toDF().toDF("qid", "qtext"), tf, tdf, stats)
+    val q = served.writeStream.format("memory").queryName("bm25_serve_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(Search.SearchQueries.take(2)); q.processAllAvailable()
+      mem.addData(Search.SearchQueries.drop(2)); q.processAllAvailable()
+      val got = spark.table("bm25_serve_stream")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val want = Search.bm25ScoredOn(
+          graft.sources.Tables.documents(spark, sf), Search.SearchQueries)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got.nonEmpty && got == want,
+        "streamed BM25 scores diverge from batch scores")
+    } finally q.stop()
+  }
+
+  test("postings index: df/cf/top posting agree with a driver-side rebuild") {
+    import spark.implicits._
+    val got = Search.postings(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
+    got.foreach { case (token, df, cf, topDoc, topTf) =>
+      val per = corpus.map { case (id, toks) => id -> toks.count(_ == token).toLong }
+        .filter(_._2 > 0)
+      assert(df == per.size && cf == per.map(_._2).sum, s"df/cf wrong for '$token'")
+      val best = per.minBy { case (id, t) => (-t, id) }
+      assert((topDoc, topTf) == best, s"top posting wrong for '$token'")
+    }
+  }
+
   test("hybrid rerank: anchor ranks itself first with sim 1.0") {
     import spark.implicits._
     val h = Search.hybridRerank(spark, sf)

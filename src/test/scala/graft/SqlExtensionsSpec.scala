@@ -44,6 +44,18 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("graft_cms_sketch_agg from SQL = Column-API sketch") {
+    import spark.implicits._
+    Seq(1L, 2L, 1L, 3L, 1L).toDF("x").createOrReplaceTempView("ext_cms_t")
+    val got = spark.sql(
+      "SELECT graft_cms_sketch_agg(x, 2, 16) AS sk FROM ext_cms_t")
+      .as[Seq[Long]].head()
+    val want = spark.table("ext_cms_t")
+      .agg(graft.functions.GraftExpressions.cmsSketchAgg($"x", 2, 16).as("sk"))
+      .as[Seq[Long]].head()
+    assert(got == want && got.sum == 10) // 5 elements × 2 rows
+  }
+
   test("mistyped input fails analysis instead of returning garbage") {
     val e1 = intercept[Exception](
       spark.sql("SELECT graft_dot_long(array(1, 2), array(3, 4))").collect())
