@@ -514,8 +514,42 @@ object Similarity {
         sum(col("nrm")).as("sum_nrm"),
         sum(when(col("nrm") === 0, 1L).otherwise(0L)).as("zero_vecs"))
 
+  /** Hard-negative mining for embedding-model training: for each query
+    * vector, the k most-similar DIFFERENT-label neighbors below the
+    * near-dup threshold — similar enough to be hard, excluded as a
+    * positive (label) or a duplicate (threshold). Scoring reuses the
+    * exact quantized cosine; labels attach with one key join. The
+    * query set is bounded (like [[annTopK]]'s baseline contract); at
+    * corpus scale generate candidates with [[annLsh]]'s bucketed probe
+    * and apply the same label/threshold filter before the per-query
+    * rank. */
+  def hardNegatives(spark: SparkSession, dir: String, nQueries: Int = 32,
+                    k: Int = 5, dupThreshold: Double = 0.9): DataFrame = {
+    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
+    val v = quantized(spark, dir)
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"),
+        col("nrm").as("na"), col("label").as("qlabel"))
+    val c = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+      col("nrm").as("nb"), col("label").as("neighbor_label"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .filter(col("qlabel") =!= col("neighbor_label"))
+      .withColumn("dot", dotCol)
+      .withColumn("sim", col("dot").cast(DoubleType) /
+        (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+      .filter(col("sim") < dupThreshold)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("neighbor_label"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_embedding_stats" -> ((s, d) => embeddingStats(s, d)),
+    "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "sim_ann_topk" -> ((s, d) => annTopK(s, d)),
     "sim_neardup_pairs" -> ((s, d) => nearDupPairs(s, d)),
     "sim_neardup_lsh" -> ((s, d) => nearDupLsh(s, d)),
@@ -733,6 +767,25 @@ object Similarity {
         |)
         |SELECT query_id, rk, neighbor_id, sim FROM ranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin),
+    "sim_hard_negatives" -> (s"WITH $quantCte\n" +
+      """, lab AS (
+        |  SELECT vec_id, label FROM embeddings
+        |), scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    lb.label AS neighbor_label,
+        |    CAST(CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS sim
+        |  FROM qn a JOIN qn b ON a.vec_id < 32 AND a.vec_id <> b.vec_id
+        |  JOIN lab la ON la.vec_id = a.vec_id
+        |  JOIN lab lb ON lb.vec_id = b.vec_id
+        |  WHERE la.label <> lb.label
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, neighbor_label, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        |  FROM scored WHERE sim < 0.9
+        |)
+        |SELECT query_id, rk, neighbor_id, neighbor_label, sim
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin),
     "sim_neardup_pairs" -> (s"WITH $quantCte\n" +
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  CAST(CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS BIGINT) AS DOUBLE)

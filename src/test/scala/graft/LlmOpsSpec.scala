@@ -245,6 +245,32 @@ class LlmOpsSpec extends AnyFunSuite {
     info(f"LSH recall $lshRecall%.3f, IVF recall $ivfRecall%.3f")
   }
 
+  test("hard negatives: label-disjoint, rank-contiguous, and the label filter actually bites") {
+    import spark.implicits._
+    val hn = Similarity.hardNegatives(spark, sf)
+      .as[(Long, Int, Long, Int, Double)].collect()
+    assert(hn.nonEmpty)
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    // negatives never share the query's label, sims stay below the
+    // dup threshold, ranks are contiguous from 1
+    hn.foreach { case (qid, rk, nid, nlab, sim) =>
+      assert(labels(nid) == nlab && nlab != labels(qid), s"label leak at ($qid, $nid)")
+      assert(sim < 0.9)
+      assert(rk >= 1 && rk <= 5)
+    }
+    hn.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.size), s"rank gap for $qid")
+    }
+    // on the cluster-structured corpus some query's unfiltered top-5
+    // contains a same-label neighbor, so mining must differ from plain
+    // ANN top-k — otherwise the operator tested nothing
+    val plain = Similarity.annTopK(spark, sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val mined = hn.map(r => (r._1, r._3)).toSet
+    assert(mined != plain, "hard-negative filter indistinguishable from plain top-k")
+  }
+
   test("IVF assignment plan: doc-local projection, no Exchange/Window; full IVF has one rank Window") {
     val (ids, cents) = Similarity.kmeansModel(spark, sf)
     // raw read (no spread) so the only possible Exchange would be the operator's own
