@@ -103,6 +103,30 @@ object Dedup {
   private def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "dedup_ngram_pairs")(ngramJaccard(spark, dir))
 
+  /** Character-level verification of the mined near-dup pairs: exact
+    * Levenshtein distance over bounded text prefixes, emitted next to
+    * a normalized prefix similarity. Fuzzy dedup's second opinion —
+    * token-shingle Jaccard misses small char-level edits (typo
+    * normalization, OCR noise) that edit distance quantifies. Cost is
+    * bounded twice: only the (LSH-disciplined) candidate pair set is
+    * scored, and the O(len²) DP runs on `prefixLen`-char prefixes,
+    * never whole documents. The pair side is tiny and broadcasts into
+    * the two doc-key joins; the corpus never shuffles. */
+  def editDistancePairs(spark: SparkSession, dir: String,
+                        prefixLen: Int = 128): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("pfx"))
+    val pairs = verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), Seq("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("pfx_a"), col("pfx_b")).cast(LongType))
+      .withColumn("prefix_sim", lit(1.0) - col("edit_dist").cast(DoubleType) /
+        greatest(length(col("pfx_a")), length(col("pfx_b"))).cast(DoubleType))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("prefix_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Transitive dedup groups: connected components of the verified
     * near-dup pair graph (the [[ngramJaccard]] pairs) via min-label
     * propagation to fixpoint. Real pipelines collapse duplicate
@@ -630,6 +654,7 @@ object Dedup {
     "dedup_source_signatures" -> ((s, d) => sourceSignatures(s, d)),
     "dedup_source_jaccard" -> ((s, d) => sourceJaccard(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => verifiedPairs(s, d)),
+    "dedup_edit_distance" -> ((s, d) => editDistancePairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "dedup_ingest_lsh" -> ((s, d) => ingestLsh(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
@@ -741,6 +766,27 @@ object Dedup {
         |  JOIN sizes nb ON pairs.doc_b = nb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Exact Levenshtein over 128-char prefixes of the SAME thresholded
+    // pair set — DuckDB's levenshtein is the identical standard DP, so
+    // distances (and the single-division similarity) match bit-exactly.
+    "dedup_edit_distance" ->
+      s"""WITH $ngramPairCtes,
+        |verified AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |    JOIN sizes na ON pairs.doc_a = na.doc_id
+        |    JOIN sizes nb ON pairs.doc_b = nb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
+        |), pd AS (
+        |  SELECT doc_id, substr(text, 1, 128) AS pfx FROM documents
+        |)
+        |SELECT v.doc_a, v.doc_b,
+        |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist,
+        |  1.0 - CAST(levenshtein(a.pfx, b.pfx) AS DOUBLE)
+        |      / CAST(greatest(len(a.pfx), len(b.pfx)) AS DOUBLE) AS prefix_sim
+        |FROM verified v
+        |  JOIN pd a ON v.doc_a = a.doc_id
+        |  JOIN pd b ON v.doc_b = b.doc_id
+        |ORDER BY v.doc_a, v.doc_b""".stripMargin,
     // Transitive closure of the same pair graph: a recursive min-label
     // reachability CTE — pure set semantics, so the fixpoint matches
     // the engine's label propagation exactly.

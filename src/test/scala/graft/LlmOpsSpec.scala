@@ -245,6 +245,38 @@ class LlmOpsSpec extends AnyFunSuite {
     info(f"LSH recall $lshRecall%.3f, IVF recall $ivfRecall%.3f")
   }
 
+  test("edit-distance pairs: engine Levenshtein = driver-side DP over the candidate set") {
+    import spark.implicits._
+    val got = Dedup.editDistancePairs(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val pfx = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.take(128) }.toMap
+    def lev(a: String, b: String): Long = {
+      val prev = Array.tabulate(b.length + 1)(_.toLong)
+      val cur = new Array[Long](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i.toLong
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    got.foreach { case (a, b, d, sim) =>
+      val want = lev(pfx(a), pfx(b))
+      assert(d == want, s"($a, $b): engine $d != DP $want")
+      val wantSim = 1.0 - d.toDouble / math.max(pfx(a).length, pfx(b).length).toDouble
+      assert(sim == wantSim, s"($a, $b): sim $sim != $wantSim")
+    }
+    // near-dup candidates must include at least one non-identical
+    // prefix, or the DP comparison proved nothing
+    assert(got.exists(_._3 > 0))
+  }
+
   test("hard negatives: label-disjoint, rank-contiguous, and the label filter actually bites") {
     import spark.implicits._
     val hn = Similarity.hardNegatives(spark, sf)

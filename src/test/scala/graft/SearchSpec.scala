@@ -211,6 +211,33 @@ class SearchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("index maintenance over a STREAM of docs: at-rest postings = batch rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    // documents arrive online in two micro-batches; the per-(term,
+    // doc) tf aggregation is the index-build shuffle running as ONE
+    // stateful operator, and at rest it must equal the batch tf frame
+    // the serving tier memoizes
+    val all = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val mem = MemoryStream[(Long, String)](spark)
+    val tfStream = Search.bm25Index(mem.toDF().toDF("doc_id", "text"))._1
+    val q = tfStream.writeStream.format("memory").queryName("postings_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("postings_stream")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val want = Search.bm25Index(graft.sources.Tables.documents(spark, sf))._1
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got.nonEmpty && got == want,
+        "streamed postings diverge from the batch index build")
+    } finally q.stop()
+  }
+
   test("BM25 serving over a STREAM of queries: at-rest scores = batch scores") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
