@@ -128,6 +128,28 @@ object Analytic {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Hopping (sliding) 1 h window every 30 min over the event stream:
+    * each event lands in exactly size/slide = 2 windows — the window
+    * family the DWS tier doesn't use (tumbling there, per the
+    * reference) but a complete engine serves; Spark's `window(ts,
+    * size, slide)` is streaming-ready as-is. Purchase revenue
+    * aggregates in DECIMAL (exact, order-independent) and casts to
+    * DOUBLE only at the boundary. */
+  def hoppingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("event_ct"),
+        countDistinct(col("user_id")).as("user_ct"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 2))).otherwise(lit(null))).as("purchase_amount"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("win_end"),
+        col("event_ct"), col("user_ct"),
+        coalesce(col("purchase_amount").cast(DoubleType), lit(0.0)).as("purchase_amount"))
+      .orderBy(col("win_start"))
+  }
+
   /** Conversion funnel: view → click (after first view) → purchase
     * (after that click), counted as users reaching each stage. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
@@ -165,6 +187,7 @@ object Analytic {
     "an_funnel" -> funnel,
     "an_retention" -> retention,
     "an_session_stats" -> sessionStats,
+    "an_hopping_window" -> hoppingWindow,
     "an_running_total" -> runningTotal,
     "an_rank_in_group" -> rankInGroup,
     "an_moving_window" -> movingWindow,
@@ -219,6 +242,24 @@ object Analytic {
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_ct
         |FROM sess GROUP BY user_id, session_no
         |ORDER BY user_id, session_start""".stripMargin,
+    // Every event lies in exactly size/slide = 2 hopping windows whose
+    // starts are the event's 30-min bucket and the bucket before; both
+    // Spark's window() (epoch origin) and DuckDB's time_bucket (2000
+    // origin) align 30-min boundaries on :00/:30, so the window keys
+    // agree. Revenue sums in DECIMAL, DOUBLE only at the boundary.
+    "an_hopping_window" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - o.off * INTERVAL 30 MINUTE AS win_start,
+        |    user_id, event_type, value
+        |  FROM events, (SELECT unnest([0, 1]) AS off) o
+        |)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  strftime(win_start + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS win_end,
+        |  COUNT(*) AS event_ct,
+        |  COUNT(DISTINCT user_id) AS user_ct,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS purchase_amount
+        |FROM w GROUP BY 1, 2 ORDER BY win_start""".stripMargin,
     "an_running_total" ->
       """SELECT o_custkey AS user_id, o_orderkey AS order_id,
         | strftime(o_orderdate, '%Y-%m-%d') AS dt,

@@ -237,4 +237,36 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, String, String, Long, Long)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("hopping window: streaming two-batch run equals the batch plan at rest") {
+    import spark.implicits._
+    // the an_hopping_window shape (1 h window, 30 min slide — each
+    // event in exactly 2 windows) run as a stream across two
+    // micro-batches; counts only (countDistinct is Complete-mode
+    // collect_set in W1's pattern, already proven there)
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select($"ts", $"user_id").as[(Timestamp, Long)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window($"ts", "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("event_ct"),
+          size(collect_set($"user_id")).cast("long").as("user_ct"))
+        .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          $"event_ct", $"user_ct")
+    val mem = MemoryStream[(Timestamp, Long)](spark)
+    val q = agg(mem.toDS().toDF("ts", "user_id")).writeStream
+      .format("memory").queryName("hop_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("hop_stream")
+        .as[(String, Long, Long)].collect().toSet
+      val want = agg(rows.toSeq.toDF("ts", "user_id"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got.nonEmpty && got == want)
+      // the hop doubles coverage: total window-event incidences = 2 × events
+      assert(got.toSeq.map(_._2).sum == 2L * rows.length)
+    } finally q.stop()
+  }
 }
