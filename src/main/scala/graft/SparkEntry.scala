@@ -25,6 +25,7 @@ object SparkEntry {
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Curation.queries, Curation.oracles),
       (Search.queries, Search.oracles),
+      (Governance.queries, Governance.oracles),
       (Scd2.queries, Scd2.oracles),
       (Multimodal.queries, Multimodal.oracles))
 

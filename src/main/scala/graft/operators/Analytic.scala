@@ -150,6 +150,37 @@ object Analytic {
       .orderBy(col("win_start"))
   }
 
+  /** Ingest-monitoring anomaly detection: per event type, hourly event
+    * counts flagged when they deviate > 3σ from that type's own hourly
+    * mean. Every moment (n, Σc, Σc²) is an exact integer aggregate;
+    * μ, population σ and z materialize as single mirrored DOUBLE
+    * expressions over those exact sums — deterministic at any
+    * parallelism, no float accumulation order anywhere. Two grouped
+    * aggregations (hour, then type), both partial-aggregated; the
+    * per-type moment frame is tiny and broadcasts back onto the
+    * hourly frame. */
+  def anomalyHours(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hr"))
+      .agg(count(lit(1)).as("ct"))
+    val moments = hourly.groupBy(col("event_type").as("m_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("ct")).as("sum_ct"),
+        sum(col("ct") * col("ct")).as("sum_ct2"))
+    val nd = col("n_hours").cast(DoubleType)
+    val mu = col("sum_ct").cast(DoubleType) / nd
+    val sigma = sqrt(col("sum_ct2").cast(DoubleType) / nd - mu * mu)
+    hourly.join(broadcast(moments), col("event_type") === col("m_type"))
+      .withColumn("mu", mu)
+      .withColumn("sigma", sigma)
+      .withColumn("z", (col("ct").cast(DoubleType) - col("mu")) / col("sigma"))
+      .withColumn("is_anomaly", (abs(col("z")) > 3.0).cast("int"))
+      .select(col("event_type"), col("hr"), col("ct"),
+        col("mu"), col("sigma"), col("z"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
   /** Conversion funnel: view → click (after first view) → purchase
     * (after that click), counted as users reaching each stage. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
@@ -188,6 +219,7 @@ object Analytic {
     "an_retention" -> retention,
     "an_session_stats" -> sessionStats,
     "an_hopping_window" -> hoppingWindow,
+    "an_anomaly_hours" -> anomalyHours,
     "an_running_total" -> runningTotal,
     "an_rank_in_group" -> rankInGroup,
     "an_moving_window" -> movingWindow,
@@ -242,6 +274,35 @@ object Analytic {
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_ct
         |FROM sess GROUP BY user_id, session_no
         |ORDER BY user_id, session_start""".stripMargin,
+    // μ/σ/z are single expressions over exact integer moments, so the
+    // DOUBLE values are bit-identical cross-engine (one division, one
+    // sqrt, fixed order — no accumulation).
+    "an_anomaly_hours" ->
+      """WITH hourly AS (
+        |  SELECT event_type, strftime(time_bucket(INTERVAL 1 HOUR, ts),
+        |      '%Y-%m-%d %H:00:00') AS hr, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM events GROUP BY 1, 2
+        |), moments AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |    CAST(SUM(ct) AS BIGINT) AS sum_ct, CAST(SUM(ct * ct) AS BIGINT) AS sum_ct2
+        |  FROM hourly GROUP BY 1
+        |)
+        |SELECT h.event_type, h.hr, h.ct,
+        |  CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mu,
+        |  sqrt(CAST(sum_ct2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
+        |    - (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |    * (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))) AS sigma,
+        |  (CAST(h.ct AS DOUBLE) - CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |    / sqrt(CAST(sum_ct2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
+        |      - (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |      * (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))) AS z,
+        |  CAST(CASE WHEN abs((CAST(h.ct AS DOUBLE) - CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |    / sqrt(CAST(sum_ct2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
+        |      - (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |      * (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE)))) > 3.0
+        |    THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+        |FROM hourly h JOIN moments m ON h.event_type = m.event_type
+        |ORDER BY h.event_type, h.hr""".stripMargin,
     // Every event lies in exactly size/slide = 2 hopping windows whose
     // starts are the event's 30-min bucket and the bucket before; both
     // Spark's window() (epoch origin) and DuckDB's time_bucket (2000

@@ -37,6 +37,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("erasure report: cascade counts consistent, kept + erased = total, victims nonempty") {
+    import spark.implicits._
+    val r = graft.operators.Governance.erasureReport(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r.keySet == Set("customer", "orders", "lineitem", "events"))
+    r.values.foreach { case (total, erased, kept) =>
+      assert(erased + kept == total && erased >= 0 && kept >= 0)
+    }
+    assert(r("customer")._2 > 0, "victim set empty — the report proved nothing")
+    // cascade cross-check: doomed lineitems recounted independently
+    // through the join the actual delete would run
+    val o = graft.sources.Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey").as[(Long, Long)].collect()
+    val doomed = o.filter(_._2 % 97 == 0).map(_._1).toSet
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey").as[Long].collect()
+    assert(r("lineitem")._2 == li.count(doomed), "lineitem cascade count drifts")
+  }
+
   test("q1 pricing summary is exact") {
     val row = Relational.q1OnDir(spark, sf)
     assert(row.nonEmpty)
