@@ -174,7 +174,10 @@ object Analytic {
     hourly.join(broadcast(moments), col("event_type") === col("m_type"))
       .withColumn("mu", mu)
       .withColumn("sigma", sigma)
-      .withColumn("z", (col("ct").cast(DoubleType) - col("mu")) / col("sigma"))
+      // σ = 0 (constant counts, or a type seen in one hour) must be a
+      // defined 0, not NULL-vs-NaN engine drift
+      .withColumn("z", when(col("sigma") === 0.0, lit(0.0))
+        .otherwise((col("ct").cast(DoubleType) - col("mu")) / col("sigma")))
       .withColumn("is_anomaly", (abs(col("z")) > 3.0).cast("int"))
       .select(col("event_type"), col("hr"), col("ct"),
         col("mu"), col("sigma"), col("z"), col("is_anomaly"))
@@ -286,23 +289,21 @@ object Analytic {
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
         |    CAST(SUM(ct) AS BIGINT) AS sum_ct, CAST(SUM(ct * ct) AS BIGINT) AS sum_ct2
         |  FROM hourly GROUP BY 1
+        |), wm AS (
+        |  SELECT h.event_type, h.hr, h.ct,
+        |    CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mu,
+        |    sqrt(CAST(sum_ct2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
+        |      - (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |      * (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))) AS sigma
+        |  FROM hourly h JOIN moments m ON h.event_type = m.event_type
+        |), wz AS (
+        |  SELECT *, CASE WHEN sigma = 0.0 THEN 0.0
+        |    ELSE (CAST(ct AS DOUBLE) - mu) / sigma END AS z
+        |  FROM wm
         |)
-        |SELECT h.event_type, h.hr, h.ct,
-        |  CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mu,
-        |  sqrt(CAST(sum_ct2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
-        |    - (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))
-        |    * (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))) AS sigma,
-        |  (CAST(h.ct AS DOUBLE) - CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))
-        |    / sqrt(CAST(sum_ct2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
-        |      - (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))
-        |      * (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))) AS z,
-        |  CAST(CASE WHEN abs((CAST(h.ct AS DOUBLE) - CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))
-        |    / sqrt(CAST(sum_ct2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
-        |      - (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))
-        |      * (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE)))) > 3.0
-        |    THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
-        |FROM hourly h JOIN moments m ON h.event_type = m.event_type
-        |ORDER BY h.event_type, h.hr""".stripMargin,
+        |SELECT event_type, hr, ct, mu, sigma, z,
+        |  CAST(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+        |FROM wz ORDER BY event_type, hr""".stripMargin,
     // Every event lies in exactly size/slide = 2 hopping windows whose
     // starts are the event's 30-min bucket and the bucket before; both
     // Spark's window() (epoch origin) and DuckDB's time_bucket (2000

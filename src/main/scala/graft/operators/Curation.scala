@@ -312,13 +312,15 @@ object Curation {
     * and the composed curation decision share one tokenize pass (same
     * discipline as the `text.stats`/`text.grams` memos). */
   /** THE tokenization rule — single definition shared by every LM path
-    * (batch, streaming, memoized) and mirrored by every DuckDB oracle
-    * as `string_split(lower(text), ' ')`. */
-  private[graft] def tokensOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+    * (batch, streaming, memoized), by the search tier, and mirrored by
+    * every DuckDB oracle as `string_split(lower(text), ' ')`. */
+  private[operators] def tokensCol: org.apache.spark.sql.Column =
+    split(lower(col("text")), " ")
 
-  private def tokensShared(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def tokensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(tokensCol).as(Seq("pos", "token")))
+
+  private[operators] def tokensShared(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "curation.tokens")(
       tokensOf(Tables.spread(spark, Tables.documents(spark, dir))))
 

@@ -49,7 +49,10 @@ object Search {
   private[graft] val SearchQueries: Seq[(String, String)] = Seq(
     "q1" -> "spark window agg",
     "q2" -> "hash join merge",
-    "q3" -> "stream batch vector")
+    "q3" -> "stream batch vector",
+    // q4 repeats a term on purpose: pins the dedupe-before-scoring
+    // contract (a repeated query term scores once) in every gate
+    "q4" -> "batch batch scan")
 
   /** BM25 constants (Lucene defaults), written as the same literals in
     * engine and oracle so constant parsing is identical. */
@@ -77,8 +80,11 @@ object Search {
     * groupBy; at 100 TB this is the index-build job, output sized by
     * postings/vocabulary. */
   private[graft] def bm25Index(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // Curation.tokensCol is THE corpus tokenization rule; the array
+    // form (not the positioned frame) keeps dl a per-row size() so the
+    // whole build stays ONE aggregation — streaming-compatible
     val dd = docs
-      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"), Curation.tokensCol.as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast(LongType).as("dl"))
     val stats = dd.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
     val tf = dd
@@ -99,7 +105,13 @@ object Search {
     * operator — proven at-rest ≡ batch in SearchSpec. */
   private[graft] def bm25ServeOn(qdf: DataFrame, tf: DataFrame,
                                  tdf: DataFrame, stats: DataFrame): DataFrame = {
-    val qterms = qdf.select(col("qid"), explode(split(col("qtext"), " ")).as("qterm"))
+    // array_distinct BEFORE the explode: a repeated query term must
+    // score once (the oracle's grouped tf would otherwise fold the
+    // duplicate into a doubled tf inside the non-linear saturation
+    // while the join-side summed twice — different numbers). Per-row,
+    // stateless, so a STREAMING qdf stays single-stateful-operator.
+    val qterms = qdf.select(col("qid"),
+      explode(array_distinct(split(col("qtext"), " "))).as("qterm"))
     // a streaming side cannot take a broadcast hint; batch query sets
     // broadcast so postings rows for non-query terms never shuffle
     val qside = if (qdf.isStreaming) qterms else broadcast(qterms)
@@ -192,8 +204,15 @@ object Search {
     * division). The embedding table is probed with a BROADCAST of the
     * (queries·candidates)-row pool — embeddings never shuffle. */
   def hybridRerank(spark: SparkSession, dir: String): DataFrame = {
-    val cand = topKTwoPhase(bm25Memo(spark, dir), HybridCandidates)
+    // memoized: the anchor slice and the pool both read this frame —
+    // unmemoized, each would recompute the two top-k window passes
+    val cand = Memo(spark, dir, "search_bm25_cand")(
+      topKTwoPhase(bm25Memo(spark, dir), HybridCandidates))
+    // zero-norm vectors cannot cosine (x/0 is NULL in Spark, NaN in
+    // DuckDB — they would even ORDER differently); excluded in both
+    // engine and oracle
     val qv = Similarity.quantizedOn(Tables.spread(spark, Tables.embeddings(spark, dir)))
+      .filter(col("nrm") > 0)
     val anchors = qv.join(
         broadcast(cand.filter(col("rk") === 1)
           .select(col("qid"), col("doc_id").as("anchor_id"))),
@@ -264,15 +283,17 @@ object Search {
     * substring scan: the oracle recomputes the same semantics from
     * positions independently in DuckDB. */
   private[graft] def phraseOccurrencesOn(docs: DataFrame,
-                                         phrases: Seq[(String, String)]): DataFrame = {
-    val spark = docs.sparkSession
+                                         phrases: Seq[(String, String)]): DataFrame =
+    phraseOccurrencesOnTokens(Curation.tokensOf(docs), phrases)
+
+  private[graft] def phraseOccurrencesOnTokens(tok: DataFrame,
+                                               phrases: Seq[(String, String)]): DataFrame = {
+    val spark = tok.sparkSession
     import spark.implicits._
     val pterms = phrases.toDF("pid", "ptext")
       .select(col("pid"), posexplode(split(col("ptext"), " ")).as(Seq("idx", "term")))
     val plens = phrases.map { case (pid, t) => (pid, t.split(" ").length.toLong) }
       .toDF("pid", "plen")
-    val tok = docs.select(col("doc_id"),
-      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
     tok.join(broadcast(pterms), col("token") === col("term"))
       .select(col("pid"), col("doc_id"), (col("pos") - col("idx")).as("start"))
       .groupBy(col("pid"), col("doc_id"), col("start"))
@@ -286,7 +307,9 @@ object Search {
   }
 
   def phraseSearch(spark: SparkSession, dir: String): DataFrame =
-    phraseOccurrencesOn(Tables.spread(spark, Tables.documents(spark, dir)), PhraseQueries)
+    // reads the memoized positioned-token frame the LM paths share —
+    // one tokenize pass per (session, dir) across curation AND search
+    phraseOccurrencesOnTokens(Curation.tokensShared(spark, dir), PhraseQueries)
 
   // ---------------------------------------------------------------
   // Sketch-guided heavy hitters (frequent collocations)
@@ -307,7 +330,7 @@ object Search {
 
   /** Adjacent-token bigrams (collocations), one row per occurrence. */
   private[graft] def bigramsOn(docs: DataFrame): DataFrame =
-    docs.select(split(lower(col("text")), " ").as("toks"))
+    docs.select(Curation.tokensCol.as("toks"))
       .select(explode(expr(
         """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
           |         slice(toks, 2, greatest(size(toks) - 1, 0)),
@@ -370,7 +393,7 @@ object Search {
     val idf = duckDetLn(
       "(1.0 + (CAST(n_docs AS DOUBLE) - CAST(dfv AS DOUBLE) + 0.5) / (CAST(dfv AS DOUBLE) + 0.5))")
     s"""q(qid, qtext) AS (VALUES $queryValues),
-       |qt AS (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+       |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
        |dd AS (
        |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
@@ -414,10 +437,10 @@ object Search {
         s""",
            |anc AS (
            |  SELECT r.qid, qn.q AS qa, qn.nrm AS na
-           |  FROM r JOIN qn ON r.doc_id = qn.vec_id WHERE r.rk = 1
+           |  FROM r JOIN qn ON r.doc_id = qn.vec_id WHERE r.rk = 1 AND qn.nrm > 0
            |), pool AS (
            |  SELECT r.qid, r.doc_id, r.score_fp, qn.q AS qb, qn.nrm AS nb
-           |  FROM r JOIN qn ON r.doc_id = qn.vec_id WHERE r.rk <= $HybridCandidates
+           |  FROM r JOIN qn ON r.doc_id = qn.vec_id WHERE r.rk <= $HybridCandidates AND qn.nrm > 0
            |), sc2 AS (
            |  SELECT pool.qid, pool.doc_id, pool.score_fp,
            |    CAST(CAST(list_sum([anc.qa[i] * pool.qb[i] FOR i IN range(1, len(anc.qa) + 1)]) AS BIGINT) AS DOUBLE)

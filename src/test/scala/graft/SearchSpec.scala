@@ -116,7 +116,8 @@ class SearchSpec extends AnyFunSuite {
       (v - 1.0) * 1048576.0
     }
     def expectedScore(terms: Seq[String], toks: Seq[String]): (Long, Long) = {
-      val matched = terms.filter(toks.contains)
+      // repeated query terms score ONCE (q4 pins this)
+      val matched = terms.distinct.filter(toks.contains)
       val fps = matched.map { term =>
         val dfv = corpus.values.count(_.contains(term)).toDouble
         val tf = toks.count(_ == term).toDouble
