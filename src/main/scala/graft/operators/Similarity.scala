@@ -533,7 +533,10 @@ object Similarity {
         col("nrm").as("na"), col("label").as("qlabel"))
     val c = v.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
       col("nrm").as("nb"), col("label").as("neighbor_label"))
-    q.join(c, col("query_id") =!= col("neighbor_id"))
+    // explicit hint: the label attach hides the query side's tiny
+    // cardinality from the planner, which otherwise falls back to a
+    // CartesianProduct for this non-equi join (plan-pinned in spec)
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .filter(col("qlabel") =!= col("neighbor_label"))
       .withColumn("dot", dotCol)
       .withColumn("sim", col("dot").cast(DoubleType) /

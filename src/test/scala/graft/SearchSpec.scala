@@ -282,6 +282,33 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("round-9 late query plans: no cartesian, no lambda fallback, broadcast where claimed") {
+    import graft.operators.{Analytic, Dedup, Governance, Similarity}
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val shapes = Seq(
+      "phrase" -> plan(Search.phraseSearch(spark, sf)),
+      "postings" -> plan(Search.postings(spark, sf)),
+      "hybrid" -> plan(Search.hybridRerank(spark, sf)),
+      "heavy" -> plan(Search.heavyHitters(spark, sf)),
+      "editdist" -> plan(Dedup.editDistancePairs(spark, sf)),
+      "hardneg" -> plan(Similarity.hardNegatives(spark, sf)),
+      "hopping" -> plan(Analytic.hoppingWindow(spark, sf)),
+      "anomaly" -> plan(Analytic.anomalyHours(spark, sf)),
+      "erasure" -> plan(Governance.erasureReport(spark, sf)))
+    shapes.foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct"), s"$n plan has a cartesian join")
+      assert(!p.contains("MapPartitions") && !p.contains("DeserializeToObject"),
+        s"$n plan fell out of codegen into lambda execution")
+    }
+    // the probes that must broadcast: phrase terms into the token
+    // frame, victim set into every table, per-type moments back onto
+    // the hourly frame
+    Seq("phrase", "erasure", "anomaly").foreach { n =>
+      assert(shapes.toMap.apply(n).contains("BroadcastHashJoin"), s"$n lost its broadcast")
+    }
+  }
+
   test("hybrid rerank: anchor ranks itself first with sim 1.0") {
     import spark.implicits._
     val h = Search.hybridRerank(spark, sf)
