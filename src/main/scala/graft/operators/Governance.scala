@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 
 /** Data-governance operators: the user-erasure ("right to be
@@ -64,10 +65,112 @@ object Governance {
       .orderBy(col("table_name"))
   }
 
+  /** Referential-integrity audit: orphan counts per foreign-key edge
+    * of the star schema (child rows whose parent key is absent). Each
+    * edge is one LEFT ANTI join probing the parent's distinct-key
+    * projection — at 100 TB the parent key sets are far smaller than
+    * the child fact tables and broadcast (dims) or shuffle once on the
+    * key (orders); the child is scanned once per edge. The audit a
+    * pipeline runs after every backfill, and the exact complement of
+    * the joins every query in this engine assumes are lossless. */
+  def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, childKey: String,
+             parent: DataFrame, parentKey: String): DataFrame = {
+      val total = child.agg(count(lit(1)).as("child_rows"))
+      val orphans = child
+        .join(parent.select(col(parentKey)).distinct(),
+          col(childKey) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).as("orphan_rows"))
+      total.crossJoin(orphans).select(lit(name).as("fk_edge"),
+        col("child_rows"), col("orphan_rows"))
+    }
+    edge("lineitem.l_orderkey->orders", Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionByName(edge("orders.o_custkey->customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .unionByName(edge("customer.c_nationkey->nation", Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .unionByName(edge("supplier.s_nationkey->nation", Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .unionByName(edge("nation.n_regionkey->region", Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey"))
+      .orderBy(col("fk_edge"))
+  }
+
+  /** Column-level data profile of the orders table — the ANALYZE-style
+    * report a warehouse publishes per snapshot: per column, null
+    * count, exact distinct count, lexicographic/numeric min and max
+    * (rendered as strings so one report covers every type). One pass
+    * per column batch; every aggregate partial-aggregates, nothing
+    * shuffles more than the final 1-row combine per column. */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    // doubles render differently across engines (scientific notation
+    // thresholds); money profiles through DECIMAL(18,2), whose string
+    // form is identical everywhere
+    def asStr(c: String) =
+      if (c == "o_totalprice") col(c).cast(DecimalType(18, 2)).cast("string")
+      else col(c).cast("string")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      o.agg(count(lit(1)).as("row_ct"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("null_ct"),
+          countDistinct(col(c)).as("distinct_ct"),
+          min(asStr(c)).as("min_str"),
+          max(asStr(c)).as("max_str"))
+        .select(lit(c).as("column_name"), col("row_ct"), col("null_ct"),
+          col("distinct_ct"), col("min_str"), col("max_str"))
+    }.reduce(_ unionByName _).orderBy(col("column_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "gov_erasure_report" -> ((s, d) => erasureReport(s, d)))
+    "gov_erasure_report" -> ((s, d) => erasureReport(s, d)),
+    "gov_fk_audit" -> ((s, d) => fkAudit(s, d)),
+    "gov_table_profile" -> ((s, d) => tableProfile(s, d)))
+
+  private def profileCol(c: String, expr: String): String =
+    s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS row_ct,
+       |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ct,
+       |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS distinct_ct,
+       |  MIN($expr) AS min_str, MAX($expr) AS max_str
+       |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "gov_fk_audit" ->
+      """WITH r AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS child_rows,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows
+        |  UNION ALL SELECT 'orders.o_custkey->customer',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'customer.c_nationkey->nation',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        |     WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |  UNION ALL SELECT 'supplier.s_nationkey->nation',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier s
+        |     WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+        |  UNION ALL SELECT 'nation.n_regionkey->region',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation na
+        |     WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = na.n_regionkey))
+        |)
+        |SELECT fk_edge, child_rows, orphan_rows FROM r ORDER BY fk_edge""".stripMargin,
+    "gov_table_profile" -> (
+      "WITH r AS (\n" + Seq(
+        profileCol("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+        profileCol("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+        profileCol("o_orderstatus", "CAST(o_orderstatus AS VARCHAR)"),
+        profileCol("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
+        profileCol("o_orderdate", "CAST(o_orderdate AS VARCHAR)"),
+        profileCol("o_orderpriority", "CAST(o_orderpriority AS VARCHAR)"))
+        .mkString("\nUNION ALL\n") +
+      "\n)\nSELECT column_name, row_ct, null_ct, distinct_ct, min_str, max_str FROM r ORDER BY column_name"),
     "gov_erasure_report" ->
       s"""WITH v AS (
         |  SELECT c_custkey AS uid FROM customer WHERE c_custkey % $VictimModulus = 0

@@ -57,6 +57,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(r("lineitem")._2 == li.count(doomed), "lineitem cascade count drifts")
   }
 
+  test("fk audit: clean star schema shows zero orphans; a planted orphan is counted") {
+    import spark.implicits._
+    val audit = graft.operators.Governance.fkAudit(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(audit.length == 5)
+    audit.foreach { case (edge, child, orphans) =>
+      assert(child > 0 && orphans == 0L, s"$edge: $orphans orphans on the consistent fixture")
+    }
+    // the probe must actually detect: a child row with no parent
+    val child = Seq((1L, 10L), (2L, 11L), (3L, 99L)).toDF("ck", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val orphanCt = child
+      .join(parent.select($"pk").distinct(), $"fk" === $"pk", "left_anti")
+      .count()
+    assert(orphanCt == 1L)
+  }
+
   test("q1 pricing summary is exact") {
     val row = Relational.q1OnDir(spark, sf)
     assert(row.nonEmpty)
