@@ -184,6 +184,27 @@ object Analytic {
       .orderBy(col("event_type"), col("hr"))
   }
 
+  /** Coverage-gap detection, the anomaly report's complement: hours
+    * with NO events per event type, inside that type's own observed
+    * span — silent-pipeline hours that a count-based monitor never
+    * sees (nothing aggregates to zero). The corpus-sized work is one
+    * grouped distinct; the expected-hours frame is generated per type
+    * from its span (`sequence`, calendar-bounded — never data-sized)
+    * and anti-joins the observed hours. */
+  def gapHours(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .distinct()
+    val expected = hourly.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hr"))
+    expected.join(hourly, Seq("event_type", "hr"), "left_anti")
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:00:00").as("missing_hr"))
+      .orderBy(col("event_type"), col("missing_hr"))
+  }
+
   /** Conversion funnel: view → click (after first view) → purchase
     * (after that click), counted as users reaching each stage. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
@@ -223,6 +244,7 @@ object Analytic {
     "an_session_stats" -> sessionStats,
     "an_hopping_window" -> hoppingWindow,
     "an_anomaly_hours" -> anomalyHours,
+    "an_gap_hours" -> gapHours,
     "an_running_total" -> runningTotal,
     "an_rank_in_group" -> rankInGroup,
     "an_moving_window" -> movingWindow,
@@ -277,6 +299,19 @@ object Analytic {
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_ct
         |FROM sess GROUP BY user_id, session_no
         |ORDER BY user_id, session_start""".stripMargin,
+    "an_gap_hours" ->
+      """WITH hourly AS (
+        |  SELECT DISTINCT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hr FROM events
+        |), span AS (
+        |  SELECT event_type, MIN(hr) AS mn, MAX(hr) AS mx FROM hourly GROUP BY 1
+        |), expected AS (
+        |  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM span
+        |)
+        |SELECT e.event_type, strftime(e.hr, '%Y-%m-%d %H:00:00') AS missing_hr
+        |FROM expected e
+        |WHERE NOT EXISTS (SELECT 1 FROM hourly h
+        |  WHERE h.event_type = e.event_type AND h.hr = e.hr)
+        |ORDER BY event_type, missing_hr""".stripMargin,
     // μ/σ/z are single expressions over exact integer moments, so the
     // DOUBLE values are bit-identical cross-engine (one division, one
     // sqrt, fixed order — no accumulation).
