@@ -205,6 +205,31 @@ object Analytic {
       .orderBy(col("event_type"), col("missing_hr"))
   }
 
+  /** Event-transition mining: Markov counts of consecutive event-type
+    * pairs per user (ordered by ts with the event id as deterministic
+    * tiebreak), with the conditional transition probability — the
+    * behavioral-model input the funnel hardcodes. One user-key window
+    * (bounded groups), a grouped count, and a broadcast of the tiny
+    * per-source totals; probability is a single division over exact
+    * counts. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("transition_ct"))
+    val totals = pairs.groupBy(col("prev_type").as("t_prev"))
+      .agg(sum(col("transition_ct")).as("from_ct"))
+    pairs.join(broadcast(totals), col("prev_type") === col("t_prev"))
+      .withColumn("p", col("transition_ct").cast(DoubleType) /
+        col("from_ct").cast(DoubleType))
+      .select(col("prev_type"), col("next_type"), col("transition_ct"),
+        col("from_ct"), col("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** Conversion funnel: view → click (after first view) → purchase
     * (after that click), counted as users reaching each stage. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
@@ -245,6 +270,7 @@ object Analytic {
     "an_hopping_window" -> hoppingWindow,
     "an_anomaly_hours" -> anomalyHours,
     "an_gap_hours" -> gapHours,
+    "an_transitions" -> transitions,
     "an_running_total" -> runningTotal,
     "an_rank_in_group" -> rankInGroup,
     "an_moving_window" -> movingWindow,
@@ -299,6 +325,21 @@ object Analytic {
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_ct
         |FROM sess GROUP BY user_id, session_no
         |ORDER BY user_id, session_start""".stripMargin,
+    "an_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS transition_ct
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT prev_type, CAST(SUM(transition_ct) AS BIGINT) AS from_ct FROM pairs GROUP BY 1
+        |)
+        |SELECT p.prev_type, p.next_type, p.transition_ct, t.from_ct,
+        |  CAST(p.transition_ct AS DOUBLE) / CAST(t.from_ct AS DOUBLE) AS p
+        |FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
+        |ORDER BY p.prev_type, p.next_type""".stripMargin,
     "an_gap_hours" ->
       """WITH hourly AS (
         |  SELECT DISTINCT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hr FROM events
