@@ -400,4 +400,61 @@ object GraftProps extends Properties("graft") {
         .as[(Long, Long, Long)].collect().sortBy(_._1)
       got.toSeq == naive.toSeq
     }
+
+  // ------------------------------------------------ search-tier algebra
+
+  private val genScored: Gen[List[(String, Long, Long)]] =
+    Gen.listOf(for {
+      q <- Gen.oneOf("qa", "qb")
+      d <- Gen.choose(0L, 40L)
+      s <- Gen.choose(-50L, 50L)
+    } yield (q, d, s)).map(_.take(60))
+
+  property("two-phase salted top-k == single-window top-k on random scores") =
+    forAll(genScored) { rows =>
+      import spark.implicits._
+      rows.isEmpty || {
+        // one row per (qid, doc): the operator's input contract
+        val df = rows.toDF("qid", "doc_id", "score_fp")
+          .groupBy("qid", "doc_id").agg(max($"score_fp").as("score_fp"))
+          .withColumn("matched_terms", lit(1L))
+        val two = graft.operators.Search.topKTwoPhase(df, 5)
+          .select("qid", "rk", "doc_id", "score_fp")
+          .as[(String, Int, Long, Long)].collect().toSet
+        val one = df.withColumn("rk", row_number().over(
+            Window.partitionBy($"qid").orderBy($"score_fp".desc, $"doc_id")))
+          .filter($"rk" <= 5).select("qid", "rk", "doc_id", "score_fp")
+          .as[(String, Int, Long, Long)].collect().toSet
+        two == one
+      }
+    }
+
+  private val genDocsAndPhrase: Gen[(List[(Long, String)], String)] = for {
+    alphabet <- Gen.const(Seq("a", "b", "c"))
+    docs <- Gen.listOf(for {
+      id <- Gen.choose(0L, 20L)
+      toks <- Gen.listOfN(12, Gen.oneOf(alphabet))
+    } yield (id, toks.mkString(" "))).map(_.take(8))
+    plen <- Gen.choose(1, 3)
+    p <- Gen.listOfN(plen, Gen.oneOf(alphabet))
+  } yield (docs.distinctBy(_._1), p.mkString(" "))
+
+  property("phrase vote join == naive sliding-window scan on random docs") =
+    forAll(genDocsAndPhrase) { case (docs, phrase) =>
+      import spark.implicits._
+      docs.isEmpty || {
+        val got = graft.operators.Search
+          .phraseOccurrencesOn(docs.toDF("doc_id", "text"), Seq("p" -> phrase))
+          .select("doc_id", "n_occurrences", "first_pos")
+          .as[(Long, Long, Long)].collect().toSet
+        val p = phrase.split(" ").toVector
+        val want = (for {
+          (id, t) <- docs
+          toks = t.toLowerCase.split(" ", -1).toVector
+          starts = (0 to toks.size - p.size).filter(i => toks.slice(i, i + p.size) == p)
+          if starts.nonEmpty
+        } yield (id, starts.size.toLong, starts.head.toLong)).toSet
+        got == want
+      }
+    }
 }
