@@ -67,23 +67,27 @@ object Governance {
 
   /** Referential-integrity audit: orphan counts per foreign-key edge
     * of the star schema (child rows whose parent key is absent). Each
-    * edge is one LEFT ANTI join probing the parent's distinct-key
-    * projection — at 100 TB the parent key sets are far smaller than
-    * the child fact tables and broadcast (dims) or shuffle once on the
-    * key (orders); the child is scanned once per edge. The audit a
+    * edge is one LEFT OUTER probe of the parent's distinct-key
+    * projection with total and orphan counted in the same aggregation
+    * — at 100 TB the parent key sets are far smaller than the child
+    * fact tables and broadcast (dims) or shuffle once on the key
+    * (orders); the child is scanned ONCE per edge. The audit a
     * pipeline runs after every backfill, and the exact complement of
     * the joins every query in this engine assumes are lossless. */
+  /** One FK edge's audit row in ONE child scan: left-outer against
+    * the distinct parent keys, then count rows and null-parent (=
+    * orphan) rows in the same aggregation. Package-visible so the spec
+    * can drive a PLANTED orphan through this exact code path. */
+  private[graft] def edge(name: String, child: DataFrame, childKey: String,
+                          parent: DataFrame, parentKey: String): DataFrame =
+    child
+      .join(parent.select(col(parentKey)).distinct(),
+        col(childKey) === col(parentKey), "left_outer")
+      .agg(count(lit(1)).as("child_rows"),
+        sum(when(col(parentKey).isNull, 1L).otherwise(0L)).as("orphan_rows"))
+      .select(lit(name).as("fk_edge"), col("child_rows"), col("orphan_rows"))
+
   def fkAudit(spark: SparkSession, dir: String): DataFrame = {
-    def edge(name: String, child: DataFrame, childKey: String,
-             parent: DataFrame, parentKey: String): DataFrame = {
-      val total = child.agg(count(lit(1)).as("child_rows"))
-      val orphans = child
-        .join(parent.select(col(parentKey)).distinct(),
-          col(childKey) === col(parentKey), "left_anti")
-        .agg(count(lit(1)).as("orphan_rows"))
-      total.crossJoin(orphans).select(lit(name).as("fk_edge"),
-        col("child_rows"), col("orphan_rows"))
-    }
     edge("lineitem.l_orderkey->orders", Tables.lineitem(spark, dir), "l_orderkey",
         Tables.orders(spark, dir), "o_orderkey")
       .unionByName(edge("orders.o_custkey->customer", Tables.orders(spark, dir), "o_custkey",
