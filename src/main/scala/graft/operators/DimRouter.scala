@@ -71,6 +71,11 @@ object DimRouter {
     * body a `foreachBatch` would run per micro-batch (SURVEY.md §3.1);
     * it is also directly usable in batch backfills.
     *
+    * NOTE: this variant rewrites the whole base table per batch —
+    * simple and fine for backfills, but O(dim table) per micro-batch.
+    * The streaming-scale path is [[routeAndWriteBucketed]], which
+    * rewrites only the hash buckets a batch actually touches.
+    *
     * Deletes participate in the same latest-wins resolution as live
     * records (as tombstone rows), so a delete followed by a later
     * re-insert of the same PK within one batch keeps the row — the
@@ -83,16 +88,7 @@ object DimRouter {
       route(batch, configs).foreach { case (sinkTable, updates) =>
         val tp = configs.find(_.sinkTable == sinkTable).get
         val path = s"$warehouseDir/$sinkTable"
-        // tombstones widened to the sink schema (nulls outside pk/ts)
-        val tombs = {
-          val d = deletes(batch, tp)
-          updates.columns.foldLeft(d) { (acc, c) =>
-            if (d.columns.contains(c)) acc
-            else acc.withColumn(c, lit(null).cast(updates.schema(c).dataType))
-          }.select(updates.columns.map(col): _*)
-        }
-        val incoming = updates.withColumn("_del", lit(0))
-          .unionByName(tombs.withColumn("_del", lit(1)))
+        val incoming = withTombstones(batch, tp, updates)
         // recover an interrupted swap BEFORE deciding whether a base
         // exists — otherwise a crash mid-swap (dst renamed aside, tmp
         // not yet in place) would make this merge run against an empty
@@ -112,6 +108,168 @@ object DimRouter {
         swapInto(spark, path)
       }
     } finally batch.unpersist()
+  }
+
+  /** Live batch rows plus delete tombstones widened to the sink schema
+    * (nulls outside pk/ts), tagged with `_del` so the latest-wins merge
+    * can resolve delete-vs-reinsert races within one batch. */
+  private def withTombstones(batch: DataFrame, tp: TableProcess,
+                             updates: DataFrame): DataFrame = {
+    val d = deletes(batch, tp)
+    val tombs = updates.columns.foldLeft(d) { (acc, c) =>
+      if (d.columns.contains(c)) acc
+      else acc.withColumn(c, lit(null).cast(updates.schema(c).dataType))
+    }.select(updates.columns.map(col): _*)
+    updates.withColumn("_del", lit(0))
+      .unionByName(tombs.withColumn("_del", lit(1)))
+  }
+
+  /** Deterministic bucket id for a sink PK: Murmur3 `hash` mod `n`.
+    * Stable across batches and Spark versions in this repo, so a PK
+    * always lands in the same on-disk bucket directory. */
+  def bucketOf(pk: org.apache.spark.sql.Column, nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(pk), lit(nBuckets))
+
+  /** The O(batch) form of [[routeAndWrite]]: DIM base tables are stored
+    * hash-bucketed by sink PK as hive-partitioned parquet
+    * (`<table>/bkt=K/`), and a micro-batch merge touches ONLY the
+    * buckets containing the batch's PKs:
+    *
+    *  1. bucket the batch (`bkt = pmod(hash(pk), n)`), collect the
+    *     touched-bucket id set (≤ nBuckets values — model-sized);
+    *  2. read the base pruned to those partitions (Catalyst partition
+    *     pruning: untouched bucket directories are never scanned);
+    *  3. latest-wins merge exactly as [[routeAndWrite]];
+    *  4. write the merge result partitioned by `bkt` to `<table>.tmp`,
+    *     then atomically swap each touched bucket directory into place.
+    *
+    * Untouched bucket files are never read, rewritten, or renamed —
+    * per-batch cost is O(batch ∪ touched buckets), not O(dim table),
+    * which restores the reference's per-record-upsert cost shape
+    * (`app/func/DimSinkFunction.java:28-59`) at set-based granularity.
+    *
+    * Crash safety: the tmp write completes before any base mutation; a
+    * crash mid-swap leaves at most one bucket renamed aside
+    * (`.old-bkt-K`), which [[recoverInterruptedBuckets]] restores on
+    * the next run. The merge is idempotent — replaying the same batch
+    * over an already-merged bucket yields the identical rows (update
+    * beats base on equal ts, tombstoned PKs stay gone) — so the
+    * streaming checkpoint's replay-on-failure contract holds per
+    * bucket. At 100 TB this is a lakehouse `MERGE INTO` over a table
+    * bucketed/clustered by PK; the layout and touched-set pruning here
+    * are the same shape.
+    */
+  def routeAndWriteBucketed(spark: SparkSession, envelope: DataFrame,
+                            configs: Seq[TableProcess], warehouseDir: String,
+                            nBuckets: Int = 16): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val batch = envelope.cache()
+    try {
+      route(batch, configs).foreach { case (sinkTable, updates) =>
+        val tp = configs.find(_.sinkTable == sinkTable).get
+        val path = s"$warehouseDir/$sinkTable"
+        val incoming = withTombstones(batch, tp, updates)
+          .withColumn("bkt", bucketOf(col(tp.sinkPk), nBuckets))
+          .cache()
+        try {
+          recoverInterruptedBuckets(spark, path)
+          val touched = incoming.select("bkt").distinct()
+            .collect().map(_.getInt(0)).sorted
+          if (touched.nonEmpty) {
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              spark.sparkContext.hadoopConfiguration)
+            val tmpPath = new org.apache.hadoop.fs.Path(s"$path.tmp")
+            if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+            val base =
+              if (bucketedTableExists(spark, path))
+                spark.read.parquet(path)
+                  .filter(col("bkt").isin(touched.map(Int.box): _*))
+                  .withColumn("_del", lit(0))
+                  .select(incoming.columns.map(col): _*)
+              else incoming.limit(0)
+            val merged = base.withColumn("_src", lit(0))
+              .unionByName(incoming.withColumn("_src", lit(1)))
+              .withColumn("_rk", row_number().over(
+                Window.partitionBy(col(tp.sinkPk))
+                  .orderBy(col("_cdc_ts").desc, col("_del"), col("_src").desc)))
+              .filter(col("_rk") === 1 && col("_del") === 0)
+              .drop("_rk", "_src", "_del")
+            merged.write.partitionBy("bkt").mode("overwrite").parquet(s"$path.tmp")
+            touched.foreach(b => swapBucket(fs, path, b))
+            fs.delete(tmpPath, true)
+          }
+        } finally incoming.unpersist()
+      }
+    } finally batch.unpersist()
+  }
+
+  /** Read a bucketed DIM table as its logical rows (bucket layout
+    * hidden from consumers). */
+  def readBucketedDim(spark: SparkSession, warehouseDir: String,
+                      sinkTable: String): DataFrame =
+    spark.read.parquet(s"$warehouseDir/$sinkTable").drop("bkt")
+
+  /** Swap one merged bucket directory from `path.tmp/bkt=K` into
+    * `path/bkt=K` with the same rename-aside protocol as [[swapInto]],
+    * scoped to the single bucket. The aside name is dot-prefixed so
+    * Spark's file listing never sees a half-swapped bucket as data. A
+    * touched bucket whose merge result is empty (every PK deleted) has
+    * no tmp dir — the old bucket dir is simply removed. */
+  private def swapBucket(fs: org.apache.hadoop.fs.FileSystem,
+                         path: String, bucket: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(s"$path/bkt=$bucket")
+    val src = new Path(s"$path.tmp/bkt=$bucket")
+    val old = new Path(s"$path/.old-bkt-$bucket")
+    def checked(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"DimRouter bucket swap: $what failed for $path bkt=$bucket")
+    if (!fs.exists(new Path(path))) checked(fs.mkdirs(new Path(path)), "mkdirs table dir")
+    if (fs.exists(old)) checked(fs.delete(old, true), s"delete stale $old")
+    if (fs.exists(dst)) checked(fs.rename(dst, old), s"rename $dst aside")
+    if (fs.exists(src)) checked(fs.rename(src, dst), s"rename $src into place")
+    if (fs.exists(old)) checked(fs.delete(old, true), s"delete $old")
+  }
+
+  /** Repair any bucket left renamed-aside by a crash between
+    * `rename(dst, old)` and `rename(src, dst)`: if `bkt=K` is missing
+    * but `.old-bkt-K` survives, the aside copy is the only base state —
+    * rename it back (the interrupted batch then replays idempotently).
+    * A surviving aside NEXT TO a live `bkt=K` is post-install garbage
+    * and is deleted. Idempotent; no-op on a healthy table. */
+  private[operators] def recoverInterruptedBuckets(spark: SparkSession,
+                                                   path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path)
+    if (fs.exists(dir)) {
+      val Aside = """\.old-bkt-(\d+)""".r
+      fs.listStatus(dir).foreach { st =>
+        st.getPath.getName match {
+          case Aside(b) =>
+            val dst = new Path(s"$path/bkt=$b")
+            if (fs.exists(dst)) {
+              if (!fs.delete(st.getPath, true)) throw new java.io.IOException(
+                s"DimRouter bucket recovery: delete stale aside failed for $path bkt=$b")
+            } else if (!fs.rename(st.getPath, dst))
+              throw new java.io.IOException(
+                s"DimRouter bucket recovery failed for $path bkt=$b")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  /** A bucketed table "exists" once it has at least one bucket
+    * partition directory (an empty table dir — e.g. every row deleted —
+    * must not be offered to `spark.read.parquet`, which cannot infer a
+    * schema from it). */
+  private def bucketedTableExists(spark: SparkSession, path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName.startsWith("bkt="))
   }
 
   /** Swap `path.tmp` (the freshly-written merge result) into `path`.

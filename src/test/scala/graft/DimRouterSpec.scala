@@ -138,6 +138,129 @@ class DimRouterSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/dim_user_info.old")))
   }
 
+  // --- bucketed (O(batch)) merge path ---------------------------------
+
+  private def insertRow(id: Int, name: String, ts: Long) =
+    s"""{"database":"g","table":"user_info","type":"insert","data":{"id":"$id","name":"$name","email":"$name@x"},"ts":$ts}"""
+
+  private def bucketFiles(dir: String): Map[String, Map[String, (Long, Long)]] = {
+    val root = new java.io.File(dir)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+      .map { b =>
+        b.getName -> b.listFiles().filter(_.isFile)
+          .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+      }.toMap
+  }
+
+  test("bucketed merge: cumulative state matches the full-rewrite path") {
+    import spark.implicits._
+    val whFull = Files.createTempDirectory("dim_full").toString
+    val whBkt = Files.createTempDirectory("dim_bkt").toString
+    val b1 = envelope((1 to 40).map(i => insertRow(i, s"u$i", 10)): _*)
+    val b2 = envelope(
+      """{"database":"g","table":"user_info","type":"update","data":{"id":"3","name":"u3-v2","email":"u3@x"},"ts":20}""",
+      """{"database":"g","table":"user_info","type":"delete","data":{"id":"7","name":"u7","email":"u7@x"},"ts":20}""",
+      insertRow(41, "u41", 20))
+    Seq(b1, b2).foreach { b =>
+      DimRouter.routeAndWrite(spark, b, configs, whFull)
+      DimRouter.routeAndWriteBucketed(spark, b, configs, whBkt, nBuckets = 8)
+    }
+    val full = spark.read.parquet(s"$whFull/dim_user_info")
+      .select($"id", $"name", $"email", $"_cdc_ts")
+      .as[(String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val bkt = DimRouter.readBucketedDim(spark, whBkt, "dim_user_info")
+      .select($"id", $"name", $"email", $"_cdc_ts")
+      .as[(String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(bkt == full, "bucketed merge state diverged from the full-rewrite path")
+    assert(full.size == 40) // 40 inserts + 1 insert - 1 delete
+  }
+
+  test("bucketed merge rewrites only the touched buckets (others byte-identical)") {
+    val wh = Files.createTempDirectory("dim_bkt_touch").toString
+    val n = 8
+    DimRouter.routeAndWriteBucketed(spark,
+      envelope((1 to 64).map(i => insertRow(i, s"u$i", 10)): _*),
+      configs, wh, nBuckets = n)
+    val table = s"$wh/dim_user_info"
+    val before = bucketFiles(table)
+    assert(before.size == n, s"expected all $n buckets populated, got ${before.keySet}")
+    // one updated PK → exactly one touched bucket
+    DimRouter.routeAndWriteBucketed(spark, envelope(
+      """{"database":"g","table":"user_info","type":"update","data":{"id":"5","name":"u5-v2","email":"u5@x"},"ts":20}"""),
+      configs, wh, nBuckets = n)
+    val after = bucketFiles(table)
+    val changed = before.keySet.filter(b => before(b) != after(b))
+    assert(changed.size == 1,
+      s"expected exactly 1 rewritten bucket, got $changed")
+    val untouched = before.keySet -- changed
+    untouched.foreach { b =>
+      assert(after(b) == before(b),
+        s"untouched bucket $b was rewritten (files/sizes/mtimes differ)")
+    }
+    // and the merge result is correct
+    import spark.implicits._
+    val state = DimRouter.readBucketedDim(spark, wh, "dim_user_info")
+      .select($"id", $"name").as[(String, String)].collect().toMap
+    assert(state("5") == "u5-v2" && state.size == 64)
+  }
+
+  test("bucketed merge: delete-then-reinsert in one batch; emptied bucket dir is removed") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("dim_bkt_del").toString
+    // nBuckets=1 would defeat the point; use 4 and delete every PK of one bucket
+    DimRouter.routeAndWriteBucketed(spark,
+      envelope((1 to 12).map(i => insertRow(i, s"u$i", 10)): _*),
+      configs, wh, nBuckets = 4)
+    val byBucket = DimRouter.readBucketedDim(spark, wh, "dim_user_info")
+      .withColumn("bkt", DimRouter.bucketOf(col("id"), 4))
+      .select($"bkt", $"id").as[(Int, String)].collect()
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).toSet }
+    val (victim, victims) = byBucket.head
+    val dels = victims.toSeq.map(id =>
+      s"""{"database":"g","table":"user_info","type":"delete","data":{"id":"$id"},"ts":20}""")
+    DimRouter.routeAndWriteBucketed(spark, envelope(
+      dels :+ """{"database":"g","table":"user_info","type":"delete","data":{"id":"1","name":"u1","email":"u1@x"},"ts":20}"""
+        :+ """{"database":"g","table":"user_info","type":"insert","data":{"id":"1","name":"u1-back","email":"u1@x"},"ts":21}""": _*),
+      configs, wh, nBuckets = 4)
+    val state = DimRouter.readBucketedDim(spark, wh, "dim_user_info")
+      .select($"id", $"name").as[(String, String)].collect().toMap
+    val expectGone = victims - "1"
+    assert(expectGone.forall(!state.contains(_)), s"deleted PKs survived: $state")
+    if (victims.contains("1")) assert(state("1") == "u1-back")
+    // fully-emptied bucket leaves no partition dir behind
+    val liveBkts = DimRouter.readBucketedDim(spark, wh, "dim_user_info")
+      .withColumn("bkt", DimRouter.bucketOf(col("id"), 4))
+      .select("bkt").distinct().as[Int].collect().toSet
+    val onDisk = new java.io.File(s"$wh/dim_user_info").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+      .map(_.getName.stripPrefix("bkt=").toInt).toSet
+    if (!liveBkts.contains(victim)) assert(!onDisk.contains(victim),
+      s"emptied bucket bkt=$victim still has a directory on disk")
+  }
+
+  test("bucketed merge: interrupted per-bucket swap is repaired, not reset") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("dim_bkt_crash").toString
+    DimRouter.routeAndWriteBucketed(spark,
+      envelope((1 to 16).map(i => insertRow(i, s"u$i", 10)): _*),
+      configs, wh, nBuckets = 4)
+    // simulate a crash between rename(dst, old) and rename(src, dst)
+    // for bucket 2: the aside dir holds the only copy of that bucket
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val table = s"$wh/dim_user_info"
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$table/bkt=2"),
+      new org.apache.hadoop.fs.Path(s"$table/.old-bkt-2")))
+    val preCount = 16
+    // next batch (touching a different PK) must first recover bkt=2
+    DimRouter.routeAndWriteBucketed(spark, envelope(insertRow(17, "u17", 20)),
+      configs, wh, nBuckets = 4)
+    val state = DimRouter.readBucketedDim(spark, wh, "dim_user_info")
+      .select("id").as[String].collect().toSet
+    assert(state == (1 to 17).map(_.toString).toSet,
+      s"recovered state lost rows: ${state.size}/$preCount+1")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$table/.old-bkt-2")))
+  }
+
   test("upsert prefers the update over existing on equal ts") {
     import spark.implicits._
     val existing = Seq(("1", "old", 5L)).toDF("id", "name", "_cdc_ts")
