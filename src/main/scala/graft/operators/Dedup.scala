@@ -121,8 +121,15 @@ object Dedup {
       .join(docs.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), Seq("doc_b"))
       .withColumn("edit_dist", levenshtein(col("pfx_a"), col("pfx_b")).cast(LongType))
-      .withColumn("prefix_sim", lit(1.0) - col("edit_dist").cast(DoubleType) /
-        greatest(length(col("pfx_a")), length(col("pfx_b"))).cast(DoubleType))
+      // Both prefixes empty ⇒ identical ⇒ similarity 1.0. Spark's x/0
+      // yields NULL while DuckDB (ieee_floating_point_ops) yields -inf,
+      // so the guard keeps the two engines aligned if a pair of
+      // empty-text docs ever reaches the verified set.
+      .withColumn("prefix_sim",
+        when(greatest(length(col("pfx_a")), length(col("pfx_b"))) > 0,
+          lit(1.0) - col("edit_dist").cast(DoubleType) /
+            greatest(length(col("pfx_a")), length(col("pfx_b"))).cast(DoubleType))
+          .otherwise(lit(1.0)))
       .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("prefix_sim"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -781,8 +788,10 @@ object Dedup {
         |)
         |SELECT v.doc_a, v.doc_b,
         |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist,
-        |  1.0 - CAST(levenshtein(a.pfx, b.pfx) AS DOUBLE)
-        |      / CAST(greatest(len(a.pfx), len(b.pfx)) AS DOUBLE) AS prefix_sim
+        |  CASE WHEN greatest(len(a.pfx), len(b.pfx)) > 0
+        |    THEN 1.0 - CAST(levenshtein(a.pfx, b.pfx) AS DOUBLE)
+        |      / CAST(greatest(len(a.pfx), len(b.pfx)) AS DOUBLE)
+        |    ELSE 1.0 END AS prefix_sim
         |FROM verified v
         |  JOIN pd a ON v.doc_a = a.doc_id
         |  JOIN pd b ON v.doc_b = b.doc_id

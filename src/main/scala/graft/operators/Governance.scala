@@ -103,26 +103,28 @@ object Governance {
 
   /** Column-level data profile of the orders table — the ANALYZE-style
     * report a warehouse publishes per snapshot: per column, null
-    * count, exact distinct count, lexicographic/numeric min and max
-    * (rendered as strings so one report covers every type). One pass
-    * per column batch; every aggregate partial-aggregates, nothing
-    * shuffles more than the final 1-row combine per column. */
+    * count, exact distinct count, and min/max computed on the NATIVE
+    * column type (numeric for numbers, chronological for dates) then
+    * rendered as strings so one report schema covers every type. One
+    * pass per column batch; every aggregate partial-aggregates,
+    * nothing shuffles more than the final 1-row combine per column. */
   def tableProfile(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    // doubles render differently across engines (scientific notation
-    // thresholds); money profiles through DECIMAL(18,2), whose string
-    // form is identical everywhere
-    def asStr(c: String) =
-      if (c == "o_totalprice") col(c).cast(DecimalType(18, 2)).cast("string")
-      else col(c).cast("string")
+    // min/max run on the typed column (so o_orderkey reports numeric
+    // extremes, not lexicographic ones) and only the RESULT is cast to
+    // string. Money profiles through DECIMAL(18,2), whose string form
+    // is identical across engines (doubles hit scientific-notation
+    // thresholds differently).
+    def native(c: String) =
+      if (c == "o_totalprice") col(c).cast(DecimalType(18, 2)) else col(c)
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
     cols.map { c =>
       o.agg(count(lit(1)).as("row_ct"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as("null_ct"),
           countDistinct(col(c)).as("distinct_ct"),
-          min(asStr(c)).as("min_str"),
-          max(asStr(c)).as("max_str"))
+          min(native(c)).cast("string").as("min_str"),
+          max(native(c)).cast("string").as("max_str"))
         .select(lit(c).as("column_name"), col("row_ct"), col("null_ct"),
           col("distinct_ct"), col("min_str"), col("max_str"))
     }.reduce(_ unionByName _).orderBy(col("column_name"))
@@ -137,7 +139,8 @@ object Governance {
     s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS row_ct,
        |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ct,
        |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS distinct_ct,
-       |  MIN($expr) AS min_str, MAX($expr) AS max_str
+       |  CAST(MIN($expr) AS VARCHAR) AS min_str,
+       |  CAST(MAX($expr) AS VARCHAR) AS max_str
        |FROM orders""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -167,12 +170,12 @@ object Governance {
         |SELECT fk_edge, child_rows, orphan_rows FROM r ORDER BY fk_edge""".stripMargin,
     "gov_table_profile" -> (
       "WITH r AS (\n" + Seq(
-        profileCol("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
-        profileCol("o_custkey", "CAST(o_custkey AS VARCHAR)"),
-        profileCol("o_orderstatus", "CAST(o_orderstatus AS VARCHAR)"),
-        profileCol("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
-        profileCol("o_orderdate", "CAST(o_orderdate AS VARCHAR)"),
-        profileCol("o_orderpriority", "CAST(o_orderpriority AS VARCHAR)"))
+        profileCol("o_orderkey", "o_orderkey"),
+        profileCol("o_custkey", "o_custkey"),
+        profileCol("o_orderstatus", "o_orderstatus"),
+        profileCol("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+        profileCol("o_orderdate", "o_orderdate"),
+        profileCol("o_orderpriority", "o_orderpriority"))
         .mkString("\nUNION ALL\n") +
       "\n)\nSELECT column_name, row_ct, null_ct, distinct_ct, min_str, max_str FROM r ORDER BY column_name"),
     "gov_erasure_report" ->

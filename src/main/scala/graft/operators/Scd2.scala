@@ -56,15 +56,18 @@ object Scd2 {
   val EndOfTime = "9999-12-31 00:00:00"
 
   /** SCD2 history of `order_info.order_status`: one row per
-    * (order_id, version), versions ordered by (`operate_time`, type) —
-    * the fixture's insert carries the order date, each status update
-    * the following day, and `'insert' < 'update'` breaks the tie if a
-    * source ever stamps both with one time. */
+    * (order_id, version), versions ordered by (`operate_time`, type,
+    * status) — the fixture's insert carries the order date, each status
+    * update the following day, `'insert' < 'update'` breaks the tie if
+    * a source ever stamps both with one time, and `order_status` is the
+    * final deterministic tiebreak for two updates sharing a timestamp
+    * (which would otherwise version-number nondeterministically and
+    * emit an empty [t,t) interval in arbitrary order). */
   def orderStatusHistoryOn(env: DataFrame): DataFrame = {
     // builds on versionEventsOn so the batch history and the streaming
     // maintenance path provably read the SAME projection
     val w = Window.partitionBy(col("order_id"))
-      .orderBy(col("valid_from"), col("typ"))
+      .orderBy(col("valid_from"), col("typ"), col("order_status"))
     versionEventsOn(env).toDF()
       .withColumn("version_num", row_number().over(w).cast(LongType))
       .withColumn("valid_to",
@@ -178,7 +181,7 @@ object Scd2 {
     events.groupByKey(_.order_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (oid: Long, it: Iterator[VersionEvent], state: GroupState[LastVersion]) =>
-          val sorted = it.toSeq.sortBy(e => (e.valid_from, e.typ))
+          val sorted = it.toSeq.sortBy(e => (e.valid_from, e.typ, e.order_status))
           var last = state.getOption.orNull
           val out = Seq.newBuilder[VersionRow]
           sorted.foreach { e =>
@@ -219,8 +222,8 @@ object Scd2 {
        |  FROM orders WHERE o_orderkey % 20 IN (3,7,13,17)
        |), hist AS (
        |  SELECT order_id, user_id, order_status, valid_from,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY order_id ORDER BY valid_from, typ) AS BIGINT) AS version_num,
-       |    COALESCE(LEAD(valid_from) OVER (PARTITION BY order_id ORDER BY valid_from, typ),
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY order_id ORDER BY valid_from, typ, order_status) AS BIGINT) AS version_num,
+       |    COALESCE(LEAD(valid_from) OVER (PARTITION BY order_id ORDER BY valid_from, typ, order_status),
        |             '$EndOfTime') AS valid_to
        |  FROM v
        |)""".stripMargin

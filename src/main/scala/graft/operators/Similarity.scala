@@ -523,8 +523,9 @@ object Similarity {
     * corpus scale generate candidates with [[annLsh]]'s bucketed probe
     * and apply the same label/threshold filter before the per-query
     * rank. */
-  def hardNegatives(spark: SparkSession, dir: String, nQueries: Int = 32,
-                    k: Int = 5, dupThreshold: Double = 0.9): DataFrame = {
+  def hardNegatives(spark: SparkSession, dir: String,
+                    nQueries: Int = HardNegQueries, k: Int = HardNegK,
+                    dupThreshold: Double = HardNegDupThreshold): DataFrame = {
     val e = Tables.spread(spark, Tables.embeddings(spark, dir))
     val v = quantized(spark, dir)
       .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
@@ -549,6 +550,13 @@ object Similarity {
         col("neighbor_label"), col("sim"))
       .orderBy(col("query_id"), col("rk"))
   }
+
+  /** [[hardNegatives]] defaults, interpolated into the registered
+    * oracle SQL below so the engine and oracle constants cannot drift
+    * (the Search module's SearchQueries pattern). */
+  val HardNegQueries = 32
+  val HardNegK = 5
+  val HardNegDupThreshold = 0.9
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_embedding_stats" -> ((s, d) => embeddingStats(s, d)),
@@ -771,24 +779,24 @@ object Similarity {
         |SELECT query_id, rk, neighbor_id, sim FROM ranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin),
     "sim_hard_negatives" -> (s"WITH $quantCte\n" +
-      """, lab AS (
+      s""", lab AS (
         |  SELECT vec_id, label FROM embeddings
         |), scored AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |    lb.label AS neighbor_label,
         |    CAST(CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS BIGINT) AS DOUBLE)
         |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS sim
-        |  FROM qn a JOIN qn b ON a.vec_id < 32 AND a.vec_id <> b.vec_id
+        |  FROM qn a JOIN qn b ON a.vec_id < $HardNegQueries AND a.vec_id <> b.vec_id
         |  JOIN lab la ON la.vec_id = a.vec_id
         |  JOIN lab lb ON lb.vec_id = b.vec_id
         |  WHERE la.label <> lb.label
         |), ranked AS (
         |  SELECT query_id, neighbor_id, neighbor_label, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
-        |  FROM scored WHERE sim < 0.9
+        |  FROM scored WHERE sim < $HardNegDupThreshold
         |)
         |SELECT query_id, rk, neighbor_id, neighbor_label, sim
-        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin),
+        |FROM ranked WHERE rk <= $HardNegK ORDER BY query_id, rk""".stripMargin),
     "sim_neardup_pairs" -> (s"WITH $quantCte\n" +
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  CAST(CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS BIGINT) AS DOUBLE)
