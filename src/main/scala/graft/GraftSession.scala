@@ -23,9 +23,11 @@ object GraftSession {
       // (the P1 quarantine contract) and wrapping long arithmetic (hash
       // mixing in minhash/simhash signatures).
       .config("spark.sql.ansi.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects;
-      // read it as a long session-wide (Tables.events converts to
-      // micros). Set here, not as a read side effect in Tables.
+      // Older driver-generated events.parquet carried TIMESTAMP(NANOS),
+      // which Spark 4 rejects; reading it as a long lets Tables.events
+      // convert it. Harmless for the current TIMESTAMP(MICROS) data —
+      // kept so either vintage of testdata loads. Set here, not as a
+      // read side effect in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -25,19 +25,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects outright. The session reads it as a long
-    * (`spark.sql.legacy.parquet.nanosAsLong`, set once in
-    * `GraftSession.builder` — not here, so reading `events` never
-    * mutates session conf under concurrent readers) and this loader
-    * converts to TimestampType by integer-dividing to micros — the
-    * same truncation DuckDB applies, so oracle comparisons agree to
-    * the microsecond.
+  /** `events.ts` has been written by the driver as both parquet
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS)/NTZ across regenerations,
+    * so this loader branches on the READ schema rather than assuming
+    * either encoding:
+    *   - NANOS: Spark 4 rejects it natively; the session reads it as a
+    *     long (`spark.sql.legacy.parquet.nanosAsLong`, set once in
+    *     `GraftSession.builder`) and we integer-divide to micros — the
+    *     same truncation DuckDB applies.
+    *   - MICROS (isAdjustedToUTC=false → TimestampNTZType): cast to the
+    *     session-TZ TimestampType the oracles expect; the session TZ is
+    *     pinned UTC (`GraftSession.scala:21`) so the wall-clock value is
+    *     preserved exactly.
+    * Either way callers always see `ts: TimestampType` — pinned by
+    * TablesSpec so the next driver-side regeneration fails in ONE test
+    * with a clear message instead of 34 downstream analysis errors.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unexpected type $other — extend Tables.events for the new encoding")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
