@@ -122,9 +122,9 @@ object Dedup {
       .join(docs.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), Seq("doc_b"))
       .withColumn("edit_dist", levenshtein(col("pfx_a"), col("pfx_b")).cast(LongType))
       // Both prefixes empty ⇒ identical ⇒ similarity 1.0. Spark's x/0
-      // yields NULL while DuckDB (ieee_floating_point_ops) yields -inf,
-      // so the guard keeps the two engines aligned if a pair of
-      // empty-text docs ever reaches the verified set.
+      // yields NULL while DuckDB's ieee_floating_point_ops yields NaN
+      // for 0/0; the guard pins both engines to 1.0 for identical
+      // empty prefixes.
       .withColumn("prefix_sim",
         when(greatest(length(col("pfx_a")), length(col("pfx_b"))) > 0,
           lit(1.0) - col("edit_dist").cast(DoubleType) /
