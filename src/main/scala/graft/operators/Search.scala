@@ -44,15 +44,20 @@ import graft.sources.Tables
   */
 object Search {
 
-  /** Fixed retrieval workload: queries over the corpus vocabulary.
-    * Literal in both the engine plan and the DuckDB oracle. */
-  private[graft] val SearchQueries: Seq[(String, String)] = Seq(
-    "q1" -> "spark window agg",
-    "q2" -> "hash join merge",
-    "q3" -> "stream batch vector",
-    // q4 repeats a term on purpose: pins the dedupe-before-scoring
-    // contract (a repeated query term scores once) in every gate
-    "q4" -> "batch batch scan")
+  /** Workload GEOMETRY: which document-frequency ranks compose each
+    * retrieval query — a literal constant like `k` or [[CmsWidth]].
+    * The TERMS are data: ranked out of the corpus's own term-df frame
+    * (`ORDER BY dfv DESC, term`), so the workload travels with the
+    * dataset and the DuckDB oracle rebuilds the identical queries from
+    * the same parquet (r9 ask #2 / r10 task #3 — no query literals).
+    * q4 maps two slots to the same rank on purpose: whatever term the
+    * corpus puts there arrives repeated, pinning the
+    * dedupe-before-scoring contract in every gate. */
+  private[graft] val WorkloadSlots: Seq[(String, Int, Int)] = Seq(
+    ("q1", 0, 4), ("q1", 1, 6), ("q1", 2, 8),
+    ("q2", 0, 5), ("q2", 1, 9), ("q2", 2, 12),
+    ("q3", 0, 7), ("q3", 1, 10), ("q3", 2, 11),
+    ("q4", 0, 13), ("q4", 1, 13), ("q4", 2, 14))
 
   /** BM25 constants (Lucene defaults), written as the same literals in
     * engine and oracle so constant parsing is identical. */
@@ -158,6 +163,76 @@ object Search {
     (tf, tdf, stats)
   }
 
+  /** The (qid, qtext) retrieval workload derived from the corpus:
+    * terms at the fixed df-ranks of [[WorkloadSlots]], concatenated in
+    * slot order. The rank window is global but runs over the
+    * vocabulary-sized term-df frame — never corpus-sized — and the
+    * 12-row slot mapping broadcasts, so the whole derivation is one
+    * vocabulary shuffle at any scale. */
+  private[graft] def searchWorkloadOn(tdf: DataFrame): DataFrame = {
+    val spark = tdf.sparkSession
+    import spark.implicits._
+    tdf.withColumn("rnk",
+        row_number().over(Window.orderBy(col("dfv").desc, col("term"))))
+      .join(broadcast(WorkloadSlots.toDF("qid", "slot", "rnk")), Seq("rnk"))
+      .groupBy(col("qid"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("slot"), col("term")))),
+        x => x.getField("term"))).as("qtext"))
+  }
+
+  def searchWorkload(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "search_workload_q")(
+      searchWorkloadOn(indexFrames(spark, dir)._2))
+
+  /** Phrase workload, also corpus-derived: p1/p2 are the two most
+    * frequent bigrams (`ORDER BY ct DESC, bigram`); p3 repeats the
+    * most frequent equal-token bigram's token — a repeated phrase slot
+    * with corpus-guaranteed occurrences, so the repeated-term join
+    * path is exercised on real data every round (overlap counting
+    * itself is pinned by SearchSpec's explicit fixture). */
+  private[graft] def phraseWorkloadOn(bigramCts: DataFrame): DataFrame = {
+    val top = bigramCts
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("bigram_ct").desc, col("bigram"))))
+      .filter(col("rnk") <= 2)
+      .select(concat(lit("p"), col("rnk")).as("pid"), col("bigram").as("ptext"))
+    val eq = bigramCts
+      .withColumn("w", split(col("bigram"), " ").getItem(0))
+      .filter(col("w") === split(col("bigram"), " ").getItem(1))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("bigram_ct").desc, col("bigram"))))
+      .filter(col("rnk") === 1)
+      .select(lit("p3").as("pid"), concat_ws(" ", col("w"), col("w")).as("ptext"))
+    top.unionByName(eq)
+  }
+
+  private[graft] def bigramCounts(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "search_bigram_ct")(
+      bigramMemo(spark, dir).groupBy(col("bigram"))
+        .agg(count(lit(1)).as("bigram_ct")))
+
+  def phraseWorkload(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "search_workload_p")(
+      phraseWorkloadOn(bigramCounts(spark, dir)))
+
+  /** The workload itself as a hash-verified table: if the engine's
+    * derivation ever drifts from the oracle's, THIS query fails in
+    * isolation, pinpointing the drift before any retrieval diff. */
+  def workloadTable(spark: SparkSession, dir: String): DataFrame =
+    searchWorkload(spark, dir)
+      .select(lit("q").as("kind"), col("qid"), col("qtext"))
+      .unionByName(phraseWorkload(spark, dir)
+        .select(lit("p").as("kind"), col("pid").as("qid"), col("ptext").as("qtext")))
+      .orderBy(col("kind"), col("qid"))
+
+  /** Driver-side view of the workloads for spec recomputations (rows
+    * are query-count-sized — 4 and 3). */
+  private[graft] def searchWorkloadSeq(spark: SparkSession, dir: String): Seq[(String, String)] =
+    searchWorkload(spark, dir).collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+  private[graft] def phraseWorkloadSeq(spark: SparkSession, dir: String): Seq[(String, String)] =
+    phraseWorkload(spark, dir).collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+
   /** Docs-per-salt-class for the two-phase top-k. */
   private val SaltBuckets = 32
 
@@ -182,8 +257,7 @@ object Search {
   private def bm25Memo(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "search_bm25_scored") {
       val (tf, tdf, stats) = indexFrames(spark, dir)
-      import spark.implicits._
-      bm25ServeOn(SearchQueries.toDF("qid", "qtext"), tf, tdf, stats)
+      bm25ServeOn(searchWorkload(spark, dir), tf, tdf, stats)
     }
 
   def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
@@ -262,14 +336,6 @@ object Search {
   // Exact phrase search (positional inverted index)
   // ---------------------------------------------------------------
 
-  /** Fixed phrase workload — p3 repeats a token so overlapping
-    * occurrences ("batch batch batch batch" holds two of them) are
-    * exercised, not just assumed. */
-  private[graft] val PhraseQueries: Seq[(String, String)] = Seq(
-    "p1" -> "table scan",
-    "p2" -> "sort merge",
-    "p3" -> "batch batch batch")
-
   /** Exact phrase occurrences via the positional-index join: a token
     * at position `pos` matching phrase slot `idx` votes for a match
     * starting at `pos − idx`; a start position with all `plen` slots
@@ -290,10 +356,19 @@ object Search {
                                                phrases: Seq[(String, String)]): DataFrame = {
     val spark = tok.sparkSession
     import spark.implicits._
-    val pterms = phrases.toDF("pid", "ptext")
+    phraseOccurrencesOnTokensDF(tok, phrases.toDF("pid", "ptext"))
+  }
+
+  /** Phrase matching against a FRAME of phrases — the data-driven
+    * workload path: the (tiny) phrase side explodes to (pid, idx,
+    * term) slots and broadcasts; lengths come from the frame itself so
+    * a streaming or derived phrase set needs no driver round trip. */
+  private[graft] def phraseOccurrencesOnTokensDF(tok: DataFrame,
+                                                 pdf: DataFrame): DataFrame = {
+    val pterms = pdf
       .select(col("pid"), posexplode(split(col("ptext"), " ")).as(Seq("idx", "term")))
-    val plens = phrases.map { case (pid, t) => (pid, t.split(" ").length.toLong) }
-      .toDF("pid", "plen")
+    val plens = pdf
+      .select(col("pid"), size(split(col("ptext"), " ")).cast(LongType).as("plen"))
     tok.join(broadcast(pterms), col("token") === col("term"))
       .select(col("pid"), col("doc_id"), (col("pos") - col("idx")).as("start"))
       .groupBy(col("pid"), col("doc_id"), col("start"))
@@ -309,7 +384,8 @@ object Search {
   def phraseSearch(spark: SparkSession, dir: String): DataFrame =
     // reads the memoized positioned-token frame the LM paths share —
     // one tokenize pass per (session, dir) across curation AND search
-    phraseOccurrencesOnTokens(Curation.tokensShared(spark, dir), PhraseQueries)
+    phraseOccurrencesOnTokensDF(Curation.tokensShared(spark, dir),
+      phraseWorkload(spark, dir))
 
   // ---------------------------------------------------------------
   // Sketch-guided heavy hitters (frequent collocations)
@@ -372,6 +448,7 @@ object Search {
   // ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_workload" -> ((s, d) => workloadTable(s, d)),
     "search_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "search_hybrid_rerank" -> ((s, d) => hybridRerank(s, d)),
     "search_phrase" -> ((s, d) => phraseSearch(s, d)),
@@ -382,8 +459,54 @@ object Search {
   // DuckDB oracles
   // ---------------------------------------------------------------
 
-  private def queryValues: String =
-    SearchQueries.map { case (qid, text) => s"('$qid', '$text')" }.mkString(", ")
+  /** CTEs rebuilding the data-driven query workload from the same
+    * parquet the engine reads: tokenize, per-term document frequency,
+    * rank by (dfv DESC, term), join the literal slot geometry, and
+    * string_agg in slot order — ending in `q(qid, qtext)`. Mirrors
+    * [[searchWorkloadOn]] decision for decision. */
+  private def workloadCtes: String = {
+    val slotValues = WorkloadSlots
+      .map { case (q, s, r) => s"('$q', $s, $r)" }.mkString(", ")
+    s"""dd AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dd
+       |), tok AS (
+       |  SELECT doc_id, dl, unnest(toks) AS token FROM dd
+       |), vdf AS (
+       |  SELECT token AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfv FROM tok GROUP BY 1
+       |), vrank AS (
+       |  SELECT term, row_number() OVER (ORDER BY dfv DESC, term) AS rnk FROM vdf
+       |), wls(wqid, wslot, wrnk) AS (VALUES $slotValues),
+       |q AS (
+       |  SELECT wqid AS qid, string_agg(term, ' ' ORDER BY wslot, term) AS qtext
+       |  FROM vrank JOIN wls ON vrank.rnk = wls.wrnk GROUP BY 1
+       |)""".stripMargin
+  }
+
+  /** CTEs rebuilding the phrase workload — ending in `p(pid, ptext)`.
+    * Mirrors [[phraseWorkloadOn]]: top-2 bigrams by (ct DESC, bigram),
+    * plus the top equal-token bigram's token repeated as p3. */
+  private def phraseWorkloadCtes: String =
+    """pdd AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
+      |pbg AS (
+      |  SELECT ts[i] || ' ' || ts[i + 1] AS bigram, ts[i] AS w1, ts[i + 1] AS w2
+      |  FROM pdd, unnest(range(1, len(ts))) AS u(i)
+      |), pbc AS (
+      |  SELECT bigram, MIN(w1) AS w1, MIN(w2) AS w2, CAST(COUNT(*) AS BIGINT) AS ct
+      |  FROM pbg GROUP BY 1
+      |), ptop AS (
+      |  SELECT bigram, row_number() OVER (ORDER BY ct DESC, bigram) AS rnk FROM pbc
+      |), peq AS (
+      |  SELECT w1 AS w, row_number() OVER (ORDER BY ct DESC, bigram) AS rnk
+      |  FROM pbc WHERE w1 = w2
+      |), p(pid, ptext) AS (
+      |  SELECT 'p' || CAST(rnk AS VARCHAR), bigram FROM ptop WHERE rnk <= 2
+      |  UNION ALL
+      |  SELECT 'p3', w || ' ' || w FROM peq WHERE rnk = 1
+      |)""".stripMargin
 
   /** The BM25 CTE chain, ending in ranked rows `r(qid, rk, doc_id,
     * score_fp, matched_terms)` — shared by the top-k and hybrid
@@ -392,17 +515,9 @@ object Search {
   private def bm25Ctes: String = {
     val idf = duckDetLn(
       "(1.0 + (CAST(n_docs AS DOUBLE) - CAST(dfv AS DOUBLE) + 0.5) / (CAST(dfv AS DOUBLE) + 0.5))")
-    s"""q(qid, qtext) AS (VALUES $queryValues),
+    s"""$workloadCtes,
        |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS term FROM q),
-       |dd AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
-       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
-       |  FROM documents
-       |), stats AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dd
-       |), tok AS (
-       |  SELECT doc_id, dl, unnest(toks) AS token FROM dd
-       |), tfm AS (
+       |tfm AS (
        |  SELECT qt.qid, qt.term, tok.doc_id, tok.dl, CAST(COUNT(*) AS BIGINT) AS tf
        |  FROM tok JOIN qt ON tok.token = qt.term
        |  GROUP BY 1, 2, 3, 4
@@ -451,10 +566,16 @@ object Search {
            |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS INTEGER) AS rk,
            |  doc_id, score_fp, sim
            |FROM sc2 ORDER BY qid, rk""".stripMargin),
+    "search_workload" ->
+      s"""WITH $workloadCtes,
+         |$phraseWorkloadCtes
+         |SELECT * FROM (
+         |  SELECT 'q' AS kind, qid, qtext FROM q
+         |  UNION ALL
+         |  SELECT 'p' AS kind, pid AS qid, ptext AS qtext FROM p
+         |) ORDER BY kind, qid""".stripMargin,
     "search_phrase" -> {
-      val phraseValues = PhraseQueries
-        .map { case (pid, t) => s"('$pid', '$t')" }.mkString(", ")
-      s"""WITH p(pid, ptext) AS (VALUES $phraseValues),
+      s"""WITH $phraseWorkloadCtes,
          |pt AS (
          |  SELECT pid, i - 1 AS idx, ts[i] AS term
          |  FROM (SELECT pid, string_split(ptext, ' ') AS ts FROM p),

@@ -553,7 +553,7 @@ object Similarity {
 
   /** [[hardNegatives]] defaults, interpolated into the registered
     * oracle SQL below so the engine and oracle constants cannot drift
-    * (the Search module's SearchQueries pattern). */
+    * (the Search module's WorkloadSlots pattern). */
   val HardNegQueries = 32
   val HardNegK = 5
   val HardNegDupThreshold = 0.9

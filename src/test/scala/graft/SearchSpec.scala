@@ -85,10 +85,30 @@ class SearchSpec extends AnyFunSuite {
     assert(hh.length < exactAll.size)
   }
 
+  test("derived workload: 4 queries x 3 slots, q4 repeats a term, p3 repeats a token") {
+    val wl = Search.searchWorkloadSeq(spark, sf).toMap
+    assert(wl.keySet == Set("q1", "q2", "q3", "q4"))
+    wl.values.foreach(t => assert(t.split(" ").length == 3, s"bad qtext: $t"))
+    // the rank-13 double slot must arrive as a literal repetition —
+    // the dedupe-before-scoring contract needs a real duplicate
+    val q4 = wl("q4").split(" ")
+    assert(q4.toSet.size == 2 && q4(0) == q4(1), s"q4 not repeated: ${wl("q4")}")
+    val pw = Search.phraseWorkloadSeq(spark, sf).toMap
+    assert(pw.keySet == Set("p1", "p2", "p3"))
+    val p3 = pw("p3").split(" ")
+    assert(p3.length == 2 && p3(0) == p3(1), s"p3 not an equal-token phrase: ${pw("p3")}")
+    // every phrase must actually occur in the corpus (the derivation's
+    // point: no dead queries, at any sf)
+    import spark.implicits._
+    val hits = Search.phraseSearch(spark, sf)
+      .select("pid").distinct().as[String].collect().toSet
+    assert(hits == pw.keySet, s"phrases with no occurrences: ${pw.keySet -- hits}")
+  }
+
   test("two-phase top-k equals single-window top-k") {
     import spark.implicits._
     val scored = Search.bm25ScoredOn(
-      graft.sources.Tables.documents(spark, sf), Search.SearchQueries)
+      graft.sources.Tables.documents(spark, sf), Search.searchWorkloadSeq(spark, sf))
     import org.apache.spark.sql.expressions.Window
     val single = scored.withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("score_fp").desc, col("doc_id"))))
@@ -128,10 +148,11 @@ class SearchSpec extends AnyFunSuite {
       }
       (fps.sum, matched.size.toLong)
     }
-    val got = Search.bm25ScoredOn(docs, Search.SearchQueries)
+    val workload = Search.searchWorkloadSeq(spark, sf)
+    val got = Search.bm25ScoredOn(docs, workload)
       .as[(String, Long, Long, Long)].collect()
     assert(got.nonEmpty)
-    val byQid = Search.SearchQueries.toMap
+    val byQid = workload.toMap
     got.foreach { case (qid, docId, scoreFp, mt) =>
       val (expFp, expMt) = expectedScore(byQid(qid).split(" ").toSeq, corpus(docId))
       assert(scoreFp == expFp && mt == expMt,
@@ -158,11 +179,12 @@ class SearchSpec extends AnyFunSuite {
     val docs = graft.sources.Tables.documents(spark, sf)
     val corpus = docs.select("doc_id", "text").as[(Long, String)].collect()
       .map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toVector }.toMap
-    val got = Search.phraseOccurrencesOn(docs, Search.PhraseQueries)
+    val phrases = Search.phraseWorkloadSeq(spark, sf)
+    val got = Search.phraseOccurrencesOn(docs, phrases)
       .as[(String, Long, Long, Long)].collect()
     assert(got.nonEmpty)
     val expected = (for {
-      (pid, ptext) <- Search.PhraseQueries
+      (pid, ptext) <- phrases
       p = ptext.split(" ").toVector
       (id, toks) <- corpus
       starts = (0 to toks.size - p.size).filter(i => toks.slice(i, i + p.size) == p)
@@ -248,17 +270,20 @@ class SearchSpec extends AnyFunSuite {
     // the retrieval-serving shape; at rest it must equal the batch
     // scoring of the same query set
     val (tf, tdf, stats) = Search.indexFrames(spark, sf)
+    // the SAME data-driven workload table the batch tier serves,
+    // arriving online (r10 task #3's streaming leg)
+    val workload = Search.searchWorkloadSeq(spark, sf)
     val mem = MemoryStream[(String, String)](spark)
     val served = Search.bm25ServeOn(mem.toDF().toDF("qid", "qtext"), tf, tdf, stats)
     val q = served.writeStream.format("memory").queryName("bm25_serve_stream")
       .outputMode(OutputMode.Complete).start()
     try {
-      mem.addData(Search.SearchQueries.take(2)); q.processAllAvailable()
-      mem.addData(Search.SearchQueries.drop(2)); q.processAllAvailable()
+      mem.addData(workload.take(2)); q.processAllAvailable()
+      mem.addData(workload.drop(2)); q.processAllAvailable()
       val got = spark.table("bm25_serve_stream")
         .as[(String, Long, Long, Long)].collect().toSet
       val want = Search.bm25ScoredOn(
-          graft.sources.Tables.documents(spark, sf), Search.SearchQueries)
+          graft.sources.Tables.documents(spark, sf), workload)
         .as[(String, Long, Long, Long)].collect().toSet
       assert(got.nonEmpty && got == want,
         "streamed BM25 scores diverge from batch scores")
