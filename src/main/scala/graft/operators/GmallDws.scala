@@ -171,19 +171,26 @@ object GmallDws {
     * (ADVICE r7). */
   def tradeProvinceOrderCdc(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "dws.tradeProvinceOrderCdc") {
-      val latest = GmallDwdDb.tradeOrderDetailWide(spark, dir)
-        .withColumn("drn", row_number().over(
-          Window.partitionBy(col("order_detail_id")).orderBy(
-            col("type").desc, col("operate_time").desc, col("order_status").desc)))
-        .filter(col("drn") === 1)
-      dtStt(latest
-          .withColumn("dt", substring(col("order_create_time"), 1, 10))
-          .groupBy(col("dt"), col("province_id"))
-          .agg(countDistinct(col("order_id")).as("order_count"),
-            sum(col("split_total_amount").cast(DecimalType(18, 4))).as("order_amount")))
-        .select(col("stt"), col("edt"), col("province_id"),
-          col("order_count"), col("order_amount"))
+      tradeProvinceOrderCdcOn(GmallDwdDb.tradeOrderDetailWide(spark, dir))
     }
+
+  /** The same DWS computation over ANY wide frame — the form the
+    * ODS→ADS integration drives against a STREAMED dwd parquet store
+    * (OdsToAdsSpec), so the layer stack runs exactly this code. */
+  def tradeProvinceOrderCdcOn(wide: DataFrame): DataFrame = {
+    val latest = wide
+      .withColumn("drn", row_number().over(
+        Window.partitionBy(col("order_detail_id")).orderBy(
+          col("type").desc, col("operate_time").desc, col("order_status").desc)))
+      .filter(col("drn") === 1)
+    dtStt(latest
+        .withColumn("dt", substring(col("order_create_time"), 1, 10))
+        .groupBy(col("dt"), col("province_id"))
+        .agg(countDistinct(col("order_id")).as("order_count"),
+          sum(col("split_total_amount").cast(DecimalType(18, 4))).as("order_amount")))
+      .select(col("stt"), col("edt"), col("province_id"),
+        col("order_count"), col("order_amount"))
+  }
 
   /** W2/J4: trademark×category×user×spu order window (DECIMAL amount). */
   def tradeTmCatUserSpuOrder(spark: SparkSession, dir: String): DataFrame =

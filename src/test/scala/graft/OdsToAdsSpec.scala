@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.Try
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GmallDwd, GmallDwdDb, GmallDws}
+import graft.streaming.LogStream
+
+/** The reference's FULL topology as ONE streaming run per pipeline
+  * (SURVEY.md §0: ODS topics → DWD → DWS store → ADS queries), r9 ask
+  * #4 / r10 task #4:
+  *
+  *   - trade leg: `topic_db` file stream → Maxwell envelope → the
+  *     flagship stream-stream 5-table join (J1/J2/J3) appending a DWD
+  *     parquet store → per micro-batch, the DWS province aggregate
+  *     (`GmallDws.tradeProvinceOrderCdcOn` — production code, not a
+  *     test re-implementation) overwrites a DWS parquet store (the K4
+  *     foreachBatch sink analog) → an ADS query reads the DWS store
+  *     per micro-batch (the K5 mapper analog);
+  *   - traffic leg: `topic_log` file stream → P1 parse/clean → P10/M3
+  *     five-way split appending DWD branch parquet → per micro-batch
+  *     page/display DWS overwrite → a J7-shaped ADS read.
+  *
+  * Each leg is fed file-by-file (one micro-batch per ODS file, in
+  * event-time order — the Kafka-arrival analog), and the FINAL frames
+  * of every layer must equal the one-shot batch computation over the
+  * same ODS text. Per-batch DWS recompute is O(accumulated) here; at
+  * scale the store update is the bucketed DIM merge / incremental
+  * path — this spec pins layer SEMANTICS, not the store's write
+  * amplification.
+  */
+class OdsToAdsSpec extends AnyFunSuite {
+  import TestSession._
+
+  /** Write `lines` as `n` sequential chunk files (event-time-sorted
+    * input ⇒ each file is a later time slice, like a CDC topic). */
+  private def writeChunks(dir: String, lines: Seq[String], n: Int): Seq[java.nio.file.Path] = {
+    val per = math.max(1, math.ceil(lines.size / n.toDouble).toInt)
+    lines.grouped(per).zipWithIndex.map { case (chunk, i) =>
+      Files.write(Paths.get(dir, f"batch-$i%03d.jsonl"),
+        chunk.mkString("\n").getBytes("UTF-8"))
+    }.toSeq
+  }
+
+  private def tsOf(line: String): Long =
+    """"ts":\s*(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
+
+  // sentinel envelopes (GmallDwdDbSpec's flush pattern): od+oi pairs
+  // that JOIN (so they ride through the 2-deep chain and advance every
+  // branch's watermark) plus oa/oc rows, all far past the real data
+  private def sentinelLines(round: Int, t: Long): Seq[String] = Seq(
+    s"""{"database":"g","table":"order_detail","type":"insert","data":{"id":"zsd$round","order_id":"zso$round","sku_id":"7","sku_name":"s","order_price":"1.00","sku_num":"1","create_time":"2099-01-01 00:00:00","source_type":"2401","source_id":"3","split_total_amount":"1.00","split_activity_amount":"0.00","split_coupon_amount":"0.00"},"ts":$t}""",
+    s"""{"database":"g","table":"order_info","type":"insert","data":{"id":"zso$round","consignee":"n","total_amount":"1.00","order_status":"1001","user_id":"1","province_id":"1","operate_time":"2099-01-01 00:00:00","original_total_amount":"1.00","activity_reduce_amount":"0.00","coupon_reduce_amount":"0.00"},"ts":$t}""",
+    s"""{"database":"g","table":"order_detail_activity","type":"insert","data":{"order_detail_id":"zsx$round","activity_id":"5","activity_rule_id":"8","create_time":"2099-01-01 00:00:00"},"ts":$t}""",
+    s"""{"database":"g","table":"order_detail_coupon","type":"insert","data":{"order_detail_id":"zsy$round","coupon_id":"9","coupon_use_id":"c","create_time":"2099-01-01 00:00:00"},"ts":$t}""")
+
+  private def notSentinel = !col("order_detail_id").startsWith("zsd")
+
+  test("trade leg: topic_db stream -> DWD join parquet -> DWS parquet -> ADS == batch") {
+    import spark.implicits._
+    val odsDir = Files.createTempDirectory("ods_db").toString
+    val dwdDir = Files.createTempDirectory("dwd_trade").toString + "/wide"
+    val dwsDir = Files.createTempDirectory("dws_trade").toString + "/province"
+
+    // ODS: the driver fixture's CDC lines in event-time order, 3 files
+    val lines = GmallDwdDb.envelopeJson(spark, sf)
+      .as[String].collect().toSeq.sortBy(tsOf)
+    val maxTs = tsOf(lines.last)
+    writeChunks(odsDir, lines, 3)
+
+    val dic = GmallDwdDb.baseDic(spark)
+    val adsSnapshots = ArrayBuffer.empty[Set[String]]
+    def adsProvince(dws: DataFrame): DataFrame = dws
+      .groupBy(substring(col("stt"), 1, 10).as("dt"))
+      .agg(sum(col("order_count")).as("order_ct"),
+        sum(col("order_amount")).cast("double").as("order_amount"))
+
+    // The fixture derives od event times from l_shipdate but oi times
+    // from o_orderdate, and the driver's synthetic generator draws the
+    // two INDEPENDENTLY over 1992–2000 (measured od−oi gaps span ±6.7
+    // years — no TPC-H ship-lag invariant), so the reference's 3-day
+    // CDC TTL can never pair them. Real CDC envelopes of one order
+    // arrive within seconds (the tight-TTL behavior is pinned by
+    // GmallDwdDbSpec's controlled fixture); here the bound is widened
+    // past the fixture's full spread so the streamed result is the
+    // batch join, which is what the layer-equality gates need.
+    val fixtureBound = 400_000_000L // ~12.7 years > the ±6.7-year gap spread
+    val wide = GmallDwdDb.tradeOrderDetailStreamOn(
+      LogStream.maxwellEnvelope(
+        spark.readStream.option("maxFilesPerTrigger", "1").text(odsDir)), dic,
+      boundSec = fixtureBound)
+    val q = wide.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(dwdDir) // DWD layer
+        Try(spark.read.parquet(dwdDir)).foreach { acc =>
+          GmallDws.tradeProvinceOrderCdcOn(acc.filter(notSentinel))
+            .write.mode("overwrite").parquet(dwsDir) // DWS layer (K4)
+          adsSnapshots += adsProvince(spark.read.parquet(dwsDir)) // ADS (K5)
+            .collect().map(_.toString).toSet
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // flush outer-join state: one sentinel file per round, three
+      // rounds to propagate the watermark through the 2-deep chain
+      (1 to 3).foreach { r =>
+        Files.write(Paths.get(odsDir, f"sentinel-$r.jsonl"),
+          sentinelLines(r, maxTs + r * 3 * fixtureBound).mkString("\n").getBytes("UTF-8"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // batch oracle over the SAME ODS lines (pre-sentinel), layer by layer
+    val benv = LogStream.maxwellEnvelope(lines.toDF("value"))
+    val batchWide = GmallDwdDb.tradeOrderDetailWideOn(
+      GmallDwdDb.orderDetailSliceOn(benv), GmallDwdDb.orderInfoSliceOn(benv),
+      GmallDwdDb.activitySliceOn(benv), GmallDwdDb.couponSliceOn(benv), dic)
+      .drop("pt", "old")
+    val cols = batchWide.columns.sorted.toSeq
+
+    val gotWide = spark.read.parquet(dwdDir).filter(notSentinel)
+    assert(gotWide.columns.sorted.toSeq == cols,
+      s"streamed DWD columns ${gotWide.columns.sorted.toSeq} != batch $cols")
+    val gw = gotWide.select(cols.map(col): _*).collect().map(_.toString).toSet
+    val bw = batchWide.select(cols.map(col): _*).collect().map(_.toString).toSet
+    assert(bw.nonEmpty && gw == bw,
+      s"streamed DWD store diverged from batch (got ${gw.size}, want ${bw.size})")
+
+    val gotDws = spark.read.parquet(dwsDir).collect().map(_.toString).toSet
+    val wantDws = GmallDws.tradeProvinceOrderCdcOn(batchWide)
+      .collect().map(_.toString).toSet
+    assert(wantDws.nonEmpty && gotDws == wantDws, "final DWS store diverged from batch")
+
+    assert(adsSnapshots.size >= 3, s"expected >=3 micro-batches, saw ${adsSnapshots.size}")
+    val wantAds = adsProvince(GmallDws.tradeProvinceOrderCdcOn(batchWide))
+      .collect().map(_.toString).toSet
+    assert(adsSnapshots.last == wantAds, "final ADS frame diverged from batch")
+  }
+
+  test("traffic leg: topic_log stream -> DWD split parquet -> DWS parquet -> ADS == batch") {
+    import spark.implicits._
+    val odsDir = Files.createTempDirectory("ods_log").toString
+    val dwdDir = Files.createTempDirectory("dwd_log").toString
+    val dwsDir = Files.createTempDirectory("dws_log").toString
+
+    val lines = GmallDwd.logJson(spark, sf).as[String].collect().toSeq.sortBy(tsOf)
+    val files = writeChunks(odsDir, lines, 3)
+    assert(files.size == 3)
+
+    // DWS: page views per (dt, ch, page_id) + displays per (dt, ch) —
+    // the stateless half of W1's measures, from the split branches
+    def pageDws(page: DataFrame): DataFrame = page
+      .groupBy(to_date(timestamp_millis(col("ts"))).as("dt"),
+        col("common.ch").as("ch"), col("page.page_id").as("page_id"))
+      .agg(count(lit(1)).as("pv_ct"))
+    def displayDws(display: DataFrame): DataFrame = display
+      .groupBy(to_date(timestamp_millis(col("ts"))).as("dt"), col("common.ch").as("ch"))
+      .agg(count(lit(1)).as("display_ct"))
+    // ADS: J7-shaped full outer of the two DWS stores by (dt, ch)
+    def adsTraffic(pv: DataFrame, disp: DataFrame): DataFrame = pv
+      .groupBy(col("dt"), col("ch")).agg(sum(col("pv_ct")).as("pv_ct"))
+      .join(disp, Seq("dt", "ch"), "full_outer")
+      .select(col("dt"), col("ch"),
+        coalesce(col("pv_ct"), lit(0L)).as("pv_ct"),
+        coalesce(col("display_ct"), lit(0L)).as("display_ct"))
+
+    val adsSnapshots = ArrayBuffer.empty[Set[String]]
+    val parsed = LogStream.parse(
+      spark.readStream.option("maxFilesPerTrigger", "1").text(odsDir),
+      LogStream.pageLogSchema)
+    val q = parsed.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val clean = LogStream.clean(b.cache())
+        try {
+          LogStream.splitLog(clean).foreach { case (name, df) =>
+            df.write.mode("append").parquet(s"$dwdDir/$name") // DWD layer
+          }
+        } finally b.unpersist()
+        for {
+          page <- Try(spark.read.parquet(s"$dwdDir/page"))
+          disp <- Try(spark.read.parquet(s"$dwdDir/display"))
+        } {
+          pageDws(page).write.mode("overwrite").parquet(s"$dwsDir/page_view")
+          displayDws(disp).write.mode("overwrite").parquet(s"$dwsDir/display")
+          adsSnapshots += adsTraffic(
+            spark.read.parquet(s"$dwsDir/page_view"),
+            spark.read.parquet(s"$dwsDir/display"))
+            .collect().map(_.toString).toSet
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batchSplit = LogStream.splitLog(LogStream.clean(
+      LogStream.parse(spark.read.text(odsDir), LogStream.pageLogSchema)))
+    // every DWD branch byte-equal to the batch split
+    batchSplit.foreach { case (name, df) =>
+      val got = spark.read.parquet(s"$dwdDir/$name").toJSON.collect().sorted.toSeq
+      val want = df.toJSON.collect().sorted.toSeq
+      assert(want.nonEmpty && got == want, s"DWD branch $name diverged")
+    }
+    val gotDws = spark.read.parquet(s"$dwsDir/page_view").collect().map(_.toString).toSet
+    val wantDws = pageDws(batchSplit("page")).collect().map(_.toString).toSet
+    assert(wantDws.nonEmpty && gotDws == wantDws, "page DWS store diverged from batch")
+
+    assert(adsSnapshots.size >= 3, s"expected >=3 micro-batches, saw ${adsSnapshots.size}")
+    val wantAds = adsTraffic(pageDws(batchSplit("page")), displayDws(batchSplit("display")))
+      .collect().map(_.toString).toSet
+    assert(adsSnapshots.last == wantAds, "final ADS frame diverged from batch")
+  }
+}
