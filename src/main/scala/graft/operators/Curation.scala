@@ -367,7 +367,7 @@ object Curation {
   /** Memoized reference vocab: the one corpus-scale aggregation both
     * the surprisal scorer and the gibberish-gate ceiling derive from
     * (each then runs only a tiny agg over the persisted vocab). */
-  private def lmVocabShared(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lmVocabShared(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "curation.lmVocab")(
       lmModelTokens(tokensShared(spark, dir))._1)
 
@@ -384,7 +384,7 @@ object Curation {
   /** 1-row bits(T) of the reference LM — the OOV ceiling the composed
     * LM-gibberish gate compares against; a 1-row agg over the SAME
     * memoized vocab the scorer reads (no second corpus-scale pass). */
-  private[operators] def lmTotalBits(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lmTotalBits(spark: SparkSession, dir: String): DataFrame =
     lmVocabShared(spark, dir).agg(sum(col("ct")).as("total_ct"))
       .select(length(bin(col("total_ct"))).cast(LongType).as("tbits"))
 
@@ -549,15 +549,24 @@ object Curation {
     * derive the SAME v2): docs at doc_id ≡ 0 (mod 13) disappear,
     * ≡ 0 (mod 11) get revised text, every ≡ 0 (mod 17) spawns a new
     * doc at doc_id + 10⁹. */
-  private[graft] def snapshotV2On(docs: DataFrame): DataFrame = {
+  private[graft] def snapshotV2On(docs: DataFrame): DataFrame =
+    snapshotV2FullOn(docs).select(col("doc_id"), col("text"))
+
+  /** The v2 snapshot WITH its metadata columns (lang/source carried
+    * from the parent document, n_chars recomputed from the revised
+    * text) — what the incremental curation run scores. [[snapshotV2On]]
+    * is its (doc_id, text) projection, so the diff and the incremental
+    * manifest see the SAME v2 by construction. */
+  private[graft] def snapshotV2FullOn(docs: DataFrame): DataFrame = {
     val base = docs.filter(col("doc_id") % 13 =!= 0)
-      .select(col("doc_id"),
+      .withColumn("text",
         when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
-          .otherwise(col("text")).as("text"))
+          .otherwise(col("text")))
     val added = docs.filter(col("doc_id") % 17 === 0)
-      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
-        concat(lit("new crawl "), col("text")).as("text"))
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      .withColumn("text", concat(lit("new crawl "), col("text")))
     base.unionByName(added)
+      .withColumn("n_chars", length(col("text")).cast(LongType))
   }
 
   /** Content-level diff of two corpus snapshots: FULL OUTER join on
@@ -620,12 +629,14 @@ object Curation {
   // stripMargin'd oracle strings, where a line starting with `||`
   // would lose its first pipe to the margin stripping. Shared with the
   // composed curation-decision oracle (TextAnalysis).
-  private[operators] val augSql: String =
-    "SELECT doc_id, text" +
+  private[operators] def augSqlOn(table: String): String =
+    s"SELECT doc_id, text" +
       " || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END" +
       " || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END" +
       " || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END" +
-      " AS aug FROM documents"
+      s" AS aug FROM $table"
+
+  private[operators] val augSql: String = augSqlOn("documents")
 
   /** Shared two-level prefix-sum rebuild (text_pack_shards +
     * text_shard_manifest read the same `packed` CTE — one definition,
@@ -655,7 +666,7 @@ object Curation {
 
   /** Shared crawl-diff rebuild (the v2 synthesis rules live ONCE for
     * both snapshot oracles). */
-  private val diffCtes: String =
+  private[operators] val diffCtes: String =
     """v2 AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text

@@ -65,7 +65,14 @@ object TextAnalysis {
   /** Language ID: stopword-hit n-gram heuristic, argmax with a fixed
     * priority order (en > es > de > fr > other). */
   def langId(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(spark, Tables.documents(spark, dir))
+    langIdOn(Tables.spread(spark, Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  /** The stopword-argmax pass over an arbitrary documents frame —
+    * row-local, so the incremental curation run scores only its diff
+    * slice through the same rules. */
+  private[graft] def langIdOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("toks"))
       .withColumn("en_ct", expr(cntExpr(stopEn)).cast(LongType))
       .withColumn("es_ct", expr(cntExpr(stopEs)).cast(LongType))
@@ -79,7 +86,6 @@ object TextAnalysis {
           .when(col("fr_ct") > 0, "fr")
           .otherwise("und"))
       .drop("toks")
-      .orderBy(col("doc_id"))
 
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (letter runs / digit runs / single non-alnum). */
@@ -219,7 +225,14 @@ object TextAnalysis {
     * exact in both Spark's LongType and DuckDB's checked BIGINT (which
     * raises on overflow instead of wrapping). */
   def corpusSplit(spark: SparkSession, dir: String): DataFrame =
-    Tables.spread(spark, Tables.documents(spark, dir))
+    corpusSplitOn(Tables.spread(spark, Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  /** The id-hash split over an arbitrary documents frame — pure
+    * doc_id arithmetic, so an added document's assignment never
+    * depends on which run first saw it. */
+  private[graft] def corpusSplitOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"))
       .withColumn("mixed", expr(
         "((doc_id & 2147483647) * 2654435761) ^ ((doc_id >> 31) * 40503) ^ (doc_id >> 7)"))
@@ -229,7 +242,6 @@ object TextAnalysis {
           .when(col("bucket") < 95, "val")
           .otherwise("test"))
       .select(col("doc_id"), col("bucket").cast(LongType).as("bucket"), col("split"))
-      .orderBy(col("doc_id"))
 
   /** Test-set decontamination: flag every training document that shares
     * at least one word 5-gram with the held-out benchmark set (here:
@@ -560,9 +572,86 @@ object TextAnalysis {
       .select(col("doc_id"), col("split"), col("train_keep"), col("final_split"))
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------
+  // Incremental curation over the snapshot diff
+  // ---------------------------------------------------------------
+
+  /** PER-DOCUMENT curation signals of `docs`, scored against a FROZEN
+    * reference LM (`vocab`/`total`/`tbits` — the PRIOR run's model
+    * artifacts): quality gate, language id, PII count, LM-gibberish
+    * gate, benchmark flag, split assignment, and the composed
+    * train_keep. Every column is a function of the document's own
+    * content plus the frozen model — the property that makes carrying
+    * prior rows for unchanged docs EXACT, not an approximation
+    * (corpus-level signals like dedup representatives live in
+    * [[curationDecisions]] and need their own maintenance strategy).
+    * All joins are doc_id-equi over per-doc frames: co-partitionable,
+    * no corpus-wide state. */
+  private[graft] def perDocSignalsOn(docs: DataFrame, vocab: DataFrame,
+                                     total: DataFrame, tbits: DataFrame): DataFrame = {
+    val quality = qualityFilterOn(textStatsOn(docs))
+    val lang = langIdOn(docs).select(col("doc_id"), col("pred_lang"))
+    val pii = Curation.piiScanOn(Curation.withSyntheticPii(docs))
+      .select(col("doc_id"), col("pii_ct"))
+    val lm = Curation.lmScoreOn(docs, vocab, total)
+      .select(col("doc_id"), col("tok_ct"), col("surprisal_bits"))
+      .crossJoin(broadcast(tbits))
+      .withColumn("lm_gibberish",
+        (col("surprisal_bits") * 10L > col("tbits") * 9L * col("tok_ct")).cast(LongType))
+      .select(col("doc_id"), col("lm_gibberish"))
+    quality
+      .join(lang, "doc_id")
+      .join(pii, "doc_id")
+      .join(lm, "doc_id")
+      .join(corpusSplitOn(docs).select(col("doc_id"), col("split")), "doc_id")
+      .withColumn("is_benchmark", (col("doc_id") % 20 === 0).cast(LongType))
+      .withColumn("train_keep",
+        (col("keep") === 1 && col("is_benchmark") === 0 &&
+          col("lm_gibberish") === 0).cast(LongType))
+      .select(col("doc_id"), col("keep"), col("reasons"), col("pred_lang"),
+        col("pii_ct"), col("lm_gibberish"), col("is_benchmark"), col("split"),
+        col("train_keep"))
+  }
+
+  /** Incremental curation manifest for the v2 crawl (r9 ask #3 / r10
+    * task #5): re-score ONLY the added/changed slice of the snapshot
+    * diff against the frozen v1 LM, carry the prior run's rows for
+    * unchanged docs verbatim, drop removed docs. Because every signal
+    * in [[perDocSignalsOn]] is per-doc under a frozen model, the
+    * carried+rescored union EQUALS a full v2 re-score (CurationSpec
+    * pins this), while the expensive tokenize/score passes touch only
+    * |diff| documents — the 100 TB point: a 1% daily churn re-reads 1%
+    * of the corpus, not all of it. The prior manifest is recomputed
+    * here because the harness has no cross-run store; in production it
+    * is a parquet read of the previous run's output. */
+  def incrementalManifest(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.spread(spark, Tables.documents(spark, dir))
+    val v2 = Curation.snapshotV2FullOn(v1)
+    val diff = Curation.snapshotDiffOn(v1, v2).select(col("doc_id"), col("status"))
+    // frozen v1 model: the memoized vocab the whole curation tier shares
+    val vocab = Curation.lmVocabShared(spark, dir)
+    val total = vocab.agg(sum(col("ct")).as("total_ct"))
+    val tbits = Curation.lmTotalBits(spark, dir)
+    val prior = Memo(spark, dir, "text.incr.prior")(
+      perDocSignalsOn(v1, vocab, total, tbits))
+    val carried = prior
+      .join(diff.filter(col("status") === "unchanged"), "doc_id")
+    val rescored = perDocSignalsOn(
+        v2.join(diff.filter(col("status").isin("added", "changed")), "doc_id")
+          .drop("status"),
+        vocab, total, tbits)
+      .join(diff, "doc_id")
+    carried.unionByName(rescored)
+      .select(col("doc_id"), col("status"), col("keep"), col("reasons"),
+        col("pred_lang"), col("pii_ct"), col("lm_gibberish"), col("is_benchmark"),
+        col("split"), col("train_keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_curation_decisions" -> ((s, d) => curationDecisions(s, d)),
     "text_dataset_manifest" -> ((s, d) => datasetManifest(s, d)),
+    "text_incremental_manifest" -> ((s, d) => incrementalManifest(s, d)),
     "text_corpus_stats" -> ((s, d) => corpusStats(s, d)),
     "text_quality_filter" -> ((s, d) => qualityFilter(s, d)),
     "text_quality_deciles" -> ((s, d) => qualityDeciles(s, d)),
@@ -718,6 +807,104 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_curation_decisions" ->
       s"WITH $curationCtes\nSELECT * FROM cur ORDER BY doc_id",
+    // Rebuilds the v2 snapshot + diff (Curation.diffCtes — the same
+    // rules as text_snapshot_diff), then scores EVERY surviving v2 doc
+    // against the FROZEN v1 LM vocabulary. The engine instead carries
+    // prior rows for unchanged docs and re-scores only the diff slice;
+    // the outputs are identical because every signal is per-doc under
+    // a frozen model — which is exactly the contract this oracle pins.
+    "text_incremental_manifest" ->
+      s"""WITH ${Curation.diffCtes},
+         |qt AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS char_ct FROM v2
+         |), qm AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS token_ct,
+         |    CAST(${duckCnt(stopEn)} AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+         |    CAST(char_ct - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len
+         |  FROM qt
+         |), qf AS (
+         |  SELECT doc_id, list_filter([
+         |    CASE WHEN token_ct < 10 THEN 'too_short' END,
+         |    CASE WHEN token_ct > 5000 THEN 'too_long' END,
+         |    CASE WHEN stopword_ratio < 0.01 THEN 'no_stopwords' END,
+         |    CASE WHEN ttr < 0.2 THEN 'repetitive' END,
+         |    CASE WHEN avg_token_len > 12.0 THEN 'tokens_too_long' END],
+         |    x -> x IS NOT NULL) AS reasons
+         |  FROM qm
+         |), q AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN len(reasons) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+         |    COALESCE(array_to_string(reasons, ','), '') AS reasons
+         |  FROM qf
+         |), lt AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM v2
+         |), lc AS (
+         |  SELECT doc_id,
+         |    CAST(${duckCnt(stopEn)} AS BIGINT) AS en_ct,
+         |    CAST(${duckCnt(stopEs)} AS BIGINT) AS es_ct,
+         |    CAST(${duckCnt(stopDe)} AS BIGINT) AS de_ct,
+         |    CAST(${duckCnt(stopFr)} AS BIGINT) AS fr_ct
+         |  FROM lt
+         |), langs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN en_ct >= es_ct AND en_ct >= de_ct AND en_ct >= fr_ct AND en_ct > 0 THEN 'en'
+         |         WHEN es_ct >= de_ct AND es_ct >= fr_ct AND es_ct > 0 THEN 'es'
+         |         WHEN de_ct >= fr_ct AND de_ct > 0 THEN 'de'
+         |         WHEN fr_ct > 0 THEN 'fr'
+         |         ELSE 'und' END AS pred_lang
+         |  FROM lc
+         |), pa AS (${Curation.augSqlOn("v2")}),
+         |pii AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(aug, '${Curation.EmailRe}')) AS BIGINT)
+         |    + CAST(len(regexp_extract_all(aug, '${Curation.PhoneRe}')) AS BIGINT)
+         |    + CAST(len(regexp_extract_all(aug, '${Curation.IpRe}')) AS BIGINT) AS pii_ct
+         |  FROM pa
+         |), vtok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+         |), lv AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS ct FROM vtok
+         |  WHERE doc_id % ${Curation.TrainMod} = 0 GROUP BY token
+         |), ltt AS (
+         |  SELECT CAST(SUM(ct) AS BIGINT) AS total_ct FROM lv
+         |), ltb AS (
+         |  SELECT CAST(len(bin(total_ct)) AS BIGINT) AS tbits FROM ltt
+         |), tok2 AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM v2
+         |), lj AS (
+         |  SELECT tok2.doc_id,
+         |    CASE WHEN lv.ct IS NULL THEN len(bin(ltt.total_ct))
+         |         ELSE len(bin(ltt.total_ct)) - len(bin(lv.ct)) END AS bits
+         |  FROM tok2 LEFT JOIN lv USING (token) CROSS JOIN ltt
+         |), lmx AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tok_ct,
+         |    CAST(SUM(bits) AS BIGINT) AS sb
+         |  FROM lj GROUP BY doc_id
+         |), lmg AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN sb * 10 > tbits * 9 * tok_ct THEN 1 ELSE 0 END AS BIGINT) AS lm_gibberish
+         |  FROM lmx, ltb
+         |), sp AS (
+         |  SELECT doc_id,
+         |    ((xor(xor((doc_id & 2147483647) * 2654435761, (doc_id >> 31) * 40503), doc_id >> 7) % 100) + 100) % 100 AS bucket
+         |  FROM v2
+         |)
+         |SELECT v2.doc_id, diffd.status, q.keep, q.reasons, langs.pred_lang,
+         |  pii.pii_ct, lmg.lm_gibberish,
+         |  CAST(CASE WHEN v2.doc_id % 20 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_benchmark,
+         |  CASE WHEN sp.bucket < 90 THEN 'train' WHEN sp.bucket < 95 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(CASE WHEN q.keep = 1 AND v2.doc_id % 20 <> 0 AND lmg.lm_gibberish = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS train_keep
+         |FROM v2
+         |  JOIN diffd ON v2.doc_id = diffd.doc_id
+         |  JOIN q ON v2.doc_id = q.doc_id
+         |  JOIN langs ON v2.doc_id = langs.doc_id
+         |  JOIN pii ON v2.doc_id = pii.doc_id
+         |  JOIN lmg ON v2.doc_id = lmg.doc_id
+         |  JOIN sp ON v2.doc_id = sp.doc_id
+         |ORDER BY v2.doc_id""".stripMargin,
     "text_dataset_manifest" ->
       s"""WITH $curationCtes,
          |sm AS (

@@ -327,5 +327,35 @@ class CurationSpec extends AnyFunSuite {
     } finally ids.unpersist()
   }
 
+  test("incremental manifest == full recompute under the frozen model; slice sizes exact") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val v1 = Tables_docs()
+    val v2 = Curation.snapshotV2FullOn(v1)
+    val diff = Curation.snapshotDiffOn(v1, v2).select(col("doc_id"), col("status"))
+    val vocab = Curation.lmVocabShared(spark, sf)
+    val total = vocab.agg(sum(col("ct")).as("total_ct"))
+    val tbits = Curation.lmTotalBits(spark, sf)
+    // full recompute: score EVERY v2 doc against the same frozen model
+    val full = TextAnalysis.perDocSignalsOn(v2, vocab, total, tbits)
+      .join(diff, "doc_id")
+      .select(col("doc_id"), col("status"), col("keep"), col("reasons"),
+        col("pred_lang"), col("pii_ct"), col("lm_gibberish"), col("is_benchmark"),
+        col("split"), col("train_keep"))
+      .collect().map(_.toString).toSet
+    val incr = TextAnalysis.incrementalManifest(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(full.nonEmpty && incr == full,
+      "carrying prior rows for unchanged docs diverged from a full re-score")
+    // the run's shape: every diff class present, removed docs absent,
+    // and the output covers exactly v2
+    val byStatus = Curation.snapshotDiffOn(v1, v2)
+      .groupBy(col("status")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("added", "changed", "unchanged", "removed").subsetOf(byStatus.keySet),
+      s"fixture lost a diff class: $byStatus")
+    assert(incr.size == byStatus("added") + byStatus("changed") + byStatus("unchanged"))
+  }
+
   private def Tables_docs() = graft.sources.Tables.documents(spark, sf)
 }
