@@ -117,15 +117,24 @@ object GmallDwdDb {
     * partition spread it buys. */
   def envelope(spark: SparkSession, dir: String, saltK: Int = 1): DataFrame =
     Memo(spark, dir, if (saltK <= 1) "cdcEnvelope" else s"cdcEnvelope.salt$saltK") {
-      val keys: Seq[Column] =
-        if (saltK <= 1) Seq(col("table"))
-        else Seq(col("table"),
-          when(col("table").isin(FactTables: _*),
-            pmod(xxhash64(col("data").getItem("id")), lit(saltK.toLong)))
-            .otherwise(lit(0L)))
-      LogStream.maxwellEnvelope(envelopeJson(spark, dir))
-        .repartition(spark.sparkContext.defaultParallelism, keys: _*)
+      saltedByTable(spark, LogStream.maxwellEnvelope(envelopeJson(spark, dir)), saltK)
     }
+
+  /** The envelope's per-table (optionally salted) repartitioning as a
+    * standalone step, so the skew measurement (MeasureSkew) drives the
+    * EXACT keying the production loader uses over a synthetic skewed
+    * frame. saltK spreads each fact table over K partitions keyed by
+    * the mutation id's hash; config tables stay unsalted. */
+  private[graft] def saltedByTable(spark: SparkSession, env: DataFrame,
+                                   saltK: Int): DataFrame = {
+    val keys: Seq[Column] =
+      if (saltK <= 1) Seq(col("table"))
+      else Seq(col("table"),
+        when(col("table").isin(FactTables: _*),
+          pmod(xxhash64(col("data").getItem("id")), lit(saltK.toLong)))
+          .otherwise(lit(0L)))
+    env.repartition(spark.sparkContext.defaultParallelism, keys: _*)
+  }
 
   /** The envelope tables whose row volume scales with facts (orders /
     * lineitems / payments), i.e. the ones a `saltK` spreads; the
