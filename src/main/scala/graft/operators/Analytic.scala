@@ -159,11 +159,19 @@ object Analytic {
     * aggregations (hour, then type), both partial-aggregated; the
     * per-type moment frame is tiny and broadcasts back onto the
     * hourly frame. */
-  def anomalyHours(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(spark, dir)
-      .groupBy(col("event_type"),
-        date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hr"))
-      .agg(count(lit(1)).as("ct"))
+  def anomalyHours(spark: SparkSession, dir: String): DataFrame =
+    anomalyOn(Tables.events(spark, dir)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hr"))
+        .agg(count(lit(1)).as("ct")))
+      .orderBy(col("event_type"), col("hr"))
+
+  /** The z-score pass over ANY (event_type, hr, ct) hourly frame — in
+    * the streaming monitor the hourly counts come from a windowed agg
+    * maintained across micro-batches and THIS step recomputes the
+    * report per refresh (StreamingSpec pins stream-at-rest ≡ batch);
+    * the moment frame is type-cardinality-sized and broadcasts. */
+  private[graft] def anomalyOn(hourly: DataFrame): DataFrame = {
     val moments = hourly.groupBy(col("event_type").as("m_type"))
       .agg(count(lit(1)).as("n_hours"),
         sum(col("ct")).as("sum_ct"),
@@ -181,7 +189,6 @@ object Analytic {
       .withColumn("is_anomaly", (abs(col("z")) > 3.0).cast("int"))
       .select(col("event_type"), col("hr"), col("ct"),
         col("mu"), col("sigma"), col("z"), col("is_anomaly"))
-      .orderBy(col("event_type"), col("hr"))
   }
 
   /** Coverage-gap detection, the anomaly report's complement: hours

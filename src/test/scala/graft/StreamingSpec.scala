@@ -269,4 +269,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSeq.map(_._2).sum == 2L * rows.length)
     } finally q.stop()
   }
+
+  test("anomaly hours: streamed hourly counts + per-refresh z-scores == batch report") {
+    import spark.implicits._
+    import graft.operators.Analytic
+    // the an_anomaly_hours monitor as a LIVE pipeline (r9 ask #7): the
+    // corpus-sized work (hourly counts per event type) is a streaming
+    // windowed agg maintained across micro-batches; each refresh then
+    // recomputes the tiny moment/z-score report over the maintained
+    // counts via the SAME production core (Analytic.anomalyOn). At
+    // rest the report must equal the batch an_anomaly_hours output.
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select($"event_type", $"ts").as[(String, Timestamp)].collect()
+    val chunks = rows.grouped(math.max(1, rows.length / 3)).toSeq
+    val mem = MemoryStream[(String, Timestamp)](spark)
+    val hourly = mem.toDS().toDF("event_type", "ts")
+      .groupBy($"event_type", window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("ct"))
+      .select($"event_type",
+        date_format($"window.start", "yyyy-MM-dd HH:00:00").as("hr"), $"ct")
+    val q = hourly.writeStream.format("memory").queryName("anomaly_hourly")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      var refreshes = 0
+      chunks.foreach { c =>
+        mem.addData(c.toIndexedSeq); q.processAllAvailable()
+        // per-refresh report over the maintained counts (the monitor's
+        // read path); sanity: well-formed while data is still partial
+        val partial = Analytic.anomalyOn(spark.table("anomaly_hourly"))
+        assert(partial.filter($"sigma".isNull || $"z".isNull).count() == 0)
+        refreshes += 1
+      }
+      assert(refreshes >= 3)
+      val got = Analytic.anomalyOn(spark.table("anomaly_hourly"))
+        .collect().map(_.toString).toSet
+      val want = Analytic.anomalyHours(spark, sf)
+        .collect().map(_.toString).toSet
+      assert(want.nonEmpty && got == want,
+        "streamed anomaly report at rest diverged from batch an_anomaly_hours")
+    } finally q.stop()
+  }
 }
