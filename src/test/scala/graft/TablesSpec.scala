@@ -46,4 +46,32 @@ class TablesSpec extends AnyFunSuite {
       assert(df.schema.nonEmpty, s"$t has empty schema")
     }
   }
+
+  test("operator-load-bearing column types are pinned across testdata regenerations") {
+    // the r10 incident generalized: any driver-side re-encode of a
+    // column an operator computes on should fail HERE with the table
+    // and column named, not as dozens of downstream analysis errors.
+    import org.apache.spark.sql.types._
+    def tpe(table: String, col: String) =
+      Tables.load(spark, sf, table).schema(col).dataType
+    // every datetime encoding the operator tier handles (unix_timestamp /
+    // date_format / casts are defined on all three); a regeneration to
+    // string or raw long would NOT be handled and must fail here
+    def datetimeOk(t: DataType): Boolean = t match {
+      case _: DateType | _: TimestampType | _: TimestampNTZType => true
+      case _ => false
+    }
+    assert(datetimeOk(tpe("orders", "o_orderdate")),
+      s"o_orderdate read as ${tpe("orders", "o_orderdate")}")
+    assert(tpe("lineitem", "l_shipdate") == tpe("orders", "o_orderdate"),
+      "l_shipdate and o_orderdate must share an encoding (CDC fixture ts math)")
+    assert(tpe("documents", "text") == StringType)
+    assert(tpe("documents", "doc_id") == LongType)
+    tpe("embeddings", "embedding") match {
+      case ArrayType(FloatType | DoubleType, _) =>
+      case other => fail(s"embeddings.embedding read as $other — the ANN tier expects a float array")
+    }
+    assert(tpe("events", "user_id") == LongType)
+    assert(tpe("events", "event_type") == StringType)
+  }
 }
