@@ -172,7 +172,13 @@ object Search {
   private[graft] def searchWorkloadOn(tdf: DataFrame): DataFrame = {
     val spark = tdf.sparkSession
     import spark.implicits._
-    tdf.withColumn("rnk",
+    // orderBy().limit(k) plans as TakeOrderedAndProject — a distributed
+    // top-k, never a single-partition sort of the whole vocabulary; the
+    // rank window then runs over ≤ maxRank rows (bounded by the slot
+    // geometry, not the corpus)
+    val maxRank = WorkloadSlots.map(_._3).max
+    tdf.orderBy(col("dfv").desc, col("term")).limit(maxRank)
+      .withColumn("rnk",
         row_number().over(Window.orderBy(col("dfv").desc, col("term"))))
       .join(broadcast(WorkloadSlots.toDF("qid", "slot", "rnk")), Seq("rnk"))
       .groupBy(col("qid"))
@@ -192,17 +198,19 @@ object Search {
     * path is exercised on real data every round (overlap counting
     * itself is pinned by SearchSpec's explicit fixture). */
   private[graft] def phraseWorkloadOn(bigramCts: DataFrame): DataFrame = {
+    // same discipline as searchWorkloadOn: distributed top-k via
+    // orderBy().limit() (the bigram domain is vocab²-sized at corpus
+    // scale — never a single-partition window), then rank the ≤2-row
+    // survivors
     val top = bigramCts
+      .orderBy(col("bigram_ct").desc, col("bigram")).limit(2)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("bigram_ct").desc, col("bigram"))))
-      .filter(col("rnk") <= 2)
       .select(concat(lit("p"), col("rnk")).as("pid"), col("bigram").as("ptext"))
     val eq = bigramCts
       .withColumn("w", split(col("bigram"), " ").getItem(0))
       .filter(col("w") === split(col("bigram"), " ").getItem(1))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("bigram_ct").desc, col("bigram"))))
-      .filter(col("rnk") === 1)
+      .orderBy(col("bigram_ct").desc, col("bigram")).limit(1)
       .select(lit("p3").as("pid"), concat_ws(" ", col("w"), col("w")).as("ptext"))
     top.unionByName(eq)
   }
