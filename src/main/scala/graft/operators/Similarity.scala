@@ -112,11 +112,18 @@ object Similarity {
         (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // The named wrappers Memo the UNSORTED core and sort from the cache:
+  // the candidate verify (integer dot per candidate pair) is narrow
+  // compute after the distinct's shuffle, and a global orderBy over it
+  // would run it TWICE — the range partitioner samples its child to
+  // pick bounds (the editDistancePairs lesson). Sorting the memoized
+  // frame samples cached rows, so the verify runs once.
   def nearDupLsh(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
-    nearDupCore(Tables.spread(spark, Tables.embeddings(spark, dir)), threshold, radius = 2)
+    Memo(spark, dir, s"sim_neardup_lsh.$threshold")(
+      nearDupCore(Tables.spread(spark, Tables.embeddings(spark, dir)), threshold, radius = 2))
+      .orderBy(col("vec_a"), col("vec_b"))
 
   /** Planted vec_ids live at original id + this offset. */
   val PlantOffset = 1L << 20
@@ -139,7 +146,9 @@ object Similarity {
     // pairs miss in ALL tables — per-pair plane agreement correlates
     // across the fixed plane set), Hamming-1 probes lift it to 0.990
     // for ~40% more candidate rows
-    nearDupCore(plantedCorpus(spark, dir), threshold = 0.9, radius = 1)
+    Memo(spark, dir, "sim_neardup_planted")(
+      nearDupCore(plantedCorpus(spark, dir), threshold = 0.9, radius = 1))
+      .orderBy(col("vec_a"), col("vec_b"))
 
   val NumTables = 12
   val PlanesPerTable = 6
