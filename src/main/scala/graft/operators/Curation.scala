@@ -541,6 +541,88 @@ object Curation {
   }
 
   // ---------------------------------------------------------------
+  // BPE merge induction (tokenizer training)
+  // ---------------------------------------------------------------
+
+  /** Merge rounds induced; real tokenizers run tens of thousands —
+    * the round LOOP is the operator, k is a budget knob. */
+  val BpeRounds = 5
+
+  /** The word-type table BPE trains on: ONE corpus scan aggregates to
+    * (symbol-string, frequency) per distinct word, and every merge
+    * round after that runs on this vocabulary-sized frame — the
+    * textbook scalable BPE shape (Sennrich et al., ACL'16): corpus
+    * touched once, rounds touch only word types. Symbols are ' '-
+    * delimited with sentinel spaces so a merge is a plain substring
+    * replace. */
+  private def bpeWords(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "bpe.words")(
+      Tables.spread(spark, Tables.documents(spark, dir))
+        .select(explode(tokensCol).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(concat(lit(" "),
+          concat_ws(" ", expr("regexp_extract_all(w, '.', 0)")),
+          lit(" ")).as("syms"), col("freq")))
+
+  private def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"), split(trim(col("syms")), " ").as("ts"))
+      .select(col("freq"), explode(expr(
+        """zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),
+          |         slice(ts, 2, greatest(size(ts) - 1, 0)),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("ct"))
+
+  /** One merge application. TWO iterated plain replaces implement
+    * leftmost-greedy non-overlapping merging exactly: pass 1's greedy
+    * scan can skip an occurrence only when the previous occurrence
+    * consumed its leading space, and two skipped occurrences are never
+    * adjacent (greedy would have taken one of any adjacent pair), so
+    * every survivor is isolated and pass 2 completes — identical
+    * single-pass `replace` semantics in Spark and DuckDB, so the
+    * oracle applies the same two calls. */
+  private def bpeApplyMerge(words: DataFrame, a: String, b: String): DataFrame = {
+    val pat = lit(s" $a $b ")
+    val rep = lit(s" $a$b ")
+    words.withColumn("syms",
+      org.apache.spark.sql.functions.replace(
+        org.apache.spark.sql.functions.replace(col("syms"), pat, rep), pat, rep))
+  }
+
+  /** BPE merge-table induction: k rounds of (count adjacent symbol
+    * pairs weighted by word frequency → take the most frequent pair,
+    * ties broken lexicographically → merge it everywhere). The per-
+    * round top pair is a 1-row driver value (the k-means-centroid
+    * precedent); everything distributed is a vocabulary-sized
+    * aggregation. Output: the merge table a tokenizer ships. */
+  def bpeMerges(spark: SparkSession, dir: String,
+                rounds: Int = BpeRounds): DataFrame = {
+    var cur = bpeWords(spark, dir)
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = bpePairCounts(cur)
+        .orderBy(col("ct").desc, col("pair")).limit(1).head()
+      val Array(a, b) = top.getString(0).split(" ", 2)
+      out += ((r.toLong, a, b, a + b, top.getLong(1)))
+      cur = bpeApplyMerge(cur, a, b)
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("round", "p1", "p2", "merged", "pair_ct")
+      .orderBy(col("round"))
+  }
+
+  /** The trained state after [[BpeRounds]] merges, for specs: the
+    * word-type frame with merges applied. */
+  private[graft] def bpeFinalWords(spark: SparkSession, dir: String): DataFrame = {
+    var cur = bpeWords(spark, dir)
+    bpeMerges(spark, dir).collect().foreach { r =>
+      cur = bpeApplyMerge(cur, r.getString(1), r.getString(2))
+    }
+    cur
+  }
+
+  // ---------------------------------------------------------------
   // Crawl snapshot diff (incremental corpus maintenance)
   // ---------------------------------------------------------------
 
@@ -623,7 +705,8 @@ object Curation {
     "text_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
     "text_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
     "text_snapshot_diff_summary" -> ((s, d) => snapshotDiffSummary(s, d)),
-    "text_token_ids" -> ((s, d) => tokenIds(s, d)))
+    "text_token_ids" -> ((s, d) => tokenIds(s, d)),
+    "text_bpe_merges" -> ((s, d) => bpeMerges(s, d)))
 
   // Single-line on purpose: this fragment is interpolated into
   // stripMargin'd oracle strings, where a line starting with `||`
@@ -895,5 +978,42 @@ object Curation {
          |SELECT doc_id, shuffle_key,
          |  CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS shuffle_pos,
          |  CAST((ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1) // $ShuffleShardDocs AS BIGINT) AS shard_id
-         |FROM k ORDER BY doc_id""".stripMargin)
+         |FROM k ORDER BY doc_id""".stripMargin,
+    // The BPE induction replayed round by round: each round's CTE trio
+    // (pair counts over the previous word state, the scalar top pair,
+    // the doubly-applied merge replace — the same two replace calls as
+    // bpeApplyMerge, so leftmost-greedy semantics match exactly) feeds
+    // the next; the merge table is the union of the k scalar rows.
+    "text_bpe_merges" -> {
+      val w0 =
+        """w0 AS MATERIALIZED (
+          |  SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS syms,
+          |    CAST(COUNT(*) AS BIGINT) AS freq
+          |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          |  WHERE w <> '' GROUP BY w
+          |)""".stripMargin
+      val rounds = (1 to BpeRounds).map { r =>
+        val prev = s"w${r - 1}"
+        s"""pc$r AS MATERIALIZED (
+           |  SELECT ts[i] || ' ' || ts[i + 1] AS pair, CAST(SUM(freq) AS BIGINT) AS ct
+           |  FROM (SELECT string_split(trim(syms), ' ') AS ts, freq FROM $prev),
+           |       unnest(range(1, len(ts))) AS u(i)
+           |  GROUP BY 1
+           |), t$r AS MATERIALIZED (
+           |  SELECT pair, ct, string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+           |  FROM pc$r ORDER BY ct DESC, pair LIMIT 1
+           |), w$r AS MATERIALIZED (
+           |  SELECT replace(replace(syms,
+           |      ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ',
+           |      ' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' '),
+           |      ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ',
+           |      ' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' ') AS syms, freq
+           |  FROM $prev
+           |)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to BpeRounds).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS round, a AS p1, b AS p2, a || b AS merged, ct AS pair_ct FROM t$r"
+      }.mkString("\nUNION ALL\n")
+      s"WITH $w0,\n$rounds\n$rows\nORDER BY round"
+    })
 }

@@ -357,5 +357,46 @@ class CurationSpec extends AnyFunSuite {
     assert(incr.size == byStatus("added") + byStatus("changed") + byStatus("unchanged"))
   }
 
+  test("BPE merges: round-1 top pair matches a driver recount; merging is residual-free") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val merges = Curation.bpeMerges(spark, sf).collect()
+    assert(merges.length == Curation.BpeRounds)
+    // well-formed table: rounds dense 1..k, merged = p1+p2, counts > 0
+    assert(merges.map(_.getLong(0)).toSeq == (1L to Curation.BpeRounds).toSeq)
+    merges.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      assert(r.getLong(4) > 0)
+    }
+    // round 1 against an independent driver-side recount over raw text
+    val words = Tables_docs().select($"text").as[String].collect()
+      .flatMap(_.toLowerCase.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val pairCts = scala.collection.mutable.Map.empty[(String, String), Long]
+    words.foreach { case (w, f) =>
+      w.sliding(2).foreach { p =>
+        if (p.length == 2)
+          pairCts((p(0).toString, p(1).toString)) =
+            pairCts.getOrElse((p(0).toString, p(1).toString), 0L) + f
+      }
+    }
+    val expectTop = pairCts.toSeq
+      .sortBy { case ((a, b), ct) => (-ct, s"$a $b") }.head
+    assert((merges(0).getString(1), merges(0).getString(2)) == expectTop._1,
+      s"round-1 pair ${merges(0).getString(1)} ${merges(0).getString(2)} != driver ${expectTop._1}")
+    assert(merges(0).getLong(4) == expectTop._2)
+    // the two-pass replace left NO unmerged occurrence of any merge
+    // (the greedy-completeness argument in bpeApplyMerge, checked)
+    val fin = Curation.bpeFinalWords(spark, sf)
+    merges.foreach { r =>
+      val pat = s" ${r.getString(1)} ${r.getString(2)} "
+      val residual = fin.filter($"syms".contains(pat)).count()
+      assert(residual == 0, s"round ${r.getLong(0)} left $residual words with '$pat'")
+    }
+    // merges actually happened: some word now carries a multi-char symbol
+    assert(fin.filter(size(split(trim($"syms"), " ")) <
+      length(regexp_replace(trim($"syms"), " ", "")) ).count() > 0)
+  }
+
   private def Tables_docs() = graft.sources.Tables.documents(spark, sf)
 }
