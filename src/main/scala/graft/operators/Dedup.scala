@@ -175,6 +175,13 @@ object Dedup {
     * loop cost scales with the near-dup graph, not the corpus. The
     * driver reads one convergence count per round; labels never leave
     * executors. */
+  /** The memoized components closure shared by the named query and the
+    * quality-aware representative pass (TextAnalysis.bestRep): the
+    * iterative propagation runs once per (session, dir); a final sort
+    * over the memo resamples cached rows (the sort-sampling rule). */
+  private[operators] def componentsShared(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dedup.components")(dedupComponents(spark, dir))
+
   def dedupComponents(spark: SparkSession, dir: String, maxIter: Int = 30): DataFrame = {
     val pairs = verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs.unionByName(
@@ -672,7 +679,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => exact(s, d)),
-    "dedup_components" -> ((s, d) => dedupComponents(s, d)),
+    "dedup_components" -> ((s, d) => componentsShared(s, d).orderBy(col("doc_id"))),
     "dedup_components_star" -> ((s, d) => dedupComponentsStar(s, d)),
     "dedup_substring" -> ((s, d) => substringPairs(s, d)),
     "dedup_cross_source" -> ((s, d) => crossSourceDups(s, d)),
@@ -740,17 +747,23 @@ object Dedup {
   /** Recursive min-label reachability over the verified pair graph —
     * shared by both connected-components queries (direct propagation
     * and star contraction), which must agree exactly. */
-  private val componentsOracleSql: String =
-    s"""WITH RECURSIVE $ngramPairCtes,
+  /** The transitive-closure CTE chain ending in `comp(doc_id,
+    * rep_doc_id)` — shared by the components oracles and the
+    * quality-aware best-representative oracle (TextAnalysis). */
+  private[operators] val componentsOracleCtes: String =
+    s"""$ngramPairCtes,
       |$ngramJpCte,
       |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp UNION ALL SELECT doc_b, doc_a FROM jp),
       |reach AS (
       |  SELECT doc_id AS u, doc_id AS r FROM documents
       |  UNION
       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
-      |)
-      |SELECT u AS doc_id, MIN(r) AS rep_doc_id FROM reach GROUP BY u
-      |ORDER BY doc_id""".stripMargin
+      |),
+      |comp AS (SELECT u AS doc_id, MIN(r) AS rep_doc_id FROM reach GROUP BY u)""".stripMargin
+
+  private val componentsOracleSql: String =
+    s"""WITH RECURSIVE $componentsOracleCtes
+      |SELECT doc_id, rep_doc_id FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_source_signatures" ->

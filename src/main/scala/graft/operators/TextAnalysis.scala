@@ -572,6 +572,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("split"), col("train_keep"), col("final_split"))
       .orderBy(col("doc_id"))
 
+  /** Quality-aware canonical representative per near-dup component:
+    * production dedup keeps the CLEANEST copy, not the lowest id —
+    * here the component member with the highest [[textStats]]
+    * quality_score (ties → lowest doc_id). Composes the memoized
+    * components closure with the memoized stats frame; the rank
+    * window partitions by component (dup-cluster-sized groups, never
+    * corpus-wide), so the plan is two cached scans + one
+    * component-keyed shuffle at any corpus size. */
+  def bestRep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = Dedup.componentsShared(spark, dir)
+      .join(textStats(spark, dir).select(col("doc_id"), col("quality_score")), "doc_id")
+    val best = joined
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("rep_doc_id"))
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("rep_doc_id"), col("doc_id").as("best_doc_id"))
+    joined.join(best, "rep_doc_id")
+      .select(col("doc_id"), col("rep_doc_id"), col("quality_score"),
+        col("best_doc_id"),
+        (col("doc_id") === col("best_doc_id")).cast(LongType).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------
   // Incremental curation over the snapshot diff
   // ---------------------------------------------------------------
@@ -652,6 +677,7 @@ object TextAnalysis {
     "text_curation_decisions" -> ((s, d) => curationDecisions(s, d)),
     "text_dataset_manifest" -> ((s, d) => datasetManifest(s, d)),
     "text_incremental_manifest" -> ((s, d) => incrementalManifest(s, d)),
+    "dedup_best_rep" -> ((s, d) => bestRep(s, d)),
     "text_corpus_stats" -> ((s, d) => corpusStats(s, d)),
     "text_quality_filter" -> ((s, d) => qualityFilter(s, d)),
     "text_quality_deciles" -> ((s, d) => qualityDeciles(s, d)),
@@ -807,6 +833,39 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_curation_decisions" ->
       s"WITH $curationCtes\nSELECT * FROM cur ORDER BY doc_id",
+    // components closure (Dedup's shared recursive chain) + the
+    // text_stats quality expression, token for token, then the same
+    // per-component rank
+    "dedup_best_rep" ->
+      s"""WITH RECURSIVE ${Dedup.componentsOracleCtes},
+         |bq AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS char_ct FROM documents
+         |), bm AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS token_ct,
+         |    CAST(len(list_distinct(toks)) AS BIGINT) AS uniq_token_ct,
+         |    CAST(${duckCnt(stopEn)} AS BIGINT) AS stopword_ct
+         |  FROM bq
+         |), qs AS (
+         |  SELECT doc_id,
+         |    least(CAST(token_ct AS DOUBLE) / 100.0, 1.0) * 0.4
+         |      + CAST(stopword_ct AS DOUBLE) / CAST(token_ct AS DOUBLE) * 0.3
+         |      + CAST(uniq_token_ct AS DOUBLE) / CAST(token_ct AS DOUBLE) * 0.3 AS quality_score
+         |  FROM bm
+         |), bj AS (
+         |  SELECT comp.doc_id, comp.rep_doc_id, qs.quality_score
+         |  FROM comp JOIN qs ON comp.doc_id = qs.doc_id
+         |), bb AS (
+         |  SELECT rep_doc_id, doc_id AS best_doc_id FROM (
+         |    SELECT rep_doc_id, doc_id,
+         |      row_number() OVER (PARTITION BY rep_doc_id
+         |        ORDER BY quality_score DESC, doc_id) AS rn
+         |    FROM bj) WHERE rn = 1
+         |)
+         |SELECT bj.doc_id, bj.rep_doc_id, bj.quality_score, bb.best_doc_id,
+         |  CAST(CASE WHEN bj.doc_id = bb.best_doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+         |FROM bj JOIN bb ON bj.rep_doc_id = bb.rep_doc_id
+         |ORDER BY bj.doc_id""".stripMargin,
     // Rebuilds the v2 snapshot + diff (Curation.diffCtes — the same
     // rules as text_snapshot_diff), then scores EVERY surviving v2 doc
     // against the FROZEN v1 LM vocabulary. The engine instead carries

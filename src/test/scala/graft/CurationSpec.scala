@@ -357,6 +357,35 @@ class CurationSpec extends AnyFunSuite {
     assert(incr.size == byStatus("added") + byStatus("changed") + byStatus("unchanged"))
   }
 
+  test("best-rep dedup: exactly one keeper per component, keeper has max quality") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.bestRep(spark, sf)
+      .select($"doc_id", $"rep_doc_id", $"quality_score", $"best_doc_id", $"is_keeper")
+      .as[(Long, Long, Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (rep, members) =>
+      val keepers = members.filter(_._5 == 1L)
+      assert(keepers.length == 1, s"component $rep has ${keepers.length} keepers")
+      val k = keepers.head
+      // keeper is the quality argmax with min-doc_id tiebreak
+      val want = members.minBy(m => (-m._3, m._1))
+      assert(k._1 == want._1, s"component $rep keeper ${k._1} != argmax ${want._1}")
+      assert(members.forall(_._4 == k._1), s"component $rep best_doc_id inconsistent")
+    }
+    // components agree with the min-label closure query
+    val comp = graft.operators.Dedup.queries("dedup_components")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(rows.forall(r => comp(r._1) == r._2))
+    // a component with >1 member exists where the keeper is NOT the
+    // min id — the quality rule actually bites on the fixture
+    assert(byComp.exists { case (_, ms) =>
+      ms.length > 1 && ms.filter(_._5 == 1L).head._1 != ms.map(_._1).min
+    }, "fixture never distinguishes quality-argmax from min-id — test is vacuous")
+  }
+
   test("BPE merges: round-1 top pair matches a driver recount; merging is residual-free") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
