@@ -574,14 +574,18 @@ object Curation {
           |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("pair"))
       .groupBy(col("pair")).agg(sum(col("freq")).as("ct"))
 
-  /** One merge application. TWO iterated plain replaces implement
-    * leftmost-greedy non-overlapping merging exactly: pass 1's greedy
-    * scan can skip an occurrence only when the previous occurrence
-    * consumed its leading space, and two skipped occurrences are never
-    * adjacent (greedy would have taken one of any adjacent pair), so
-    * every survivor is isolated and pass 2 completes — identical
+  /** One merge application. TWO iterated plain replaces give a
+    * deterministic, residual-free non-overlapping merge with identical
     * single-pass `replace` semantics in Spark and DuckDB, so the
-    * oracle applies the same two calls. */
+    * oracle applies the same two calls. For a ≠ b this EQUALS
+    * leftmost-greedy BPE merging (pass 1 can skip an occurrence only
+    * when its leading space was consumed, skipped occurrences are
+    * never adjacent, pass 2 completes); for a SELF-pair (a == b) on
+    * runs of ≥ 5 identical symbols the pairing diverges from
+    * leftmost-greedy at the run tail (e.g. "a a a a a" → "aa a aa",
+    * greedy gives "aa aa a") — a documented variant, exhaustively
+    * characterized by brute force to length 8 and pinned by the
+    * GraftProps property. */
   private def bpeApplyMerge(words: DataFrame, a: String, b: String): DataFrame = {
     val pat = lit(s" $a $b ")
     val rep = lit(s" $a$b ")

@@ -439,6 +439,46 @@ object GraftProps extends Properties("graft") {
     p <- Gen.listOfN(plen, Gen.oneOf(alphabet))
   } yield (docs.distinctBy(_._1), p.mkString(" "))
 
+  // ---------------------------------------------- BPE merge semantics
+
+  // symbols drawn from a 3-letter alphabet so shared-delimiter chains
+  // (" a a a a ") and adjacent-overlap cases are COMMON, not rare
+  private val genSyms = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "ab"))
+  private val genPair = Gen.zip(Gen.oneOf("a", "b", "ab"), Gen.oneOf("a", "b", "ab"))
+
+  /** Reference leftmost-greedy non-overlapping merge over the symbol
+    * list — the semantics BPE specifies. */
+  private def greedyMerge(syms: List[String], a: String, b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  property("two-pass replace: residual-free; == leftmost-greedy whenever a != b") =
+    forAll(genSyms, genPair) { case (syms, (a, b)) =>
+      val s = " " + syms.mkString(" ") + " "
+      val pat = s" $a $b "
+      val rep = s" $a$b "
+      val twoPass = s.replace(pat, rep).replace(pat, rep)
+      // self-pairs (a == b) legitimately diverge from leftmost-greedy on
+      // runs >= 5 (documented in bpeApplyMerge); for them the pinned
+      // contract is residual-freeness + merge validity (merged tokens
+      // split back to the input sequence), not greedy positioning
+      val greedyOk = a == b ||
+        twoPass == " " + greedyMerge(syms, a, b).mkString(" ") + " "
+      val rebuilt = twoPass.trim.split(" ").toList
+        .flatMap(t => if (t == a + b) List(a, b) else List(t))
+      // reconstruction is only a faithful inverse when a+b is not
+      // itself an input symbol (else splitting over-corrects)
+      val validOk = syms.contains(a + b) || rebuilt == syms
+      !twoPass.contains(pat) && greedyOk && validOk
+    }
+
   property("phrase vote join == naive sliding-window scan on random docs") =
     forAll(genDocsAndPhrase) { case (docs, phrase) =>
       import spark.implicits._
