@@ -40,6 +40,8 @@ object GraftExpressions {
     toColumn(CmsSketchAgg(toExpression(hash), depth, width).toAggregateExpression())
   def cmsEstimateLong(hash: Column, sketch: Array[Long], depth: Int, width: Int): Column =
     toColumn(CmsEstimateLong(toExpression(hash), sketch, depth, width))
+  def topkAgg(score: Column, tag: Column, k: Int): Column =
+    toColumn(TopKAgg(toExpression(score), toExpression(tag), k).toAggregateExpression())
 }
 
 
@@ -962,4 +964,147 @@ case class CmsEstimateLong(
 
   override protected def withNewChildInternal(newChild: Expression): CmsEstimateLong =
     copy(child = newChild)
+}
+
+/** Bounded top-k of a group: the k best (score, tag) pairs under the
+  * total order (score DESC, tag ASC), as an ordered array of structs.
+  *
+  * This is the scale-safe form of `row_number() OVER (PARTITION BY g
+  * ORDER BY s DESC) <= k`: the window plan shuffles and SORTS every
+  * row of every group before discarding all but k, while this
+  * aggregate's buffer never holds more than k entries, partial
+  * aggregation applies (update inserts into a k-bounded sorted array,
+  * merge is a k-bounded merge of two such arrays — associative and
+  * commutative under the total order), and the shuffle carries at most
+  * k entries per (partition, key). For "top 10 per brand" over 100 TB
+  * of lineitems that is the difference between sorting the whole fact
+  * table and a map-side-combined agg whose shuffle is O(groups · k).
+  *
+  * Determinism: ties in score break on the tag's binary (UTF8) order,
+  * so callers needing a numeric tiebreak encode tags fixed-width
+  * (e.g. `lpad(id, 12, '0')` — string order == numeric order).
+  * Scores compare via `java.lang.Double.compare` (a total order, so
+  * NaN sorts above +Inf rather than poisoning comparisons); null
+  * score or tag rows are skipped.
+  */
+case class TopKAgg(
+    score: Expression,
+    tag: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[TopKAgg.Buffer]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  import TopKAgg.Buffer
+
+  override def left: Expression = score
+  override def right: Expression = tag
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(
+      score.dataType == DoubleType && tag.dataType == StringType && k > 0,
+      s"graft_topk_agg requires (DOUBLE score, STRING tag, k > 0), got " +
+        s"(${score.dataType.sql}, ${tag.dataType.sql}, $k)")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("tag", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Buffer = new Buffer(k)
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val s = score.eval(input)
+    val t = tag.eval(input)
+    if (s != null && t != null)
+      // clone: the UTF8String points into a reused input row buffer
+      buf.offer(s.asInstanceOf[Double], t.asInstanceOf[UTF8String].clone())
+    buf
+  }
+
+  override def merge(b1: Buffer, b2: Buffer): Buffer = { b1.mergeFrom(b2); b1 }
+
+  override def eval(buf: Buffer): Any = {
+    val rows = new Array[Any](buf.size)
+    var i = 0
+    while (i < buf.size) {
+      rows(i) = InternalRow(buf.scores(i), buf.tags(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def serialize(buf: Buffer): Array[Byte] = {
+    var bytes = 4
+    var i = 0
+    while (i < buf.size) { bytes += 12 + buf.tags(i).numBytes(); i += 1 }
+    val bb = java.nio.ByteBuffer.allocate(bytes)
+    bb.putInt(buf.size)
+    i = 0
+    while (i < buf.size) {
+      bb.putDouble(buf.scores(i))
+      val tb = buf.tags(i).getBytes
+      bb.putInt(tb.length)
+      bb.put(tb)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buffer(k)
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble
+      val len = bb.getInt
+      val tb = new Array[Byte](len)
+      bb.get(tb)
+      buf.offer(s, UTF8String.fromBytes(tb))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): TopKAgg =
+    copy(score = newLeft, tag = newRight)
+}
+
+object TopKAgg {
+  /** k-bounded sorted array, best-first under (score DESC, tag ASC).
+    * Insertion is O(k) per row with k small and fixed — no heap
+    * allocation churn, no comparator boxing. */
+  final class Buffer(k: Int) {
+    val scores = new Array[Double](k)
+    val tags = new Array[UTF8String](k)
+    var size: Int = 0
+
+    /** true when (s1,t1) ranks strictly better than (s2,t2). */
+    private def better(s1: Double, t1: UTF8String, s2: Double, t2: UTF8String): Boolean = {
+      val c = java.lang.Double.compare(s2, s1) // DESC on score
+      c < 0 || (c == 0 && t1.compareTo(t2) < 0)
+    }
+
+    def offer(s: Double, t: UTF8String): Unit = {
+      if (size == k && !better(s, t, scores(k - 1), tags(k - 1))) return
+      var pos = if (size == k) k - 1 else size
+      if (size < k) size += 1
+      while (pos > 0 && better(s, t, scores(pos - 1), tags(pos - 1))) {
+        scores(pos) = scores(pos - 1); tags(pos) = tags(pos - 1); pos -= 1
+      }
+      scores(pos) = s; tags(pos) = t
+    }
+
+    def mergeFrom(other: Buffer): Unit = {
+      var i = 0
+      while (i < other.size) { offer(other.scores(i), other.tags(i)); i += 1 }
+    }
+  }
 }

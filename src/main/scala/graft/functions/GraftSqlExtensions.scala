@@ -70,6 +70,13 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSetAgg(args.head, intArg(args(1), "graft_minhash_set_agg"))
           .toAggregateExpression() }))
 
+    ext.injectFunction((FunctionIdentifier("graft_topk_agg"),
+      info("graft_topk_agg",
+        "graft_topk_agg(score, tag, k) - aggregate: the k best (score, tag) pairs of the group, ordered (score DESC, tag ASC)"),
+      (args: Seq[Expression]) => { arity(args, 3, "graft_topk_agg")
+        TopKAgg(args(0), args(1), intArg(args(2), "graft_topk_agg"))
+          .toAggregateExpression() }))
+
     ext.injectFunction((FunctionIdentifier("graft_cms_sketch_agg"),
       info("graft_cms_sketch_agg",
         "graft_cms_sketch_agg(hash, depth, width) - aggregate: count-min sketch grid (depth*width counters) of the group's hashes"),

@@ -52,6 +52,37 @@ object Analytic {
       .orderBy(col("p_brand"), col("rk"), col("p_partkey"))
   }
 
+  /** Top-3 parts by revenue within each brand via the bounded
+    * [[graft.functions.TopKAgg]] aggregate — the SAME answer as
+    * [[rankInGroup]]'s `row_number` form (modulo dense vs row
+    * numbering on ties), from a plan with NO window sort: the
+    * aggregate's buffer holds at most k entries, partial aggregation
+    * combines map-side, and the shuffle carries ≤ k pairs per
+    * (partition, brand) instead of every part row. That is the plan
+    * that survives "top 10 per key over 100 TB".
+    *
+    * The part key rides in the tag zero-padded to 12 digits so the
+    * aggregate's binary-string tiebreak equals the oracle's numeric
+    * `ORDER BY ... p_partkey` on score ties.
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftExpressions.topkAgg
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val byPart = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(dsum2(col("l_extendedprice")).as("revenue"))
+    byPart
+      .groupBy(col("p_brand"))
+      .agg(topkAgg(col("revenue"),
+        lpad(col("p_partkey").cast(StringType), 12, "0"), 3).as("top"))
+      .select(col("p_brand"), posexplode(col("top")))
+      .select(col("p_brand"), (col("pos") + 1).as("rk"),
+        col("col.tag").cast(LongType).as("p_partkey"),
+        col("col.score").as("revenue"))
+      .orderBy(col("p_brand"), col("rk"))
+  }
+
   /** 7-day moving order count/amount per day (range frame over days). */
   def movingWindow(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -280,6 +311,7 @@ object Analytic {
     "an_transitions" -> transitions,
     "an_running_total" -> runningTotal,
     "an_rank_in_group" -> rankInGroup,
+    "an_topk_per_group" -> topkPerGroup,
     "an_moving_window" -> movingWindow,
     "an_rollup_totals" -> rollupTotals,
     "an_pivot_by_status" -> pivotByStatus,
@@ -424,6 +456,17 @@ object Analytic {
         | SELECT *, dense_rank() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rk
         | FROM by_part
         |) WHERE rk <= 3 ORDER BY p_brand, rk, p_partkey""".stripMargin,
+    "an_topk_per_group" ->
+      """WITH by_part AS (
+        | SELECT p_brand, p_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | GROUP BY p_brand, p_partkey
+        |)
+        |SELECT p_brand, rk, p_partkey, CAST(revenue AS DOUBLE) AS revenue FROM (
+        | SELECT *, row_number() OVER (PARTITION BY p_brand
+        |   ORDER BY CAST(revenue AS DOUBLE) DESC, p_partkey) AS rk
+        | FROM by_part
+        |) WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
     "an_moving_window" ->
       """WITH daily AS (
         | SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt, COUNT(*) AS order_ct,

@@ -497,4 +497,36 @@ object GraftProps extends Properties("graft") {
         got == want
       }
     }
+
+  private val genTopKRows: Gen[(Int, List[(String, Double, String)])] = for {
+    k <- Gen.choose(1, 5)
+    rows <- Gen.listOf(for {
+      g <- Gen.oneOf("g1", "g2", "g3")
+      // small score domain forces tie-break coverage
+      s <- Gen.choose(0, 6).map(_.toDouble)
+      t <- Gen.choose(0, 999).map(i => f"$i%04d")
+    } yield (g, s, t)).map(_.take(40))
+  } yield (k, rows)
+
+  property("TopKAgg == driver-side sortBy(score DESC, tag ASC).take(k)") =
+    forAll(genTopKRows) { case (k, rows) =>
+      import spark.implicits._
+      rows.isEmpty || {
+        val got = rows.toDF("g", "s", "t").repartition(5)
+          .groupBy("g")
+          .agg(graft.functions.GraftExpressions.topkAgg(col("s"), col("t"), k).as("top"))
+          .select($"g", posexplode($"top"))
+          .select($"g", $"pos", $"col.score", $"col.tag")
+          .as[(String, Int, Double, String)].collect().toSet
+        // duplicate (score, tag) rows are indistinguishable values, so
+        // the agg (which keeps them as separate slots) and a plain
+        // sorted take(k) produce identical sequences
+        val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+          rs.map(r => (r._2, r._3))
+            .sortBy { case (s, t) => (-s, t) }.take(k)
+            .zipWithIndex.map { case ((s, t), i) => (g, i, s, t) }
+        }.toSet
+        got == want
+      }
+    }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftExpressions.topkAgg
+import graft.operators.Analytic
+
+/** The bounded top-k aggregate (`TopKAgg`): answer equivalence with
+  * the window `row_number` form, partition-count independence (the
+  * merge path), tie/NaN determinism, SQL registration, and the plan
+  * property that motivates it — no Window sort node anywhere.
+  */
+class TopKSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("an_topk_per_group == window row_number recompute on sf0.001") {
+    val viaAgg = Analytic.topkPerGroup(spark, sf).collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val p = graft.sources.Tables.part(spark, sf)
+    val viaWindow = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(graft.functions.Num.dsum2(col("l_extendedprice")).as("revenue"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("p_brand"), col("rk"), col("p_partkey"), col("revenue"))
+      .orderBy(col("p_brand"), col("rk"))
+      .collect().toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("result is independent of input partitioning (merge path)") {
+    val rows = (1 to 200).map(i => (s"g${i % 5}", (i * 37 % 101).toDouble, f"$i%012d"))
+    def run(parts: Int) =
+      rows.toDF("g", "s", "t").repartition(parts)
+        .groupBy("g").agg(topkAgg(col("s"), col("t"), 4).as("top"))
+        .orderBy("g").collect().toSeq
+    assert(run(1) == run(7))
+    assert(run(1) == run(32))
+  }
+
+  test("ties break on tag binary order; null score/tag rows are skipped") {
+    val df = Seq(
+      ("g", Some(5.0), Some("b")), ("g", Some(5.0), Some("a")),
+      ("g", Some(7.0), Some("z")), ("g", None, Some("x")),
+      ("g", Some(9.0), None), ("g", Some(1.0), Some("low")))
+      .toDF("g", "s", "t")
+    val top = df.groupBy("g")
+      .agg(topkAgg(col("s"), col("t"), 3).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.score"), col("e.tag"))
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+    assert(top == Seq((7.0, "z"), (5.0, "a"), (5.0, "b")))
+  }
+
+  test("k larger than the group returns the whole group, ordered") {
+    val top = Seq(("g", 1.0, "a"), ("g", 3.0, "b")).toDF("g", "s", "t")
+      .groupBy("g").agg(topkAgg(col("s"), col("t"), 10).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.score"), col("e.tag"))
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+    assert(top == Seq((3.0, "b"), (1.0, "a")))
+  }
+
+  test("graft_topk_agg is SQL-callable and equals the Column API") {
+    Seq(("a", 1.0, "x"), ("a", 2.0, "y"), ("b", 3.0, "z"))
+      .toDF("g", "s", "t").createOrReplaceTempView("topk_t")
+    val viaSql = spark.sql(
+      "SELECT g, graft_topk_agg(s, t, 1) AS top FROM topk_t GROUP BY g ORDER BY g")
+      .collect().toSeq
+    val viaApi = spark.table("topk_t").groupBy("g")
+      .agg(topkAgg(col("s"), col("t"), 1).as("top")).orderBy("g")
+      .collect().toSeq
+    assert(viaSql == viaApi)
+  }
+
+  test("plan has no Window sort: the whole point at scale") {
+    // executedPlan.toString recurses through the AdaptiveSparkPlan
+    // wrapper; node-name scan on the rendered tree (same approach as
+    // PlanPinSpec)
+    val plan = Analytic.topkPerGroup(spark, sf).queryExecution.executedPlan.toString
+    val names = plan.linesIterator.map(_.dropWhile(c => !c.isLetter).takeWhile(c => c.isLetterOrDigit)).toSet
+    assert(!names.exists(_.contains("Window")), s"window node in plan: $names")
+    assert(names.exists(_.contains("ObjectHashAggregate")),
+      s"expected ObjectHashAggregate for the typed-buffer agg, got: $names")
+  }
+}
