@@ -451,6 +451,40 @@ object Search {
       .orderBy(col("bigram_ct").desc, col("bigram"))
   }
 
+  /** Top-3 TF-IDF keywords per document — per-document feature
+    * extraction over the SAME memoized index frames the retrieval
+    * tier shares (one tf build, broadcast vocabulary df, 1-row corpus
+    * stats). idf = detLn(n_docs/df) floor-quantized to 10⁻⁶ units
+    * (exact BIGINT, bit-identical cross-engine per the iterated-sqrt
+    * construction above); score = tf · idf_fp, which stays < 2⁵³ so
+    * the aggregate's double comparison is exact integer order.
+    *
+    * The per-doc top-3 runs through the bounded
+    * [[graft.functions.TopKAgg]] — no per-doc rank window: a window
+    * form would shuffle-sort the ENTIRE postings frame (corpus-sized)
+    * to discard all but 3 rows per doc, while the aggregate's shuffle
+    * carries ≤3 (score, term) pairs per doc with map-side combine.
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val (tf, tdf, stats) = indexFrames(spark, dir)
+    val scored = tf
+      .join(broadcast(tdf.select(col("term").as("dterm"), col("dfv"))),
+        col("term") === col("dterm"))
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .withColumn("idf_fp", floor(
+        detLn(col("n_docs").cast(DoubleType) / col("dfv").cast(DoubleType))
+          * lit(ScoreScale)).cast(LongType))
+      .withColumn("s_fp", col("tf") * col("idf_fp"))
+    scored.groupBy(col("doc_id"))
+      .agg(GraftExpressions.topkAgg(
+        col("s_fp").cast(DoubleType), col("term"), 3).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).as("rk"),
+        col("col.tag").as("term"),
+        col("col.score").cast(LongType).as("score_fp"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   // ---------------------------------------------------------------
   // Driver contract
   // ---------------------------------------------------------------
@@ -461,6 +495,7 @@ object Search {
     "search_hybrid_rerank" -> ((s, d) => hybridRerank(s, d)),
     "search_phrase" -> ((s, d) => phraseSearch(s, d)),
     "search_postings" -> ((s, d) => postings(s, d)),
+    "search_tfidf_keywords" -> ((s, d) => tfidfKeywords(s, d)),
     "search_heavy_hitters" -> ((s, d) => heavyHitters(s, d)))
 
   // ---------------------------------------------------------------
@@ -618,6 +653,28 @@ object Search {
         |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS top_doc_id,
         |  MAX(CASE WHEN rn = 1 THEN tf END) AS top_tf
         |FROM r GROUP BY 1 ORDER BY token""".stripMargin,
+    "search_tfidf_keywords" -> {
+      val idf = duckDetLn("(CAST(n_docs AS DOUBLE) / CAST(dfv AS DOUBLE))")
+      s"""WITH tf AS (
+         |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+         |  GROUP BY 1, 2
+         |), vdf AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS dfv FROM tf GROUP BY 1
+         |), stats AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+         |), scored AS (
+         |  SELECT doc_id, tf.term,
+         |    tf * CAST(floor($idf * 1000000.0) AS BIGINT) AS score_fp
+         |  FROM tf JOIN vdf ON tf.term = vdf.term, stats
+         |)
+         |SELECT doc_id, rk, term, score_fp FROM (
+         |  SELECT doc_id, term, score_fp,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score_fp DESC, term) AS rk
+         |  FROM scored
+         |) WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+    },
     "search_heavy_hitters" ->
       """WITH dd AS (
         |  SELECT string_split(lower(text), ' ') AS ts FROM documents

@@ -346,4 +346,28 @@ class SearchSpec extends AnyFunSuite {
       assert(math.abs(sim - 1.0) < 1e-12, s"$qid anchor self-sim $sim != 1.0")
     }
   }
+
+  test("tfidf keywords: TopKAgg form == window row_number recompute; no Window node") {
+    val viaAgg = Search.tfidfKeywords(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_fp").desc, col("term"))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val tok = docs.selectExpr("doc_id", "explode(split(lower(text), ' ')) AS term")
+    val tf = tok.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val vdf = tf.groupBy("term").agg(count(lit(1)).as("dfv"))
+    val nDocs = docs.count().toDouble
+    // engine's detLn, recomputed inline (20 iterated sqrts)
+    val ratio = lit(nDocs) / col("dfv").cast("double")
+    val ln = ((1 to 20).foldLeft(ratio)((c, _) => sqrt(c)) - lit(1.0)) * lit(1048576.0)
+    val scored = tf.join(vdf, "term")
+      .withColumn("score_fp", col("tf") * floor(ln * lit(1000000.0)).cast("long"))
+    val windowed = scored
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("score_fp"))
+      .orderBy(col("doc_id"), col("rk"))
+      .collect().toSeq
+    assert(viaAgg.collect().toSeq == windowed)
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "tfidf plan must not contain a window sort")
+  }
 }
