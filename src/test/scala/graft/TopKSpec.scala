@@ -77,6 +77,30 @@ class TopKSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
   }
 
+  test("top-k over a STREAM: at-rest buffer = batch (state-store round trip)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    // rows arrive in two micro-batches; the k-bounded buffer must
+    // survive serialize/deserialize through the streaming state store
+    // — the online form of "maintain a per-key leaderboard at ingest"
+    val all = (1 to 100).map(i => (s"g${i % 3}", (i * 29 % 53).toDouble, f"$i%012d"))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val mem = MemoryStream[(String, Double, String)](spark)
+    val agg = mem.toDF().toDF("g", "s", "t")
+      .groupBy("g").agg(topkAgg(col("s"), col("t"), 5).as("top"))
+    val q = agg.writeStream.format("memory").queryName("topk_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("topk_stream").orderBy("g").collect().toSeq
+      val want = all.toDF("g", "s", "t")
+        .groupBy("g").agg(topkAgg(col("s"), col("t"), 5).as("top"))
+        .orderBy("g").collect().toSeq
+      assert(got == want, "streamed top-k diverges from batch top-k")
+    } finally q.stop()
+  }
+
   test("plan has no Window sort: the whole point at scale") {
     // executedPlan.toString recurses through the AdaptiveSparkPlan
     // wrapper; node-name scan on the rendered tree (same approach as
