@@ -677,8 +677,25 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Dedup planning dashboard: component-size histogram over the
+    * transitive near-dup closure — how many groups of each size, how
+    * many docs they hold, and how many an aggressive pass would drop
+    * keeping one representative per group. Two keyed aggregations
+    * over the memoized closure (component-count-sized, then
+    * histogram-sized) — the report a curation run reads before
+    * choosing a keep rule, at delta cost once the closure exists. */
+  def dedupSummary(spark: SparkSession, dir: String): DataFrame =
+    componentsShared(spark, dir)
+      .groupBy(col("rep_doc_id")).agg(count(lit(1)).as("c_size"))
+      .groupBy(col("c_size"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("c_size")).as("n_docs"),
+        (sum(col("c_size")) - count(lit(1))).as("n_removable"))
+      .orderBy(col("c_size"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => exact(s, d)),
+    "dedup_summary" -> ((s, d) => dedupSummary(s, d)),
     "dedup_components" -> ((s, d) => componentsShared(s, d).orderBy(col("doc_id"))),
     "dedup_components_star" -> ((s, d) => dedupComponentsStar(s, d)),
     "dedup_substring" -> ((s, d) => substringPairs(s, d)),
@@ -870,6 +887,13 @@ object Dedup {
         |FROM pc JOIN dc USING (source_x, source_y)
         |ORDER BY source_x, source_y""".stripMargin,
     "dedup_components" -> componentsOracleSql,
+    "dedup_summary" ->
+      s"""WITH RECURSIVE $componentsOracleCtes,
+        |csizes AS (SELECT rep_doc_id, CAST(COUNT(*) AS BIGINT) AS c_size FROM comp GROUP BY 1)
+        |SELECT c_size, CAST(COUNT(*) AS BIGINT) AS n_components,
+        |  CAST(SUM(c_size) AS BIGINT) AS n_docs,
+        |  CAST(SUM(c_size) - COUNT(*) AS BIGINT) AS n_removable
+        |FROM csizes GROUP BY 1 ORDER BY c_size""".stripMargin,
     // the star-contraction rewrite must produce the IDENTICAL closure
     "dedup_components_star" -> componentsOracleSql,
     // SimHash is FNV-over-tokens + bit votes — fully reproducible in

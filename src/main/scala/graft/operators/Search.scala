@@ -327,9 +327,11 @@ object Search {
     * corpus-wide window exists. At 100 TB this is the index-build job:
     * partial-aggregated term counts, output sized by vocabulary, not
     * corpus. */
-  def postings(spark: SparkSession, dir: String): DataFrame = {
-    val tf = indexFrames(spark, dir)._1
-      .select(col("term").as("token"), col("doc_id"), col("tf"))
+  /** Per-term postings rows from a `(token, doc_id, tf)` frame — the
+    * index-build aggregation, factored out so the full build and the
+    * incremental maintenance path compute the SAME projection. The
+    * `row_number` ranks within one term's postings only. */
+  private[graft] def postingsOn(tf: DataFrame): DataFrame =
     tf.withColumn("rn", row_number().over(
         Window.partitionBy(col("token"))
           .orderBy(col("tf").desc, col("doc_id"))))
@@ -337,7 +339,48 @@ object Search {
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
         max(when(col("rn") === 1, col("doc_id"))).as("top_doc_id"),
         max(when(col("rn") === 1, col("tf"))).as("top_tf"))
+
+  def postings(spark: SparkSession, dir: String): DataFrame =
+    postingsOn(indexFrames(spark, dir)._1
+      .select(col("term").as("token"), col("doc_id"), col("tf")))
       .orderBy(col("token"))
+
+  /** Incremental index maintenance over a crawl diff: the v2 postings
+    * table computed WITHOUT re-tokenizing the unchanged corpus — the
+    * operation that keeps a 100 TB search index alive between crawls
+    * when re-building from scratch is a day-long job.
+    *
+    * Plan: (1) diff v1/v2 by content hash (one doc_id shuffle —
+    * `Curation.snapshotDiffOn`); (2) tokenize ONLY added/changed docs
+    * (delta-sized scan); (3) splice the stored v1 tf frame: anti-join
+    * out removed/changed docs' rows, union the fresh rows; (4)
+    * re-aggregate postings ONLY for terms appearing in any delta row
+    * (the only terms whose df/cf/top can move), and carry the stored
+    * v1 postings rows for every untouched term verbatim. Work scales
+    * with the delta and the touched vocabulary, never the corpus.
+    * The oracle is a FULL rebuild over v2 — equality proves the
+    * carry/recompute split is exact. */
+  def incrementalPostings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+    val v2 = Curation.snapshotV2On(docs)
+    // "stored" v1 index state: the memoized tf frame + its postings
+    val tf1 = indexFrames(spark, dir)._1
+      .select(col("term").as("token"), col("doc_id"), col("tf"))
+    val postings1 = Memo(spark, dir, "search.postings.v1")(postingsOn(tf1))
+    val diff = Curation.snapshotDiffOn(docs, v2)
+    val gone = diff.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id"))
+    val fresh = diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id"))
+    val tfNew = v2.join(fresh, Seq("doc_id"))
+      .select(col("doc_id"), explode(Curation.tokensCol).as("token"))
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val tf2 = tf1.join(gone, Seq("doc_id"), "left_anti").unionByName(tfNew)
+    val touched = tf1.join(gone, Seq("doc_id")).select(col("token"))
+      .unionByName(tfNew.select(col("token"))).distinct()
+    val recomputed = postingsOn(tf2.join(touched, Seq("token")))
+    val carried = postings1.join(touched, Seq("token"), "left_anti")
+    recomputed.unionByName(carried).orderBy(col("token"))
   }
 
   // ---------------------------------------------------------------
@@ -496,6 +539,7 @@ object Search {
     "search_phrase" -> ((s, d) => phraseSearch(s, d)),
     "search_postings" -> ((s, d) => postings(s, d)),
     "search_tfidf_keywords" -> ((s, d) => tfidfKeywords(s, d)),
+    "search_incremental_postings" -> ((s, d) => incrementalPostings(s, d)),
     "search_heavy_hitters" -> ((s, d) => heavyHitters(s, d)))
 
   // ---------------------------------------------------------------
@@ -653,6 +697,21 @@ object Search {
         |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS top_doc_id,
         |  MAX(CASE WHEN rn = 1 THEN tf END) AS top_tf
         |FROM r GROUP BY 1 ORDER BY token""".stripMargin,
+    // full rebuild over the SAME v2 synthesis rules (Curation.diffCtes)
+    // — equality proves the incremental carry/recompute split is exact
+    "search_incremental_postings" ->
+      s"""WITH ${Curation.diffCtes},
+         |tf AS (
+         |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM v2)
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn FROM tf
+         |)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+         |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS top_doc_id,
+         |  MAX(CASE WHEN rn = 1 THEN tf END) AS top_tf
+         |FROM r GROUP BY 1 ORDER BY token""".stripMargin,
     "search_tfidf_keywords" -> {
       val idf = duckDetLn("(CAST(n_docs AS DOUBLE) / CAST(dfv AS DOUBLE))")
       s"""WITH tf AS (

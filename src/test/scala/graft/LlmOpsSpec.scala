@@ -730,4 +730,19 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(h == graft.functions.Fnv1a64.hash(s.getBytes("UTF-8")), s"mismatch for '$s'")
     }
   }
+
+  test("dedup summary histogram: accounts for every doc; removable = docs - components") {
+    val rows = graft.operators.Dedup.dedupSummary(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cSize, nComp, nDocs, nRem) =>
+      assert(nDocs == cSize * nComp, s"size-$cSize row doesn't multiply out")
+      assert(nRem == nDocs - nComp, s"size-$cSize removable wrong")
+    }
+    val totalDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum == totalDocs, "histogram must cover the whole corpus")
+    // singles exist (isolated docs are their own component) and at
+    // least one real near-dup group exists in the fixture
+    assert(rows.exists(_._1 == 1L) && rows.exists(_._1 > 1L))
+  }
 }

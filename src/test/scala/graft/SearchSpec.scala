@@ -347,6 +347,25 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental postings == full in-engine rebuild over v2") {
+    import graft.operators.Curation
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val v2 = Curation.snapshotV2On(docs)
+    val full = Search.postingsOn(
+      v2.selectExpr("doc_id", "explode(split(lower(text), ' ')) AS token")
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf")))
+      .orderBy("token").collect().toSeq
+    val inc = Search.incrementalPostings(spark, sf).collect().toSeq
+    assert(inc == full, "incremental carry/recompute split diverges from full rebuild")
+    // the maintenance path must not touch every doc: the diff has
+    // unchanged docs (the overwhelming majority), whose postings rows
+    // arrive via the carried anti-join, not re-tokenization
+    val st = Curation.snapshotDiff(spark, sf).groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st.getOrElse("unchanged", 0L) > st.values.sum / 2,
+      s"fixture should be mostly unchanged docs, got $st")
+  }
+
   test("tfidf keywords: TopKAgg form == window row_number recompute; no Window node") {
     val viaAgg = Search.tfidfKeywords(spark, sf)
     val w = org.apache.spark.sql.expressions.Window
