@@ -73,8 +73,10 @@ object Dedup {
     * the capped-branch fixture tests feed synthetic hot shingles
     * through here (the parquet fixture's dfs never reach the cap, so
     * only a synthetic corpus exercises the conservative semantics). */
-  private[graft] def ngramJaccardOn(sh: DataFrame, threshold: Double,
-                                    dfCap: Int): DataFrame = {
+  /** The df-capped inverted-index self-join shared by the Jaccard and
+    * containment scorers: per-pair rare-shingle intersection counts
+    * with both docs' full shingle-set sizes attached. */
+  private def minedPairSizes(sh: DataFrame, dfCap: Int): DataFrame = {
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -87,6 +89,11 @@ object Dedup {
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
+  }
+
+  private[graft] def ngramJaccardOn(sh: DataFrame, threshold: Double,
+                                    dfCap: Int): DataFrame = {
+    minedPairSizes(sh, dfCap)
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
@@ -677,6 +684,50 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-CONTAINMENT detection: pairs where the smaller doc's shingle
+    * set is mostly inside the other's — containment = inter /
+    * min(|A|, |B|). Jaccard misses subset duplication (a paragraph
+    * quoted inside a 100× larger page scores inter/union ≈ 0.01 but
+    * containment ≈ 1.0), and quote/boilerplate inclusion is the
+    * dominant duplication mode in crawled training data. Same
+    * df-capped inverted-index mining as the Jaccard pass (shared
+    * [[minedPairSizes]]; one index build serves both scorers), only
+    * the score and threshold differ. */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5,
+                       dfCap: Int = HotShingleDfCap): DataFrame =
+    containmentOn(shingled(spark, dir), threshold, dfCap)
+
+  private[graft] def containmentOn(sh: DataFrame, threshold: Double,
+                                   dfCap: Int): DataFrame =
+    minedPairSizes(sh, dfCap)
+      .withColumn("containment",
+        col("inter").cast(DoubleType) / least(col("na"), col("nb")).cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Train/test split-leakage audit: near-dup pairs whose members land
+    * in DIFFERENT corpus splits — the eval-contamination mode exact
+    * decontamination misses (the test doc is a near-duplicate, not an
+    * exact n-gram match, of a training doc). Composes the verified
+    * pair graph with the deterministic id-hash split; output is the
+    * per-(split_a, split_b) pair count with the leak flag. Two
+    * broadcast-shaped key joins over the memoized pair set — no new
+    * corpus work. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val split = TextAnalysis.corpusSplitOn(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("pair_ct"))
+      .withColumn("is_leak", (col("split_a") =!= col("split_b")).cast("boolean"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** Dedup planning dashboard: component-size histogram over the
     * transitive near-dup closure — how many groups of each size, how
     * many docs they hold, and how many an aggressive pass would drop
@@ -696,6 +747,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => exact(s, d)),
     "dedup_summary" -> ((s, d) => dedupSummary(s, d)),
+    "dedup_containment" -> ((s, d) => containmentPairs(s, d)),
+    "dedup_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "dedup_components" -> ((s, d) => componentsShared(s, d).orderBy(col("doc_id"))),
     "dedup_components_star" -> ((s, d) => dedupComponentsStar(s, d)),
     "dedup_substring" -> ((s, d) => substringPairs(s, d)),
@@ -821,6 +874,37 @@ object Dedup {
         |  JOIN sizes nb ON pairs.doc_b = nb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $ngramPairCtes
+        |SELECT doc_a, doc_b, inter,
+        |  CAST(inter AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) AS containment
+        |FROM pairs
+        |  JOIN sizes na ON pairs.doc_a = na.doc_id
+        |  JOIN sizes nb ON pairs.doc_b = nb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // the verified pair graph × the deterministic id-hash split rule
+    // (identical mix/bucket arithmetic to the text_corpus_split oracle)
+    "dedup_split_leakage" ->
+      s"""WITH $ngramPairCtes,
+        |$ngramJpCte,
+        |sm AS (
+        |  SELECT doc_id,
+        |    xor(xor((doc_id & 2147483647) * 2654435761, (doc_id >> 31) * 40503), doc_id >> 7) AS mixed
+        |  FROM documents
+        |), sbk AS (
+        |  SELECT doc_id, ((mixed % 100) + 100) % 100 AS bucket FROM sm
+        |), sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM sbk
+        |)
+        |SELECT sa.split AS split_a, sb2.split AS split_b,
+        |  CAST(COUNT(*) AS BIGINT) AS pair_ct, sa.split <> sb2.split AS is_leak
+        |FROM jp
+        |  JOIN sp sa ON jp.doc_a = sa.doc_id
+        |  JOIN sp sb2 ON jp.doc_b = sb2.doc_id
+        |GROUP BY 1, 2, 4 ORDER BY split_a, split_b""".stripMargin,
     // Exact Levenshtein over 128-char prefixes of the SAME thresholded
     // pair set — DuckDB's levenshtein is the identical standard DP, so
     // distances (and the single-division similarity) match bit-exactly.

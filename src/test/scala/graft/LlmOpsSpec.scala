@@ -731,6 +731,39 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("containment: a planted quoted paragraph scores ~1.0 where jaccard stays tiny") {
+    import spark.implicits._
+    val para = (1 to 12).map(i => s"quoted$i").mkString(" ")
+    val page = ((1 to 200).map(i => s"host$i").mkString(" ")) + " " + para
+    val docs = Seq((1L, para), (2L, page), (3L, (1 to 50).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      graft.functions.GraftExpressions.shingleHashes(split(col("text"), " "), 3).as("sh"))
+    val mined = graft.operators.Dedup.ngramJaccardOn(sh, 0.0, 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // jaccard of the planted pair is small (10 shared / ~208 union)
+    assert(mined((1L, 2L)) < 0.1)
+    // containment sees the subset: 10 shared / 10 = 1.0
+    val got = graft.operators.Dedup.containmentOn(sh, 0.5, 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-12)
+  }
+
+  test("split leakage: counts equal a driver-side recount; all 9 cells covered on sf fixture") {
+    val pairs = graft.operators.Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val split = graft.operators.TextAnalysis.corpusSplit(spark, sf)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = pairs.groupBy(p => (split(p._1), split(p._2)))
+      .map { case (k, v) => (k._1, k._2, v.length.toLong, k._1 != k._2) }.toSet
+    val got = graft.operators.Dedup.splitLeakage(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == want)
+    // the audit exists because leaks happen: the fixture has at least one
+    assert(got.exists(_._4), "expected at least one cross-split near-dup pair")
+  }
+
   test("dedup summary histogram: accounts for every doc; removable = docs - components") {
     val rows = graft.operators.Dedup.dedupSummary(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
