@@ -42,6 +42,8 @@ object GraftExpressions {
     toColumn(CmsEstimateLong(toExpression(hash), sketch, depth, width))
   def topkAgg(score: Column, tag: Column, k: Int): Column =
     toColumn(TopKAgg(toExpression(score), toExpression(tag), k).toAggregateExpression())
+  def vectorSumAgg(vec: Column, dims: Int): Column =
+    toColumn(VectorSumAgg(toExpression(vec), dims).toAggregateExpression())
 }
 
 
@@ -963,6 +965,83 @@ case class CmsEstimateLong(
     })
 
   override protected def withNewChildInternal(newChild: Expression): CmsEstimateLong =
+    copy(child = newChild)
+}
+
+/** Element-wise sum of fixed-width BIGINT vectors: the grouped
+  * centroid primitive. `groupBy(label).agg(vector_sum(qv))` computes
+  * per-group embedding sums in ONE hash aggregation whose buffer is a
+  * single dims-long array — no per-dimension explode (which multiplies
+  * the shuffle by dims) and no dims separate `sum(element_at(v, i))`
+  * slots (which blow up codegen past ~10² dimensions). Partial
+  * aggregation applies: update and merge are element-wise adds
+  * (commutative, associative), so the shuffle carries one vector per
+  * (partition, key). Inputs are integer-quantized upstream, so sums
+  * are exact and order-independent at any parallelism — the reason
+  * this takes BIGINT vectors, not floats.
+  */
+case class VectorSumAgg(
+    child: Expression,
+    dims: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(
+      (child.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }) && dims > 0,
+      s"graft_vector_sum_agg requires (ARRAY<BIGINT>, dims > 0), got (${child.dataType.sql}, $dims)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](dims)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() != dims)
+        throw new IllegalStateException(
+          s"graft_vector_sum_agg(dims=$dims) got a ${arr.numElements()}-element vector")
+      var i = 0
+      while (i < dims) {
+        if (!arr.isNullAt(i)) buf(i) += arr.getLong(i)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < dims) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(dims * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(dims)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorSumAgg =
     copy(child = newChild)
 }
 

@@ -70,6 +70,13 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSetAgg(args.head, intArg(args(1), "graft_minhash_set_agg"))
           .toAggregateExpression() }))
 
+    ext.injectFunction((FunctionIdentifier("graft_vector_sum_agg"),
+      info("graft_vector_sum_agg",
+        "graft_vector_sum_agg(vec, dims) - aggregate: element-wise sum of the group's BIGINT vectors"),
+      (args: Seq[Expression]) => { arity(args, 2, "graft_vector_sum_agg")
+        VectorSumAgg(args(0), intArg(args(1), "graft_vector_sum_agg"))
+          .toAggregateExpression() }))
+
     ext.injectFunction((FunctionIdentifier("graft_topk_agg"),
       info("graft_topk_agg",
         "graft_topk_agg(score, tag, k) - aggregate: the k best (score, tag) pairs of the group, ordered (score DESC, tag ASC)"),

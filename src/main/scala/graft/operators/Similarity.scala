@@ -567,7 +567,33 @@ object Similarity {
   val HardNegK = 5
   val HardNegDupThreshold = 0.9
 
+  /** Per-label embedding centroids via [[graft.functions.VectorSumAgg]]
+    * — one hash aggregation whose buffer is a single 64-long array per
+    * label. The naive shapes both fail at scale: per-dimension
+    * `explode` multiplies the shuffle rows by dims, and 64 separate
+    * `sum(element_at(v, i))` slots stop codegen-ing near 10² dims.
+    * Here the shuffle carries one vector per (partition, label), sums
+    * are the exact quantized integers ([[MeanQuantScale]], same
+    * convention as the IVF k-means mean step), and the mean is one
+    * deterministic double division at the end. Output long form
+    * (label, dim, sum_q, n, mean) for the oracle hash. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.spread(spark, Tables.embeddings(spark, dir))
+    val q = emb.select(col("label"),
+      expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $MeanQuantScale) AS BIGINT))").as("qv"))
+    q.groupBy(col("label"))
+      .agg(GraftExpressions.vectorSumAgg(col("qv"), 64).as("sums"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("n"), posexplode(col("sums")))
+      .select(col("label").cast(LongType).as("label"),
+        col("pos").cast(LongType).as("dim"), col("col").as("sum_q"), col("n"),
+        (col("col").cast(DoubleType) /
+          (lit(MeanQuantScale.toDouble) * col("n").cast(DoubleType))).as("mean"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_label_centroids" -> ((s, d) => labelCentroids(s, d)),
     "sim_embedding_stats" -> ((s, d) => embeddingStats(s, d)),
     "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "sim_ann_topk" -> ((s, d) => annTopK(s, d)),
@@ -765,6 +791,17 @@ object Similarity {
   private val quantCte = quantCteOn("embeddings")
 
   val oracles: Map[String, String] = Map(
+    "sim_label_centroids" ->
+      s"""WITH u AS (
+         |  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE) * $MeanQuantScale) AS BIGINT) AS q
+         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+         |)
+         |SELECT CAST(label AS BIGINT) AS label, dim,
+         |  CAST(SUM(q) AS BIGINT) AS sum_q, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+         |    / ($MeanQuantScale.0 * CAST(COUNT(*) AS DOUBLE)) AS mean
+         |FROM u GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
     "sim_embedding_stats" -> (s"WITH $quantCte\n" +
       """SELECT COUNT(*) AS n_vecs,
         |  COUNT(DISTINCT len(q)) AS distinct_dims,

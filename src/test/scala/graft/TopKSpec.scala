@@ -101,6 +101,33 @@ class TopKSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("VectorSumAgg == explode + per-dim sum; partition-independent; dims mismatch throws") {
+    import graft.functions.GraftExpressions.vectorSumAgg
+    val rows = (1 to 120).map(i => (s"g${i % 4}", Array.tabulate(8)(d => (i * (d + 3) % 17 - 8).toLong)))
+    val df = rows.toDF("g", "v")
+    def run(parts: Int) =
+      df.repartition(parts).groupBy("g").agg(vectorSumAgg(col("v"), 8).as("s"))
+        .orderBy("g").collect().map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    val viaExplode = df.select(col("g"), posexplode(col("v")))
+      .groupBy("g", "pos").agg(sum("col").as("s"))
+      .groupBy("g").agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)))).toSeq
+    assert(run(1) == viaExplode)
+    assert(run(1) == run(7))
+    val bad = Seq(("g", Array(1L, 2L))).toDF("g", "v")
+      .groupBy("g").agg(vectorSumAgg(col("v"), 8).as("s"))
+    intercept[Exception] { bad.collect() }
+  }
+
+  test("graft_vector_sum_agg is SQL-callable") {
+    Seq((1, Seq(1L, 2L)), (1, Seq(10L, 20L))).toDF("g", "v")
+      .createOrReplaceTempView("vsum_t")
+    val got = spark.sql("SELECT graft_vector_sum_agg(v, 2) AS s FROM vsum_t GROUP BY g")
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(got == Seq(Seq(11L, 22L)))
+  }
+
   test("plan has no Window sort: the whole point at scale") {
     // executedPlan.toString recurses through the AdaptiveSparkPlan
     // wrapper; node-name scan on the rendered tree (same approach as
