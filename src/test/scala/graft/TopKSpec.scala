@@ -120,6 +120,28 @@ class TopKSpec extends AnyFunSuite {
     intercept[Exception] { bad.collect() }
   }
 
+  test("vector sums over a STREAM: at-rest == batch (online centroid maintenance)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.functions.GraftExpressions.vectorSumAgg
+    val all = (1 to 60).map(i => (i % 3, Array.tabulate(4)(d => (i * (d + 1)).toLong)))
+    val (b1, b2) = all.splitAt(30)
+    val mem = MemoryStream[(Int, Array[Long])](spark)
+    val agg = mem.toDF().toDF("label", "qv")
+      .groupBy("label").agg(vectorSumAgg(col("qv"), 4).as("s"), count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("vsum_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("vsum_stream").orderBy("label").collect().toSeq
+      val want = all.toDF("label", "qv")
+        .groupBy("label").agg(vectorSumAgg(col("qv"), 4).as("s"), count(lit(1)).as("n"))
+        .orderBy("label").collect().toSeq
+      assert(got == want, "streamed vector sums diverge from batch")
+    } finally q.stop()
+  }
+
   test("graft_vector_sum_agg is SQL-callable") {
     Seq((1, Seq(1L, 2L)), (1, Seq(10L, 20L))).toDF("g", "v")
       .createOrReplaceTempView("vsum_t")
