@@ -498,6 +498,27 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  private val genVecRows: Gen[List[(String, List[Long])]] =
+    Gen.listOf(for {
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.listOfN(5, Gen.choose(-1000L, 1000L))
+    } yield (g, v)).map(_.take(30))
+
+  property("VectorSumAgg == driver-side element-wise sums on random vectors") =
+    forAll(genVecRows) { rows =>
+      import spark.implicits._
+      rows.isEmpty || {
+        val got = rows.toDF("g", "v").repartition(4)
+          .groupBy("g")
+          .agg(graft.functions.GraftExpressions.vectorSumAgg(col("v"), 5).as("s"))
+          .as[(String, Seq[Long])].collect().toMap
+        val want = rows.groupBy(_._1).map { case (g, rs) =>
+          g -> (0 until 5).map(i => rs.map(_._2(i)).sum)
+        }
+        got.view.mapValues(_.toSeq).toMap == want.view.mapValues(_.toSeq).toMap
+      }
+    }
+
   private val genTopKRows: Gen[(Int, List[(String, Double, String)])] = for {
     k <- Gen.choose(1, 5)
     rows <- Gen.listOf(for {
