@@ -121,6 +121,30 @@ class SearchSpec extends AnyFunSuite {
     assert(two.nonEmpty && two.sameElements(single))
   }
 
+  test("TopKAgg retrieval top-k == two-phase salted windows (the agg generalizes)") {
+    import spark.implicits._
+    // the same exact semantics from two different scale strategies:
+    // salted double-window vs the k-bounded typed aggregate. The agg
+    // plan shuffles ≤k (score, doc) pairs per (partition, qid); the
+    // salted form shuffles ≤ salt·k rows per query into the final
+    // window. Both beat the naive global-per-qid window; equality here
+    // pins that they answer identically (ties and all).
+    val scored = Search.bm25ScoredOn(
+      graft.sources.Tables.documents(spark, sf), Search.searchWorkloadSeq(spark, sf))
+    val two = Search.topKTwoPhase(scored, 10)
+      .select("qid", "rk", "doc_id", "score_fp")
+      .as[(String, Int, Long, Long)].collect().sorted.toSeq
+    val viaAgg = scored
+      .groupBy("qid")
+      .agg(graft.functions.GraftExpressions.topkAgg(
+        col("score_fp").cast("double"), lpad(col("doc_id").cast("string"), 12, "0"), 10).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.tag").cast("long").as("doc_id"), col("col.score").cast("long").as("score_fp"))
+      .as[(String, Int, Long, Long)].collect().sorted.toSeq
+    assert(viaAgg == two)
+  }
+
   test("BM25 fixed-point scores match an independent driver-side recomputation") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf)
