@@ -728,6 +728,40 @@ object Dedup {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  /** Per-doc signature slots in long form — the stored shape of the
+    * LSH index state ([[incrementalSignatures]] maintains it; the
+    * banded bucket keys derive from these 32 slots per doc). */
+  private def docSignatureSlots(sh: DataFrame): DataFrame =
+    sh.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), GraftExpressions.minhashSig(col("sh"), NumHashes).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("h_idx", "h_min")))
+      .select(col("doc_id"), col("h_idx").cast(LongType).as("h_idx"), col("h_min"))
+
+  /** Incremental MinHash-index maintenance over the crawl diff: the v2
+    * per-doc signature table WITHOUT re-shingling the unchanged corpus
+    * — the dedup-tier sibling of `search_incremental_postings`.
+    * Content-hash diff → shingle+sign ONLY added/changed docs →
+    * anti-join out removed/changed docs' stored rows → union. Work
+    * scales with the delta; signatures are doc-local, so unlike the
+    * postings case no cross-doc aggregate needs re-touching — the
+    * splice alone IS the maintained index. The oracle re-derives every
+    * v2 signature from scratch (HUGEINT permutation replay), so
+    * hash-equality proves the carried rows are byte-for-byte the ones
+    * a full rebuild would produce. */
+  def incrementalSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+    val v2 = Curation.snapshotV2On(docs)
+    val sig1 = Memo(spark, dir, "dedup.sig.v1")(docSignatureSlots(shingled(spark, dir)))
+    val diff = Curation.snapshotDiffOn(docs, v2)
+    val gone = diff.filter(col("status").isin("removed", "changed")).select(col("doc_id"))
+    val fresh = diff.filter(col("status").isin("added", "changed")).select(col("doc_id"))
+    val shNew = v2.join(fresh, Seq("doc_id"))
+      .select(col("doc_id"), GraftExpressions.shingleHashes(toks(col("text")), 3).as("sh"))
+    sig1.join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(docSignatureSlots(shNew))
+      .orderBy(col("doc_id"), col("h_idx"))
+  }
+
   /** Dedup planning dashboard: component-size histogram over the
     * transitive near-dup closure — how many groups of each size, how
     * many docs they hold, and how many an aggressive pass would drop
@@ -748,6 +782,7 @@ object Dedup {
     "dedup_exact" -> ((s, d) => exact(s, d)),
     "dedup_summary" -> ((s, d) => dedupSummary(s, d)),
     "dedup_containment" -> ((s, d) => containmentPairs(s, d)),
+    "dedup_incremental_sigs" -> ((s, d) => incrementalSignatures(s, d)),
     "dedup_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "dedup_components" -> ((s, d) => componentsShared(s, d).orderBy(col("doc_id"))),
     "dedup_components_star" -> ((s, d) => dedupComponentsStar(s, d)),
@@ -874,6 +909,14 @@ object Dedup {
         |  JOIN sizes nb ON pairs.doc_b = nb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // full HUGEINT signature re-derivation over the SAME v2 synthesis
+    // (Curation.diffCtes) — equality proves the incremental splice
+    "dedup_incremental_sigs" ->
+      s"""WITH ${Curation.diffCtes},
+        |${DuckSql.minhashCtes("v2")}
+        |SELECT doc_id, CAST(i AS BIGINT) AS h_idx, CAST(sig[i + 1] AS BIGINT) AS h_min
+        |FROM sig, range(0, 32) t(i)
+        |ORDER BY doc_id, h_idx""".stripMargin,
     "dedup_containment" ->
       s"""WITH $ngramPairCtes
         |SELECT doc_a, doc_b, inter,

@@ -764,6 +764,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.exists(_._4), "expected at least one cross-split near-dup pair")
   }
 
+  test("incremental signatures == full in-engine re-sign of v2") {
+    import graft.operators.{Curation, Dedup}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val v2 = Curation.snapshotV2On(docs)
+    val full = v2.select(col("doc_id"),
+        graft.functions.GraftExpressions.shingleHashes(split(col("text"), " "), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        graft.functions.GraftExpressions.minhashSig(col("sh"), Dedup.NumHashes).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("h_idx", "h_min")))
+      .select(col("doc_id"), col("h_idx").cast("long"), col("h_min"))
+      .orderBy("doc_id", "h_idx").collect().toSeq
+    val inc = Dedup.incrementalSignatures(spark, sf).collect().toSeq
+    assert(inc == full, "incremental signature splice diverges from full re-sign")
+  }
+
   test("dedup summary histogram: accounts for every doc; removable = docs - components") {
     val rows = graft.operators.Dedup.dedupSummary(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
