@@ -99,6 +99,53 @@ object TextAnalysis {
         col("char_ct").cast(DoubleType) / col("bpeish_token_ct").cast(DoubleType))
       .orderBy(col("doc_id"))
 
+  /** RAG chunking parameters: 200-char windows advancing 150 chars, so
+    * consecutive chunks overlap by 50 chars (retrieval context keeps
+    * sentence fragments that straddle a boundary). */
+  private val ChunkSize = 200
+  private val ChunkStride = 150
+
+  /** RAG chunking: split every document into fixed-size overlapping
+    * character windows, with a token-boundary-snapped variant (the
+    * trailing partial token is trimmed unless the window ends at the
+    * document end) and a per-chunk whitespace token count.
+    *
+    * Scale design: pure row-local work — `sequence` + `explode` +
+    * `substring` all inside whole-stage codegen, zero shuffles before
+    * the presentation sort. Chunking a 100 TB corpus is exactly a
+    * scan: output rows ≈ chars/stride per doc, produced at whatever
+    * parallelism the scan has. This is the fan-out stage in front of
+    * an embedding/indexing pipeline, so keeping it shuffle-free means
+    * the expensive downstream work (embed, index) starts without a
+    * corpus-sized exchange. */
+  def chunkRag(spark: SparkSession, dir: String): DataFrame =
+    chunkRagOn(Tables.spread(spark, Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  /** The chunking pass over an arbitrary documents frame — stateless
+    * row-local work, so the SAME transform chunks a batch corpus or a
+    * readStream of incoming documents (stream ≡ batch in LlmOpsSpec). */
+  private[graft] def chunkRagOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      // window starts 0, stride, 2·stride … ≤ len-1 (greatest() keeps
+      // the empty-document edge well-defined: one empty chunk)
+      .withColumn("s",
+        explode(sequence(lit(0), greatest(col("len") - 1, lit(0)), lit(ChunkStride))))
+      .withColumn("chunk_text", expr(s"substring(text, s + 1, $ChunkSize)"))
+      // snap back to the last space only when the window was cut mid-
+      // document; a window reaching the document end is already whole
+      .withColumn("snapped_text",
+        when(col("s") + ChunkSize < col("len"),
+          regexp_replace(col("chunk_text"), " [^ ]*$", ""))
+          .otherwise(col("chunk_text")))
+      .select(col("doc_id"),
+        expr(s"s DIV $ChunkStride").cast(LongType).as("chunk_index"),
+        col("s").cast(LongType).as("chunk_start"),
+        length(col("chunk_text")).cast(LongType).as("chunk_len"),
+        col("chunk_text"), col("snapped_text"),
+        size(split(col("snapped_text"), " ")).cast(LongType).as("chunk_token_ct"))
+
   /** Document fingerprinting: md5 (oracle-checkable) plus a rolling
     * 64-bit FNV content hash via the custom codegen'd expression. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
@@ -685,6 +732,7 @@ object TextAnalysis {
     "text_stats" -> ((s, d) => textStats(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_token_counts" -> ((s, d) => tokenCounts(s, d)),
+    "text_chunk_rag" -> ((s, d) => chunkRag(s, d)),
     "text_repetition" -> ((s, d) => repetition(s, d)),
     "text_corpus_split" -> ((s, d) => corpusSplit(s, d)),
     "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
@@ -1121,6 +1169,29 @@ object TextAnalysis {
          |       WHEN fr_ct > 0 THEN 'fr'
          |       ELSE 'und' END AS pred_lang
          |FROM c ORDER BY doc_id""".stripMargin,
+    "text_chunk_rag" ->
+      """WITH starts AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS s
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, len, CAST(s // 150 AS BIGINT) AS chunk_index,
+        |    CAST(s AS BIGINT) AS chunk_start,
+        |    substring(text, s + 1, 200) AS chunk_text
+        |  FROM starts
+        |), snapped AS (
+        |  SELECT doc_id, chunk_index, chunk_start,
+        |    CAST(length(chunk_text) AS BIGINT) AS chunk_len, chunk_text,
+        |    CASE WHEN chunk_start + 200 < len
+        |      THEN regexp_replace(chunk_text, ' [^ ]*$', '')
+        |      ELSE chunk_text END AS snapped_text
+        |  FROM c
+        |)
+        |SELECT doc_id, chunk_index, chunk_start, chunk_len, chunk_text,
+        |  snapped_text,
+        |  CAST(len(string_split(snapped_text, ' ')) AS BIGINT) AS chunk_token_ct
+        |FROM snapped
+        |ORDER BY doc_id, chunk_index""".stripMargin,
     "text_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_token_ct,

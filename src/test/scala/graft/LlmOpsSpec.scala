@@ -665,6 +665,61 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("RAG chunking: coverage/overlap invariants + stream ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val chunks = TextAnalysis.chunkRag(spark, sf)
+      .select($"doc_id", $"chunk_index", $"chunk_start", $"chunk_len",
+        $"chunk_text", $"snapped_text")
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val text = docs(id)
+      val sorted = cs.sortBy(_._2)
+      // chunk_index is dense from 0; starts advance by the stride
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      assert(sorted.forall(c => c._3 == c._2 * 150))
+      // every chunk is the exact substring at its offset; the union of
+      // chunks covers the full document (last chunk reaches the end)
+      assert(sorted.forall(c =>
+        c._5 == text.substring(c._3.toInt, math.min(c._3.toInt + 200, text.length))))
+      assert(sorted.last._3 + sorted.last._4 == text.length)
+      // consecutive chunks overlap by chunkSize - stride = 50 chars
+      // (except when the successor is the short tail)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val overlap = a._3 + a._4 - b._3
+          assert(overlap == 50 || a._3 + a._4 == text.length)
+        case _ => ()
+      }
+      // snapped chunks never end mid-token: the char after a snapped
+      // cut is a space (or the chunk reached the document end as-is)
+      sorted.foreach { c =>
+        if (c._6.length < c._5.length)
+          assert(text.charAt(c._3.toInt + c._6.length) == ' ')
+      }
+    }
+    // row-local ⇒ the same transform chunks an ingest stream
+    val feed = docs.toSeq.sortBy(_._1)
+    val mem = MemoryStream[(Long, String)](spark)
+    val streamed = TextAnalysis.chunkRagOn(mem.toDF().toDF("doc_id", "text"))
+    val q = streamed.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(feed.take(feed.size / 2)); q.processAllAvailable()
+      mem.addData(feed.drop(feed.size / 2)); q.processAllAvailable()
+      val got = spark.table("chunk_stream")
+        .select($"doc_id", $"chunk_index", $"chunk_text")
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      val want = chunks.map(c => (c._1, c._2, c._5)).sorted.toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("ngram jaccard df-cap: hot shingles drop, scores stay conservative") {
     import spark.implicits._
     import graft.functions.GraftExpressions
