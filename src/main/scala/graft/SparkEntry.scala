@@ -26,6 +26,7 @@ object SparkEntry {
       (Curation.queries, Curation.oracles),
       (Search.queries, Search.oracles),
       (Governance.queries, Governance.oracles),
+      (Graph.queries, Graph.oracles),
       (Scd2.queries, Scd2.oracles),
       (Multimodal.queries, Multimodal.oracles))
 
