@@ -506,6 +506,31 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** ANN quality audit: recall@k of the IVF index against the exact
+    * brute-force neighbors — the number every index deployment must
+    * report before the approximate path replaces the exact one. One
+    * key join between the two k-row-per-query rank frames, grouped per
+    * query; recall = hits/k is a single exact division (small int /
+    * 5.0), so the whole report is oracle-hashable. At 100 TB the truth
+    * side runs on a sampled query panel (it is the only exact-cost
+    * component) while the IVF side is the production path — the audit
+    * cost is bounded by the panel, never the corpus. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val approx = annIvf(spark, dir, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val truth = annTopKFloat(spark, dir, k = k)
+      .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
+    val hits = approx
+      .join(truth, col("query_id") === col("tq") && col("neighbor_id") === col("tn"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hit_ct"))
+    truth.select(col("tq").as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hit_ct"), lit(0L)).as("hit_ct"),
+        (coalesce(col("hit_ct"), lit(0L)).cast(DoubleType) / k.toDouble).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding-table QA: corpus size, dimensionality, and the
     * quantized-norm distribution — the sanity report run before any
     * ANN/dedup job (degenerate embeddings show up as zero or wildly
@@ -603,6 +628,7 @@ object Similarity {
     "sim_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "sim_ann_topk_float" -> ((s, d) => annTopKFloat(s, d)),
+    "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
     "sim_semantic_dedup" -> ((s, d) => semanticDedup(s, d)))
 
   /** DuckDB rebuild of the hyperplane-LSH buckets: plane components
@@ -790,7 +816,7 @@ object Similarity {
 
   private val quantCte = quantCteOn("embeddings")
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "sim_label_centroids" ->
       s"""WITH u AS (
          |  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
@@ -1024,4 +1050,26 @@ object Similarity {
          |  COALESCE(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of
          |FROM kafin a LEFT JOIN ddup d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin)
+
+  /** The recall audit's oracle composes the IVF and brute-force
+    * oracles verbatim (each full statement nests as a CTE body), so
+    * the audit can never drift from the definitions it audits. */
+  val oracles: Map[String, String] = baseOracles +
+    ("sim_ann_recall" ->
+      s"""WITH ivf AS (
+         |${baseOracles("sim_ann_ivf")}
+         |), bf AS (
+         |${baseOracles("sim_ann_topk_float")}
+         |), hits AS (
+         |  SELECT i.query_id, CAST(COUNT(*) AS BIGINT) AS hit_ct
+         |  FROM ivf i JOIN bf b
+         |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |  GROUP BY i.query_id
+         |)
+         |SELECT q.query_id,
+         |  CAST(COALESCE(h.hit_ct, 0) AS BIGINT) AS hit_ct,
+         |  CAST(COALESCE(h.hit_ct, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM bf) q
+         |LEFT JOIN hits h ON q.query_id = h.query_id
+         |ORDER BY q.query_id""".stripMargin)
 }

@@ -404,6 +404,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(overlap >= 0.95, s"quantized/float overlap $overlap < 0.95")
   }
 
+  test("ANN recall audit: bounded, consistent with the two rank frames it joins") {
+    import spark.implicits._
+    val r = Similarity.annRecall(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(r.length == 32, "one row per query in the panel")
+    assert(r.forall { case (_, h, rec) => h >= 0 && h <= 5 && rec == h / 5.0 })
+    // the IVF index at NProbe=2 must be a usable index, not a shrug:
+    // macro recall over the panel stays above a meaningful floor
+    val macroR = r.map(_._3).sum / r.length
+    assert(macroR >= 0.6, s"IVF macro recall $macroR collapsed — index broken")
+    // cross-check hit counts against an independent driver-side join
+    val ivf = Similarity.annIvf(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val bf = Similarity.annTopKFloat(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    r.foreach { case (q, h, _) =>
+      val want = ivf.getOrElse(q, Array.empty).map(_._2).toSet
+        .intersect(bf.getOrElse(q, Array.empty).map(_._2).toSet).size
+      assert(h == want, s"query $q hit_ct $h != $want")
+    }
+  }
+
   test("ingestion near-dup flags a STREAM of new docs vs static corpus ≡ batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
