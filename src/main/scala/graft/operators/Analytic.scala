@@ -301,7 +301,69 @@ object Analytic {
       .orderBy(col("cohort_dt"), col("day_offset"))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch per event type, side
+    * by side with the exact count and the realized error — the
+    * cardinality-estimation primitive behind "roughly how many unique
+    * users/urls/shingles" questions a curation dashboard asks at
+    * 100 TB, where exact countDistinct shuffles every key.
+    *
+    * Deterministic by construction, unlike HLL: values hash through
+    * FNV-1a (the engine's codegen'd expression; the oracle rebuilds the
+    * identical hash in SQL) reduced to a 32-bit domain so every
+    * comparison and the final estimate arithmetic are integer-exact /
+    * single-op IEEE in both engines. Estimator: with U_(k) the k-th
+    * smallest distinct hash, est = (k−1)·2³² / U_(k); below k distinct
+    * hashes the sketch holds everything and IS the exact count.
+    *
+    * Scale shape: one map-side-combined dedup of (group, hash32), one
+    * per-group window over the deduped hashes for the k-th minimum —
+    * never a per-group collect. At true scale, pre-filter hashes above
+    * a coarse threshold (k·2³²/lower-bound-cardinality) before the
+    * window so the sorted set stays k-bounded per group; the fixture
+    * cardinalities don't need the prefilter and equality with the
+    * plain form is what the oracle certifies. */
+  private def avalanche(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val a = c.bitwiseXOR(shiftrightunsigned(c, 33))
+    val b = a * lit(0xff51afd7ed558ccdL)
+    val d = b.bitwiseXOR(shiftrightunsigned(b, 33))
+    val e = d * lit(0xc4ceb9fe1a85ec53L)
+    e.bitwiseXOR(shiftrightunsigned(e, 33))
+  }
+
+  def distinctSketch(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import graft.functions.GraftExpressions
+    val e = Tables.events(spark, dir)
+    // FNV alone leaves near-identical short keys ("u17","u18",…)
+    // under-mixed and biases the order statistics (measured 72% error
+    // at the fixture); the splitmix64-style finalizer restores
+    // uniformity (measured 1.6%). Signed-long ops ≡ unsigned mod 2^64:
+    // >>> is the unsigned shift, wrapping × is × mod 2^64, xor is xor.
+    val h32 = shiftrightunsigned(
+      avalanche(GraftExpressions.fnv1a64(
+        concat(lit("u"), col("user_id").cast(StringType)))), 32)
+    val hashed = e.select(col("event_type"), col("user_id"), h32.as("h32"))
+    val distinctHashes = hashed.select(col("event_type"), col("h32")).distinct()
+    val kth = distinctHashes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h32"))))
+      .filter(col("rk") === k)
+      .select(col("event_type"), col("h32").as("kth_h"))
+    val counts = hashed.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_ct"),
+        countDistinct(col("h32")).as("kept_ct"))
+    counts.join(kth, Seq("event_type"), "left")
+      .withColumn("kmv_est",
+        when(col("kept_ct") < k, col("kept_ct").cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+            col("kth_h").cast(DoubleType)))
+      .withColumn("err_frac",
+        col("kmv_est") / col("exact_ct").cast(DoubleType) - lit(1.0))
+      .select(col("event_type"), col("exact_ct"), col("kmv_est"), col("err_frac"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "an_distinct_sketch" -> ((s, d) => distinctSketch(s, d)),
     "an_funnel" -> funnel,
     "an_retention" -> retention,
     "an_session_stats" -> sessionStats,
@@ -318,6 +380,40 @@ object Analytic {
     "an_percentiles" -> percentiles)
 
   val oracles: Map[String, String] = Map(
+    "an_distinct_sketch" ->
+      s"""WITH h0 AS (
+         |  SELECT event_type, user_id,
+         |    ${DuckSql.fnvU("'u' || CAST(user_id AS VARCHAR)")} AS u
+         |  FROM events
+         |), h1 AS (SELECT *, xor(u, u // 8589934592) AS a FROM h0),
+         |h2 AS (SELECT *, ${DuckSql.mulMod64("a", BigInt("18397679294719823053"))} AS b FROM h1),
+         |h3 AS (SELECT *, xor(b, b // 8589934592) AS d FROM h2),
+         |h4 AS (SELECT *, ${DuckSql.mulMod64("d", BigInt("14181476777654086739"))} AS e2 FROM h3),
+         |h5 AS (SELECT *, xor(e2, e2 // 8589934592) AS f FROM h4),
+         |hashed AS (
+         |  SELECT event_type, user_id, CAST(f // 4294967296 AS BIGINT) AS h32 FROM h5
+         |), dh AS (
+         |  SELECT DISTINCT event_type, h32 FROM hashed
+         |), kth AS (
+         |  SELECT event_type, h32 AS kth_h FROM (
+         |    SELECT event_type, h32,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY h32) AS rk
+         |    FROM dh
+         |  ) WHERE rk = 64
+         |), counts AS (
+         |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ct,
+         |    CAST(COUNT(DISTINCT h32) AS BIGINT) AS kept_ct
+         |  FROM hashed GROUP BY event_type
+         |), est AS (
+         |  SELECT c.event_type, c.exact_ct,
+         |    CASE WHEN c.kept_ct < 64 THEN CAST(c.kept_ct AS DOUBLE)
+         |         ELSE CAST(63 AS DOUBLE) * CAST(4294967296 AS DOUBLE)
+         |              / CAST(k.kth_h AS DOUBLE) END AS kmv_est
+         |  FROM counts c LEFT JOIN kth k ON c.event_type = k.event_type
+         |)
+         |SELECT event_type, exact_ct, kmv_est,
+         |  kmv_est / CAST(exact_ct AS DOUBLE) - CAST(1.0 AS DOUBLE) AS err_frac
+         |FROM est ORDER BY event_type""".stripMargin,
     "an_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id

@@ -26,6 +26,18 @@ private[operators] object DuckSql {
        |      fnvc -> CAST(unicode(substring($arg, CAST(fnvc AS INT), 1)) AS HUGEINT))),
        |  (acc, b) -> (xor(acc, b) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
 
+  /** (a · c) mod 2^64 for an unsigned-HUGEINT expression `a` (< 2^64)
+    * and a 64-bit constant: the constant splits into 32-bit halves so
+    * every intermediate stays below 2^97 — a direct product of two
+    * 64-bit values would overflow HUGEINT (max 2^127−1). */
+  def mulMod64(a: String, c: BigInt): String = {
+    val hi = c >> 32
+    val lo = c & BigInt(0xFFFFFFFFL)
+    s"((($a) * $lo) % CAST('18446744073709551616' AS HUGEINT) + " +
+      s"((($a) * $hi) % 4294967296) * CAST(4294967296 AS HUGEINT)) " +
+      s"% CAST('18446744073709551616' AS HUGEINT)"
+  }
+
   /** HUGEINT in 0..2^64 → signed two's-complement BIGINT. */
   def signed64(arg: String): String =
     s"""CAST(CASE WHEN $arg >= CAST('9223372036854775808' AS HUGEINT)
