@@ -315,6 +315,79 @@ object Search {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** MMR result-list size. */
+  private val MmrK = 5
+
+  /** MMR-diversified retrieval: greedy maximal-marginal-relevance
+    * selection of [[MmrK]] results from the BM25 candidate pool —
+    * step score = 0.7·rel − 0.3·max_sim_to_already_selected, where
+    * rel is the query-normalized BM25 score and doc-doc similarity is
+    * the exact quantized cosine between candidate embeddings. The
+    * dedup knob of a retrieval stack: plain top-k returns five
+    * near-copies of the same hit; MMR trades relevance for coverage.
+    *
+    * Scale shape: everything after the BM25 stage is bounded by the
+    * POOL, not the corpus — the pairwise-similarity frame is
+    * pool²-per-query rows ([[HybridCandidates]]² = 400) built by a
+    * broadcast key join (embeddings never shuffle), and each greedy
+    * step is a window over ≤pool rows per query. The greedy loop is
+    * [[MmrK]] chained stages of one tiny join + one window each —
+    * depth is a constant, never data-dependent.
+    *
+    * Determinism: rel and sim are exact single-division doubles
+    * (integer fixed-point / integer dots), the penalty is MAX (order-
+    * free), and the step score is two literal products and one
+    * subtract in fixed order — no accumulation anywhere, so the
+    * DuckDB oracle (the same five steps unrolled) hash-matches. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val cand = Memo(spark, dir, "search_bm25_cand")(
+      topKTwoPhase(bm25Memo(spark, dir), HybridCandidates))
+    val qv = Similarity.quantizedOn(Tables.spread(spark, Tables.embeddings(spark, dir)))
+      .filter(col("nrm") > 0)
+    val pool = qv.join(
+        broadcast(cand.select(col("qid"), col("doc_id"), col("score_fp"))),
+        col("vec_id") === col("doc_id"))
+      .select(col("qid"), col("doc_id"), col("score_fp"), col("q"), col("nrm"))
+    val rel = pool
+      .withColumn("rel", col("score_fp").cast(DoubleType) /
+        max(col("score_fp")).over(Window.partitionBy(col("qid"))).cast(DoubleType))
+      .select(col("qid"), col("doc_id"), col("rel"))
+    val sims = pool
+      .select(col("qid"), col("doc_id").as("da"), col("q").as("qa"), col("nrm").as("na"))
+      .join(pool.select(col("qid"), col("doc_id").as("db"), col("q").as("qb"),
+        col("nrm").as("nb")), Seq("qid"))
+      .filter(col("da") =!= col("db"))
+      .select(col("qid"), col("da"), col("db"),
+        (GraftExpressions.dotLong(col("qa"), col("qb")).cast(DoubleType) /
+          (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType)))).as("sim"))
+    // step 1: pure relevance argmax (empty selected set ⇒ zero penalty)
+    var selected = rel
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("doc_id"), lit(1).as("step"),
+        (lit(0.7) * col("rel")).as("mmr"))
+    for (i <- 2 to MmrK) {
+      val pen = sims
+        .join(selected.select(col("qid").as("sqid"), col("doc_id").as("sel_id")),
+          col("qid") === col("sqid") && col("db") === col("sel_id"))
+        .groupBy(col("qid"), col("da")).agg(max(col("sim")).as("pen"))
+      val pick = rel
+        .join(selected.select(col("qid"), col("doc_id")), Seq("qid", "doc_id"), "left_anti")
+        .join(pen.select(col("qid"), col("da").as("doc_id"), col("pen")), Seq("qid", "doc_id"))
+        .withColumn("mmr", (lit(0.7) * col("rel")) - (lit(0.3) * col("pen")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("doc_id"), lit(i).as("step"), col("mmr"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+      .select(col("qid"), col("step").cast(LongType).as("step"),
+        col("doc_id"), col("mmr"))
+      .orderBy(col("qid"), col("step"))
+  }
+
   // ---------------------------------------------------------------
   // Inverted-index materialization (the index itself as a table)
   // ---------------------------------------------------------------
@@ -536,6 +609,7 @@ object Search {
     "search_workload" -> ((s, d) => workloadTable(s, d)),
     "search_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "search_hybrid_rerank" -> ((s, d) => hybridRerank(s, d)),
+    "search_mmr" -> ((s, d) => mmrRerank(s, d)),
     "search_phrase" -> ((s, d) => phraseSearch(s, d)),
     "search_postings" -> ((s, d) => postings(s, d)),
     "search_tfidf_keywords" -> ((s, d) => tfidfKeywords(s, d)),
@@ -653,6 +727,60 @@ object Search {
            |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS INTEGER) AS rk,
            |  doc_id, score_fp, sim
            |FROM sc2 ORDER BY qid, rk""".stripMargin),
+    // The five greedy MMR steps unrolled: identical literals, same
+    // window tiebreaks, penalty as MAX (order-free) — hash-exact.
+    "search_mmr" -> {
+      val steps = (2 to MmrK).map { i =>
+        s"""m$i AS (
+           |  SELECT r.qid, r.doc_id,
+           |    (CAST(0.7 AS DOUBLE) * r.rel) - (CAST(0.3 AS DOUBLE) * p.pen) AS mmr
+           |  FROM mrel r
+           |  JOIN (
+           |    SELECT s.qid, s.da, MAX(s.sim) AS pen
+           |    FROM msims s JOIN sel${i - 1} t ON s.qid = t.qid AND s.db = t.doc_id
+           |    GROUP BY s.qid, s.da
+           |  ) p ON r.qid = p.qid AND r.doc_id = p.da
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM sel${i - 1} t2 WHERE t2.qid = r.qid AND t2.doc_id = r.doc_id)
+           |),
+           |s$i AS (
+           |  SELECT qid, doc_id, $i AS step, mmr FROM (
+           |    SELECT qid, doc_id, mmr,
+           |      row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, doc_id) AS rn
+           |    FROM m$i
+           |  ) WHERE rn = 1
+           |),
+           |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"WITH $bm25Ctes,\n" + Similarity.quantCteOn("embeddings") +
+        s""",
+           |mpool AS (
+           |  SELECT r.qid, r.doc_id, r.score_fp, qn.q, qn.nrm
+           |  FROM r JOIN qn ON r.doc_id = qn.vec_id
+           |  WHERE r.rk <= $HybridCandidates AND qn.nrm > 0
+           |),
+           |mrel AS (
+           |  SELECT qid, doc_id,
+           |    CAST(score_fp AS DOUBLE) / CAST(MAX(score_fp) OVER (PARTITION BY qid) AS DOUBLE) AS rel
+           |  FROM mpool
+           |),
+           |msims AS (
+           |  SELECT a.qid, a.doc_id AS da, b.doc_id AS db,
+           |    CAST(CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS BIGINT) AS DOUBLE)
+           |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS sim
+           |  FROM mpool a JOIN mpool b ON a.qid = b.qid AND a.doc_id <> b.doc_id
+           |),
+           |sel1 AS (
+           |  SELECT qid, doc_id, 1 AS step, CAST(0.7 AS DOUBLE) * rel AS mmr FROM (
+           |    SELECT qid, doc_id, rel,
+           |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS rn
+           |    FROM mrel
+           |  ) WHERE rn = 1
+           |),
+           |$steps
+           |SELECT qid, CAST(step AS BIGINT) AS step, doc_id, mmr
+           |FROM sel$MmrK ORDER BY qid, step""".stripMargin
+    },
     "search_workload" ->
       s"""WITH $workloadCtes,
          |$phraseWorkloadCtes

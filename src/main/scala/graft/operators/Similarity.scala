@@ -26,7 +26,7 @@ object Similarity {
   /** Integer-quantized vectors: q = round(x * 1000), exact in BIGINT.
     * Shared with [[Search]]'s hybrid rerank so engine and oracle
     * quantization live in exactly one place each. */
-  private[operators] def quantizedOn(e: DataFrame): DataFrame =
+  private[graft] def quantizedOn(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
       .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))

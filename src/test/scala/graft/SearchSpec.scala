@@ -121,6 +121,53 @@ class SearchSpec extends AnyFunSuite {
     assert(two.nonEmpty && two.sameElements(single))
   }
 
+  test("MMR selection matches a driver-side greedy reference bit-for-bit") {
+    import spark.implicits._
+    val got = Search.mmrRerank(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // rebuild pool/rel/sims from the same primitives and run the
+    // greedy loop in plain Scala with the identical IEEE operations
+    val scored = Search.bm25ScoredOn(
+      graft.sources.Tables.documents(spark, sf), Search.searchWorkloadSeq(spark, sf))
+    val cand = Search.topKTwoPhase(scored, 20)
+      .select("qid", "doc_id", "score_fp").as[(String, Long, Long)].collect()
+    val qv = graft.operators.Similarity
+      .quantizedOn(graft.sources.Tables.embeddings(spark, sf))
+      .filter(col("nrm") > 0)
+      .select("vec_id", "q", "nrm").as[(Long, Seq[Long], Long)].collect()
+      .map { case (id, q, n) => id -> ((q.toArray, n)) }.toMap
+    val want = cand.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val pool = rows.collect { case (_, d, fp) if qv.contains(d) => (d, fp) }
+      val maxFp = pool.map(_._2).max
+      val rel = pool.map { case (d, fp) => d -> (fp.toDouble / maxFp.toDouble) }.toMap
+      def sim(a: Long, b: Long): Double = {
+        val (qa, na) = qv(a); val (qb, nb) = qv(b)
+        val dot = qa.indices.foldLeft(0L)((acc, i) => acc + qa(i) * qb(i))
+        dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+      }
+      val first = pool.map(_._1).sortBy(d => (-rel(d), d)).head
+      var sel = Vector((qid, 1L, first, 0.7 * rel(first)))
+      for (step <- 2 to 5) {
+        val chosen = sel.map(_._3).toSet
+        val remaining = pool.map(_._1).filterNot(chosen)
+        if (remaining.nonEmpty) {
+          val best = remaining
+            .map(d => (d, (0.7 * rel(d)) - (0.3 * chosen.map(s => sim(d, s)).max)))
+            .sortBy { case (d, m) => (-m, d) }.head
+          sel :+= ((qid, step.toLong, best._1, best._2))
+        }
+      }
+      sel
+    }
+    assert(got.sorted == want.sorted,
+      s"engine=${got.sorted.take(3)}… reference=${want.sorted.take(3)}…")
+    // each query yields 5 distinct docs
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == 5 && rs.map(_._3).distinct.length == 5, s"$q")
+    }
+  }
+
   test("TopKAgg retrieval top-k == two-phase salted windows (the agg generalizes)") {
     import spark.implicits._
     // the same exact semantics from two different scale strategies:
