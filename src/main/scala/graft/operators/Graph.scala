@@ -72,13 +72,21 @@ object Graph {
     * consecutive pairs); dangling-mass redistribution would add one
     * more broadcast scalar per round. */
   def pagerankOn(edges: DataFrame, iters: Int = Iters): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct()
+    // materialize the edge list ONCE: every iteration's job otherwise
+    // re-executes the full mining lineage behind `edges` (the events
+    // window + aggregation) — measured 8× the edge-build cost at sf0.1.
+    // Node²-bounded after aggregation, so the checkpoint is tiny here;
+    // on a billion-edge graph this is still the right call — it is the
+    // same materialize-the-loop-invariant discipline as the components
+    // rounds, trading one write for iters× recomputation.
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
     val n = nodes.agg(count(lit(1)).as("n"))
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n")).as("pagerank"))
     for (i <- 1 to iters) {
-      val summed = edges.join(ranks, col("src") === col("node"))
+      val summed = e.join(ranks, col("src") === col("node"))
         .select(col("dst"), (col("pagerank") * col("p")).as("contrib"))
         .groupBy(col("dst")).agg(foldSum("contrib").as("s"))
       ranks = nodes.join(summed, col("node") === col("dst"), "left")
@@ -101,7 +109,8 @@ object Graph {
     * aggregation; row-stochasticity is preserved exactly (spec-pinned)
     * because the fold is deterministic. */
   def twoStep(spark: SparkSession, dir: String): DataFrame = {
-    val e = transitionEdges(spark, dir)
+    // both join sides read the same mined frame — materialize once
+    val e = transitionEdges(spark, dir).localCheckpoint()
     e.select(col("src"), col("dst").as("mid"), col("p").as("p1"))
       .join(e.select(col("src").as("mid2"), col("dst"), col("p").as("pb")),
         col("mid") === col("mid2"))
