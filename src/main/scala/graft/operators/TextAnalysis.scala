@@ -128,10 +128,16 @@ object TextAnalysis {
   private[graft] def chunkRagOn(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-      // window starts 0, stride, 2·stride … ≤ len-1 (greatest() keeps
-      // the empty-document edge well-defined: one empty chunk)
+      // window starts 0, stride, 2·stride … ≤ len-1-overlap: a start
+      // past len-overlap would produce a tail fully contained in the
+      // previous chunk (pure garbage downstream — at corpus scale,
+      // redundant embed/index work for every doc whose length lands in
+      // the overlap zone). greatest() keeps the empty-document edge
+      // well-defined: one empty chunk.
       .withColumn("s",
-        explode(sequence(lit(0), greatest(col("len") - 1, lit(0)), lit(ChunkStride))))
+        explode(sequence(lit(0),
+          greatest(col("len") - 1 - (ChunkSize - ChunkStride), lit(0)),
+          lit(ChunkStride))))
       .withColumn("chunk_text", expr(s"substring(text, s + 1, $ChunkSize)"))
       // snap back to the last space only when the window was cut mid-
       // document; a window reaching the document end is already whole
@@ -1172,7 +1178,7 @@ object TextAnalysis {
     "text_chunk_rag" ->
       """WITH starts AS (
         |  SELECT doc_id, text, length(text) AS len,
-        |    unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS s
+        |    unnest(generate_series(0, greatest(length(text) - 51, 0), 150)) AS s
         |  FROM documents
         |), c AS (
         |  SELECT doc_id, len, CAST(s // 150 AS BIGINT) AS chunk_index,

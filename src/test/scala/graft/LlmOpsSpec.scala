@@ -742,6 +742,50 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("RAG chunking edge cases: empty, single-char, boundary lengths, space runs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      0L -> "",
+      1L -> " ",
+      2L -> "a",
+      3L -> "x" * 200,              // exactly one full window, no redundant tail
+      4L -> "y" * 201,              // one full + one 51-char tail
+      5L -> ("word " * 60).trim,    // clean token stream
+      6L -> ("  double  spaced " * 20).trim,
+      7L -> "z" * 150)              // tail starts exactly at stride
+    val got = TextAnalysis.chunkRagOn(docs.toDF("doc_id", "text"))
+      .select($"doc_id", $"chunk_index", $"chunk_start", $"chunk_text", $"snapped_text")
+      .as[(Long, Long, Long, String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    docs.foreach { case (id, text) =>
+      val cs = got(id)
+      // every doc yields ≥1 chunk; chunks tile the doc at stride 150
+      assert(cs.nonEmpty, s"doc $id lost")
+      assert(cs.map(_._3).toSeq == cs.indices.map(_ * 150L))
+      cs.foreach { c =>
+        val start = c._3.toInt
+        val want = if (start >= text.length) "" else
+          text.substring(start, math.min(start + 200, text.length))
+        assert(c._4 == want, s"doc $id chunk at $start")
+      }
+      // reconstruction: stride-prefixes of all but the last chunk,
+      // then the last chunk whole, concatenate back to the doc
+      val rebuilt = cs.init.map(_._4.take(150)).mkString + cs.last._4
+      assert(rebuilt == text, s"doc $id reconstruction")
+      // snap never creates content: snapped is a prefix of the raw chunk
+      cs.foreach(c => assert(c._4.startsWith(c._5)))
+      // no chunk is fully contained in its predecessor (tail-redundancy
+      // guard: every chunk past the first contributes new characters)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 + b._4.length > a._3 + a._4.length, s"doc $id")
+        case _ => ()
+      }
+    }
+    // boundary docs produce exactly one chunk (no redundant tail row)
+    assert(got(7L).length == 1 && got(3L).length == 1 && got(4L).length == 2)
+  }
+
   test("ngram jaccard df-cap: hot shingles drop, scores stay conservative") {
     import spark.implicits._
     import graft.functions.GraftExpressions
