@@ -111,15 +111,28 @@ object Curation {
     * single-partition window anywhere. */
   private[graft] def packShardsOn(docs: DataFrame,
                                   capacity: Long = ShardTokens,
-                                  bucketDocs: Long = PackBucketDocs): DataFrame = {
-    val base = docs.select(
-      col("doc_id"),
-      size(split(col("text"), " ")).cast(LongType).as("tok_ct"),
-      expr(s"doc_id div $bucketDocs").as("bucket"))
+                                  bucketDocs: Long = PackBucketDocs): DataFrame =
+    packByKey(
+      docs.select(col("doc_id").as("pack_key"),
+        size(split(col("text"), " ")).cast(LongType).as("tok_ct")),
+      capacity, bucketDocs)
+      .select(col("pack_key").as("doc_id"), col("tok_ct"),
+        col("tok_offset"), col("shard_id"))
+
+  /** The packing core over an arbitrary `(pack_key, tok_ct)` frame —
+    * the distributed prefix sum is key-agnostic, so the same machinery
+    * packs documents (key = doc_id) or RAG chunks (key = the composed
+    * doc/chunk ordinal). Keys may be sparse: buckets are `key div
+    * bucketKeys`, and a sparse key space only makes buckets smaller,
+    * never incorrect. */
+  private[graft] def packByKey(rows: DataFrame,
+                               capacity: Long = ShardTokens,
+                               bucketKeys: Long = PackBucketDocs): DataFrame = {
+    val base = rows.withColumn("bucket", expr(s"pack_key div $bucketKeys"))
     val inner = base.withColumn("inner_prev",
       coalesce(
         sum(col("tok_ct")).over(
-          Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          Window.partitionBy(col("bucket")).orderBy(col("pack_key"))
             .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
     val bucketOffsets = base
@@ -132,9 +145,29 @@ object Curation {
       .select(col("bucket"), col("bucket_prev"))
     inner.join(broadcast(bucketOffsets), "bucket")
       .withColumn("tok_offset", col("bucket_prev") + col("inner_prev"))
-      .select(col("doc_id"), col("tok_ct"), col("tok_offset"),
+      .select(col("pack_key"), col("tok_ct"), col("tok_offset"),
         expr(s"tok_offset div $capacity").as("shard_id"))
   }
+
+  /** Chunk-level sequence packing: the RAG pipeline's last mile —
+    * [[TextAnalysis.chunkRagOn]]'s overlapping chunks, in (doc,
+    * chunk) order, assigned contiguous token offsets and
+    * [[ShardTokens]]-capacity training shards through the SAME
+    * two-level prefix sum as document packing ([[packByKey]]).
+    * The composed ordinal `doc_id·2³² + chunk_index` keeps chunks of
+    * one document adjacent and ordered at any chunk count (a 10 MB
+    * document yields ~70 k chunks — far under 2³²). */
+  def chunkPack(spark: SparkSession, dir: String): DataFrame =
+    packByKey(
+      TextAnalysis.chunkRagOn(Tables.spread(spark, Tables.documents(spark, dir)))
+        .select(
+          (col("doc_id") * lit(4294967296L) + col("chunk_index")).as("pack_key"),
+          col("chunk_token_ct").as("tok_ct")))
+      .select(
+        expr("pack_key div 4294967296").as("doc_id"),
+        (col("pack_key") % 4294967296L).as("chunk_index"),
+        col("tok_ct"), col("tok_offset"), col("shard_id"))
+      .orderBy(col("doc_id"), col("chunk_index"))
 
   def packShards(spark: SparkSession, dir: String): DataFrame =
     Memo(spark, dir, "curation.packShards")(
@@ -699,6 +732,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_block_dedup" -> ((s, d) => blockDedup(s, d)),
     "text_pack_shards" -> ((s, d) => packShards(s, d)),
+    "text_chunk_pack" -> ((s, d) => chunkPack(s, d)),
     "text_shard_manifest" -> ((s, d) => shardManifest(s, d)),
     "text_pii_scan" -> ((s, d) => piiScan(s, d)),
     "text_pii_redact" -> ((s, d) => piiRedact(s, d)),
@@ -808,6 +842,34 @@ object Curation {
       s"""WITH $packCtes
          |SELECT doc_id, tok_ct, tok_offset, shard_id
          |FROM packed ORDER BY doc_id""".stripMargin,
+    // chunk CTEs (TextAnalysis) + the same two-level prefix sum keyed
+    // by the composed doc/chunk ordinal
+    "text_chunk_pack" ->
+      s"""WITH ${TextAnalysis.chunkCtes},
+         |ck AS (
+         |  SELECT doc_id, chunk_index,
+         |    doc_id * 4294967296 + chunk_index AS pack_key,
+         |    CAST(len(string_split(snapped_text, ' ')) AS BIGINT) AS tok_ct,
+         |    (doc_id * 4294967296 + chunk_index) // $PackBucketDocs AS bucket
+         |  FROM snapped
+         |), ci AS (
+         |  SELECT *, COALESCE(SUM(tok_ct) OVER (PARTITION BY bucket ORDER BY pack_key
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS inner_prev
+         |  FROM ck
+         |), cbt AS (
+         |  SELECT bucket, SUM(tok_ct) AS bt FROM ck GROUP BY bucket
+         |), cbo AS (
+         |  SELECT bucket, COALESCE(SUM(bt) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bucket_prev
+         |  FROM cbt
+         |), cpacked AS (
+         |  SELECT ci.doc_id, ci.chunk_index, ci.tok_ct,
+         |    CAST(cbo.bucket_prev + ci.inner_prev AS BIGINT) AS tok_offset
+         |  FROM ci JOIN cbo ON ci.bucket = cbo.bucket
+         |)
+         |SELECT doc_id, chunk_index, tok_ct, tok_offset,
+         |  tok_offset // $ShardTokens AS shard_id
+         |FROM cpacked ORDER BY doc_id, chunk_index""".stripMargin,
     "text_shard_manifest" ->
       s"""WITH $packCtes
          |SELECT shard_id, COUNT(*) AS doc_ct, CAST(SUM(tok_ct) AS BIGINT) AS token_sum,

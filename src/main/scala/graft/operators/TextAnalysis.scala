@@ -152,6 +152,28 @@ object TextAnalysis {
         col("chunk_text"), col("snapped_text"),
         size(split(col("snapped_text"), " ")).cast(LongType).as("chunk_token_ct"))
 
+  /** DuckDB rebuild of the chunking pass — ends in `snapped(doc_id,
+    * chunk_index, chunk_start, chunk_len, chunk_text, snapped_text)`.
+    * Shared with the chunk-packing oracle in [[Curation]]. */
+  private[operators] val chunkCtes: String =
+    """starts AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    unnest(generate_series(0, greatest(length(text) - 51, 0), 150)) AS s
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, len, CAST(s // 150 AS BIGINT) AS chunk_index,
+      |    CAST(s AS BIGINT) AS chunk_start,
+      |    substring(text, s + 1, 200) AS chunk_text
+      |  FROM starts
+      |), snapped AS (
+      |  SELECT doc_id, chunk_index, chunk_start,
+      |    CAST(length(chunk_text) AS BIGINT) AS chunk_len, chunk_text,
+      |    CASE WHEN chunk_start + 200 < len
+      |      THEN regexp_replace(chunk_text, ' [^ ]*$', '')
+      |      ELSE chunk_text END AS snapped_text
+      |  FROM c
+      |)""".stripMargin
+
   /** Document fingerprinting: md5 (oracle-checkable) plus a rolling
     * 64-bit FNV content hash via the custom codegen'd expression. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
@@ -1176,28 +1198,12 @@ object TextAnalysis {
          |       ELSE 'und' END AS pred_lang
          |FROM c ORDER BY doc_id""".stripMargin,
     "text_chunk_rag" ->
-      """WITH starts AS (
-        |  SELECT doc_id, text, length(text) AS len,
-        |    unnest(generate_series(0, greatest(length(text) - 51, 0), 150)) AS s
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, len, CAST(s // 150 AS BIGINT) AS chunk_index,
-        |    CAST(s AS BIGINT) AS chunk_start,
-        |    substring(text, s + 1, 200) AS chunk_text
-        |  FROM starts
-        |), snapped AS (
-        |  SELECT doc_id, chunk_index, chunk_start,
-        |    CAST(length(chunk_text) AS BIGINT) AS chunk_len, chunk_text,
-        |    CASE WHEN chunk_start + 200 < len
-        |      THEN regexp_replace(chunk_text, ' [^ ]*$', '')
-        |      ELSE chunk_text END AS snapped_text
-        |  FROM c
-        |)
-        |SELECT doc_id, chunk_index, chunk_start, chunk_len, chunk_text,
-        |  snapped_text,
-        |  CAST(len(string_split(snapped_text, ' ')) AS BIGINT) AS chunk_token_ct
-        |FROM snapped
-        |ORDER BY doc_id, chunk_index""".stripMargin,
+      s"""WITH $chunkCtes
+         |SELECT doc_id, chunk_index, chunk_start, chunk_len, chunk_text,
+         |  snapped_text,
+         |  CAST(len(string_split(snapped_text, ' ')) AS BIGINT) AS chunk_token_ct
+         |FROM snapped
+         |ORDER BY doc_id, chunk_index""".stripMargin,
     "text_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_token_ct,

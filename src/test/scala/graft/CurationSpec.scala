@@ -69,6 +69,34 @@ class CurationSpec extends AnyFunSuite {
     assert(repart.toSeq == got.toSeq)
   }
 
+  test("chunk pack: sequential over (doc, chunk) order, doc chunks contiguous") {
+    import spark.implicits._
+    val got = Curation.chunkPack(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // reference: sequential prefix sum over the chunk frame in
+    // (doc_id, chunk_index) order
+    val chunks = graft.operators.TextAnalysis.chunkRag(spark, sf)
+      .select("doc_id", "chunk_index", "chunk_token_ct")
+      .as[(Long, Long, Long)].collect().sortBy(c => (c._1, c._2))
+    var off = 0L
+    val exp = chunks.map { case (d, ci, t) =>
+      val r = (d, ci, t, off, off / Curation.ShardTokens); off += t; r
+    }
+    assert(got == exp.toSeq)
+    // a document's chunks land in non-decreasing shard ids with
+    // contiguous offsets (the trainer reads one doc's context in order)
+    got.groupBy(_._1).foreach { case (d, rs) =>
+      val s = rs.sortBy(_._2)
+      s.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._4 == a._4 + a._3, s"doc $d offsets not contiguous")
+          assert(b._5 >= a._5, s"doc $d shard order")
+        case _ => ()
+      }
+    }
+  }
+
   test("pack shards: every shard except the last fills to its capacity boundary") {
     import spark.implicits._
     val m = Curation.shardManifest(spark, sf)
