@@ -152,14 +152,16 @@ object TextAnalysis {
         col("chunk_text"), col("snapped_text"),
         size(split(col("snapped_text"), " ")).cast(LongType).as("chunk_token_ct"))
 
-  /** DuckDB rebuild of the chunking pass — ends in `snapped(doc_id,
-    * chunk_index, chunk_start, chunk_len, chunk_text, snapped_text)`.
-    * Shared with the chunk-packing oracle in [[Curation]]. */
-  private[operators] val chunkCtes: String =
-    """starts AS (
+  /** DuckDB rebuild of the chunking pass over `src` — ends in
+    * `snapped(doc_id, chunk_index, chunk_start, chunk_len, chunk_text,
+    * snapped_text)`. Shared with the chunk-packing oracle in
+    * [[Curation]] and the incremental-chunk oracle (src = the v2
+    * crawl). */
+  private[operators] def chunkCtesOn(src: String): String =
+    s"""starts AS (
       |  SELECT doc_id, text, length(text) AS len,
       |    unnest(generate_series(0, greatest(length(text) - 51, 0), 150)) AS s
-      |  FROM documents
+      |  FROM $src
       |), c AS (
       |  SELECT doc_id, len, CAST(s // 150 AS BIGINT) AS chunk_index,
       |    CAST(s AS BIGINT) AS chunk_start,
@@ -169,10 +171,35 @@ object TextAnalysis {
       |  SELECT doc_id, chunk_index, chunk_start,
       |    CAST(length(chunk_text) AS BIGINT) AS chunk_len, chunk_text,
       |    CASE WHEN chunk_start + 200 < len
-      |      THEN regexp_replace(chunk_text, ' [^ ]*$', '')
+      |      THEN regexp_replace(chunk_text, ' [^ ]*$$', '')
       |      ELSE chunk_text END AS snapped_text
       |  FROM c
       |)""".stripMargin
+
+  private[operators] val chunkCtes: String = chunkCtesOn("documents")
+
+  /** Incremental chunk-index maintenance over the crawl diff: the v2
+    * chunk table WITHOUT re-chunking (or re-embedding, downstream) the
+    * unchanged corpus — the RAG-tier sibling of the postings and
+    * MinHash-signature maintenance jobs. Chunks are doc-local, so the
+    * diff-driven splice alone IS the maintained table: anti-join out
+    * removed/changed docs' stored chunks, chunk only the added/changed
+    * slice, union. Work scales with |delta|; the oracle re-chunks the
+    * whole v2 corpus from scratch, so hash-equality proves the carried
+    * rows byte-identical to a full rebuild. At 100 TB this is the
+    * difference between a nightly embed job sized by the crawl churn
+    * and one sized by the corpus. */
+  def chunkIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+    val v2 = Curation.snapshotV2On(docs)
+    val chunks1 = Memo(spark, dir, "text.chunks.v1")(chunkRagOn(docs))
+    val diff = Curation.snapshotDiffOn(docs, v2)
+    val gone = diff.filter(col("status").isin("removed", "changed")).select(col("doc_id"))
+    val fresh = diff.filter(col("status").isin("added", "changed")).select(col("doc_id"))
+    chunks1.join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(chunkRagOn(v2.join(fresh, Seq("doc_id"))))
+      .orderBy(col("doc_id"), col("chunk_index"))
+  }
 
   /** Document fingerprinting: md5 (oracle-checkable) plus a rolling
     * 64-bit FNV content hash via the custom codegen'd expression. */
@@ -761,6 +788,7 @@ object TextAnalysis {
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_token_counts" -> ((s, d) => tokenCounts(s, d)),
     "text_chunk_rag" -> ((s, d) => chunkRag(s, d)),
+    "text_chunk_incremental" -> ((s, d) => chunkIncremental(s, d)),
     "text_repetition" -> ((s, d) => repetition(s, d)),
     "text_corpus_split" -> ((s, d) => corpusSplit(s, d)),
     "text_decontaminate" -> ((s, d) => decontaminate(s, d)),
@@ -1199,6 +1227,16 @@ object TextAnalysis {
          |FROM c ORDER BY doc_id""".stripMargin,
     "text_chunk_rag" ->
       s"""WITH $chunkCtes
+         |SELECT doc_id, chunk_index, chunk_start, chunk_len, chunk_text,
+         |  snapped_text,
+         |  CAST(len(string_split(snapped_text, ' ')) AS BIGINT) AS chunk_token_ct
+         |FROM snapped
+         |ORDER BY doc_id, chunk_index""".stripMargin,
+    // full re-chunk of the synthesized v2 crawl — equality proves the
+    // engine's carried rows byte-identical to a rebuild
+    "text_chunk_incremental" ->
+      s"""WITH ${Curation.diffCtes},
+         |${chunkCtesOn("v2")}
          |SELECT doc_id, chunk_index, chunk_start, chunk_len, chunk_text,
          |  snapped_text,
          |  CAST(len(string_split(snapped_text, ' ')) AS BIGINT) AS chunk_token_ct

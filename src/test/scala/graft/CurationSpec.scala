@@ -97,6 +97,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental chunks == full re-chunk of v2; only the delta is re-chunked") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val v2 = Curation.snapshotV2On(docs)
+    val got = TextAnalysis.chunkIncremental(spark, sf)
+      .select($"doc_id", $"chunk_index", $"chunk_text", $"snapped_text")
+      .as[(Long, Long, String, String)].collect().sorted.toSeq
+    val want = TextAnalysis.chunkRagOn(v2)
+      .select($"doc_id", $"chunk_index", $"chunk_text", $"snapped_text")
+      .as[(Long, Long, String, String)].collect().sorted.toSeq
+    assert(got.nonEmpty && got == want)
+    // the fixture's diff classes all occur, so the splice is exercised
+    // on real removals, revisions, and additions
+    val classes = Curation.snapshotDiff(spark, sf)
+      .select("status").distinct().as[String].collect().toSet
+    assert(classes == Set("added", "removed", "changed", "unchanged"))
+  }
+
   test("pack shards: every shard except the last fills to its capacity boundary") {
     import spark.implicits._
     val m = Curation.shardManifest(spark, sf)
