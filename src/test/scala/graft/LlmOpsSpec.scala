@@ -692,6 +692,12 @@ class LlmOpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.streaming.OutputMode
     import spark.implicits._
     import graft.operators.TextAnalysis
+    // plan pin: chunking is scan→generate→project — the ONLY exchange
+    // in the named query is the final presentation sort (at scale the
+    // embed stage consumes the unsorted frame with zero shuffles)
+    val plan = TextAnalysis.chunkRag(spark, sf).queryExecution.executedPlan.toString
+    val exchanges = "(?i)exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"chunk plan grew unexpected shuffles:\n$plan")
     val chunks = TextAnalysis.chunkRag(spark, sf)
       .select($"doc_id", $"chunk_index", $"chunk_start", $"chunk_len",
         $"chunk_text", $"snapped_text")
