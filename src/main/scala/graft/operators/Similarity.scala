@@ -531,6 +531,25 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** [[annRecall]] for the hyperplane-LSH index — same audit, other
+    * index family; reporting both tells the operator WHICH approximate
+    * path is safe to serve. */
+  def annRecallLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val approx = annLsh(spark, dir, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val truth = annTopKFloat(spark, dir, k = k)
+      .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
+    val hits = approx
+      .join(truth, col("query_id") === col("tq") && col("neighbor_id") === col("tn"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hit_ct"))
+    truth.select(col("tq").as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hit_ct"), lit(0L)).as("hit_ct"),
+        (coalesce(col("hit_ct"), lit(0L)).cast(DoubleType) / k.toDouble).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding-table QA: corpus size, dimensionality, and the
     * quantized-norm distribution — the sanity report run before any
     * ANN/dedup job (degenerate embeddings show up as zero or wildly
@@ -629,6 +648,7 @@ object Similarity {
     "sim_ann_ivf" -> ((s, d) => annIvf(s, d)),
     "sim_ann_topk_float" -> ((s, d) => annTopKFloat(s, d)),
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
+    "sim_ann_recall_lsh" -> ((s, d) => annRecallLsh(s, d)),
     "sim_semantic_dedup" -> ((s, d) => semanticDedup(s, d)))
 
   /** DuckDB rebuild of the hyperplane-LSH buckets: plane components
@@ -1054,7 +1074,29 @@ object Similarity {
   /** The recall audit's oracle composes the IVF and brute-force
     * oracles verbatim (each full statement nests as a CTE body), so
     * the audit can never drift from the definitions it audits. */
+  /** Shared tail of the two recall-audit oracles: per-query hit count
+    * against the brute-force CTE `bf`, recall = hits/k. */
+  private def recallTailSql(approxCte: String): String =
+    s"""hits AS (
+       |  SELECT i.query_id, CAST(COUNT(*) AS BIGINT) AS hit_ct
+       |  FROM $approxCte i JOIN bf b
+       |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       |  GROUP BY i.query_id
+       |)
+       |SELECT q.query_id,
+       |  CAST(COALESCE(h.hit_ct, 0) AS BIGINT) AS hit_ct,
+       |  CAST(COALESCE(h.hit_ct, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM (SELECT DISTINCT query_id FROM bf) q
+       |LEFT JOIN hits h ON q.query_id = h.query_id
+       |ORDER BY q.query_id""".stripMargin
+
   val oracles: Map[String, String] = baseOracles +
+    ("sim_ann_recall_lsh" ->
+      s"""WITH lsh AS (
+         |${baseOracles("sim_ann_lsh")}
+         |), bf AS (
+         |${baseOracles("sim_ann_topk_float")}
+         |), ${recallTailSql("lsh")}""".stripMargin) +
     ("sim_ann_recall" ->
       s"""WITH ivf AS (
          |${baseOracles("sim_ann_ivf")}

@@ -424,6 +424,17 @@ class LlmOpsSpec extends AnyFunSuite {
         .intersect(bf.getOrElse(q, Array.empty).map(_._2).toSet).size
       assert(h == want, s"query $q hit_ct $h != $want")
     }
+    // the LSH-index audit: same shape, independently recounted
+    val rl = Similarity.annRecallLsh(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(rl.length == 32 && rl.forall { case (_, h, rec) => rec == h / 5.0 })
+    val lsh = Similarity.annLsh(spark, sf).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    rl.foreach { case (q, h, _) =>
+      val want = lsh.getOrElse(q, Array.empty).map(_._2).toSet
+        .intersect(bf.getOrElse(q, Array.empty).map(_._2).toSet).size
+      assert(h == want, s"lsh query $q hit_ct $h != $want")
+    }
   }
 
   test("ingestion near-dup flags a STREAM of new docs vs static corpus ≡ batch") {
