@@ -330,18 +330,24 @@ object Analytic {
     e.bitwiseXOR(shiftrightunsigned(e, 33))
   }
 
-  def distinctSketch(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+  /** The sketch's 32-bit hash of `user_id` — factored so the streaming
+    * form (ApproxSpec: collect_set in Complete mode) provably hashes
+    * identically to the batch query. */
+  private[graft] def userHash32: org.apache.spark.sql.Column = {
     import graft.functions.GraftExpressions
+    shiftrightunsigned(
+      avalanche(GraftExpressions.fnv1a64(
+        concat(lit("u"), col("user_id").cast(StringType)))), 32)
+  }
+
+  def distinctSketch(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     val e = Tables.events(spark, dir)
     // FNV alone leaves near-identical short keys ("u17","u18",…)
     // under-mixed and biases the order statistics (measured 72% error
     // at the fixture); the splitmix64-style finalizer restores
     // uniformity (measured 1.6%). Signed-long ops ≡ unsigned mod 2^64:
     // >>> is the unsigned shift, wrapping × is × mod 2^64, xor is xor.
-    val h32 = shiftrightunsigned(
-      avalanche(GraftExpressions.fnv1a64(
-        concat(lit("u"), col("user_id").cast(StringType)))), 32)
-    val hashed = e.select(col("event_type"), col("user_id"), h32.as("h32"))
+    val hashed = e.select(col("event_type"), col("user_id"), userHash32.as("h32"))
     val distinctHashes = hashed.select(col("event_type"), col("h32")).distinct()
     val kth = distinctHashes
       .withColumn("rk", row_number().over(

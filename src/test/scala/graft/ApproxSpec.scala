@@ -36,6 +36,42 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch over a STREAM (Complete mode) ≡ batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    import graft.operators.Analytic
+    // online cardinality monitoring: the same hash feeds a streaming
+    // collect_set whose projection reproduces the batch sketch exactly
+    val feed = graft.sources.Tables.events(spark, sf)
+      .select($"event_type", $"user_id").as[(String, Long)].collect().toSeq
+    val mem = MemoryStream[(String, Long)](spark)
+    val k = 64
+    val sketched = mem.toDF().toDF("event_type", "user_id")
+      .withColumn("h32", Analytic.userHash32)
+      .groupBy($"event_type")
+      .agg(expr("sort_array(collect_set(h32))").as("hs"),
+        expr("size(collect_set(user_id))").cast("long").as("exact_ct"))
+      .withColumn("kept_ct", expr("size(hs)").cast("long"))
+      .withColumn("kmv_est",
+        when($"kept_ct" < k, $"kept_ct".cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+            expr(s"element_at(hs, $k)").cast("double")))
+      .withColumn("err_frac", $"kmv_est" / $"exact_ct".cast("double") - lit(1.0))
+      .select($"event_type", $"exact_ct", $"kmv_est", $"err_frac")
+    val q = sketched.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(feed.take(feed.size / 2)); q.processAllAvailable()
+      mem.addData(feed.drop(feed.size / 2)); q.processAllAvailable()
+      val got = spark.table("kmv_stream")
+        .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      val want = Analytic.distinctSketch(spark, sf)
+        .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("approx_percentile within 2% of exact interpolated percentile") {
     import spark.implicits._
     val o = graft.sources.Tables.orders(spark, sf)
