@@ -190,6 +190,40 @@ object Analytic {
     * aggregations (hour, then type), both partial-aggregated; the
     * per-type moment frame is tiny and broadcasts back onto the
     * hourly frame. */
+  /** EWMA smoothing of the hourly count series, per event type — the
+    * trend line a monitoring dashboard draws next to [[anomalyHours]]'
+    * z-scores, and the classic "smooth before you threshold" primitive.
+    * ewma_0 = x_0; ewma_t = 0.3·x_t + 0.7·ewma_{t−1} (both literals
+    * fixed on BOTH engines — never derived as 1−α at runtime).
+    *
+    * Scale shape: the corpus-sized work is the hourly pre-aggregation
+    * (one shuffle, map-side combined); the recurrence then runs as a
+    * doc-local ordered array fold over each type's OWN series —
+    * series-length work per key, no window over the corpus, no
+    * cross-key dependency. A recurrence is inherently sequential in t,
+    * so the fold IS the minimal-parallelism formulation; the oracle
+    * replays it as a recursive CTE, step for step, making every
+    * intermediate double bit-identical (one multiply-add per step,
+    * fixed order). */
+  def ewmaHours(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hr"))
+      .agg(count(lit(1)).as("ct"))
+    hourly.groupBy(col("event_type"))
+      .agg(expr(
+        "aggregate(sort_array(collect_list(struct(hr, ct))), " +
+          "cast(array() as array<struct<hr:string, ct:bigint, ewma:double>>), " +
+          "(acc, x) -> concat(acc, array(named_struct('hr', x.hr, 'ct', x.ct, 'ewma', " +
+          "CASE WHEN size(acc) = 0 THEN cast(x.ct as double) " +
+          "ELSE 0.3 * cast(x.ct as double) + 0.7 * element_at(acc, size(acc)).ewma END))))")
+        .as("series"))
+      .select(col("event_type"), explode(col("series")).as("s"))
+      .select(col("event_type"), col("s.hr").as("hr"), col("s.ct").as("ct"),
+        col("s.ewma").as("ewma"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
   def anomalyHours(spark: SparkSession, dir: String): DataFrame =
     anomalyOn(Tables.events(spark, dir)
         .groupBy(col("event_type"),
@@ -370,6 +404,7 @@ object Analytic {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "an_distinct_sketch" -> ((s, d) => distinctSketch(s, d)),
+    "an_ewma_hours" -> ((s, d) => ewmaHours(s, d)),
     "an_funnel" -> funnel,
     "an_retention" -> retention,
     "an_session_stats" -> sessionStats,
@@ -497,6 +532,27 @@ object Analytic {
     // μ/σ/z are single expressions over exact integer moments, so the
     // DOUBLE values are bit-identical cross-engine (one division, one
     // sqrt, fixed order — no accumulation).
+    // the recurrence unwound as a recursive CTE — one multiply-add per
+    // step in the same order as the engine's array fold, bit-identical
+    "an_ewma_hours" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, strftime(time_bucket(INTERVAL 1 HOUR, ts),
+        |      '%Y-%m-%d %H:00:00') AS hr, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM events GROUP BY 1, 2
+        |), idx AS (
+        |  SELECT event_type, hr, ct,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+        |  FROM hourly
+        |), ew AS (
+        |  SELECT event_type, hr, ct, rn, CAST(ct AS DOUBLE) AS ewma
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.hr, i.ct, i.rn,
+        |    CAST(0.3 AS DOUBLE) * CAST(i.ct AS DOUBLE) + CAST(0.7 AS DOUBLE) * ew.ewma
+        |  FROM ew JOIN idx i ON i.event_type = ew.event_type AND i.rn = ew.rn + 1
+        |)
+        |SELECT event_type, hr, ct, ewma FROM ew
+        |ORDER BY event_type, hr""".stripMargin,
     "an_anomaly_hours" ->
       """WITH hourly AS (
         |  SELECT event_type, strftime(time_bucket(INTERVAL 1 HOUR, ts),

@@ -72,6 +72,30 @@ class ApproxSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EWMA equals the driver-side recurrence bit-for-bit, at any partitioning") {
+    import spark.implicits._
+    import graft.operators.Analytic
+    val got = Analytic.ewmaHours(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // driver-side recurrence with the same IEEE ops
+    val want = got.map(r => (r._1, r._2, r._3)).groupBy(_._1).toSeq.flatMap {
+      case (t, rows) =>
+        var prev = Double.NaN
+        rows.sortBy(_._2).map { case (_, hr, ct) =>
+          val e = if (prev.isNaN) ct.toDouble else 0.3 * ct.toDouble + 0.7 * prev
+          prev = e
+          (t, hr, ct, e)
+        }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.sortBy(r => (r._1, r._2)) == want)
+    // the smoothed series tracks the raw series' range
+    got.groupBy(_._1).foreach { case (t, rs) =>
+      val (lo, hi) = (rs.map(_._3).min.toDouble, rs.map(_._3).max.toDouble)
+      rs.foreach(r => assert(r._4 >= lo && r._4 <= hi, s"$t ewma escaped [$lo,$hi]"))
+    }
+  }
+
   test("approx_percentile within 2% of exact interpolated percentile") {
     import spark.implicits._
     val o = graft.sources.Tables.orders(spark, sf)
