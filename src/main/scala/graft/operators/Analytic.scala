@@ -224,6 +224,56 @@ object Analytic {
       .orderBy(col("event_type"), col("hr"))
   }
 
+  /** Two-sided CUSUM change-point detection over the hourly series —
+    * the sequential complement to [[anomalyHours]]' pointwise z-scores:
+    * z catches single-hour spikes, CUSUM accumulates small sustained
+    * shifts. s⁺_t = max(0, s⁺_{t−1} + (x_t − μ − kσ/2·…)), mirrored for
+    * s⁻; slack k = 0.5σ, alarm at 4σ (standard tuning). μ/σ are the
+    * SAME exact-integer-moment expressions as the anomaly report.
+    * Same scale shape as [[ewmaHours]]: hourly pre-agg is the only
+    * corpus-sized work; the recurrence is a per-key ordered fold. */
+  def cusumHours(spark: SparkSession, dir: String): DataFrame =
+    cusumOn(Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hr"))
+      .agg(count(lit(1)).as("ct")))
+
+  /** The CUSUM pass over ANY (event_type, hr, ct) hourly frame —
+    * factored like [[anomalyOn]] so fixtures with planted shifts
+    * exercise the alarm path the organic fixture may never trip. */
+  private[graft] def cusumOn(hourly: DataFrame): DataFrame = {
+    val moments = hourly.groupBy(col("event_type").as("m_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("ct")).as("sum_ct"),
+        sum(col("ct") * col("ct")).as("sum_ct2"))
+    val nd = col("n_hours").cast(DoubleType)
+    val mu = col("sum_ct").cast(DoubleType) / nd
+    val sigma = sqrt(col("sum_ct2").cast(DoubleType) / nd - mu * mu)
+    val annotated = hourly
+      .join(broadcast(moments), col("event_type") === col("m_type"))
+      .withColumn("mu", mu).withColumn("sigma", sigma)
+      .withColumn("kk", lit(0.5) * col("sigma"))
+      .withColumn("hthr", lit(4.0) * col("sigma"))
+    annotated.groupBy(col("event_type"))
+      .agg(expr(
+        "aggregate(sort_array(collect_list(struct(hr, ct, mu, kk, hthr))), " +
+          "cast(array() as array<struct<hr:string, ct:bigint, sp:double, sn:double, hthr:double>>), " +
+          "(acc, x) -> concat(acc, array(named_struct('hr', x.hr, 'ct', x.ct, " +
+          "'sp', greatest(cast(0 as double), " +
+          "  CASE WHEN size(acc) = 0 THEN cast(0 as double) ELSE element_at(acc, size(acc)).sp END " +
+          "  + (cast(x.ct as double) - x.mu - x.kk)), " +
+          "'sn', greatest(cast(0 as double), " +
+          "  CASE WHEN size(acc) = 0 THEN cast(0 as double) ELSE element_at(acc, size(acc)).sn END " +
+          "  + (x.mu - cast(x.ct as double) - x.kk)), " +
+          "'hthr', x.hthr))))").as("series"))
+      .select(col("event_type"), explode(col("series")).as("s"))
+      .select(col("event_type"), col("s.hr").as("hr"), col("s.ct").as("ct"),
+        col("s.sp").as("sp"), col("s.sn").as("sn"),
+        ((col("s.sp") > col("s.hthr")) || (col("s.sn") > col("s.hthr")))
+          .cast("int").as("is_change"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
   def anomalyHours(spark: SparkSession, dir: String): DataFrame =
     anomalyOn(Tables.events(spark, dir)
         .groupBy(col("event_type"),
@@ -405,6 +455,7 @@ object Analytic {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "an_distinct_sketch" -> ((s, d) => distinctSketch(s, d)),
     "an_ewma_hours" -> ((s, d) => ewmaHours(s, d)),
+    "an_cusum_hours" -> ((s, d) => cusumHours(s, d)),
     "an_funnel" -> funnel,
     "an_retention" -> retention,
     "an_session_stats" -> sessionStats,
@@ -532,6 +583,42 @@ object Analytic {
     // μ/σ/z are single expressions over exact integer moments, so the
     // DOUBLE values are bit-identical cross-engine (one division, one
     // sqrt, fixed order — no accumulation).
+    // two-sided CUSUM: same recursive-CTE unwinding as the EWMA oracle,
+    // μ/σ/k/h mirrored expression for expression
+    "an_cusum_hours" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, strftime(time_bucket(INTERVAL 1 HOUR, ts),
+        |      '%Y-%m-%d %H:00:00') AS hr, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM events GROUP BY 1, 2
+        |), moments AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |    CAST(SUM(ct) AS BIGINT) AS sum_ct, CAST(SUM(ct * ct) AS BIGINT) AS sum_ct2
+        |  FROM hourly GROUP BY 1
+        |), ann AS (
+        |  SELECT h.event_type, h.hr, h.ct,
+        |    CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE) AS mu,
+        |    CAST(0.5 AS DOUBLE) * sqrt(CAST(m.sum_ct2 AS DOUBLE) / CAST(m.n_hours AS DOUBLE)
+        |      - (CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE))
+        |        * (CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE))) AS kk,
+        |    CAST(4.0 AS DOUBLE) * sqrt(CAST(m.sum_ct2 AS DOUBLE) / CAST(m.n_hours AS DOUBLE)
+        |      - (CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE))
+        |        * (CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE))) AS hthr,
+        |    row_number() OVER (PARTITION BY h.event_type ORDER BY h.hr) AS rn
+        |  FROM hourly h JOIN moments m ON h.event_type = m.event_type
+        |), cs AS (
+        |  SELECT event_type, hr, ct, rn, hthr,
+        |    GREATEST(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) + (CAST(ct AS DOUBLE) - mu - kk)) AS sp,
+        |    GREATEST(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) + (mu - CAST(ct AS DOUBLE) - kk)) AS sn
+        |  FROM ann WHERE rn = 1
+        |  UNION ALL
+        |  SELECT a.event_type, a.hr, a.ct, a.rn, a.hthr,
+        |    GREATEST(CAST(0 AS DOUBLE), cs.sp + (CAST(a.ct AS DOUBLE) - a.mu - a.kk)),
+        |    GREATEST(CAST(0 AS DOUBLE), cs.sn + (a.mu - CAST(a.ct AS DOUBLE) - a.kk))
+        |  FROM cs JOIN ann a ON a.event_type = cs.event_type AND a.rn = cs.rn + 1
+        |)
+        |SELECT event_type, hr, ct, sp, sn,
+        |  CAST(CASE WHEN sp > hthr OR sn > hthr THEN 1 ELSE 0 END AS INTEGER) AS is_change
+        |FROM cs ORDER BY event_type, hr""".stripMargin,
     // the recurrence unwound as a recursive CTE — one multiply-add per
     // step in the same order as the engine's array fold, bit-identical
     "an_ewma_hours" ->

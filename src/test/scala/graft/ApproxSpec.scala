@@ -96,6 +96,44 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("CUSUM: driver recurrence equality + planted sustained shift alarms") {
+    import spark.implicits._
+    import graft.operators.Analytic
+    // fixture check: engine == driver-side recurrence
+    val got = Analytic.cusumHours(spark, sf)
+      .as[(String, String, Long, Double, Double, Int)].collect().toSeq
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      val s = rows.sortBy(_._2)
+      val n = s.length.toDouble
+      val mu = s.map(_._3).sum.toDouble / n
+      val sg = math.sqrt(s.map(r => r._3 * r._3).sum.toDouble / n - mu * mu)
+      var (sp, sn) = (0.0, 0.0)
+      s.foreach { r =>
+        sp = math.max(0.0, sp + (r._3.toDouble - mu - 0.5 * sg))
+        sn = math.max(0.0, sn + (mu - r._3.toDouble - 0.5 * sg))
+        assert(r._4 == sp && r._5 == sn, s"$t ${r._2}")
+        assert(r._6 == (if (sp > 4.0 * sg || sn > 4.0 * sg) 1 else 0))
+      }
+    }
+    // planted shift: 30 hours at 10, then 20 hours at 14. Each
+    // post-shift hour is only +1.2σ (pointwise z never crosses 3),
+    // but the shift is SUSTAINED: the positive accumulator must stay
+    // exactly 0 through the whole front half (no upward drift) and
+    // cross the 4σ alarm in the back half. (The negative side is free
+    // to alarm in the front — with global-moment calibration both
+    // segments deviate from the pooled mean; that is CUSUM semantics,
+    // not a false positive.)
+    val hrs = (0 until 50).map(i => f"2024-01-${i / 24 + 1}%02d ${i % 24}%02d:00:00")
+    val hourly = (0 until 50).map(i => ("planted", hrs(i), if (i < 30) 10L else 14L))
+      .toDF("event_type", "hr", "ct")
+    val out = Analytic.cusumOn(hourly)
+      .as[(String, String, Long, Double, Double, Int)].collect().sortBy(_._2)
+    assert(out.take(30).forall(_._4 == 0.0), "positive drift before the shift")
+    assert(out.drop(30).exists(r => r._4 > 0.0 && r._6 == 1),
+      "sustained +2σ shift never tripped the positive accumulator")
+  }
+
   test("approx_percentile within 2% of exact interpolated percentile") {
     import spark.implicits._
     val o = graft.sources.Tables.orders(spark, sf)
