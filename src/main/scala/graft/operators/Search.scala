@@ -400,6 +400,46 @@ object Search {
       .orderBy(col("qid"), col("step"))
   }
 
+  /** PMI collocation mining: pointwise mutual information of adjacent
+    * token pairs — ln(P(ab) / (P(a)·P(b))) — the classic "these two
+    * tokens travel together" signal behind phrase induction, query
+    * expansion, and tokenizer-merge candidates (the statistical cousin
+    * of [[Curation.bpeMerges]]' raw-count rule). min-support 5, top 50
+    * by (pmi DESC, bigram).
+    *
+    * Scale shape: two corpus scans (unigram + the memoized bigram
+    * frame), both map-side-combined aggregations sized by vocabulary /
+    * vocabulary²-observed; the scoring join is vocabulary-keyed; the
+    * top-k is `orderBy().limit()` = TakeOrderedAndProject, never a
+    * global rank window. Determinism: the probability ratio is one
+    * fixed-order product/quotient of exact counts, and the ln is the
+    * shared iterated-sqrt [[detLn]] — bit-identical in DuckDB. */
+  def pmiPairs(spark: SparkSession, dir: String,
+               minCount: Long = 5, k: Int = 50): DataFrame = {
+    val bg = bigramCounts(spark, dir)
+    val toks = Memo(spark, dir, "search.unigram.ct")(
+      Tables.spread(spark, Tables.documents(spark, dir))
+        .select(explode(Curation.tokensCol).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("token_ct")))
+    val nTok = toks.agg(sum(col("token_ct")).as("n_tok"))
+    val nBg = bg.agg(sum(col("bigram_ct")).as("n_bg"))
+    bg.filter(col("bigram_ct") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(toks.select(col("token").as("w1"), col("token_ct").as("a_ct")), Seq("w1"))
+      .join(toks.select(col("token").as("w2"), col("token_ct").as("b_ct")), Seq("w2"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .withColumn("ratio",
+        (col("bigram_ct").cast(DoubleType) * col("n_tok").cast(DoubleType) *
+          col("n_tok").cast(DoubleType)) /
+          (col("n_bg").cast(DoubleType) * col("a_ct").cast(DoubleType) *
+            col("b_ct").cast(DoubleType)))
+      .withColumn("pmi", detLn(col("ratio")))
+      .orderBy(col("pmi").desc, col("bigram")).limit(k)
+      .select(col("bigram"), col("bigram_ct"), col("a_ct"), col("b_ct"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+  }
+
   // ---------------------------------------------------------------
   // Inverted-index materialization (the index itself as a table)
   // ---------------------------------------------------------------
@@ -622,6 +662,7 @@ object Search {
     "search_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "search_hybrid_rerank" -> ((s, d) => hybridRerank(s, d)),
     "search_mmr" -> ((s, d) => mmrRerank(s, d)),
+    "search_pmi_pairs" -> ((s, d) => pmiPairs(s, d)),
     "search_phrase" -> ((s, d) => phraseSearch(s, d)),
     "search_postings" -> ((s, d) => postings(s, d)),
     "search_tfidf_keywords" -> ((s, d) => tfidfKeywords(s, d)),
@@ -792,6 +833,35 @@ object Search {
            |$steps
            |SELECT qid, CAST(step AS BIGINT) AS step, doc_id, mmr
            |FROM sel$MmrK ORDER BY qid, step""".stripMargin
+    },
+    // unigram + bigram probability ratio in one fixed-order expression,
+    // iterated-sqrt ln, top-50 with bigram tiebreak
+    "search_pmi_pairs" -> {
+      val ratio = "(CAST(b.bigram_ct AS DOUBLE) * CAST(nt.n_tok AS DOUBLE) * CAST(nt.n_tok AS DOUBLE)) " +
+        "/ (CAST(nb.n_bg AS DOUBLE) * CAST(a.token_ct AS DOUBLE) * CAST(c.token_ct AS DOUBLE))"
+      s"""WITH bt AS (SELECT string_split(lower(text), ' ') AS ts FROM documents),
+         |bgx AS (
+         |  SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+         |  FROM bt, unnest(range(1, len(ts))) AS u(i)
+         |), bgc AS (
+         |  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS bigram_ct FROM bgx GROUP BY 1
+         |), ugc AS (
+         |  SELECT unnest(ts) AS token FROM bt
+         |), ugcc AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS token_ct FROM ugc GROUP BY 1
+         |), nt AS (SELECT CAST(SUM(token_ct) AS BIGINT) AS n_tok FROM ugcc),
+         |nb AS (SELECT CAST(SUM(bigram_ct) AS BIGINT) AS n_bg FROM bgc),
+         |j AS (
+         |  SELECT b.bigram, b.bigram_ct, a.token_ct AS a_ct, c.token_ct AS b_ct,
+         |    ${duckDetLn(s"($ratio)")} AS pmi
+         |  FROM bgc b
+         |  JOIN ugcc a ON string_split(b.bigram, ' ')[1] = a.token
+         |  JOIN ugcc c ON string_split(b.bigram, ' ')[2] = c.token
+         |  CROSS JOIN nt CROSS JOIN nb
+         |  WHERE b.bigram_ct >= 5
+         |)
+         |SELECT bigram, bigram_ct, a_ct, b_ct, pmi
+         |FROM j ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin
     },
     "search_workload" ->
       s"""WITH $workloadCtes,

@@ -121,6 +121,45 @@ class SearchSpec extends AnyFunSuite {
     assert(two.nonEmpty && two.sameElements(single))
   }
 
+  test("PMI collocations: driver-side recount of counts and ratio ordering") {
+    import spark.implicits._
+    val got = Search.pmiPairs(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got.size <= 50)
+    // recount from raw text with the same tokenizer
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select(lower($"text")).as[String].collect()
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val ts = t.split(" ", -1)
+      ts.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      ts.sliding(2).foreach {
+        case Array(a, b) => val k = s"$a $b"; bi(k) = bi.getOrElse(k, 0L) + 1
+        case _ => ()
+      }
+    }
+    got.foreach { case (bg, ab, a, b, _) =>
+      assert(ab == bi(bg), s"$bg pair count")
+      val Array(w1, w2) = bg.split(" ", 2)
+      assert(a == uni(w1) && b == uni(w2), s"$bg unigram counts")
+      assert(ab >= 5)
+    }
+    // high-PMI pairs really co-occur disproportionately: top result's
+    // observed pair probability exceeds the independence baseline
+    val nTok = uni.values.sum.toDouble
+    val nBg = bi.values.sum.toDouble
+    val top = got.head
+    assert(top._2 / nBg > (top._3 / nTok) * (top._4 / nTok),
+      "top PMI pair not above independence")
+    // descending pmi with bigram tiebreak
+    got.sliding(2).foreach {
+      case Seq(x, y) =>
+        assert(x._5 > y._5 || (x._5 == y._5 && x._1 < y._1))
+      case _ => ()
+    }
+  }
+
   test("MMR selection matches a driver-side greedy reference bit-for-bit") {
     import spark.implicits._
     val got = Search.mmrRerank(spark, sf)
