@@ -190,6 +190,56 @@ object Analytic {
     * aggregations (hour, then type), both partial-aggregated; the
     * per-type moment frame is tiny and broadcasts back onto the
     * hourly frame. */
+  /** Event-time disorder audit per type: how many events arrive (in
+    * event_id order) with a timestamp BEHIND the running event-time
+    * frontier, and by how much — the measurement that justifies a
+    * watermark setting (the reference hard-codes 2 s / 13 s; this
+    * reports what the stream actually needs).
+    *
+    * Scale design: the running frontier is a prefix-MAX — computed
+    * distributed with the same two-level decomposition as the packing
+    * prefix-SUM: per-(type, bucket) cumulative max windows in
+    * parallel, a tiny per-type cummax over the bucket maxima, and the
+    * global frontier = max of the two — no type-wide single-partition
+    * window over the event stream. The oracle runs the naive global
+    * window; equality proves the decomposition. */
+  def outOfOrder(spark: SparkSession, dir: String, bucketIds: Long = 4096L): DataFrame =
+    outOfOrderOn(Tables.events(spark, dir), bucketIds)
+
+  /** The disorder audit over ANY (event_type, event_id, ts) frame —
+    * factored so planted-disorder fixtures exercise the late path the
+    * organic fixture (perfectly ordered, late_ct = 0) never does. */
+  private[graft] def outOfOrderOn(events: DataFrame, bucketIds: Long = 4096L): DataFrame = {
+    val e = events
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr(s"event_id div $bucketIds").as("bucket"))
+    val inner = e.withColumn("inner_prev",
+      max(col("us")).over(
+        Window.partitionBy(col("event_type"), col("bucket")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    val bucketMax = e.groupBy(col("event_type").as("b_type"), col("bucket").as("b_bucket"))
+      .agg(max(col("us")).as("bm"))
+      .withColumn("bucket_prev",
+        max(col("bm")).over(
+          Window.partitionBy(col("b_type")).orderBy(col("b_bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("b_type"), col("b_bucket"), col("bucket_prev"))
+    inner
+      .join(broadcast(bucketMax),
+        col("event_type") === col("b_type") && col("bucket") === col("b_bucket"))
+      .withColumn("prevmax",
+        greatest(coalesce(col("inner_prev"), lit(-1L)), coalesce(col("bucket_prev"), lit(-1L))))
+      .withColumn("late", (col("prevmax") >= 0 && col("us") < col("prevmax")).cast("int"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("late")).as("late_ct"),
+        count(lit(1)).as("total_ct"),
+        coalesce(max(when(col("late") === 1, col("prevmax") - col("us"))), lit(0L))
+          .as("max_disorder_us"))
+      .withColumn("max_disorder_secs", expr("max_disorder_us div 1000000"))
+      .select(col("event_type"), col("late_ct"), col("total_ct"), col("max_disorder_secs"))
+      .orderBy(col("event_type"))
+  }
+
   /** EWMA smoothing of the hourly count series, per event type — the
     * trend line a monitoring dashboard draws next to [[anomalyHours]]'
     * z-scores, and the classic "smooth before you threshold" primitive.
@@ -456,6 +506,7 @@ object Analytic {
     "an_distinct_sketch" -> ((s, d) => distinctSketch(s, d)),
     "an_ewma_hours" -> ((s, d) => ewmaHours(s, d)),
     "an_cusum_hours" -> ((s, d) => cusumHours(s, d)),
+    "an_out_of_order" -> ((s, d) => outOfOrder(s, d)),
     "an_funnel" -> funnel,
     "an_retention" -> retention,
     "an_session_stats" -> sessionStats,
@@ -583,6 +634,23 @@ object Analytic {
     // μ/σ/z are single expressions over exact integer moments, so the
     // DOUBLE values are bit-identical cross-engine (one division, one
     // sqrt, fixed order — no accumulation).
+    // naive global prefix-max window — equality proves the engine's
+    // two-level bucketed decomposition
+    "an_out_of_order" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events
+        |), w AS (
+        |  SELECT event_type, event_id, us,
+        |    max(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM e
+        |)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN prevmax IS NOT NULL AND us < prevmax THEN 1 ELSE 0 END) AS BIGINT) AS late_ct,
+        |  CAST(COUNT(*) AS BIGINT) AS total_ct,
+        |  CAST(COALESCE(MAX(CASE WHEN prevmax IS NOT NULL AND us < prevmax
+        |    THEN prevmax - us END), 0) // 1000000 AS BIGINT) AS max_disorder_secs
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // two-sided CUSUM: same recursive-CTE unwinding as the EWMA oracle,
     // μ/σ/k/h mirrored expression for expression
     "an_cusum_hours" ->

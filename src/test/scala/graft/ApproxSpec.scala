@@ -134,6 +134,30 @@ class ApproxSpec extends AnyFunSuite {
       "sustained +2σ shift never tripped the positive accumulator")
   }
 
+  test("out-of-order audit: planted disorder counted exactly; bucketed ≡ naive; fixture clean") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.operators.Analytic
+    // planted: event 3 runs 40 s behind the frontier set by event 2,
+    // event 5 runs 7 s behind; tiny bucket size forces the cross-bucket
+    // frontier path (bucket_prev), not just the within-bucket window
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val planted = Seq(
+      ("a", 1L, ts(0)), ("a", 2L, ts(100)), ("a", 3L, ts(60)),
+      ("a", 4L, ts(120)), ("a", 5L, ts(113)), ("a", 6L, ts(130)),
+      ("b", 7L, ts(0)), ("b", 8L, ts(10))).toDF("event_type", "event_id", "ts")
+    for (bucket <- Seq(1L, 2L, 4096L)) {
+      val out = Analytic.outOfOrderOn(planted, bucket)
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(out == Seq(("a", 2L, 6L, 40L), ("b", 0L, 2L, 0L)),
+        s"bucketIds=$bucket gave $out")
+    }
+    // the parquet fixture is event-id-ordered: the audit must say so
+    val clean = Analytic.outOfOrder(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(clean.nonEmpty && clean.forall(r => r._2 == 0L && r._4 == 0L))
+  }
+
   test("approx_percentile within 2% of exact interpolated percentile") {
     import spark.implicits._
     val o = graft.sources.Tables.orders(spark, sf)
