@@ -240,6 +240,37 @@ object Analytic {
       .orderBy(col("event_type"))
   }
 
+  /** Robust outlier detection over the hourly series: modified z-score
+    * via median / median-absolute-deviation (Iglewicz–Hoaglin: rz =
+    * 0.6745·(x−med)/MAD, flag |rz| > 3.5) — the heavy-tail-safe
+    * complement to [[anomalyHours]]' mean/σ z-scores, which a single
+    * extreme hour can mask by inflating σ. Two exact interpolated
+    * percentiles per type (the proven `percentile` ↔ `quantile_cont`
+    * pairing), both over type-sized hourly frames; MAD = 0 (constant
+    * series) pins rz to a defined 0 in both engines. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliersOn(Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hr"))
+      .agg(count(lit(1)).as("ct")))
+
+  private[graft] def madOutliersOn(hourly: DataFrame): DataFrame = {
+    val med = hourly.groupBy(col("event_type").as("m_type"))
+      .agg(expr("percentile(ct, 0.5)").as("med"))
+    val dev = hourly.join(broadcast(med), col("event_type") === col("m_type"))
+      .withColumn("absdev", abs(col("ct").cast(DoubleType) - col("med")))
+    val mad = dev.groupBy(col("event_type").as("d_type"))
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), col("event_type") === col("d_type"))
+      .withColumn("rz",
+        when(col("mad") === 0.0, lit(0.0))
+          .otherwise(lit(0.6745) * (col("ct").cast(DoubleType) - col("med")) / col("mad")))
+      .withColumn("is_outlier", (abs(col("rz")) > 3.5).cast("int"))
+      .select(col("event_type"), col("hr"), col("ct"), col("med"), col("mad"),
+        col("rz"), col("is_outlier"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
   /** EWMA smoothing of the hourly count series, per event type — the
     * trend line a monitoring dashboard draws next to [[anomalyHours]]'
     * z-scores, and the classic "smooth before you threshold" primitive.
@@ -507,6 +538,7 @@ object Analytic {
     "an_ewma_hours" -> ((s, d) => ewmaHours(s, d)),
     "an_cusum_hours" -> ((s, d) => cusumHours(s, d)),
     "an_out_of_order" -> ((s, d) => outOfOrder(s, d)),
+    "an_mad_outliers" -> ((s, d) => madOutliers(s, d)),
     "an_funnel" -> funnel,
     "an_retention" -> retention,
     "an_session_stats" -> sessionStats,
@@ -634,6 +666,30 @@ object Analytic {
     // μ/σ/z are single expressions over exact integer moments, so the
     // DOUBLE values are bit-identical cross-engine (one division, one
     // sqrt, fixed order — no accumulation).
+    // median / MAD via the proven percentile ↔ quantile_cont pairing;
+    // rz expression mirrored literal for literal
+    "an_mad_outliers" ->
+      """WITH hourly AS (
+        |  SELECT event_type, strftime(time_bucket(INTERVAL 1 HOUR, ts),
+        |      '%Y-%m-%d %H:00:00') AS hr, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM events GROUP BY 1, 2
+        |), med AS (
+        |  SELECT event_type, quantile_cont(ct, 0.5) AS med FROM hourly GROUP BY 1
+        |), dev AS (
+        |  SELECT h.event_type, h.hr, h.ct, m.med,
+        |    abs(CAST(h.ct AS DOUBLE) - m.med) AS absdev
+        |  FROM hourly h JOIN med m ON h.event_type = m.event_type
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1
+        |), rzed AS (
+        |  SELECT d.event_type, d.hr, d.ct, d.med, a.mad,
+        |    CASE WHEN a.mad = 0.0 THEN 0.0
+        |      ELSE 0.6745 * (CAST(d.ct AS DOUBLE) - d.med) / a.mad END AS rz
+        |  FROM dev d JOIN mad a ON d.event_type = a.event_type
+        |)
+        |SELECT event_type, hr, ct, med, mad, rz,
+        |  CAST(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+        |FROM rzed ORDER BY event_type, hr""".stripMargin,
     // naive global prefix-max window — equality proves the engine's
     // two-level bucketed decomposition
     "an_out_of_order" ->

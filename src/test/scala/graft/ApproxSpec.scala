@@ -158,6 +158,37 @@ class ApproxSpec extends AnyFunSuite {
     assert(clean.nonEmpty && clean.forall(r => r._2 == 0L && r._4 == 0L))
   }
 
+  test("MAD outliers: spike flagged where σ-masking hides it; constant series defined") {
+    import spark.implicits._
+    import graft.operators.Analytic
+    // 8 quiet hours (9/11 alternating, so MAD is nonzero) and ONE spike
+    // at 200. A single extreme point's z is bounded by ~√n, and here it
+    // inflates σ to ~60 so its own z ≈ 2.8 — masked below the |z|>3
+    // gate — while the median/MAD are untouched (med=11, MAD=2) and
+    // rz ≈ 64 flags it
+    val hrs = (0 until 9).map(i => f"2024-01-01 $i%02d:00:00")
+    val series = (0 until 9).map { i =>
+      ("spiky", hrs(i), if (i == 8) 200L else if (i % 2 == 0) 9L else 11L)
+    }.toDF("event_type", "hr", "ct")
+    val out = Analytic.madOutliersOn(series)
+      .as[(String, String, Long, Double, Double, Double, Int)].collect()
+    val spike = out.find(_._3 == 200L).get
+    assert(spike._7 == 1, s"spike not flagged: rz=${spike._6}")
+    assert(out.filter(_._3 != 200L).forall(_._7 == 0), "quiet hours misflagged")
+    // same series through the σ-based anomaly gate: the spike's z is
+    // genuinely masked — the robust detector is not redundant
+    val z = Analytic.anomalyOn(series)
+      .as[(String, String, Long, Double, Double, Double, Int)].collect()
+    assert(z.find(_._3 == 200L).get._7 == 0, "fixture no longer demonstrates masking")
+    // constant series: MAD = 0 ⇒ rz defined 0, nothing flagged
+    val const = (0 until 10)
+      .map(i => ("flat", f"2024-01-02 $i%02d:00:00", 10L))
+      .toDF("event_type", "hr", "ct")
+    val cflat = Analytic.madOutliersOn(const)
+      .as[(String, String, Long, Double, Double, Double, Int)].collect()
+    assert(cflat.forall(r => r._6 == 0.0 && r._7 == 0))
+  }
+
   test("approx_percentile within 2% of exact interpolated percentile") {
     import spark.implicits._
     val o = graft.sources.Tables.orders(spark, sf)
