@@ -240,6 +240,33 @@ object Analytic {
       .orderBy(col("event_type"))
   }
 
+  /** The ops dashboard's one table: every hourly-series monitor —
+    * pointwise z ([[anomalyOn]]), EWMA trend ([[ewmaOn]]), CUSUM shift
+    * accumulators ([[cusumOn]]), robust MAD z ([[madOutliersOn]]) —
+    * joined per (type, hour). The hourly aggregation (the only
+    * corpus-sized work) is memoized and computed ONCE; each detector
+    * adds only type-cardinality- or series-sized work on top. The
+    * oracle interpolates the SAME CTE strings as the four standalone
+    * oracles, so the composite cannot drift from its parts. */
+  def monitorReport(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Memo(spark, dir, "an.hourly")(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hr"))
+        .agg(count(lit(1)).as("ct")))
+    val z = anomalyOn(hourly)
+      .select(col("event_type"), col("hr"), col("ct"), col("z"), col("is_anomaly"))
+    val e = ewmaOn(hourly).select(col("event_type"), col("hr"), col("ewma"))
+    val c = cusumOn(hourly)
+      .select(col("event_type"), col("hr"), col("sp"), col("sn"), col("is_change"))
+    val m = madOutliersOn(hourly)
+      .select(col("event_type"), col("hr"), col("rz"), col("is_outlier"))
+    z.join(e, Seq("event_type", "hr"))
+      .join(c, Seq("event_type", "hr"))
+      .join(m, Seq("event_type", "hr"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
   /** Robust outlier detection over the hourly series: modified z-score
     * via median / median-absolute-deviation (Iglewicz–Hoaglin: rz =
     * 0.6745·(x−med)/MAD, flag |rz| > 3.5) — the heavy-tail-safe
@@ -286,11 +313,13 @@ object Analytic {
     * replays it as a recursive CTE, step for step, making every
     * intermediate double bit-identical (one multiply-add per step,
     * fixed order). */
-  def ewmaHours(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(spark, dir)
+  def ewmaHours(spark: SparkSession, dir: String): DataFrame =
+    ewmaOn(Tables.events(spark, dir)
       .groupBy(col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hr"))
-      .agg(count(lit(1)).as("ct"))
+      .agg(count(lit(1)).as("ct")))
+
+  private[graft] def ewmaOn(hourly: DataFrame): DataFrame = {
     hourly.groupBy(col("event_type"))
       .agg(expr(
         "aggregate(sort_array(collect_list(struct(hr, ct))), " +
@@ -539,6 +568,7 @@ object Analytic {
     "an_cusum_hours" -> ((s, d) => cusumHours(s, d)),
     "an_out_of_order" -> ((s, d) => outOfOrder(s, d)),
     "an_mad_outliers" -> ((s, d) => madOutliers(s, d)),
+    "an_monitor_report" -> ((s, d) => monitorReport(s, d)),
     "an_funnel" -> funnel,
     "an_retention" -> retention,
     "an_session_stats" -> sessionStats,
@@ -554,7 +584,111 @@ object Analytic {
     "an_pivot_by_status" -> pivotByStatus,
     "an_percentiles" -> percentiles)
 
+  // --- shared hourly-series CTE blocks -------------------------------
+  // Each monitoring oracle (z, EWMA, CUSUM, MAD) and the composite
+  // report interpolate these SAME strings, so the composite can never
+  // drift from the standalone definitions it joins.
+  private val hourlyCte =
+    """hourly AS (
+      |  SELECT event_type, strftime(time_bucket(INTERVAL 1 HOUR, ts),
+      |      '%Y-%m-%d %H:00:00') AS hr, CAST(COUNT(*) AS BIGINT) AS ct
+      |  FROM events GROUP BY 1, 2
+      |)""".stripMargin
+
+  private val momentsCte =
+    """moments AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |    CAST(SUM(ct) AS BIGINT) AS sum_ct, CAST(SUM(ct * ct) AS BIGINT) AS sum_ct2
+      |  FROM hourly GROUP BY 1
+      |)""".stripMargin
+
+  private val zCtes =
+    """wm AS (
+      |  SELECT h.event_type, h.hr, h.ct,
+      |    CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mu,
+      |    sqrt(CAST(sum_ct2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
+      |      - (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))
+      |      * (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))) AS sigma
+      |  FROM hourly h JOIN moments m ON h.event_type = m.event_type
+      |), wz AS (
+      |  SELECT *, CASE WHEN sigma = 0.0 THEN 0.0
+      |    ELSE (CAST(ct AS DOUBLE) - mu) / sigma END AS z
+      |  FROM wm
+      |)""".stripMargin
+
+  private val ewCtes =
+    """idx AS (
+      |  SELECT event_type, hr, ct,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+      |  FROM hourly
+      |), ew AS (
+      |  SELECT event_type, hr, ct, rn, CAST(ct AS DOUBLE) AS ewma
+      |  FROM idx WHERE rn = 1
+      |  UNION ALL
+      |  SELECT i.event_type, i.hr, i.ct, i.rn,
+      |    CAST(0.3 AS DOUBLE) * CAST(i.ct AS DOUBLE) + CAST(0.7 AS DOUBLE) * ew.ewma
+      |  FROM ew JOIN idx i ON i.event_type = ew.event_type AND i.rn = ew.rn + 1
+      |)""".stripMargin
+
+  private val csCtes =
+    """ann AS (
+      |  SELECT h.event_type, h.hr, h.ct,
+      |    CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE) AS mu,
+      |    CAST(0.5 AS DOUBLE) * sqrt(CAST(m.sum_ct2 AS DOUBLE) / CAST(m.n_hours AS DOUBLE)
+      |      - (CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE))
+      |        * (CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE))) AS kk,
+      |    CAST(4.0 AS DOUBLE) * sqrt(CAST(m.sum_ct2 AS DOUBLE) / CAST(m.n_hours AS DOUBLE)
+      |      - (CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE))
+      |        * (CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE))) AS hthr,
+      |    row_number() OVER (PARTITION BY h.event_type ORDER BY h.hr) AS rn
+      |  FROM hourly h JOIN moments m ON h.event_type = m.event_type
+      |), cs AS (
+      |  SELECT event_type, hr, ct, rn, hthr,
+      |    GREATEST(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) + (CAST(ct AS DOUBLE) - mu - kk)) AS sp,
+      |    GREATEST(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) + (mu - CAST(ct AS DOUBLE) - kk)) AS sn
+      |  FROM ann WHERE rn = 1
+      |  UNION ALL
+      |  SELECT a.event_type, a.hr, a.ct, a.rn, a.hthr,
+      |    GREATEST(CAST(0 AS DOUBLE), cs.sp + (CAST(a.ct AS DOUBLE) - a.mu - a.kk)),
+      |    GREATEST(CAST(0 AS DOUBLE), cs.sn + (a.mu - CAST(a.ct AS DOUBLE) - a.kk))
+      |  FROM cs JOIN ann a ON a.event_type = cs.event_type AND a.rn = cs.rn + 1
+      |)""".stripMargin
+
+  private val madCtes =
+    """med AS (
+      |  SELECT event_type, quantile_cont(ct, 0.5) AS med FROM hourly GROUP BY 1
+      |), dev AS (
+      |  SELECT h.event_type, h.hr, h.ct, m.med,
+      |    abs(CAST(h.ct AS DOUBLE) - m.med) AS absdev
+      |  FROM hourly h JOIN med m ON h.event_type = m.event_type
+      |), mad AS (
+      |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1
+      |), rzed AS (
+      |  SELECT d.event_type, d.hr, d.ct, d.med, a.mad,
+      |    CASE WHEN a.mad = 0.0 THEN 0.0
+      |      ELSE 0.6745 * (CAST(d.ct AS DOUBLE) - d.med) / a.mad END AS rz
+      |  FROM dev d JOIN mad a ON d.event_type = a.event_type
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "an_monitor_report" ->
+      s"""WITH RECURSIVE $hourlyCte,
+         |$momentsCte,
+         |$zCtes,
+         |$ewCtes,
+         |$csCtes,
+         |$madCtes
+         |SELECT w.event_type, w.hr, w.ct, w.z,
+         |  CAST(CASE WHEN abs(w.z) > 3.0 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly,
+         |  e.ewma, c.sp, c.sn,
+         |  CAST(CASE WHEN c.sp > c.hthr OR c.sn > c.hthr THEN 1 ELSE 0 END AS INTEGER) AS is_change,
+         |  r.rz,
+         |  CAST(CASE WHEN abs(r.rz) > 3.5 THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+         |FROM wz w
+         |JOIN ew e ON w.event_type = e.event_type AND w.hr = e.hr
+         |JOIN cs c ON w.event_type = c.event_type AND w.hr = c.hr
+         |JOIN rzed r ON w.event_type = r.event_type AND w.hr = r.hr
+         |ORDER BY w.event_type, w.hr""".stripMargin,
     "an_distinct_sketch" ->
       s"""WITH h0 AS (
          |  SELECT event_type, user_id,
@@ -669,27 +803,11 @@ object Analytic {
     // median / MAD via the proven percentile ↔ quantile_cont pairing;
     // rz expression mirrored literal for literal
     "an_mad_outliers" ->
-      """WITH hourly AS (
-        |  SELECT event_type, strftime(time_bucket(INTERVAL 1 HOUR, ts),
-        |      '%Y-%m-%d %H:00:00') AS hr, CAST(COUNT(*) AS BIGINT) AS ct
-        |  FROM events GROUP BY 1, 2
-        |), med AS (
-        |  SELECT event_type, quantile_cont(ct, 0.5) AS med FROM hourly GROUP BY 1
-        |), dev AS (
-        |  SELECT h.event_type, h.hr, h.ct, m.med,
-        |    abs(CAST(h.ct AS DOUBLE) - m.med) AS absdev
-        |  FROM hourly h JOIN med m ON h.event_type = m.event_type
-        |), mad AS (
-        |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1
-        |), rzed AS (
-        |  SELECT d.event_type, d.hr, d.ct, d.med, a.mad,
-        |    CASE WHEN a.mad = 0.0 THEN 0.0
-        |      ELSE 0.6745 * (CAST(d.ct AS DOUBLE) - d.med) / a.mad END AS rz
-        |  FROM dev d JOIN mad a ON d.event_type = a.event_type
-        |)
-        |SELECT event_type, hr, ct, med, mad, rz,
-        |  CAST(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
-        |FROM rzed ORDER BY event_type, hr""".stripMargin,
+      s"""WITH $hourlyCte,
+         |$madCtes
+         |SELECT event_type, hr, ct, med, mad, rz,
+         |  CAST(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+         |FROM rzed ORDER BY event_type, hr""".stripMargin,
     // naive global prefix-max window — equality proves the engine's
     // two-level bucketed decomposition
     "an_out_of_order" ->
@@ -710,84 +828,26 @@ object Analytic {
     // two-sided CUSUM: same recursive-CTE unwinding as the EWMA oracle,
     // μ/σ/k/h mirrored expression for expression
     "an_cusum_hours" ->
-      """WITH RECURSIVE hourly AS (
-        |  SELECT event_type, strftime(time_bucket(INTERVAL 1 HOUR, ts),
-        |      '%Y-%m-%d %H:00:00') AS hr, CAST(COUNT(*) AS BIGINT) AS ct
-        |  FROM events GROUP BY 1, 2
-        |), moments AS (
-        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
-        |    CAST(SUM(ct) AS BIGINT) AS sum_ct, CAST(SUM(ct * ct) AS BIGINT) AS sum_ct2
-        |  FROM hourly GROUP BY 1
-        |), ann AS (
-        |  SELECT h.event_type, h.hr, h.ct,
-        |    CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE) AS mu,
-        |    CAST(0.5 AS DOUBLE) * sqrt(CAST(m.sum_ct2 AS DOUBLE) / CAST(m.n_hours AS DOUBLE)
-        |      - (CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE))
-        |        * (CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE))) AS kk,
-        |    CAST(4.0 AS DOUBLE) * sqrt(CAST(m.sum_ct2 AS DOUBLE) / CAST(m.n_hours AS DOUBLE)
-        |      - (CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE))
-        |        * (CAST(m.sum_ct AS DOUBLE) / CAST(m.n_hours AS DOUBLE))) AS hthr,
-        |    row_number() OVER (PARTITION BY h.event_type ORDER BY h.hr) AS rn
-        |  FROM hourly h JOIN moments m ON h.event_type = m.event_type
-        |), cs AS (
-        |  SELECT event_type, hr, ct, rn, hthr,
-        |    GREATEST(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) + (CAST(ct AS DOUBLE) - mu - kk)) AS sp,
-        |    GREATEST(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE) + (mu - CAST(ct AS DOUBLE) - kk)) AS sn
-        |  FROM ann WHERE rn = 1
-        |  UNION ALL
-        |  SELECT a.event_type, a.hr, a.ct, a.rn, a.hthr,
-        |    GREATEST(CAST(0 AS DOUBLE), cs.sp + (CAST(a.ct AS DOUBLE) - a.mu - a.kk)),
-        |    GREATEST(CAST(0 AS DOUBLE), cs.sn + (a.mu - CAST(a.ct AS DOUBLE) - a.kk))
-        |  FROM cs JOIN ann a ON a.event_type = cs.event_type AND a.rn = cs.rn + 1
-        |)
-        |SELECT event_type, hr, ct, sp, sn,
-        |  CAST(CASE WHEN sp > hthr OR sn > hthr THEN 1 ELSE 0 END AS INTEGER) AS is_change
-        |FROM cs ORDER BY event_type, hr""".stripMargin,
+      s"""WITH RECURSIVE $hourlyCte,
+         |$momentsCte,
+         |$csCtes
+         |SELECT event_type, hr, ct, sp, sn,
+         |  CAST(CASE WHEN sp > hthr OR sn > hthr THEN 1 ELSE 0 END AS INTEGER) AS is_change
+         |FROM cs ORDER BY event_type, hr""".stripMargin,
     // the recurrence unwound as a recursive CTE — one multiply-add per
     // step in the same order as the engine's array fold, bit-identical
     "an_ewma_hours" ->
-      """WITH RECURSIVE hourly AS (
-        |  SELECT event_type, strftime(time_bucket(INTERVAL 1 HOUR, ts),
-        |      '%Y-%m-%d %H:00:00') AS hr, CAST(COUNT(*) AS BIGINT) AS ct
-        |  FROM events GROUP BY 1, 2
-        |), idx AS (
-        |  SELECT event_type, hr, ct,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
-        |  FROM hourly
-        |), ew AS (
-        |  SELECT event_type, hr, ct, rn, CAST(ct AS DOUBLE) AS ewma
-        |  FROM idx WHERE rn = 1
-        |  UNION ALL
-        |  SELECT i.event_type, i.hr, i.ct, i.rn,
-        |    CAST(0.3 AS DOUBLE) * CAST(i.ct AS DOUBLE) + CAST(0.7 AS DOUBLE) * ew.ewma
-        |  FROM ew JOIN idx i ON i.event_type = ew.event_type AND i.rn = ew.rn + 1
-        |)
-        |SELECT event_type, hr, ct, ewma FROM ew
-        |ORDER BY event_type, hr""".stripMargin,
+      s"""WITH RECURSIVE $hourlyCte,
+         |$ewCtes
+         |SELECT event_type, hr, ct, ewma FROM ew
+         |ORDER BY event_type, hr""".stripMargin,
     "an_anomaly_hours" ->
-      """WITH hourly AS (
-        |  SELECT event_type, strftime(time_bucket(INTERVAL 1 HOUR, ts),
-        |      '%Y-%m-%d %H:00:00') AS hr, CAST(COUNT(*) AS BIGINT) AS ct
-        |  FROM events GROUP BY 1, 2
-        |), moments AS (
-        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
-        |    CAST(SUM(ct) AS BIGINT) AS sum_ct, CAST(SUM(ct * ct) AS BIGINT) AS sum_ct2
-        |  FROM hourly GROUP BY 1
-        |), wm AS (
-        |  SELECT h.event_type, h.hr, h.ct,
-        |    CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mu,
-        |    sqrt(CAST(sum_ct2 AS DOUBLE) / CAST(n_hours AS DOUBLE)
-        |      - (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))
-        |      * (CAST(sum_ct AS DOUBLE) / CAST(n_hours AS DOUBLE))) AS sigma
-        |  FROM hourly h JOIN moments m ON h.event_type = m.event_type
-        |), wz AS (
-        |  SELECT *, CASE WHEN sigma = 0.0 THEN 0.0
-        |    ELSE (CAST(ct AS DOUBLE) - mu) / sigma END AS z
-        |  FROM wm
-        |)
-        |SELECT event_type, hr, ct, mu, sigma, z,
-        |  CAST(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
-        |FROM wz ORDER BY event_type, hr""".stripMargin,
+      s"""WITH $hourlyCte,
+         |$momentsCte,
+         |$zCtes
+         |SELECT event_type, hr, ct, mu, sigma, z,
+         |  CAST(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+         |FROM wz ORDER BY event_type, hr""".stripMargin,
     // Every event lies in exactly size/slide = 2 hopping windows whose
     // starts are the event's 30-min bucket and the bucket before; both
     // Spark's window() (epoch origin) and DuckDB's time_bucket (2000
