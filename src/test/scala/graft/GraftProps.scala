@@ -550,4 +550,27 @@ object GraftProps extends Properties("graft") {
         got == want
       }
     }
+
+  // sparse, duplicate-free keys with arbitrary gaps; small bucket sizes
+  // force multi-bucket composition, large ones the single-bucket path
+  private val genPackRows = for {
+    keys <- Gen.listOf(Gen.choose(0L, 4_000_000L)).map(_.distinct.take(80))
+    toks <- Gen.listOfN(keys.size, Gen.choose(0L, 500L))
+  } yield keys.zip(toks)
+
+  property("packByKey == sequential prefix sum on sparse keys, any bucket size") =
+    forAll(genPackRows, Gen.oneOf(1L, 3L, 64L, 1_000_000L)) { (rows, bucketKeys) =>
+      import spark.implicits._
+      rows.isEmpty || {
+        val got = graft.operators.Curation
+          .packByKey(rows.toDF("pack_key", "tok_ct").repartition(7),
+            capacity = 100L, bucketKeys = bucketKeys)
+          .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+        var off = 0L
+        val want = rows.sortBy(_._1).map { case (key, t) =>
+          val r = (key, t, off, off / 100L); off += t; r
+        }
+        got == want
+      }
+    }
 }
