@@ -762,6 +762,65 @@ object Dedup {
       .orderBy(col("doc_id"), col("h_idx"))
   }
 
+  /** Entity resolution (record linkage) across two sources: the
+    * distinct part-name catalog vs a deterministically perturbed copy
+    * (one deletion typo at a name-derived position, id + 10⁶) — the
+    * PII-augmentation precedent applied to fuzzy KEY matching, so the
+    * matcher is exercised with real positives AND the 63 distinct
+    * non-matching names as negatives.
+    *
+    * Pipeline = the industry-standard blocking + scoring split:
+    * character-trigram inverted index with a df-cap (names sharing
+    * common words — "small …" — produce hot trigrams that would blow
+    * the candidate set up quadratically at catalog scale; capped
+    * trigrams are blacklisted exactly like the shingle df-cap in
+    * [[nearDupCandidates]]), candidates = cross-source pairs sharing a
+    * rare trigram, scored by full-set trigram Jaccard (exact integer
+    * counts) and Levenshtein (the proven bit-equal pairing), matched
+    * at edit-distance ≤ 2. Everything after blocking is
+    * candidate-sized, never catalog². */
+  def entityMatch(spark: SparkSession, dir: String,
+                  dfCap: Int = 20, maxEdit: Int = 2): DataFrame = {
+    val clean = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name")).agg(min(col("p_partkey")).as("id"))
+    val dirty = clean.select(
+      (col("id") + lit(1000000L)).as("id"),
+      expr("concat(substring(name, 1, CAST(id % length(name) AS INT)), " +
+        "substring(name, CAST(id % length(name) AS INT) + 2, length(name)))").as("name"))
+    val names = clean.select(col("id"), col("name")).unionByName(dirty)
+    val tri = names.select(col("id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, length(name) - 2), i -> substring(name, i, 3))"))).as("tg"))
+    val rare = tri.join(
+      tri.groupBy(col("tg")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select(col("tg")), Seq("tg"))
+    val cand = rare.select(col("tg"), col("id").as("id_a"))
+      .join(rare.select(col("tg"), col("id").as("id_b")), Seq("tg"))
+      .filter(col("id_a") < lit(1000000L) && col("id_b") >= lit(1000000L))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sizes = tri.groupBy(col("id")).agg(count(lit(1)).as("n_tg"))
+    val inter = cand
+      .join(tri.select(col("id").as("id_a"), col("tg")), Seq("id_a"))
+      .join(tri.select(col("id").as("id_b"), col("tg").as("tg_b")), Seq("id_b"))
+      .filter(col("tg") === col("tg_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    cand
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("id").as("id_a"), col("n_tg").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_tg").as("nb")), Seq("id_b"))
+      .join(names.select(col("id").as("id_a"), col("name").as("name_a")), Seq("id_a"))
+      .join(names.select(col("id").as("id_b"), col("name").as("name_b")), Seq("id_b"))
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("trigram_jaccard",
+        col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")).cast(LongType))
+      .withColumn("is_match", (col("edit_dist") <= maxEdit).cast("int"))
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("inter"), col("trigram_jaccard"), col("edit_dist"), col("is_match"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Dedup planning dashboard: component-size histogram over the
     * transitive near-dup closure — how many groups of each size, how
     * many docs they hold, and how many an aggressive pass would drop
@@ -783,6 +842,7 @@ object Dedup {
     "dedup_summary" -> ((s, d) => dedupSummary(s, d)),
     "dedup_containment" -> ((s, d) => containmentPairs(s, d)),
     "dedup_incremental_sigs" -> ((s, d) => incrementalSignatures(s, d)),
+    "dedup_entity_match" -> ((s, d) => entityMatch(s, d)),
     "dedup_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "dedup_components" -> ((s, d) => componentsShared(s, d).orderBy(col("doc_id"))),
     "dedup_components_star" -> ((s, d) => dedupComponentsStar(s, d)),
@@ -871,6 +931,52 @@ object Dedup {
       |SELECT doc_id, rep_doc_id FROM comp ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // augmentation + blocking + scoring mirrored end to end; levenshtein
+    // is the proven bit-equal pairing
+    "dedup_entity_match" ->
+      """WITH clean AS (
+        |  SELECT MIN(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name
+        |), dirty AS (
+        |  SELECT id + 1000000 AS id,
+        |    substring(name, 1, CAST(id % length(name) AS INT)) ||
+        |    substring(name, CAST(id % length(name) AS INT) + 2) AS name
+        |  FROM clean
+        |), names AS (
+        |  SELECT id, name FROM clean UNION ALL SELECT id, name FROM dirty
+        |), tri AS (
+        |  SELECT id, unnest(list_distinct(
+        |    [substring(name, i, 3) FOR i IN range(1, length(name) - 1)])) AS tg
+        |  FROM names
+        |), rare AS (
+        |  SELECT t.id, t.tg FROM tri t JOIN (
+        |    SELECT tg FROM tri GROUP BY tg HAVING COUNT(*) <= 20
+        |  ) d ON t.tg = d.tg
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM rare a JOIN rare b ON a.tg = b.tg
+        |  WHERE a.id < 1000000 AND b.id >= 1000000
+        |), sizes AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tg FROM tri GROUP BY id
+        |), ic AS (
+        |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM cand c
+        |    JOIN tri ta ON c.id_a = ta.id
+        |    JOIN tri tb ON c.id_b = tb.id AND ta.tg = tb.tg
+        |  GROUP BY c.id_a, c.id_b
+        |)
+        |SELECT c.id_a, c.id_b, na.name AS name_a, nb.name AS name_b,
+        |  COALESCE(i.inter, 0) AS inter,
+        |  CAST(COALESCE(i.inter, 0) AS DOUBLE)
+        |    / CAST(sa.n_tg + sb.n_tg - COALESCE(i.inter, 0) AS DOUBLE) AS trigram_jaccard,
+        |  CAST(levenshtein(na.name, nb.name) AS BIGINT) AS edit_dist,
+        |  CAST(CASE WHEN levenshtein(na.name, nb.name) <= 2 THEN 1 ELSE 0 END AS INTEGER) AS is_match
+        |FROM cand c
+        |LEFT JOIN ic i ON c.id_a = i.id_a AND c.id_b = i.id_b
+        |JOIN sizes sa ON c.id_a = sa.id
+        |JOIN sizes sb ON c.id_b = sb.id
+        |JOIN names na ON c.id_a = na.id
+        |JOIN names nb ON c.id_b = nb.id
+        |ORDER BY c.id_a, c.id_b""".stripMargin,
     "dedup_source_signatures" ->
       s"""WITH $sourceSigCtes
         |SELECT source, h_idx, h_min FROM srcsig ORDER BY source, h_idx""".stripMargin,

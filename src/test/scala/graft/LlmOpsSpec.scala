@@ -803,6 +803,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(7L).length == 1 && got(3L).length == 1 && got(4L).length == 2)
   }
 
+  test("entity resolution: planted typos all recovered; blocking prunes the cross product") {
+    import spark.implicits._
+    val rows = Dedup.entityMatch(spark, sf)
+      .select($"id_a", $"id_b", $"trigram_jaccard", $"edit_dist", $"is_match")
+      .as[(Long, Long, Double, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    // every planted (clean, clean+10^6) pair is a candidate AND a match
+    // at edit distance exactly 1 — the matcher recovers all typos
+    val cleanIds = graft.sources.Tables.part(spark, sf)
+      .groupBy($"p_name").agg(min($"p_partkey").as("id"))
+      .select($"id").as[Long].collect().toSet
+    val byPair = rows.map(r => (r._1, r._2) -> r).toMap
+    cleanIds.foreach { id =>
+      val p = byPair.get((id, id + 1000000L))
+      assert(p.exists(r => r._5 == 1 && r._4 == 1L), s"planted pair $id not recovered")
+    }
+    // blocking really prunes: candidates well under the full bipartite
+    // cross product, yet recall above is total
+    assert(rows.length < cleanIds.size * cleanIds.size / 2,
+      s"${rows.length} candidates — blocking did not prune")
+    // scores well-formed
+    rows.foreach { r =>
+      assert(r._3 >= 0.0 && r._3 <= 1.0 && r._4 >= 0)
+      assert((r._5 == 1) == (r._4 <= 2))
+    }
+  }
+
   test("ngram jaccard df-cap: hot shingles drop, scores stay conservative") {
     import spark.implicits._
     import graft.functions.GraftExpressions
