@@ -108,6 +108,35 @@ object Governance {
     * rendered as strings so one report schema covers every type. One
     * pass per column batch; every aggregate partial-aggregates,
     * nothing shuffles more than the final 1-row combine per column. */
+  /** Join-key skew diagnostic: for every key a production join or
+    * aggregation shuffles on, the distribution facts that decide
+    * whether it needs salting/AQE skew handling — row and key counts,
+    * the hottest key and its share, and the skew factor
+    * (max/avg = max·keys/rows). This is the measurement behind the
+    * engine's saltK knob (SCALE.md's skew table): run the report, salt
+    * the keys it flags. One map-side-combined count per key family
+    * plus a key-cardinality-sized aggregate — the report costs one
+    * scan per table at any scale. Hot-key tie-break: smallest key. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    def branch(df: DataFrame, table: String, keyCol: String): DataFrame =
+      df.select(col(keyCol).cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("ct"))
+        .agg(sum(col("ct")).as("rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("ct")).as("max_key_ct"),
+          max(struct(col("ct"), (-col("k")).as("nk"))).as("hot"))
+        .select(lit(table).as("table_name"), lit(keyCol).as("key_col"),
+          col("rows"), col("n_keys"), col("max_key_ct"),
+          (-col("hot.nk")).as("hot_key"),
+          (col("max_key_ct").cast("double") * col("n_keys").cast("double") /
+            col("rows").cast("double")).as("skew_factor"))
+    branch(Tables.lineitem(spark, dir), "lineitem", "l_orderkey")
+      .unionByName(branch(Tables.lineitem(spark, dir), "lineitem", "l_partkey"))
+      .unionByName(branch(Tables.orders(spark, dir), "orders", "o_custkey"))
+      .unionByName(branch(Tables.events(spark, dir), "events", "user_id"))
+      .orderBy(col("table_name"), col("key_col"))
+  }
+
   def tableProfile(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     // min/max run on the typed column (so o_orderkey reports numeric
@@ -133,7 +162,8 @@ object Governance {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gov_erasure_report" -> ((s, d) => erasureReport(s, d)),
     "gov_fk_audit" -> ((s, d) => fkAudit(s, d)),
-    "gov_table_profile" -> ((s, d) => tableProfile(s, d)))
+    "gov_table_profile" -> ((s, d) => tableProfile(s, d)),
+    "gov_skew_report" -> ((s, d) => skewReport(s, d)))
 
   private def profileCol(c: String, expr: String): String =
     s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS row_ct,
@@ -143,7 +173,29 @@ object Governance {
        |  CAST(MAX($expr) AS VARCHAR) AS max_str
        |FROM orders""".stripMargin
 
+  /** One oracle branch per key family — same aggregates, same
+    * smallest-key tiebreak (arg_min over ct DESC ≡ max(ct, −k)). */
+  private def skewBranchSql(table: String, keyCol: String): String =
+    s"""SELECT * FROM (
+       |  WITH c AS (
+       |    SELECT CAST($keyCol AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS ct
+       |    FROM $table GROUP BY 1
+       |  )
+       |  SELECT '$table' AS table_name, '$keyCol' AS key_col,
+       |    CAST(SUM(ct) AS BIGINT) AS rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |    CAST(MAX(ct) AS BIGINT) AS max_key_ct,
+       |    (SELECT k FROM c ORDER BY ct DESC, k LIMIT 1) AS hot_key,
+       |    CAST(MAX(ct) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+       |      / CAST(SUM(ct) AS DOUBLE) AS skew_factor
+       |  FROM c
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "gov_skew_report" ->
+      (Seq(("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+        ("orders", "o_custkey"), ("events", "user_id"))
+        .map { case (t, k) => s"(${skewBranchSql(t, k)})" }
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY table_name, key_col")),
     "gov_fk_audit" ->
       """WITH r AS (
         |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,

@@ -37,6 +37,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("skew report: facts match a driver recount; factor identifies the hottest family") {
+    import spark.implicits._
+    val r = graft.operators.Governance.skewReport(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Double)].collect()
+    assert(r.length == 4)
+    // recount the events.user_id branch independently
+    val cts = graft.sources.Tables.events(spark, sf)
+      .groupBy($"user_id").count().as[(Long, Long)].collect()
+    val ev = r.find(x => x._1 == "events").get
+    assert(ev._3 == cts.map(_._2).sum && ev._4 == cts.length)
+    assert(ev._5 == cts.map(_._2).max)
+    val maxCt = cts.map(_._2).max
+    assert(ev._6 == cts.filter(_._2 == maxCt).map(_._1).min, "hot-key tiebreak")
+    assert(ev._7 == maxCt.toDouble * cts.length.toDouble / cts.map(_._2).sum.toDouble)
+    // skew factor is ≥ 1 by construction and rows/keys are sane
+    r.foreach { x =>
+      assert(x._7 >= 1.0 && x._3 >= x._4 && x._5 >= x._3 / x._4)
+    }
+  }
+
   test("erasure report: cascade counts consistent, kept + erased = total, victims nonempty") {
     import spark.implicits._
     val r = graft.operators.Governance.erasureReport(spark, sf)
