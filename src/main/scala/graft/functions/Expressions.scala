@@ -17,6 +17,25 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftExpressions {
   import org.apache.spark.sql.GraftBridge.{toColumn, toExpression}
   def fnv1a64(c: Column): Column = toColumn(Fnv1a64(toExpression(c)))
+
+  /** Uniform 32-bit hash of a string key: FNV-1a 64 through a
+    * splitmix64-style avalanche finalizer, high 32 bits. Raw FNV of
+    * near-identical short keys ("u17","u18",…) is under-mixed and
+    * biases order statistics (measured 72% KMV error vs 1.6%
+    * finalized — SCALE.md); every consumer that feeds hashes into
+    * minima/sampling keys must use THIS, not raw FNV. Signed-long ops
+    * ≡ unsigned mod 2^64: >>> is the unsigned shift, wrapping × is ×
+    * mod 2^64, xor is xor — the DuckDB oracles replay the identical
+    * chain in HUGEINT (`DuckSql.avalanche32Ctes`). */
+  def hash32(c: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftrightunsigned}
+    val h = fnv1a64(c)
+    val a = h.bitwiseXOR(shiftrightunsigned(h, 33))
+    val b = a * lit(0xff51afd7ed558ccdL)
+    val d = b.bitwiseXOR(shiftrightunsigned(b, 33))
+    val e = d * lit(0xc4ceb9fe1a85ec53L)
+    shiftrightunsigned(e.bitwiseXOR(shiftrightunsigned(e, 33)), 32)
+  }
   def cosineSim(a: Column, b: Column): Column =
     toColumn(CosineSimFloat(toExpression(a), toExpression(b)))
   def dotLong(a: Column, b: Column): Column =

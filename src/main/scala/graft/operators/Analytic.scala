@@ -516,23 +516,12 @@ object Analytic {
     * window so the sorted set stays k-bounded per group; the fixture
     * cardinalities don't need the prefilter and equality with the
     * plain form is what the oracle certifies. */
-  private def avalanche(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val a = c.bitwiseXOR(shiftrightunsigned(c, 33))
-    val b = a * lit(0xff51afd7ed558ccdL)
-    val d = b.bitwiseXOR(shiftrightunsigned(b, 33))
-    val e = d * lit(0xc4ceb9fe1a85ec53L)
-    e.bitwiseXOR(shiftrightunsigned(e, 33))
-  }
-
   /** The sketch's 32-bit hash of `user_id` — factored so the streaming
     * form (ApproxSpec: collect_set in Complete mode) provably hashes
     * identically to the batch query. */
-  private[graft] def userHash32: org.apache.spark.sql.Column = {
-    import graft.functions.GraftExpressions
-    shiftrightunsigned(
-      avalanche(GraftExpressions.fnv1a64(
-        concat(lit("u"), col("user_id").cast(StringType)))), 32)
-  }
+  private[graft] def userHash32: org.apache.spark.sql.Column =
+    graft.functions.GraftExpressions.hash32(
+      concat(lit("u"), col("user_id").cast(StringType)))
 
   def distinctSketch(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -690,18 +679,10 @@ object Analytic {
          |JOIN rzed r ON w.event_type = r.event_type AND w.hr = r.hr
          |ORDER BY w.event_type, w.hr""".stripMargin,
     "an_distinct_sketch" ->
-      s"""WITH h0 AS (
-         |  SELECT event_type, user_id,
-         |    ${DuckSql.fnvU("'u' || CAST(user_id AS VARCHAR)")} AS u
-         |  FROM events
-         |), h1 AS (SELECT *, xor(u, u // 8589934592) AS a FROM h0),
-         |h2 AS (SELECT *, ${DuckSql.mulMod64("a", BigInt("18397679294719823053"))} AS b FROM h1),
-         |h3 AS (SELECT *, xor(b, b // 8589934592) AS d FROM h2),
-         |h4 AS (SELECT *, ${DuckSql.mulMod64("d", BigInt("14181476777654086739"))} AS e2 FROM h3),
-         |h5 AS (SELECT *, xor(e2, e2 // 8589934592) AS f FROM h4),
-         |hashed AS (
-         |  SELECT event_type, user_id, CAST(f // 4294967296 AS BIGINT) AS h32 FROM h5
-         |), dh AS (
+      s"""WITH ${DuckSql.avalanche32Ctes(
+        s"""SELECT event_type, user_id,
+           |    ${DuckSql.fnvU("'u' || CAST(user_id AS VARCHAR)")} AS u
+           |  FROM events""".stripMargin)}, dh AS (
          |  SELECT DISTINCT event_type, h32 FROM hashed
          |), kth AS (
          |  SELECT event_type, h32 AS kth_h FROM (

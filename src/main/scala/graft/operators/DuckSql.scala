@@ -38,6 +38,23 @@ private[operators] object DuckSql {
       s"% CAST('18446744073709551616' AS HUGEINT)"
   }
 
+  /** The DuckDB twin of [[graft.functions.GraftExpressions.hash32]]:
+    * staged avalanche over an h0 CTE the CALLER supplies (it must
+    * expose a HUGEINT column `u` — typically [[fnvU]] of the key —
+    * plus whatever carried columns it needs), ending in
+    * `hashed(…carried…, h32)`. */
+  def avalanche32Ctes(h0Select: String): String =
+    s"""h0 AS ($h0Select),
+       |h1 AS (SELECT *, xor(u, u // 8589934592) AS a FROM h0),
+       |h2 AS (SELECT *, ${mulMod64("a", BigInt("18397679294719823053"))} AS b FROM h1),
+       |h3 AS (SELECT *, xor(b, b // 8589934592) AS d FROM h2),
+       |h4 AS (SELECT *, ${mulMod64("d", BigInt("14181476777654086739"))} AS e2 FROM h3),
+       |h5 AS (SELECT *, xor(e2, e2 // 8589934592) AS f FROM h4),
+       |hashed AS (
+       |  SELECT * EXCLUDE (u, a, b, d, e2, f), CAST(f // 4294967296 AS BIGINT) AS h32
+       |  FROM h5
+       |)""".stripMargin
+
   /** HUGEINT in 0..2^64 → signed two's-complement BIGINT. */
   def signed64(arg: String): String =
     s"""CAST(CASE WHEN $arg >= CAST('9223372036854775808' AS HUGEINT)

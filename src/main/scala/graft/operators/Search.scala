@@ -65,11 +65,13 @@ object Search {
   private val LnScale = 1048576.0 // 2^20
   private val ScoreScale = 1000000.0
 
-  /** Deterministic ln: 20 iterated sqrts, then exact re-scale. */
-  private def detLn(x: Column): Column =
+  /** Deterministic ln: 20 iterated sqrts, then exact re-scale. Shared
+    * (with [[duckDetLn]]) by every cross-engine log-scoring path: BM25
+    * idf, TF-IDF, PMI, and the weighted-sampling priority keys. */
+  private[operators] def detLn(x: Column): Column =
     ((1 to LnIters).foldLeft(x)((c, _) => sqrt(c)) - lit(1.0)) * lit(LnScale)
 
-  private def duckDetLn(e: String): String = {
+  private[operators] def duckDetLn(e: String): String = {
     val nested = (1 to LnIters).foldLeft(e)((s, _) => s"sqrt($s)")
     s"(($nested - 1.0) * 1048576.0)"
   }

@@ -475,6 +475,30 @@ object TextAnalysis {
     * distributed, no global sort; a skewed giant stratum is one
     * partition's sort of its own rows, and AQE's skew handling applies
     * to the exchange feeding it. */
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * exponential-keys): every doc gets priority −ln(u)/w with u a
+    * deterministic uniform from its id hash and w = token count; the k
+    * SMALLEST keys are a weighted-without-replacement sample — the
+    * data-mixing primitive between plain uniform sampling
+    * ([[sampleExactK]]) and the per-source √-temperature budgets
+    * ([[Curation.mixtureSample]]): token-mass-proportional at the
+    * DOCUMENT level, one scan + a distributed TakeOrdered top-k.
+    * Deterministic end to end: u = (hash32+1)/2³² is exact (power-of-2
+    * division), ln is the shared iterated-sqrt [[Search.detLn]], the
+    * key is one fixed-order subtract+divide — so the DuckDB oracle
+    * reproduces the SAMPLE ITSELF, not just its distribution. */
+  def sampleWeighted(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val docs = textStats(spark, dir).select(col("doc_id"), col("token_ct"))
+    val u = (GraftExpressions.hash32(concat(lit("d"), col("doc_id").cast(StringType)))
+      + lit(1L)).cast(DoubleType) / lit(4294967296.0)
+    docs
+      .withColumn("skey",
+        (lit(0.0) - Search.detLn(u)) / col("token_ct").cast(DoubleType))
+      .orderBy(col("skey"), col("doc_id")).limit(k)
+      .select(col("doc_id"), col("token_ct"), col("skey"))
+      .orderBy(col("skey"), col("doc_id"))
+  }
+
   def sampleExactK(spark: SparkSession, dir: String, k: Int = 15): DataFrame =
     Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"),
@@ -784,6 +808,7 @@ object TextAnalysis {
     "text_quality_filter" -> ((s, d) => qualityFilter(s, d)),
     "text_quality_deciles" -> ((s, d) => qualityDeciles(s, d)),
     "text_sample_exact_k" -> ((s, d) => sampleExactK(s, d)),
+    "text_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
     "text_stats" -> ((s, d) => textStats(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_token_counts" -> ((s, d) => tokenCounts(s, d)),
@@ -1225,6 +1250,22 @@ object TextAnalysis {
          |       WHEN fr_ct > 0 THEN 'fr'
          |       ELSE 'und' END AS pred_lang
          |FROM c ORDER BY doc_id""".stripMargin,
+    // the sample itself is deterministic: avalanche hash → exact
+    // uniform → iterated-sqrt ln key, top-k by (key, doc_id)
+    "text_sample_weighted" ->
+      s"""WITH ${DuckSql.avalanche32Ctes(
+        s"SELECT doc_id, ${DuckSql.fnvU("'d' || CAST(doc_id AS VARCHAR)")} AS u FROM documents")},
+         |w AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_ct
+         |  FROM documents
+         |), keyed AS (
+         |  SELECT h.doc_id, w.token_ct,
+         |    (0.0 - ${Search.duckDetLn("(CAST(h.h32 + 1 AS DOUBLE) / 4294967296.0)")})
+         |      / CAST(w.token_ct AS DOUBLE) AS skey
+         |  FROM hashed h JOIN w ON h.doc_id = w.doc_id
+         |)
+         |SELECT doc_id, token_ct, skey FROM keyed
+         |ORDER BY skey, doc_id LIMIT 50""".stripMargin,
     "text_chunk_rag" ->
       s"""WITH $chunkCtes
          |SELECT doc_id, chunk_index, chunk_start, chunk_len, chunk_text,

@@ -116,6 +116,45 @@ class CurationSpec extends AnyFunSuite {
     assert(classes == Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("weighted sample: keys bit-match a driver recompute; weighting biases toward heavy docs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.sampleWeighted(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.size == 50 && got.map(_._1).distinct.size == 50)
+    // driver recompute: same fnv+avalanche, same iterated-sqrt ln
+    def fnv(s: String): Long = {
+      var h = java.lang.Long.parseUnsignedLong("14695981039346656037")
+      s.foreach(ch => h = (h ^ ch.toLong) * 1099511628211L)
+      h
+    }
+    def hash32(s: String): Long = {
+      var x = fnv(s)
+      x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL
+      x ^= (x >>> 33); x *= 0xc4ceb9fe1a85ec53L
+      x ^= (x >>> 33)
+      x >>> 32
+    }
+    def detLn(v: Double): Double = {
+      var x = v
+      (1 to 20).foreach(_ => x = math.sqrt(x))
+      (x - 1.0) * 1048576.0
+    }
+    val all = TextAnalysis.textStats(spark, sf)
+      .select($"doc_id", $"token_ct").as[(Long, Long)].collect()
+    val want = all.map { case (id, w) =>
+      val u = (hash32(s"d$id") + 1L).toDouble / 4294967296.0
+      (id, w, (0.0 - detLn(u)) / w.toDouble)
+    }.sortBy(r => (r._3, r._1)).take(50).toSeq
+    assert(got == want)
+    // token-mass weighting bites: the sample's mean token count beats
+    // the corpus mean (heavy docs overrepresented)
+    val sampleMean = got.map(_._2).sum.toDouble / got.size
+    val corpusMean = all.map(_._2).sum.toDouble / all.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
   test("pack shards: every shard except the last fills to its capacity boundary") {
     import spark.implicits._
     val m = Curation.shardManifest(spark, sf)
