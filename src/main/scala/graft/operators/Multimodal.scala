@@ -122,11 +122,63 @@ object Multimodal {
         col("f").getField("sample_byte").as("sample_byte"))
       .orderBy(col("doc_id"), col("frame_no"))
 
+  /** Content-entropy QA over the media payloads: per asset, the byte
+    * (= ASCII char, per the fixture contract) histogram entropy — the
+    * standard blank/stuck-frame/corrupt-stream detector: constant or
+    * near-constant content collapses to ~0, healthy content sits well
+    * above. Reported in [[Search.detLn]] units (the shared
+    * deterministic ln), summed with a sorted left-fold so the doubles
+    * are bit-identical at any partition count and in DuckDB. One
+    * explode + two keyed aggregations — content-sized, no shuffle
+    * wider than the (asset, byte-value) histogram. */
+  def contentEntropy(spark: SparkSession, dir: String): DataFrame =
+    contentEntropyOn(Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text")))
+
+  private[graft] def contentEntropyOn(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("ct"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("ct")).as("n"), count(lit(1)).as("distinct_bytes"))
+    counts.join(totals, Seq("doc_id"))
+      .withColumn("p", col("ct").cast("double") / col("n").cast("double"))
+      .withColumn("term", col("p") * Search.detLn(col("p")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_bytes"),
+        max(col("distinct_bytes")).as("distinct_bytes"),
+        (lit(0.0) - expr(
+          "aggregate(sort_array(collect_list(term)), cast(0.0 as double), (a, x) -> a + x)"))
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_features" -> ((s, d) => mediaFeatures(s, d)),
+    "mm_content_entropy" -> ((s, d) => contentEntropy(s, d)),
     "mm_frame_samples" -> ((s, d) => frameSamples(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // char histogram → p·detLn(p) terms → sorted left-fold, negated
+    "mm_content_entropy" ->
+      s"""WITH counts AS (
+         |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS ct FROM (
+         |    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+         |  ) GROUP BY doc_id, ch
+         |), totals AS (
+         |  SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS distinct_bytes
+         |  FROM counts GROUP BY doc_id
+         |), terms AS (
+         |  SELECT c.doc_id, t.n, t.distinct_bytes,
+         |    (CAST(c.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+         |      * ${Search.duckDetLn("(CAST(c.ct AS DOUBLE) / CAST(t.n AS DOUBLE))")} AS term
+         |  FROM counts c JOIN totals t ON c.doc_id = t.doc_id
+         |)
+         |SELECT doc_id, MAX(n) AS n_bytes, MAX(distinct_bytes) AS distinct_bytes,
+         |  0.0 - list_reduce(list_sort(list(term)), (a, x) -> a + x) AS entropy
+         |FROM terms GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     // every feature is header-derived, and the headers derive from
     // doc_id by the fixture rules — so DuckDB rebuilds the full row
     // (header sizes: PNG 33, WAV 44, JPEG 49 bytes; text is ASCII, so

@@ -803,6 +803,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(7L).length == 1 && got(3L).length == 1 && got(4L).length == 2)
   }
 
+  test("content entropy: degenerate payloads collapse, healthy content separates") {
+    import spark.implicits._
+    // planted: a stuck-frame payload (one repeated byte), a two-symbol
+    // blinker, and a healthy word-salad doc
+    val docs = Seq(
+      (1L, "a" * 500),
+      (2L, "ab" * 250),
+      (3L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val r = Multimodal.contentEntropyOn(docs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r(0)._3 == 1L && math.abs(r(0)._4) < 1e-9, "constant payload must be ~0 entropy")
+    // two equiprobable symbols ≈ ln 2 in detLn units (detLn ≈ ln)
+    assert(math.abs(r(1)._4 - math.log(2.0)) < 1e-3, s"blinker entropy ${r(1)._4}")
+    assert(r(2)._4 > r(1)._4, "healthy content must exceed the blinker")
+    // fixture: all documents well above the degenerate band
+    val fixture = Multimodal.contentEntropy(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(fixture.nonEmpty && fixture.forall(_._4 > 1.0))
+  }
+
   test("entity resolution: planted typos all recovered; blocking prunes the cross product") {
     import spark.implicits._
     val rows = Dedup.entityMatch(spark, sf)
