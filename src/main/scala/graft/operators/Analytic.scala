@@ -190,6 +190,31 @@ object Analytic {
     * aggregations (hour, then type), both partial-aggregated; the
     * per-type moment frame is tiny and broadcasts back onto the
     * hourly frame. */
+  /** Sequential pattern mining: the most-travelled 3-step event paths
+    * (per-user consecutive triples), with each path's share of all
+    * observed triples — the "what do users actually do" table behind
+    * funnel design, and the n-gram generalization of
+    * [[transitions]]' 2-gram matrix. One lag-window pass per user,
+    * one count aggregation sized by the observed path vocabulary, and
+    * a distributed TakeOrdered top-20 — no corpus-wide rank window.
+    * Share = ct/total is one exact division. */
+  def topPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(spark, dir)
+      .withColumn("p1", lag(col("event_type"), 2).over(w))
+      .withColumn("p2", lag(col("event_type"), 1).over(w))
+      .filter(col("p1").isNotNull)
+      .select(concat_ws(" > ", col("p1"), col("p2"), col("event_type")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("path_ct"))
+    paths
+      .crossJoin(broadcast(paths.agg(sum(col("path_ct")).as("total_ct"))))
+      .withColumn("share",
+        col("path_ct").cast(DoubleType) / col("total_ct").cast(DoubleType))
+      .orderBy(col("path_ct").desc, col("path")).limit(k)
+      .select(col("path"), col("path_ct"), col("share"))
+      .orderBy(col("path_ct").desc, col("path"))
+  }
+
   /** Event-time disorder audit per type: how many events arrive (in
     * event_id order) with a timestamp BEHIND the running event-time
     * frontier, and by how much — the measurement that justifies a
@@ -557,6 +582,7 @@ object Analytic {
     "an_cusum_hours" -> ((s, d) => cusumHours(s, d)),
     "an_out_of_order" -> ((s, d) => outOfOrder(s, d)),
     "an_mad_outliers" -> ((s, d) => madOutliers(s, d)),
+    "an_top_paths" -> ((s, d) => topPaths(s, d)),
     "an_monitor_report" -> ((s, d) => monitorReport(s, d)),
     "an_funnel" -> funnel,
     "an_retention" -> retention,
@@ -781,6 +807,21 @@ object Analytic {
     // μ/σ/z are single expressions over exact integer moments, so the
     // DOUBLE values are bit-identical cross-engine (one division, one
     // sqrt, fixed order — no accumulation).
+    "an_top_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+        |  FROM events
+        |), paths AS (
+        |  SELECT p1 || ' > ' || p2 || ' > ' || event_type AS path,
+        |    CAST(COUNT(*) AS BIGINT) AS path_ct
+        |  FROM seq WHERE p1 IS NOT NULL GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(path_ct) AS BIGINT) AS total_ct FROM paths)
+        |SELECT path, path_ct,
+        |  CAST(path_ct AS DOUBLE) / CAST(total_ct AS DOUBLE) AS share
+        |FROM paths CROSS JOIN tot
+        |ORDER BY path_ct DESC, path LIMIT 20""".stripMargin,
     // median / MAD via the proven percentile ↔ quantile_cont pairing;
     // rz expression mirrored literal for literal
     "an_mad_outliers" ->

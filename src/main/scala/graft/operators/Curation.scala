@@ -710,6 +710,57 @@ object Curation {
         (coalesce(col("t2"), lit(0L)) - coalesce(col("t1"), lit(0L))).as("tok_delta"))
   }
 
+  /** Distribution drift between crawls: Jensen–Shannon divergence of
+    * the two snapshots' unigram distributions plus the vocabulary
+    * churn — the "did the new crawl shift what the model will see"
+    * gate run BEFORE retraining on v2, complementing the row-level
+    * [[snapshotDiffOn]] (which says which docs changed, not whether
+    * the token distribution moved).
+    *
+    * JS = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2 — always finite (M > 0
+    * wherever either side has mass) and symmetric. Probabilities are
+    * exact count ratios; ln is the shared iterated-sqrt
+    * [[Search.detLn]]; both KL sums are sorted left-folds, so the
+    * single output double is bit-identical to DuckDB's replay. Scale:
+    * two scans + a vocabulary-keyed full-outer join; the fold collects
+    * the vocabulary once — at an unbounded vocabulary swap in a plain
+    * `sum` (the PageRank trade-off note) or pre-aggregate by hash
+    * range. */
+  def distDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+    distDriftOn(docs, snapshotV2On(docs))
+  }
+
+  private[graft] def distDriftOn(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def uni(d: DataFrame, ctName: String): DataFrame =
+      d.select(explode(tokensCol).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(ctName))
+    val j = uni(v1, "ct1")
+      .join(uni(v2, "ct2"), Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("ct1"), lit(0L)).as("ct1"),
+        coalesce(col("ct2"), lit(0L)).as("ct2"))
+    val tot = j.agg(sum(col("ct1")).as("n1"), sum(col("ct2")).as("n2"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("pp", col("ct1").cast(DoubleType) / col("n1").cast(DoubleType))
+      .withColumn("pq", col("ct2").cast(DoubleType) / col("n2").cast(DoubleType))
+      .withColumn("m", (col("pp") + col("pq")) / lit(2.0))
+      .withColumn("tp", when(col("pp") > 0.0,
+        col("pp") * Search.detLn(col("pp") / col("m"))).otherwise(lit(0.0)))
+      .withColumn("tq", when(col("pq") > 0.0,
+        col("pq") * Search.detLn(col("pq") / col("m"))).otherwise(lit(0.0)))
+      .agg(
+        max(col("n1")).as("n_tokens_v1"), max(col("n2")).as("n_tokens_v2"),
+        sum(when(col("ct1") > 0, 1L).otherwise(0L)).as("vocab_v1"),
+        sum(when(col("ct2") > 0, 1L).otherwise(0L)).as("vocab_v2"),
+        sum(when(col("ct1") === 0, 1L).otherwise(0L)).as("vocab_added"),
+        sum(when(col("ct2") === 0, 1L).otherwise(0L)).as("vocab_removed"),
+        ((lit(0.5) * expr(
+          "aggregate(sort_array(collect_list(tp)), cast(0.0 as double), (a, x) -> a + x)")) +
+          (lit(0.5) * expr(
+            "aggregate(sort_array(collect_list(tq)), cast(0.0 as double), (a, x) -> a + x)")))
+          .as("js_divergence"))
+  }
+
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(spark, Tables.documents(spark, dir))
     snapshotDiffOn(docs, snapshotV2On(docs)).orderBy(col("doc_id"))
@@ -742,6 +793,7 @@ object Curation {
     "text_mixture_sample" -> ((s, d) => mixtureSample(s, d)),
     "text_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
     "text_snapshot_diff" -> ((s, d) => snapshotDiff(s, d)),
+    "text_dist_drift" -> ((s, d) => distDrift(s, d)),
     "text_snapshot_diff_summary" -> ((s, d) => snapshotDiffSummary(s, d)),
     "text_token_ids" -> ((s, d) => tokenIds(s, d)),
     "text_bpe_merges" -> ((s, d) => bpeMerges(s, d)))
@@ -1009,6 +1061,44 @@ object Curation {
          |  CAST(b.source_budget AS BIGINT) AS source_budget,
          |  CAST(CASE WHEN w.cum_before < b.source_budget THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM w JOIN b USING (source) ORDER BY doc_id""".stripMargin,
+    // JS divergence: same v2 synthesis, same detLn, same sorted folds
+    "text_dist_drift" ->
+      s"""WITH $diffCtes,
+         |dc1 AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS ct1 FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+         |  ) GROUP BY 1
+         |), dc2 AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS ct2 FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS token FROM v2
+         |  ) GROUP BY 1
+         |), jj AS (
+         |  SELECT COALESCE(dc1.token, dc2.token) AS token,
+         |    COALESCE(ct1, 0) AS ct1, COALESCE(ct2, 0) AS ct2
+         |  FROM dc1 FULL OUTER JOIN dc2 ON dc1.token = dc2.token
+         |), tot AS (
+         |  SELECT CAST(SUM(ct1) AS BIGINT) AS n1, CAST(SUM(ct2) AS BIGINT) AS n2 FROM jj
+         |), dterms AS (
+         |  SELECT ct1, ct2, n1, n2,
+         |    CAST(ct1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS pp,
+         |    CAST(ct2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS pq
+         |  FROM jj CROSS JOIN tot
+         |), dscored AS (
+         |  SELECT *,
+         |    CASE WHEN pp > 0.0
+         |      THEN pp * ${Search.duckDetLn("(pp / ((pp + pq) / 2.0))")} ELSE 0.0 END AS tp,
+         |    CASE WHEN pq > 0.0
+         |      THEN pq * ${Search.duckDetLn("(pq / ((pp + pq) / 2.0))")} ELSE 0.0 END AS tq
+         |  FROM dterms
+         |)
+         |SELECT MAX(n1) AS n_tokens_v1, MAX(n2) AS n_tokens_v2,
+         |  CAST(SUM(CASE WHEN ct1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_v1,
+         |  CAST(SUM(CASE WHEN ct2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_v2,
+         |  CAST(SUM(CASE WHEN ct1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_added,
+         |  CAST(SUM(CASE WHEN ct2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_removed,
+         |  (0.5 * list_reduce(list_sort(list(tp)), (a, x) -> a + x))
+         |    + (0.5 * list_reduce(list_sort(list(tq)), (a, x) -> a + x)) AS js_divergence
+         |FROM dscored""".stripMargin,
     "text_snapshot_diff" ->
       s"""WITH $diffCtes
          |SELECT doc_id, status, v1_hash, v2_hash, tok_delta

@@ -155,6 +155,24 @@ class CurationSpec extends AnyFunSuite {
       s"sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("distribution drift: identity is exactly 0; disjoint vocabularies hit ln 2") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta")).toDF("doc_id", "text")
+    // JS(P, P) = 0 to the bit: every pp == pq ⇒ pp/m == 1 ⇒ detLn == 0
+    val same = Curation.distDriftOn(a, a)
+      .select($"js_divergence").as[Double].head()
+    assert(same == 0.0, s"identity drift $same")
+    // fully disjoint vocabularies: JS = ln 2 (detLn ≈ ln within 1e-6)
+    val b = Seq((1L, "zeta eta theta"), (2L, "iota kappa lambda")).toDF("doc_id", "text")
+    val disjoint = Curation.distDriftOn(a, b)
+      .select($"js_divergence").as[Double].head()
+    assert(math.abs(disjoint - math.log(2.0)) < 1e-3, s"disjoint drift $disjoint")
+    // the fixture crawl: small but strictly positive (rev2/new tokens)
+    val fx = Curation.distDrift(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].head()
+    assert(fx._7 > 0.0 && fx._7 < 0.1 && fx._5 > 0)
+  }
+
   test("pack shards: every shard except the last fills to its capacity boundary") {
     import spark.implicits._
     val m = Curation.shardManifest(spark, sf)
