@@ -317,6 +317,45 @@ object Search {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** "Did you mean": spell-correction candidates for misspelled query
+    * terms — every vocabulary word within Levenshtein ≤ 2 of the
+    * probe term, ranked by (corpus frequency DESC, word) — the search
+    * box's recovery path when a term has zero postings. Probes are
+    * deterministic derivations of real vocabulary words (one deletion
+    * + one substitution — the same typo model as
+    * [[Dedup.entityMatch]]), so correction quality is measurable: the
+    * source word must rank first.
+    *
+    * Scale shape: candidates are length-banded (|len(w) − len(probe)|
+    * ≤ 2 — a necessary condition for edit distance ≤ 2) BEFORE any
+    * distance runs, so the DP cost is (probes × band), never
+    * (probes × vocabulary); band keys broadcast. */
+  def didYouMean(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val vocab = Memo(spark, dir, "search.vocab.ct")(
+      Tables.spread(spark, Tables.documents(spark, dir))
+        .select(explode(Curation.tokensCol).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("word_ct")))
+    // probes: the 5 most frequent words, each misspelled two ways —
+    // drop the 2nd char; replace the 1st char with 'q'
+    val seeds = vocab.orderBy(col("word_ct").desc, col("word")).limit(5)
+      .select(col("word").as("seed"))
+    val probes = seeds
+      .select(col("seed"), expr("concat(substring(seed, 1, 1), substring(seed, 3, length(seed)))").as("probe"))
+      .unionByName(seeds
+        .select(col("seed"), expr("concat('q', substring(seed, 2, length(seed)))").as("probe")))
+    probes
+      .join(vocab, abs(length(col("word")) - length(col("probe"))) <= 2)
+      .withColumn("dist", levenshtein(col("probe"), col("word")).cast(LongType))
+      .filter(col("dist") <= 2)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("seed"), col("probe"))
+          .orderBy(col("word_ct").desc, col("word"))))
+      .filter(col("rk") <= k)
+      .select(col("seed"), col("probe"), col("rk").cast(LongType).as("rk"),
+        col("word").as("suggestion"), col("word_ct"), col("dist"))
+      .orderBy(col("seed"), col("probe"), col("rk"))
+  }
+
   /** MMR result-list size. */
   private val MmrK = 5
 
@@ -665,6 +704,7 @@ object Search {
     "search_hybrid_rerank" -> ((s, d) => hybridRerank(s, d)),
     "search_mmr" -> ((s, d) => mmrRerank(s, d)),
     "search_pmi_pairs" -> ((s, d) => pmiPairs(s, d)),
+    "search_did_you_mean" -> ((s, d) => didYouMean(s, d)),
     "search_phrase" -> ((s, d) => phraseSearch(s, d)),
     "search_postings" -> ((s, d) => postings(s, d)),
     "search_tfidf_keywords" -> ((s, d) => tfidfKeywords(s, d)),
@@ -836,6 +876,33 @@ object Search {
            |SELECT qid, CAST(step AS BIGINT) AS step, doc_id, mmr
            |FROM sel$MmrK ORDER BY qid, step""".stripMargin
     },
+    // same typo derivations, same length band, same levenshtein
+    "search_did_you_mean" ->
+      """WITH vocab AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS word_ct FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+        |  ) GROUP BY 1
+        |), seeds AS (
+        |  SELECT word AS seed FROM vocab ORDER BY word_ct DESC, word LIMIT 5
+        |), probes AS (
+        |  SELECT seed, substring(seed, 1, 1) || substring(seed, 3) AS probe FROM seeds
+        |  UNION ALL
+        |  SELECT seed, 'q' || substring(seed, 2) AS probe FROM seeds
+        |), scored AS (
+        |  SELECT p.seed, p.probe, v.word, v.word_ct,
+        |    CAST(levenshtein(p.probe, v.word) AS BIGINT) AS dist
+        |  FROM probes p JOIN vocab v ON abs(length(v.word) - length(p.probe)) <= 2
+        |  WHERE levenshtein(p.probe, v.word) <= 2
+        |), ranked AS (
+        |  SELECT seed, probe, word, word_ct, dist,
+        |    row_number() OVER (PARTITION BY seed, probe
+        |      ORDER BY word_ct DESC, word) AS rk
+        |  FROM scored
+        |)
+        |SELECT seed, probe, CAST(rk AS BIGINT) AS rk, word AS suggestion,
+        |  word_ct, dist
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY seed, probe, rk""".stripMargin,
     // unigram + bigram probability ratio in one fixed-order expression,
     // iterated-sqrt ln, top-50 with bigram tiebreak
     "search_pmi_pairs" -> {

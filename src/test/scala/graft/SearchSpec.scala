@@ -121,6 +121,29 @@ class SearchSpec extends AnyFunSuite {
     assert(two.nonEmpty && two.sameElements(single))
   }
 
+  test("did-you-mean: every misspelling recovers its source word at rank 1") {
+    import spark.implicits._
+    val r = Search.didYouMean(spark, sf)
+      .as[(String, String, Long, String, Long, Long)].collect()
+    assert(r.nonEmpty)
+    // each (seed, probe) group: the seed itself must be the top
+    // suggestion — it is within distance ≤ 2 of its own typo and is by
+    // construction among the most frequent words
+    r.groupBy(x => (x._1, x._2)).foreach { case ((seed, probe), rs) =>
+      val top = rs.minBy(_._3)
+      assert(top._4 == seed, s"probe $probe suggests ${top._4}, wanted $seed")
+      // all suggestions honor the distance gate and the ranking order
+      rs.foreach(x => assert(x._6 <= 2))
+      rs.sortBy(_._3).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 > b._5 || (a._5 == b._5 && a._4 < b._4))
+        case _ => ()
+      }
+    }
+    // both typo modes present for all 5 seeds
+    assert(r.map(x => (x._1, x._2)).distinct.length == 10)
+  }
+
   test("PMI collocations: driver-side recount of counts and ratio ordering") {
     import spark.implicits._
     val got = Search.pmiPairs(spark, sf)
