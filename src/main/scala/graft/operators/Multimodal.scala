@@ -153,12 +153,184 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** 64-bit BLOCKHASH fingerprint over the payload CONTENT bytes — the
+    * perceptual-hash analog for this fixture (real pHash needs a pixel
+    * decode; blockhash-over-bytes is the same mean-threshold bit rule
+    * applied to the only signal the container has). Content is
+    * recovered by slicing the binary payload past the parsed header
+    * length (format-specific: PNG 33, WAV 44, JPEG 49) — so the query
+    * proves binary-column slicing + charset decode end to end, not
+    * just string math on `text`.
+    *
+    * Bit rule: split the content into 64 position-proportional blocks
+    * (block of byte p = ⌊p·64/L⌋); bit_b = 1 iff the block's byte MEAN
+    * exceeds the whole content's byte mean — compared in exact integer
+    * cross-multiplied form (`bs·L > ts·bc`), so no float ever enters
+    * the hash and both engines agree bit-for-bit. The 64 bits are
+    * emitted as four 16-bit band integers (band_j = bits 16j..16j+15)
+    * because the bands are ALSO the LSH keys of [[phashNearDups]].
+    * Contents shorter than 64 bytes are excluded (blocks would be
+    * empty; a 64-bit hash of <64 bytes is noise).
+    *
+    * Scale shape: one byte-explode (content-sized, the same cost class
+    * as [[contentEntropy]]) into two keyed aggregations — nothing
+    * wider than (doc, block) ever shuffles; at 100 TB the explode is
+    * scan-bound and the hash output is 5 longs per asset. */
+  def blockHashes(spark: SparkSession, dir: String): DataFrame =
+    memoBlockHashes(spark, dir).orderBy(col("doc_id"))
+
+  private def memoBlockHashes(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "mm_blockhash")(blockHashBuild(spark, dir))
+
+  private def blockHashBuild(spark: SparkSession, dir: String): DataFrame =
+    blockHashesOn(mediaTable(spark, dir)
+      .withColumn("hlen",
+        when(col("kind") === "image", 33)
+          .when(col("kind") === "audio", 44).otherwise(49))
+      // binary slice past the header, then charset-decode: the
+      // multimodal plumbing under test (fixture content is ASCII, so
+      // byte value = code point and the oracle can rebuild from text)
+      .withColumn("t",
+        decode(expr("substring(payload, hlen + 1, 2147483647)"), "UTF-8"))
+      .select(col("doc_id"), col("t")))
+
+  /** Hash core over a `(doc_id, t)` content frame — split out so specs
+    * can feed adversarial content directly. */
+  private[graft] def blockHashesOn(contentDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val content = contentDocs
+      .select(col("doc_id"), col("t"), length(col("t")).cast(LongType).as("L"))
+      .filter(col("L") >= 64)
+    val bytes = content
+      .select(col("doc_id"), col("L"), posexplode(split(col("t"), "")))
+      .select(col("doc_id"), col("L"),
+        ascii(col("col")).cast(LongType).as("v"),
+        expr("CAST(pos AS BIGINT) * 64 DIV L").as("blk"))
+    val blocks = bytes.groupBy(col("doc_id"), col("blk"))
+      .agg(sum(col("v")).as("bs"), count(lit(1)).as("bc"), max(col("L")).as("L"))
+    val tot = bytes.groupBy(col("doc_id")).agg(sum(col("v")).as("ts"))
+    val bits = blocks.join(tot, Seq("doc_id"))
+      .withColumn("bit", (col("bs") * col("L") > col("ts") * col("bc")).cast(LongType))
+    def band(j: Int) =
+      sum(when(col("bit") === 1 && expr("blk DIV 16") === j,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(blk % 16 AS INT))"))
+        .otherwise(0L)).as(s"band$j")
+    bits.groupBy(col("doc_id"))
+      .agg(max(col("L")).as("n_bytes"), band(0), band(1), band(2), band(3))
+  }
+
+  /** Banded hamming near-dup over the blockhashes — the standard
+    * perceptual-dedup join: two assets are candidates iff ANY of their
+    * four 16-bit bands match exactly (pigeonhole: hamming ≤ 3 ⇒ some
+    * band is untouched, so recall is total below 4 bits and
+    * probabilistic up to the verify threshold), then the candidate's
+    * exact 64-bit hamming distance filters at `maxHamming`.
+    *
+    * Scale shape: four hash-equi-joins on 16-bit keys (never an OR-join
+    * — Spark would cross-product it) + one distinct; candidate volume
+    * is bounded by band-bucket occupancy exactly like the MinHash LSH
+    * path in [[Dedup]]. Hamming is four codegen'd `bit_count(xor)`
+    * ops, no UDF. */
+  def phashNearDups(spark: SparkSession, dir: String,
+                    maxHamming: Int = 12): DataFrame =
+    phashNearDupsOn(memoBlockHashes(spark, dir), maxHamming)
+
+  private[graft] def phashNearDupsOn(h: DataFrame, maxHamming: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val a = h.select(col("doc_id").as("doc_a"), col("band0").as("a0"),
+      col("band1").as("a1"), col("band2").as("a2"), col("band3").as("a3"))
+    val b = h.select(col("doc_id").as("doc_b"), col("band0").as("b0"),
+      col("band1").as("b1"), col("band2").as("b2"), col("band3").as("b3"))
+    val cand = (0 until 4).map { j =>
+      a.join(b, col(s"a$j") === col(s"b$j") && col("doc_a") < col("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+    cand
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3)").cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Shared DuckDB rebuild of [[blockHashes]]: emits CTEs ending in
+    * `mmh(doc_id, n_bytes, band0..band3)`. Content bytes = text bytes
+    * (ASCII fixture contract), so the oracle works from `text` and the
+    * integer cross-multiplied bit rule matches the engine exactly. */
+  private def blockHashCtes: String =
+    """mmc AS (
+      |  SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS L
+      |  FROM documents WHERE length(text) >= 64
+      |), mmb AS (
+      |  SELECT doc_id, L, t, unnest(range(0, L)) AS pos FROM mmc
+      |), mmv AS (
+      |  SELECT doc_id, L,
+      |    CAST(ascii(substring(t, CAST(pos + 1 AS INT), 1)) AS BIGINT) AS v,
+      |    (pos * 64) // L AS blk
+      |  FROM mmb
+      |), mmblocks AS (
+      |  SELECT doc_id, blk, SUM(v) AS bs, CAST(COUNT(*) AS BIGINT) AS bc,
+      |    MAX(L) AS L
+      |  FROM mmv GROUP BY doc_id, blk
+      |), mmtot AS (
+      |  SELECT doc_id, SUM(v) AS ts FROM mmv GROUP BY doc_id
+      |), mmbits AS (
+      |  SELECT b.doc_id, b.blk, b.L,
+      |    CASE WHEN b.bs * b.L > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+      |  FROM mmblocks b JOIN mmtot t USING (doc_id)
+      |), mmh AS (
+      |  SELECT doc_id, MAX(L) AS n_bytes,
+      |    CAST(SUM(CASE WHEN bit = 1 AND blk // 16 = 0 THEN CAST(1 AS BIGINT) << CAST(blk % 16 AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS band0,
+      |    CAST(SUM(CASE WHEN bit = 1 AND blk // 16 = 1 THEN CAST(1 AS BIGINT) << CAST(blk % 16 AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS band1,
+      |    CAST(SUM(CASE WHEN bit = 1 AND blk // 16 = 2 THEN CAST(1 AS BIGINT) << CAST(blk % 16 AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS band2,
+      |    CAST(SUM(CASE WHEN bit = 1 AND blk // 16 = 3 THEN CAST(1 AS BIGINT) << CAST(blk % 16 AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS band3
+      |  FROM mmbits GROUP BY doc_id
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_features" -> ((s, d) => mediaFeatures(s, d)),
     "mm_content_entropy" -> ((s, d) => contentEntropy(s, d)),
+    "mm_blockhash" -> ((s, d) => blockHashes(s, d)),
+    "mm_phash_neardup" -> ((s, d) => phashNearDups(s, d)),
     "mm_frame_samples" -> ((s, d) => frameSamples(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "mm_blockhash" ->
+      s"""WITH $blockHashCtes
+         |SELECT doc_id, n_bytes, band0, band1, band2, band3
+         |FROM mmh ORDER BY doc_id""".stripMargin,
+    // candidates via four separate band equi-joins (mirroring the
+    // engine's union-of-hash-joins, never an OR-join), then exact
+    // 64-bit hamming at the same threshold
+    "mm_phash_neardup" ->
+      s"""WITH $blockHashCtes,
+         |mmcand AS (
+         |  SELECT DISTINCT doc_a, doc_b, a0, a1, a2, a3, b0, b1, b2, b3 FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
+         |      b.band0 AS b0, b.band1 AS b1, b.band2 AS b2, b.band3 AS b3
+         |    FROM mmh a JOIN mmh b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+         |    UNION ALL
+         |    SELECT a.doc_id, b.doc_id, a.band0, a.band1, a.band2, a.band3,
+         |      b.band0, b.band1, b.band2, b.band3
+         |    FROM mmh a JOIN mmh b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+         |    UNION ALL
+         |    SELECT a.doc_id, b.doc_id, a.band0, a.band1, a.band2, a.band3,
+         |      b.band0, b.band1, b.band2, b.band3
+         |    FROM mmh a JOIN mmh b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+         |    UNION ALL
+         |    SELECT a.doc_id, b.doc_id, a.band0, a.band1, a.band2, a.band3,
+         |      b.band0, b.band1, b.band2, b.band3
+         |    FROM mmh a JOIN mmh b ON a.band3 = b.band3 AND a.doc_id < b.doc_id
+         |  )
+         |)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
+         |       bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS BIGINT) AS hamming
+         |FROM mmcand
+         |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
+         |      bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 12
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // char histogram → p·detLn(p) terms → sorted left-fold, negated
     "mm_content_entropy" ->
       s"""WITH counts AS (

@@ -824,6 +824,46 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fixture.nonEmpty && fixture.forall(_._4 > 1.0))
   }
 
+  test("blockhash: bit rule, band packing, and planted near-dups") {
+    import spark.implicits._
+    // planted: low-half/high-half split → exactly the upper 32 bits set;
+    // an identical twin; a 2-char-perturbed copy; a constant payload
+    // (no block above the mean → hash 0); a short doc (excluded)
+    val half = "a" * 64 + "z" * 64
+    val perturbed = "a" * 64 + "z" * 31 + "a" + "z" * 32
+    val docs = Seq(
+      (1L, half), (2L, half), (3L, perturbed),
+      (4L, "q" * 128), (5L, "tiny")
+    ).toDF("doc_id", "t")
+    val h = Multimodal.blockHashesOn(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(h.map(_._1) == Seq(1L, 2L, 3L, 4L), "short doc must be excluded")
+    val byId = h.map(r => r._1 -> (r._3, r._4, r._5, r._6)).toMap
+    // 128 bytes → blocks 0..31 cover the 'a' half, 32..63 the 'z' half:
+    // bands 0,1 all-zero, bands 2,3 all-ones (0xFFFF)
+    assert(byId(1L) == ((0L, 0L, 65535L, 65535L)), s"got ${byId(1L)}")
+    assert(byId(2L) == byId(1L), "identical content must hash identically")
+    assert(byId(4L) == ((0L, 0L, 0L, 0L)), "constant payload: no block above mean")
+    // the perturbation flips at most a couple of blocks
+    val (a2, a3) = (byId(3L)._3, byId(3L)._4)
+    val ham = java.lang.Long.bitCount(a2 ^ 65535L) + java.lang.Long.bitCount(a3 ^ 65535L) +
+      java.lang.Long.bitCount(byId(3L)._1) + java.lang.Long.bitCount(byId(3L)._2)
+    assert(ham <= 3, s"perturbed copy drifted $ham bits from its original")
+    // banded near-dup: the twin pair at hamming 0 and the perturbed pair
+    // within threshold; no pair invented against the constant payload
+    val pairs = Multimodal.phashNearDupsOn(Multimodal.blockHashesOn(docs))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.contains((1L, 2L, 0L)), s"twin pair missing: $pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 <= 3), s"perturbed pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "constant payload must not match the split docs")
+    // fixture: deterministic, and the pair plan is equi-joins (no cartesian)
+    val fx = Multimodal.phashNearDups(spark, sf)
+    val plan = fx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "banded join must stay an equi-join")
+    assert(fx.collect().toSeq == Multimodal.phashNearDups(spark, sf).collect().toSeq)
+  }
+
   test("entity resolution: planted typos all recovered; blocking prunes the cross product") {
     import spark.implicits._
     val rows = Dedup.entityMatch(spark, sf)
