@@ -636,7 +636,66 @@ object Similarity {
       .orderBy(col("label"), col("dim"))
   }
 
+  // ── Product quantization ────────────────────────────────────────
+  /** PQ geometry: 4 subspaces × 16 dims (the fixture's 64-dim
+    * embeddings), 16 centroids each — so a vector compresses from
+    * 64 × 4 B floats to 4 × 4-bit codes. At 100 TB of embeddings PQ is
+    * what makes an ANN index fit in executor memory at all: the coded
+    * corpus is 64× smaller than the float corpus, and asymmetric
+    * distance scans read codes + one small per-query lookup table. */
+  val PqM = 4
+  val PqSubDim = 16
+
+  /** Per-subspace codebook: the SAME deterministic Lloyd loop as the
+    * IVF coarse quantizer ([[kmeansModelOn]] — integer-quantized mean
+    * updates, cosine assignment, ties to lower cid), over the m-th
+    * 16-dim slice of every vector. Memoized per (session, dir, m). */
+  private def pqModel(spark: SparkSession, dir: String, m: Int)
+  : (Array[Int], Array[Array[Float]]) =
+    memoModel(spark, dir, s"pq$m") {
+      kmeansModelOn(Tables.spread(spark, Tables.embeddings(spark, dir))
+        .select(col("vec_id"),
+          slice(col("embedding"), m * PqSubDim + 1, PqSubDim).as("embedding")))
+    }
+
+  /** (vec_id, code_0..code_3): each subspace's nearest-codebook-entry
+    * id. All four assignments are `NearestCentroidsFloat` projections
+    * over broadcast-constant codebooks fused into ONE codegen span —
+    * coding a 100 TB corpus is a pure scan, zero shuffles (the only
+    * exchange in the named query is its presentation sort). */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    memoPqCodes(spark, dir).orderBy(col("vec_id"))
+
+  private def memoPqCodes(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "sim_pq_codes")(pqCodesBuild(spark, dir))
+
+  private[graft] def pqCodesBuild(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"))
+    val coded = (0 until PqM).foldLeft(e) { (df, m) =>
+      val (ids, cents) = pqModel(spark, dir, m)
+      df.withColumn(s"code_$m",
+        GraftExpressions.nearestCentroidsFloat(
+          slice(col("embedding"), m * PqSubDim + 1, PqSubDim), ids, cents, 1)
+          .getItem(0).cast(LongType))
+    }
+    coded.select(col("vec_id") +: (0 until PqM).map(m => col(s"code_$m")): _*)
+  }
+
+  /** Codebook balance: (subspace, code, ct) occupancy histogram — the
+    * dataset-quality view of the PQ index (a collapsed code means a
+    * dead codebook entry; a dominant one means the subspace carries no
+    * signal). 4·C rows at any corpus size. */
+  def pqCells(spark: SparkSession, dir: String): DataFrame =
+    memoPqCodes(spark, dir)
+      .select(expr("stack(4, CAST(0 AS BIGINT), code_0, CAST(1 AS BIGINT), code_1, " +
+        "CAST(2 AS BIGINT), code_2, CAST(3 AS BIGINT), code_3) AS (subspace, code)"))
+      .groupBy(col("subspace"), col("code")).agg(count(lit(1)).as("ct"))
+      .orderBy(col("subspace"), col("code"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_codes" -> ((s, d) => pqCodes(s, d)),
+    "sim_pq_cells" -> ((s, d) => pqCells(s, d)),
     "sim_label_centroids" -> ((s, d) => labelCentroids(s, d)),
     "sim_embedding_stats" -> ((s, d) => embeddingStats(s, d)),
     "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
@@ -756,53 +815,54 @@ object Similarity {
     *    summation order cannot matter in either engine.
     * Emits `kcentn(cid, ced, nc)` — final centroids as double lists with
     * their norm folds — plus `kn(vec_id, e, na)` for the corpus side. */
-  private def kmeansCtes(src: String, iters: Int = KMeansIters): String = {
+  private def kmeansCtes(src: String, iters: Int = KMeansIters,
+                         pfx: String = "k"): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""kv AS (
+      s"""${pfx}v AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |  FROM $src
          |),
-         |kn AS (
-         |  SELECT vec_id, e, ${ieeeFold("list_transform(e, x -> x * x)")} AS na FROM kv
+         |${pfx}n AS (
+         |  SELECT vec_id, e, ${ieeeFold("list_transform(e, x -> x * x)")} AS na FROM ${pfx}v
          |),
-         |kc0 AS (
+         |${pfx}c0 AS (
          |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS ce
          |  FROM $src WHERE vec_id < $NumCentroids
          |)""".stripMargin)
     for (it <- 0 until iters) {
       sb.append(
         s""",
-           |kcn$it AS (
+           |${pfx}cn$it AS (
            |  SELECT cid, ced, ${ieeeFold("list_transform(ced, x -> x * x)")} AS nc
-           |  FROM (SELECT cid, list_transform(ce, x -> CAST(x AS DOUBLE)) AS ced FROM kc$it)
+           |  FROM (SELECT cid, list_transform(ce, x -> CAST(x AS DOUBLE)) AS ced FROM ${pfx}c$it)
            |),
-           |ka$it AS (
+           |${pfx}a$it AS (
            |  SELECT vec_id, cid FROM (
            |    SELECT v.vec_id, c.cid,
            |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
            |        CASE WHEN v.na = 0 OR c.nc = 0 THEN 0.0
            |             ELSE ${ieeeFold("list_transform(range(1, len(v.e) + 1), i -> v.e[i] * c.ced[i])")}
            |                  / (sqrt(v.na) * sqrt(c.nc)) END DESC, c.cid) AS rn
-           |    FROM kn v CROSS JOIN kcn$it c
+           |    FROM ${pfx}n v CROSS JOIN ${pfx}cn$it c
            |  ) WHERE rn = 1
            |),
-           |km$it AS (
+           |${pfx}m$it AS (
            |  SELECT cid, i,
            |    CAST(CAST(SUM(CAST(round(v.e[i] * $MeanQuantScale) AS BIGINT)) AS DOUBLE)
            |      / ($MeanQuantScale.0 * CAST(COUNT(*) AS DOUBLE)) AS FLOAT) AS m
-           |  FROM ka$it a JOIN kn v USING (vec_id), UNNEST(range(1, len(v.e) + 1)) t(i)
+           |  FROM ${pfx}a$it a JOIN ${pfx}n v USING (vec_id), UNNEST(range(1, len(v.e) + 1)) t(i)
            |  GROUP BY cid, i
            |),
-           |kc${it + 1} AS (
-           |  SELECT cid, CAST(list(m ORDER BY i) AS FLOAT[]) AS ce FROM km$it GROUP BY cid
+           |${pfx}c${it + 1} AS (
+           |  SELECT cid, CAST(list(m ORDER BY i) AS FLOAT[]) AS ce FROM ${pfx}m$it GROUP BY cid
            |)""".stripMargin)
     }
     sb.append(
       s""",
-         |kcentn AS (
+         |${pfx}centn AS (
          |  SELECT cid, ced, ${ieeeFold("list_transform(ced, x -> x * x)")} AS nc
-         |  FROM (SELECT cid, list_transform(ce, x -> CAST(x AS DOUBLE)) AS ced FROM kc$iters)
+         |  FROM (SELECT cid, list_transform(ce, x -> CAST(x AS DOUBLE)) AS ced FROM ${pfx}c$iters)
          |)""".stripMargin)
     sb.toString
   }
@@ -811,7 +871,7 @@ object Similarity {
     * DuckDB spelling of `NearestCentroidsFloat(…, k)`'s successive
     * strict-max selection (score desc, lower cid first on ties). */
   private def probeCte(name: String, fromCte: String, k: Int,
-                       where: String = "TRUE"): String =
+                       where: String = "TRUE", centn: String = "kcentn"): String =
     s"""$name AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT v.vec_id, c.cid,
@@ -819,7 +879,7 @@ object Similarity {
        |        CASE WHEN v.na = 0 OR c.nc = 0 THEN 0.0
        |             ELSE ${ieeeFold("list_transform(range(1, len(v.e) + 1), i -> v.e[i] * c.ced[i])")}
        |                  / (sqrt(v.na) * sqrt(c.nc)) END DESC, c.cid) AS rn
-       |    FROM $fromCte v CROSS JOIN kcentn c WHERE $where
+       |    FROM $fromCte v CROSS JOIN $centn c WHERE $where
        |  ) WHERE rn <= $k
        |)""".stripMargin
 
@@ -1090,7 +1150,47 @@ object Similarity {
        |LEFT JOIN hits h ON q.query_id = h.query_id
        |ORDER BY q.query_id""".stripMargin
 
+  /** Four per-subspace codebook replays (sliced source → prefixed
+    * [[kmeansCtes]] Lloyd loop → rn=1 assignment) for the PQ oracles. */
+  private def pqOracleCtes: String = (0 until PqM).map { m =>
+    val lo = m * PqSubDim + 1
+    val hi = (m + 1) * PqSubDim
+    s"""pq${m}e AS (
+       |  SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings
+       |),
+       |""".stripMargin +
+      kmeansCtes(s"pq${m}e", KMeansIters, s"pq$m") + ",\n" +
+      probeCte(s"pq${m}assign", s"pq${m}n", 1, centn = s"pq${m}centn")
+  }.mkString(",\n")
+
+  private def pqCodesSql: String =
+    s"""SELECT e.vec_id,
+       |  CAST(a0.cid AS BIGINT) AS code_0, CAST(a1.cid AS BIGINT) AS code_1,
+       |  CAST(a2.cid AS BIGINT) AS code_2, CAST(a3.cid AS BIGINT) AS code_3
+       |FROM embeddings e
+       |JOIN pq0assign a0 ON e.vec_id = a0.vec_id
+       |JOIN pq1assign a1 ON e.vec_id = a1.vec_id
+       |JOIN pq2assign a2 ON e.vec_id = a2.vec_id
+       |JOIN pq3assign a3 ON e.vec_id = a3.vec_id""".stripMargin
+
   val oracles: Map[String, String] = baseOracles +
+    ("sim_pq_codes" ->
+      s"""WITH $pqOracleCtes
+         |$pqCodesSql
+         |ORDER BY e.vec_id""".stripMargin) +
+    ("sim_pq_cells" ->
+      s"""WITH $pqOracleCtes,
+         |pqcodes AS (
+         |$pqCodesSql
+         |), pqu AS (
+         |  SELECT CAST(0 AS BIGINT) AS subspace, code_0 AS code FROM pqcodes
+         |  UNION ALL SELECT CAST(1 AS BIGINT), code_1 FROM pqcodes
+         |  UNION ALL SELECT CAST(2 AS BIGINT), code_2 FROM pqcodes
+         |  UNION ALL SELECT CAST(3 AS BIGINT), code_3 FROM pqcodes
+         |)
+         |SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS ct
+         |FROM pqu GROUP BY subspace, code
+         |ORDER BY subspace, code""".stripMargin) +
     ("sim_ann_recall_lsh" ->
       s"""WITH lsh AS (
          |${baseOracles("sim_ann_lsh")}

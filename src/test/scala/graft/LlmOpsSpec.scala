@@ -824,6 +824,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fixture.nonEmpty && fixture.forall(_._4 > 1.0))
   }
 
+  test("product quantization: codes in range, cells account for every vector, coding shuffle-free") {
+    import spark.implicits._
+    val codes = Similarity.pqCodes(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(codes.length == n, "one code row per corpus vector")
+    assert(codes.forall { case (_, c0, c1, c2, c3) =>
+      Seq(c0, c1, c2, c3).forall(c => c >= 0 && c < Similarity.NumCentroids)
+    }, "every code must be a valid codebook id")
+    // deterministic across rebuilds
+    assert(codes == Similarity.pqCodes(spark, sf).as[(Long, Long, Long, Long, Long)].collect().toSeq)
+    // occupancy histogram accounts for every vector in every subspace,
+    // and no subspace collapsed to a single dominant code
+    val cells = Similarity.pqCells(spark, sf).as[(Long, Long, Long)].collect()
+    (0 until Similarity.PqM).foreach { m =>
+      val sub = cells.filter(_._1 == m)
+      assert(sub.map(_._3).sum == n, s"subspace $m histogram must sum to $n")
+      assert(sub.length > 1 && sub.map(_._3).max < n, s"subspace $m codebook collapsed")
+    }
+    // coding is a pure projection: the only exchange is the small-scan
+    // fan-out (round-robin), never a key shuffle
+    val plan = Similarity.pqCodesBuild(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), "PQ coding must not shuffle by key")
+  }
+
   test("blockhash: bit rule, band packing, and planted near-dups") {
     import spark.implicits._
     // planted: low-half/high-half split → exactly the upper 32 bits set;
