@@ -693,9 +693,92 @@ object Similarity {
       .groupBy(col("subspace"), col("code")).agg(count(lit(1)).as("ct"))
       .orderBy(col("subspace"), col("code"))
 
+  /** ADC (asymmetric-distance) retrieval over the PQ codes — the
+    * production PQ query shape: the query stays FLOAT, the corpus is
+    * 4 codes/vector, and each (query, vector) score is four lookups
+    * into the query's per-subspace dot-product table plus one division.
+    * Because subspaces are disjoint coordinates, the reconstructed
+    * vector's norm is EXACTLY Σ_m |c_{code_m}|² — so the ADC cosine is
+    * the true cosine against the reconstruction, not an approximation
+    * of one.
+    *
+    * Determinism: dot products and norms are index-ordered left folds
+    * over per-element double casts (the [[GraftExpressions.cosineSim]]
+    * contract); the 4 per-subspace terms come back from conditional
+    * single-element sums and are added in fixed literal order — every
+    * double op has one order in both engines.
+    *
+    * Scale shape: the LUT is (queries × 4 × C) rows — broadcast at any
+    * corpus size; the corpus side scans CODES only (the 64×-compressed
+    * frame, the entire point of PQ), one broadcast-hash join + one
+    * grouped fold per (query, vector), then the standard per-query
+    * top-k window over k·|queries| survivors. */
+  def pqAnn(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val fold = "CAST(0.0 AS DOUBLE), (a, v) -> a + v"
+    val cb = (0 until PqM).flatMap { m =>
+      val (ids, cents) = pqModel(spark, dir, m)
+      ids.zip(cents).map { case (cid, ce) => (m.toLong, cid.toLong, ce.toSeq) }
+    }.toDF("m", "code", "ce")
+    val slices = (0 until PqM).map(m =>
+      s"CAST($m AS BIGINT), slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
+    val q = Tables.spread(spark, Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        expr(s"aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), $fold)").as("qn"),
+        expr(s"stack($PqM, $slices) AS (m, qm)"))
+    val lut = q.join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("qn"), col("m"), col("code"),
+        expr(s"aggregate(zip_with(qm, ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), $fold)").as("term"),
+        expr(s"aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), $fold)").as("cn"))
+    val codeStack = (0 until PqM).map(m => s"CAST($m AS BIGINT), code_$m").mkString(", ")
+    val codes = memoPqCodes(spark, dir)
+      .select(col("vec_id"), expr(s"stack($PqM, $codeStack) AS (m, code)"))
+    def only(m: Int, c: Column) = sum(when(col("m") === m, c))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("qn")).as("qn"),
+        only(0, col("term")).as("t0"), only(1, col("term")).as("t1"),
+        only(2, col("term")).as("t2"), only(3, col("term")).as("t3"),
+        only(0, col("cn")).as("n0"), only(1, col("cn")).as("n1"),
+        only(2, col("cn")).as("n2"), only(3, col("cn")).as("n3"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adot", col("t0") + col("t1") + col("t2") + col("t3"))
+      .withColumn("xn", col("n0") + col("n1") + col("n2") + col("n3"))
+      .withColumn("sim", when(col("qn") === 0.0 || col("xn") === 0.0, lit(0.0))
+        .otherwise(col("adot") / (sqrt(col("qn")) * sqrt(col("xn")))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** [[annRecall]] for the PQ/ADC path — the third index family's
+    * audit row: IVF prunes candidates, LSH buckets them, PQ compresses
+    * them; each trades recall differently and the deploy decision
+    * needs all three numbers over the same query panel. */
+  def pqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val approx = pqAnn(spark, dir, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val truth = annTopKFloat(spark, dir, k = k)
+      .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
+    val hits = approx
+      .join(truth, col("query_id") === col("tq") && col("neighbor_id") === col("tn"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hit_ct"))
+    truth.select(col("tq").as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hit_ct"), lit(0L)).as("hit_ct"),
+        (coalesce(col("hit_ct"), lit(0L)).cast(DoubleType) / k.toDouble).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_codes" -> ((s, d) => pqCodes(s, d)),
     "sim_pq_cells" -> ((s, d) => pqCells(s, d)),
+    "sim_pq_ann" -> ((s, d) => pqAnn(s, d)),
+    "sim_pq_recall" -> ((s, d) => pqRecall(s, d)),
     "sim_label_centroids" -> ((s, d) => labelCentroids(s, d)),
     "sim_embedding_stats" -> ((s, d) => embeddingStats(s, d)),
     "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
@@ -1173,7 +1256,63 @@ object Similarity {
        |JOIN pq2assign a2 ON e.vec_id = a2.vec_id
        |JOIN pq3assign a3 ON e.vec_id = a3.vec_id""".stripMargin
 
+  /** Full ADC replay: LUT = query-slice·codebook folds, conditional
+    * single-element per-subspace sums, fixed-order additions — the
+    * same double-op order as [[pqAnn]]. */
+  private def pqAnnSql(nQueries: Int = 32, k: Int = 5): String = {
+    val cbUnion = (0 until PqM).map(m =>
+      s"SELECT CAST($m AS BIGINT) AS m, cid, ced, nc FROM pq${m}centn").mkString("\n  UNION ALL ")
+    val cuUnion = (0 until PqM).map(m =>
+      s"SELECT vec_id, CAST($m AS BIGINT) AS m, code_$m AS code FROM pqcodes").mkString("\n  UNION ALL ")
+    val onlyT = (0 until PqM).map(m =>
+      s"SUM(CASE WHEN l.m = $m THEN l.term END) AS t$m").mkString(", ")
+    val onlyN = (0 until PqM).map(m =>
+      s"SUM(CASE WHEN l.m = $m THEN l.cn END) AS n$m").mkString(", ")
+    s"""WITH $pqOracleCtes,
+       |pqcodes AS (
+       |$pqCodesSql
+       |), pqq AS (
+       |  SELECT vec_id AS query_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS eq
+       |  FROM embeddings WHERE vec_id < $nQueries
+       |), pqqn AS (
+       |  SELECT query_id, eq, ${ieeeFold("list_transform(eq, x -> x * x)")} AS qn FROM pqq
+       |), pqcb AS (
+       |  $cbUnion
+       |), pqlut AS (
+       |  SELECT q.query_id, q.qn, c.m, c.cid AS code,
+       |    ${ieeeFold(s"list_transform(range(1, $PqSubDim + 1), i -> q.eq[CAST(c.m AS INT) * $PqSubDim + i] * c.ced[i])")} AS term,
+       |    c.nc AS cn
+       |  FROM pqqn q CROSS JOIN pqcb c
+       |), pqcu AS (
+       |  $cuUnion
+       |), pqagg AS (
+       |  SELECT l.query_id, u.vec_id, MAX(l.qn) AS qn, $onlyT, $onlyN
+       |  FROM pqcu u JOIN pqlut l ON u.m = l.m AND u.code = l.code
+       |  GROUP BY l.query_id, u.vec_id
+       |), pqscored AS (
+       |  SELECT query_id, vec_id,
+       |    CASE WHEN qn = 0 OR (n0 + n1 + n2 + n3) = 0 THEN 0.0
+       |         ELSE (t0 + t1 + t2 + t3) / (sqrt(qn) * sqrt(n0 + n1 + n2 + n3)) END AS sim
+       |  FROM pqagg WHERE query_id <> vec_id
+       |), pqranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM pqscored
+       |)
+       |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id AS neighbor_id, sim
+       |FROM pqranked WHERE rk <= $k
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val oracles: Map[String, String] = baseOracles +
+    ("sim_pq_ann" -> pqAnnSql()) +
+    ("sim_pq_recall" ->
+      s"""WITH pq AS (
+         |${pqAnnSql()}
+         |), bf AS (
+         |${baseOracles("sim_ann_topk_float")}
+         |), ${recallTailSql("pq")}""".stripMargin) +
     ("sim_pq_codes" ->
       s"""WITH $pqOracleCtes
          |$pqCodesSql

@@ -849,6 +849,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning"), "PQ coding must not shuffle by key")
   }
 
+  test("PQ/ADC retrieval: top-k per query, recall far above random, broadcast-join plan") {
+    import spark.implicits._
+    val topk = Similarity.pqAnn(spark, sf).as[(Long, Int, Long, Double)].collect()
+    assert(topk.length == 32 * 5, "k rows per query")
+    assert(topk.forall { case (q, _, nb, _) => q != nb }, "self-match must be excluded")
+    assert(topk.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    // ADC cosine is the true cosine against the reconstruction → within [-1, 1]
+    assert(topk.forall { case (_, _, _, s) => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9 })
+    // recall audit: 4×4-bit codes are lossy, but must beat the random
+    // baseline (k/n ≈ 0.01) by an order of magnitude
+    val rec = Similarity.pqRecall(spark, sf).as[(Long, Long, Double)].collect()
+    val mean = rec.map(_._3).sum / rec.length
+    assert(mean >= 0.1, s"mean ADC recall $mean below sanity floor")
+    // the corpus side joins via broadcast (LUT is tiny); no cartesian
+    val plan = Similarity.pqAnn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "LUT must broadcast")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("blockhash: bit rule, band packing, and planted near-dups") {
     import spark.implicits._
     // planted: low-half/high-half split → exactly the upper 32 bits set;
