@@ -698,7 +698,58 @@ object Search {
   // Driver contract
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // Snippet extraction (result presentation)
+  // ---------------------------------------------------------------
+
+  /** Snippet window width in token positions. */
+  private[graft] val SnippetWindow = 8
+
+  /** Best-snippet extraction for the BM25 result page: for each
+    * (query, top-5 document), the [[SnippetWindow]]-token window
+    * covering the most DISTINCT query terms, ties to the earliest
+    * start, plus the window's reconstructed text. Candidate starts are
+    * only the matched positions themselves (shifting a window right
+    * until its left edge touches a match never drops a term, so some
+    * matched-start window is always optimal).
+    *
+    * Scale shape: postings prune against the broadcast query terms
+    * FIRST, then against the broadcast k·|queries| result page — the
+    * window self-join and the text reconstruction both run on frames
+    * bounded by the result page times per-doc match counts, never the
+    * corpus. The token scan is the shared memoized frame every other
+    * positional operator reads. */
+  def snippets(spark: SparkSession, dir: String, k: Int = 5,
+               window: Int = SnippetWindow): DataFrame = {
+    val top = topKTwoPhase(bm25Memo(spark, dir), k).select(col("qid"), col("doc_id"))
+    val qterms = searchWorkload(spark, dir)
+      .select(col("qid"), explode(array_distinct(split(col("qtext"), " "))).as("term"))
+    val tok = Curation.tokensShared(spark, dir)
+    val matches = tok.join(broadcast(qterms), col("token") === col("term"))
+      .join(broadcast(top), Seq("qid", "doc_id"))
+      .select(col("qid"), col("doc_id"), col("pos"), col("term"))
+    val starts = matches.select(col("qid"), col("doc_id"), col("pos").as("start"))
+    val best = starts.join(matches, Seq("qid", "doc_id"))
+      .filter(col("pos") >= col("start") && col("pos") < col("start") + window)
+      .groupBy(col("qid"), col("doc_id"), col("start"))
+      .agg(countDistinct(col("term")).as("matched_ct"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"), col("doc_id"))
+          .orderBy(col("matched_ct").desc, col("start"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("doc_id"), col("start"), col("matched_ct"))
+    best.join(tok, Seq("doc_id"))
+      .filter(col("pos") >= col("start") && col("pos") < col("start") + window)
+      .groupBy(col("qid"), col("doc_id"), col("start"), col("matched_ct"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, token))), s -> s.token), ' ')")
+        .as("snippet"))
+      .select(col("qid"), col("doc_id"), col("start").cast(LongType).as("snip_start"),
+        col("matched_ct"), col("snippet"))
+      .orderBy(col("qid"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_snippets" -> ((s, d) => snippets(s, d)),
     "search_workload" -> ((s, d) => workloadTable(s, d)),
     "search_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "search_hybrid_rerank" -> ((s, d) => hybridRerank(s, d)),
@@ -799,6 +850,39 @@ object Search {
   }
 
   val oracles: Map[String, String] = Map(
+    "search_snippets" ->
+      s"""WITH $bm25Ctes,
+         |stok AS (
+         |  SELECT doc_id, i - 1 AS pos, ts[i] AS token
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+         |       unnest(range(1, len(ts) + 1)) AS u(i)
+         |), stop AS (
+         |  SELECT qid, doc_id FROM r WHERE rk <= 5
+         |), sm AS (
+         |  SELECT qt.qid, stok.doc_id, stok.pos, qt.term
+         |  FROM stok JOIN qt ON stok.token = qt.term
+         |  JOIN stop t ON t.qid = qt.qid AND t.doc_id = stok.doc_id
+         |), sw AS (
+         |  SELECT s.qid, s.doc_id, s.start,
+         |    CAST(COUNT(DISTINCT m.term) AS BIGINT) AS matched_ct
+         |  FROM (SELECT qid, doc_id, pos AS start FROM sm) s
+         |  JOIN sm m ON s.qid = m.qid AND s.doc_id = m.doc_id
+         |    AND m.pos >= s.start AND m.pos < s.start + $SnippetWindow
+         |  GROUP BY 1, 2, 3
+         |), sb AS (
+         |  SELECT qid, doc_id, start, matched_ct,
+         |    row_number() OVER (PARTITION BY qid, doc_id
+         |      ORDER BY matched_ct DESC, start) AS rn
+         |  FROM sw
+         |)
+         |SELECT sb.qid, sb.doc_id, CAST(sb.start AS BIGINT) AS snip_start,
+         |  sb.matched_ct,
+         |  array_to_string(list(stok.token ORDER BY stok.pos), ' ') AS snippet
+         |FROM sb JOIN stok ON stok.doc_id = sb.doc_id
+         |  AND stok.pos >= sb.start AND stok.pos < sb.start + $SnippetWindow
+         |WHERE sb.rn = 1
+         |GROUP BY sb.qid, sb.doc_id, sb.start, sb.matched_ct
+         |ORDER BY sb.qid, sb.doc_id""".stripMargin,
     "search_bm25_topk" ->
       s"""WITH $bm25Ctes
          |SELECT qid, CAST(rk AS INTEGER) AS rk, doc_id, score_fp, matched_terms

@@ -327,6 +327,32 @@ class SearchSpec extends AnyFunSuite {
       s"engine ${got.length} rows != naive ${expected.size} rows")
   }
 
+  test("snippets equal a driver-side best-window recount") {
+    import spark.implicits._
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toVector }.toMap
+    val queries = Search.searchWorkloadSeq(spark, sf)
+      .map { case (qid, qtext) => qid -> qtext.split(" ").toSet }.toMap
+    val top = Search.bm25TopK(spark, sf, k = 5)
+      .select("qid", "doc_id").as[(String, Long)].collect()
+    val got = Search.snippets(spark, sf)
+      .as[(String, Long, Long, Long, String)].collect()
+    assert(got.length == top.length, "one snippet per result-page row")
+    val expected = top.map { case (qid, docId) =>
+      val toks = corpus(docId)
+      val terms = queries(qid)
+      val starts = toks.indices.filter(i => terms(toks(i)))
+      val scored = starts.map { s =>
+        (s, toks.slice(s, s + Search.SnippetWindow).toSet.intersect(terms).size)
+      }
+      val (bs, bc) = scored.minBy { case (s, c) => (-c, s) }
+      (qid, docId, bs.toLong, bc.toLong,
+        toks.slice(bs, bs + Search.SnippetWindow).mkString(" "))
+    }.toSet
+    assert(got.toSet == expected, "engine snippets diverge from naive recount")
+  }
+
   test("phrase search counts OVERLAPPING occurrences") {
     import spark.implicits._
     val one = Seq((1L, "x batch batch batch batch y"), (2L, "batch batch"))
