@@ -495,9 +495,20 @@ object Dedup {
   /** [[minhashLsh]] over an arbitrary (doc_id, text) frame; `allDocs`
     * carries ids of docs too short to shingle so every document gets a
     * mapping row. */
-  private[graft] def minhashLshOn(docs: DataFrame, allDocs: DataFrame,
-                                  threshold: Double = 0.015,
-                                  cap: Int = BucketCap): DataFrame = {
+  /** The verified near-dup EDGE LIST (doc_a < doc_b, jaccard ≥
+    * threshold) — the LSH pipeline stopped one step before rep
+    * collapse, shared by [[minhashLshOn]] and the graph census
+    * ([[dedupTriangles]]). Memoized per (session, dir, threshold) in
+    * the named-query form. */
+  private[graft] def lshVerifiedPairs(spark: SparkSession, dir: String,
+                                      threshold: Double = 0.015): DataFrame =
+    Memo(spark, dir, s"dedup.lsh_pairs.$threshold")(
+      lshVerifiedPairsOn(
+        Tables.spread(spark, Tables.documents(spark, dir))
+          .select(col("doc_id"), col("text")), threshold, BucketCap))
+
+  private[graft] def lshVerifiedPairsOn(docs: DataFrame, threshold: Double,
+                                        cap: Int): DataFrame = {
     // shingling (split + 3-gram + distinct) is the expensive scan; do
     // it once and share it between signatures and pair verification
     val sh = docs
@@ -508,7 +519,65 @@ object Dedup {
     // (and the shingle scan above it) 8 times
     val sig = minhashSignaturesFrom(sh).cache()
     val cand = minhashCandidatesFrom(sig, cap)
-    val verified = verifyJaccard(sh, cand).filter(col("jaccard") >= threshold)
+    verifyJaccard(sh, cand).filter(col("jaccard") >= threshold)
+  }
+
+  /** Triangle census + local clustering coefficient of the verified
+    * near-dup graph — the structural health check of a dedup run: high
+    * LCC says near-duplication is transitive (boilerplate families,
+    * template clusters — safe to collapse to one representative); low
+    * LCC with high degree says chain-shaped similarity (drifting
+    * revisions) where min-id collapse merges documents that are NOT
+    * mutually similar.
+    *
+    * Scale shape: the classic degree-ordered orientation — every edge
+    * points from its lower-(deg, id) endpoint, capping out-degrees at
+    * O(√m), so the wedge self-join is bounded even on power-law dup
+    * graphs (a star of m identical docs yields ZERO wedges at its hub
+    * instead of m²). Wedge closure is an equi-join on the (v, w) pair;
+    * per-node counts are one explode + groupBy. Everything downstream
+    * of the (already-bounded) LSH verify is edge-sized, never
+    * corpus-sized. */
+  def dedupTriangles(spark: SparkSession, dir: String): DataFrame =
+    dedupTrianglesOn(lshVerifiedPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  private[graft] def dedupTrianglesOn(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("doc_a"), col("doc_b")).distinct()
+    val deg = e.select(col("doc_a").as("v")).unionByName(e.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("v").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
+      .join(deg.select(col("v").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    val oriented = withDeg
+      .select(when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") &&
+          (col("x.dd") < col("y.dd") ||
+            (col("x.dd") === col("y.dd") && col("x.dst") < col("y.dst"))))
+      .select(col("x.src").as("ta"), col("x.dst").as("tb"), col("y.dst").as("tc"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("tb"), col("dst").as("tc")), Seq("tb", "tc"))
+    val counts = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_ct"))
+    deg.join(counts, col("v") === col("node"), "left")
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("tri_ct"), lit(0L)).as("tri_ct"),
+        when(col("deg") >= 2,
+          coalesce(col("tri_ct"), lit(0L)).cast(DoubleType) * lit(2.0) /
+            (col("deg").cast(DoubleType) * (col("deg").cast(DoubleType) - lit(1.0))))
+          .otherwise(lit(0.0)).as("lcc"))
+      .orderBy(col("doc_id"))
+  }
+
+  private[graft] def minhashLshOn(docs: DataFrame, allDocs: DataFrame,
+                                  threshold: Double = 0.015,
+                                  cap: Int = BucketCap): DataFrame = {
+    val verified = lshVerifiedPairsOn(docs, threshold, cap)
     val reps = verified.select(col("doc_b").as("doc_id"), col("doc_a").as("other"))
       .unionByName(verified.select(col("doc_a").as("doc_id"), col("doc_b").as("other")))
       .groupBy(col("doc_id")).agg(min(col("other")).as("m"))
@@ -853,6 +922,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) => verifiedPairs(s, d)),
     "dedup_edit_distance" -> ((s, d) => editDistancePairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
+    "dedup_triangles" -> ((s, d) => dedupTriangles(s, d)),
     "dedup_ingest_lsh" -> ((s, d) => ingestLsh(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)))
@@ -930,7 +1000,76 @@ object Dedup {
     s"""WITH RECURSIVE $componentsOracleCtes
       |SELECT doc_id, rep_doc_id FROM comp ORDER BY doc_id""".stripMargin
 
+  /** The LSH pipeline's shared oracle prefix: shingle FNV hashes,
+    * 32 Java-wrapping permutation minima, band grouping, the
+    * BucketCap=32 giant-bucket star, and the exact shingle-set verify
+    * at t=0.015 — ending in `verified(doc_a, doc_b)`. Consumed by the
+    * rep-collapse oracle AND the triangle census. */
+  private def lshVerifiedCtesSql: String =
+    s"""${DuckSql.minhashCtes("documents")},
+       |stats AS (
+       |  SELECT doc_id, band_idx, b0, b1, b2, b3,
+       |    MIN(doc_id) OVER w AS mn, COUNT(*) OVER w AS cnt
+       |  FROM bands WINDOW w AS (PARTITION BY band_idx, b0, b1, b2, b3)
+       |), cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM stats a JOIN stats b
+       |      ON a.band_idx = b.band_idx AND a.b0 = b.b0 AND a.b1 = b.b1
+       |      AND a.b2 = b.b2 AND a.b3 = b.b3 AND a.doc_id < b.doc_id
+       |    WHERE a.cnt <= 32
+       |    UNION ALL
+       |    SELECT mn AS doc_a, doc_id AS doc_b FROM stats WHERE cnt > 32 AND doc_id <> mn
+       |  )
+       |), verified AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |    JOIN sh sa ON cand.doc_a = sa.doc_id
+       |    JOIN sh sb ON cand.doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |        CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.015
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // degree-ordered orientation (deg, id), wedges from shared src with
+    // ordered dst pair, equi-join closure — then per-node counts and
+    // lcc = 2·tri/(deg·(deg−1)) in the engine's exact operation order
+    "dedup_triangles" ->
+      s"""WITH $lshVerifiedCtesSql,
+         |tedges AS (SELECT doc_a, doc_b FROM verified GROUP BY 1, 2),
+         |tdeg AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT doc_a AS v FROM tedges UNION ALL SELECT doc_b FROM tedges
+         |  ) GROUP BY v
+         |), twd AS (
+         |  SELECT e.doc_a, e.doc_b, x.deg AS da, y.deg AS db
+         |  FROM tedges e JOIN tdeg x ON e.doc_a = x.v JOIN tdeg y ON e.doc_b = y.v
+         |), tor AS (
+         |  SELECT
+         |    CASE WHEN da < db OR (da = db AND doc_a < doc_b) THEN doc_a ELSE doc_b END AS src,
+         |    CASE WHEN da < db OR (da = db AND doc_a < doc_b) THEN doc_b ELSE doc_a END AS dst
+         |  FROM twd
+         |), tod AS (
+         |  SELECT tor.src, tor.dst, d.deg AS dd FROM tor JOIN tdeg d ON tor.dst = d.v
+         |), twedge AS (
+         |  SELECT x.src AS ta, x.dst AS tb, y.dst AS tc
+         |  FROM tod x JOIN tod y ON x.src = y.src
+         |    AND (x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst))
+         |), ttri AS (
+         |  SELECT ta, tb, tc FROM twedge w JOIN tod z ON w.tb = z.src AND w.tc = z.dst
+         |), tcnt AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_ct FROM (
+         |    SELECT ta AS node FROM ttri UNION ALL SELECT tb FROM ttri
+         |    UNION ALL SELECT tc FROM ttri
+         |  ) GROUP BY node
+         |)
+         |SELECT d.v AS doc_id, d.deg, CAST(COALESCE(c.tri_ct, 0) AS BIGINT) AS tri_ct,
+         |  CASE WHEN d.deg >= 2
+         |    THEN CAST(COALESCE(c.tri_ct, 0) AS DOUBLE) * 2.0
+         |         / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0))
+         |    ELSE 0.0 END AS lcc
+         |FROM tdeg d LEFT JOIN tcnt c ON d.v = c.node
+         |ORDER BY doc_id""".stripMargin,
     // augmentation + blocking + scoring mirrored end to end; levenshtein
     // is the proven bit-equal pairing
     "dedup_entity_match" ->
@@ -1156,29 +1295,8 @@ object Dedup {
     // the BucketCap=32 giant-bucket star, exact shingle-set verify at
     // t=0.015, and the min-neighbor rep collapse over every document.
     "dedup_minhash_lsh" ->
-      s"""WITH ${DuckSql.minhashCtes("documents")},
-         |stats AS (
-         |  SELECT doc_id, band_idx, b0, b1, b2, b3,
-         |    MIN(doc_id) OVER w AS mn, COUNT(*) OVER w AS cnt
-         |  FROM bands WINDOW w AS (PARTITION BY band_idx, b0, b1, b2, b3)
-         |), cand AS (
-         |  SELECT DISTINCT doc_a, doc_b FROM (
-         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |    FROM stats a JOIN stats b
-         |      ON a.band_idx = b.band_idx AND a.b0 = b.b0 AND a.b1 = b.b1
-         |      AND a.b2 = b.b2 AND a.b3 = b.b3 AND a.doc_id < b.doc_id
-         |    WHERE a.cnt <= 32
-         |    UNION ALL
-         |    SELECT mn AS doc_a, doc_id AS doc_b FROM stats WHERE cnt > 32 AND doc_id <> mn
-         |  )
-         |), verified AS (
-         |  SELECT doc_a, doc_b
-         |  FROM cand
-         |    JOIN sh sa ON cand.doc_a = sa.doc_id
-         |    JOIN sh sb ON cand.doc_b = sb.doc_id
-         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-         |        CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.015
-         |), reps AS (
+      s"""WITH $lshVerifiedCtesSql,
+         |reps AS (
          |  SELECT doc_id, MIN(other) AS m FROM (
          |    SELECT doc_b AS doc_id, doc_a AS other FROM verified
          |    UNION ALL

@@ -824,6 +824,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fixture.nonEmpty && fixture.forall(_._4 > 1.0))
   }
 
+  test("triangle census: clique/chain fixture exact, fixture recount, equi-join plan") {
+    import spark.implicits._
+    // planted: a 4-clique (transitive dup family) + a 3-chain (broken
+    // transitivity) — the two shapes the LCC is built to separate
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L)).toDF("doc_a", "doc_b")
+    val r = Dedup.dedupTrianglesOn(edges)
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    Seq(1L, 2L, 3L, 4L).foreach { v =>
+      assert(r(v) == ((v, 3L, 3L, 1.0)), s"clique node $v: ${r(v)}") }
+    assert(r(11L) == ((11L, 2L, 0L, 0.0)), "chain centre must have lcc 0")
+    assert(r(10L) == ((10L, 1L, 0L, 0.0)) && r(12L) == ((12L, 1L, 0L, 0.0)))
+    // real corpus: per-node counts equal a naive common-neighbor recount
+    val pairs = Dedup.lshVerifiedPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val adj = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val naive = adj.map { case (v, ns) =>
+      v -> ns.toSeq.combinations(2).count { case Seq(x, y) =>
+        adj(x).contains(y) }.toLong }
+    val got = Dedup.dedupTriangles(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == adj.size)
+    got.foreach { case (v, deg, tri, _) =>
+      assert(deg == adj(v).size.toLong, s"degree of $v")
+      assert(tri == naive(v), s"triangles of $v: $tri vs ${naive(v)}") }
+    // the wedge/closure joins are hash-equi-joins, never a cartesian
+    val plan = Dedup.dedupTriangles(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("product quantization: codes in range, cells account for every vector, coding shuffle-free") {
     import spark.implicits._
     val codes = Similarity.pqCodes(spark, sf)
