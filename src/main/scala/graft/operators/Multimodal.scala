@@ -253,6 +253,50 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** At-ingest perceptual dedup: each incoming asset (odd doc_ids —
+    * the stream stand-in, mirroring the text path's
+    * [[Dedup.ingestNearDups]] split) probes the even-id corpus's band
+    * index; for flagged assets, the duplicate count, best (minimum)
+    * hamming, and the witness corpus asset (ties to the smallest id).
+    * The probe side is NOT capped — an incoming asset colliding with a
+    * giant bucket must still be flagged.
+    *
+    * Scale shape: four band equi-joins (probe ⋈ index) + one per-asset
+    * top-1 window over candidates only; the corpus index is the 5-long
+    * hash frame, rebuilt never and probed per batch. */
+  def phashIngest(spark: SparkSession, dir: String,
+                  maxHamming: Int = 12): DataFrame = {
+    val h = memoBlockHashes(spark, dir)
+    phashIngestOn(h.filter(col("doc_id") % 2 === 1),
+      h.filter(col("doc_id") % 2 === 0), maxHamming)
+  }
+
+  private[graft] def phashIngestOn(incoming: DataFrame, corpus: DataFrame,
+                                   maxHamming: Int = 12): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val a = incoming.select(col("doc_id"), col("band0").as("i0"),
+      col("band1").as("i1"), col("band2").as("i2"), col("band3").as("i3"))
+    val c = corpus.select(col("doc_id").as("corpus_doc"), col("band0").as("c0"),
+      col("band1").as("c1"), col("band2").as("c2"), col("band3").as("c3"))
+    val cand = (0 until 4).map { j =>
+      a.join(c, col(s"i$j") === col(s"c$j"))
+    }.reduce(_ unionByName _).distinct()
+    val scored = cand
+      .withColumn("hamming",
+        expr("bit_count(i0 ^ c0) + bit_count(i1 ^ c1) + " +
+          "bit_count(i2 ^ c2) + bit_count(i3 ^ c3)").cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+    scored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("hamming"), col("corpus_doc"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_ct"),
+        min(col("hamming")).as("best_hamming"),
+        max(when(col("rn") === 1, col("corpus_doc"))).as("corpus_doc"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared DuckDB rebuild of [[blockHashes]]: emits CTEs ending in
     * `mmh(doc_id, n_bytes, band0..band3)`. Content bytes = text bytes
     * (ASCII fixture contract), so the oracle works from `text` and the
@@ -292,9 +336,36 @@ object Multimodal {
     "mm_content_entropy" -> ((s, d) => contentEntropy(s, d)),
     "mm_blockhash" -> ((s, d) => blockHashes(s, d)),
     "mm_phash_neardup" -> ((s, d) => phashNearDups(s, d)),
+    "mm_phash_ingest" -> ((s, d) => phashIngest(s, d)),
     "mm_frame_samples" -> ((s, d) => frameSamples(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "mm_phash_ingest" ->
+      s"""WITH $blockHashCtes,
+         |mmin AS (SELECT * FROM mmh WHERE doc_id % 2 = 1),
+         |mmcorp AS (SELECT * FROM mmh WHERE doc_id % 2 = 0),
+         |mmic AS (
+         |  SELECT DISTINCT a.doc_id, c.doc_id AS corpus_doc,
+         |    a.band0 AS i0, a.band1 AS i1, a.band2 AS i2, a.band3 AS i3,
+         |    c.band0 AS c0, c.band1 AS c1, c.band2 AS c2, c.band3 AS c3
+         |  FROM mmin a JOIN mmcorp c
+         |    ON a.band0 = c.band0 OR a.band1 = c.band1
+         |    OR a.band2 = c.band2 OR a.band3 = c.band3
+         |), mmsc AS (
+         |  SELECT doc_id, corpus_doc,
+         |    CAST(bit_count(xor(i0, c0)) + bit_count(xor(i1, c1)) +
+         |         bit_count(xor(i2, c2)) + bit_count(xor(i3, c3)) AS BIGINT) AS hamming
+         |  FROM mmic
+         |), mmfl AS (
+         |  SELECT doc_id, corpus_doc, hamming,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY hamming, corpus_doc) AS rn
+         |  FROM mmsc WHERE hamming <= 12
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_ct,
+         |  MIN(hamming) AS best_hamming,
+         |  MAX(CASE WHEN rn = 1 THEN corpus_doc END) AS corpus_doc
+         |FROM mmfl GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "mm_blockhash" ->
       s"""WITH $blockHashCtes
          |SELECT doc_id, n_bytes, band0, band1, band2, band3

@@ -855,6 +855,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("phash ingest: planted twin flagged with witness; disjoint and far assets stay silent") {
+    import spark.implicits._
+    val half = "a" * 64 + "z" * 64
+    val docs = Seq(
+      (2L, half),                                 // corpus (even)
+      (4L, "a" * 32 + "z" * 32 + "a" * 32 + "z" * 32), // corpus: shares band0=0, ham 32
+      (3L, half),                                 // incoming twin of 2
+      (5L, "z" * 64 + "a" * 64)                   // incoming: no band in common
+    ).toDF("doc_id", "t")
+    val h = Multimodal.blockHashesOn(docs)
+    val got = Multimodal.phashIngestOn(
+      h.filter($"doc_id" % 2 === 1), h.filter($"doc_id" % 2 === 0))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 1L, 0L, 2L)), s"got $got")
+    // fixture form: deterministic, and incoming assets only ever match
+    // corpus (even) assets
+    val fx = Multimodal.phashIngest(spark, sf).collect().toSeq
+    assert(fx == Multimodal.phashIngest(spark, sf).collect().toSeq)
+    assert(Multimodal.phashIngest(spark, sf)
+      .filter($"doc_id" % 2 === 0 || $"corpus_doc" % 2 === 1).count() == 0)
+  }
+
   test("product quantization: codes in range, cells account for every vector, coding shuffle-free") {
     import spark.implicits._
     val codes = Similarity.pqCodes(spark, sf)
