@@ -235,7 +235,12 @@ object Multimodal {
                     maxHamming: Int = 12): DataFrame =
     phashNearDupsOn(memoBlockHashes(spark, dir), maxHamming)
 
-  private[graft] def phashNearDupsOn(h: DataFrame, maxHamming: Int = 12): DataFrame = {
+  private[graft] def phashNearDupsOn(h: DataFrame, maxHamming: Int = 12): DataFrame =
+    phashPairsOn(h, maxHamming).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The unsorted pair core — shared by the named pair query and the
+    * component closure. */
+  private[graft] def phashPairsOn(h: DataFrame, maxHamming: Int = 12): DataFrame = {
     import org.apache.spark.sql.types.LongType
     val a = h.select(col("doc_id").as("doc_a"), col("band0").as("a0"),
       col("band1").as("a1"), col("band2").as("a2"), col("band3").as("a3"))
@@ -250,7 +255,20 @@ object Multimodal {
           "bit_count(a2 ^ b2) + bit_count(a3 ^ b3)").cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Transitive perceptual-dup groups: connected components of the
+    * banded-hamming pair graph via [[Dedup.starLabels]] (the same
+    * O(log n)-round alternating-star contraction the text dedup tier
+    * uses — one machinery, two modalities). Every hashed asset gets a
+    * row; isolated assets are their own representative. */
+  def phashComponents(spark: SparkSession, dir: String): DataFrame = {
+    val h = memoBlockHashes(spark, dir)
+    val labels = Dedup.starLabels(phashPairsOn(h).select(col("doc_a"), col("doc_b")))
+      .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("rep"))
+    h.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep_asset_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** At-ingest perceptual dedup: each incoming asset (odd doc_ids —
@@ -337,7 +355,40 @@ object Multimodal {
     "mm_blockhash" -> ((s, d) => blockHashes(s, d)),
     "mm_phash_neardup" -> ((s, d) => phashNearDups(s, d)),
     "mm_phash_ingest" -> ((s, d) => phashIngest(s, d)),
+    "mm_dup_components" -> ((s, d) => phashComponents(s, d)),
     "mm_frame_samples" -> ((s, d) => frameSamples(s, d)))
+
+  /** Shared DuckDB rebuild of [[phashPairsOn]] (after [[blockHashCtes]]):
+    * four band equi-joins, DISTINCT, exact hamming ≤ 12 — ending in
+    * `mmpairs(doc_a, doc_b, hamming)`. */
+  private def phashPairCtes: String =
+    """mmcand AS (
+      |  SELECT DISTINCT doc_a, doc_b, a0, a1, a2, a3, b0, b1, b2, b3 FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
+      |      b.band0 AS b0, b.band1 AS b1, b.band2 AS b2, b.band3 AS b3
+      |    FROM mmh a JOIN mmh b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+      |    UNION ALL
+      |    SELECT a.doc_id, b.doc_id, a.band0, a.band1, a.band2, a.band3,
+      |      b.band0, b.band1, b.band2, b.band3
+      |    FROM mmh a JOIN mmh b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+      |    UNION ALL
+      |    SELECT a.doc_id, b.doc_id, a.band0, a.band1, a.band2, a.band3,
+      |      b.band0, b.band1, b.band2, b.band3
+      |    FROM mmh a JOIN mmh b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+      |    UNION ALL
+      |    SELECT a.doc_id, b.doc_id, a.band0, a.band1, a.band2, a.band3,
+      |      b.band0, b.band1, b.band2, b.band3
+      |    FROM mmh a JOIN mmh b ON a.band3 = b.band3 AND a.doc_id < b.doc_id
+      |  )
+      |), mmpairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
+      |         bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS BIGINT) AS hamming
+      |  FROM mmcand
+      |  WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
+      |        bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 12
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mm_phash_ingest" ->
@@ -375,33 +426,25 @@ object Multimodal {
     // 64-bit hamming at the same threshold
     "mm_phash_neardup" ->
       s"""WITH $blockHashCtes,
-         |mmcand AS (
-         |  SELECT DISTINCT doc_a, doc_b, a0, a1, a2, a3, b0, b1, b2, b3 FROM (
-         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |      a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
-         |      b.band0 AS b0, b.band1 AS b1, b.band2 AS b2, b.band3 AS b3
-         |    FROM mmh a JOIN mmh b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
-         |    UNION ALL
-         |    SELECT a.doc_id, b.doc_id, a.band0, a.band1, a.band2, a.band3,
-         |      b.band0, b.band1, b.band2, b.band3
-         |    FROM mmh a JOIN mmh b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
-         |    UNION ALL
-         |    SELECT a.doc_id, b.doc_id, a.band0, a.band1, a.band2, a.band3,
-         |      b.band0, b.band1, b.band2, b.band3
-         |    FROM mmh a JOIN mmh b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
-         |    UNION ALL
-         |    SELECT a.doc_id, b.doc_id, a.band0, a.band1, a.band2, a.band3,
-         |      b.band0, b.band1, b.band2, b.band3
-         |    FROM mmh a JOIN mmh b ON a.band3 = b.band3 AND a.doc_id < b.doc_id
-         |  )
-         |)
-         |SELECT doc_a, doc_b,
-         |  CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
-         |       bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS BIGINT) AS hamming
-         |FROM mmcand
-         |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
-         |      bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 12
+         |$phashPairCtes
+         |SELECT doc_a, doc_b, hamming FROM mmpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the same pair CTEs feeding a recursive min-label closure over
+    // the hashed-asset node set (mirrors Dedup.starLabels' contract)
+    "mm_dup_components" ->
+      s"""WITH RECURSIVE $blockHashCtes,
+         |$phashPairCtes,
+         |mmedg AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM mmpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM mmpairs
+         |),
+         |mmreach AS (
+         |  SELECT doc_id AS u, doc_id AS r FROM mmh
+         |  UNION
+         |  SELECT e.u, mmreach.r FROM mmedg e JOIN mmreach ON e.v = mmreach.u
+         |)
+         |SELECT u AS doc_id, MIN(r) AS rep_asset_id
+         |FROM mmreach GROUP BY u ORDER BY doc_id""".stripMargin,
     // char histogram → p·detLn(p) terms → sorted left-fold, negated
     "mm_content_entropy" ->
       s"""WITH counts AS (

@@ -713,7 +713,20 @@ object Similarity {
     * frame, the entire point of PQ), one broadcast-hash join + one
     * grouped fold per (query, vector), then the standard per-query
     * top-k window over k·|queries| survivors. */
-  def pqAnn(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
+  def pqAnn(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame =
+    pqAnnOn(spark, dir,
+      Tables.spread(spark, Tables.embeddings(spark, dir))
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")), k)
+
+  /** [[pqAnn]] against an arbitrary `(query_id, embedding)` frame —
+    * the serving entry point: a STREAM of query vectors scores per
+    * micro-batch against the static coded corpus (`foreachBatch` over
+    * this builder — the same serve discipline as the BM25 tier). When
+    * the query frame is streaming, the LUT side skips the explicit
+    * broadcast hint (stream-static joins pick their own strategy). */
+  private[graft] def pqAnnOn(spark: SparkSession, dir: String,
+                             queries: DataFrame, k: Int = 5): DataFrame = {
     import spark.implicits._
     val fold = "CAST(0.0 AS DOUBLE), (a, v) -> a + v"
     val cb = (0 until PqM).flatMap { m =>
@@ -722,9 +735,8 @@ object Similarity {
     }.toDF("m", "code", "ce")
     val slices = (0 until PqM).map(m =>
       s"CAST($m AS BIGINT), slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
-    val q = Tables.spread(spark, Tables.embeddings(spark, dir))
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
+    val q = queries
+      .select(col("query_id"),
         expr(s"aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), $fold)").as("qn"),
         expr(s"stack($PqM, $slices) AS (m, qm)"))
     val lut = q.join(broadcast(cb), Seq("m"))

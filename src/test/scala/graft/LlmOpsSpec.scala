@@ -855,6 +855,54 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ADC serving over a STREAM of query vectors: accumulated top-k = batch top-k") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // query vectors arrive in two micro-batches; each batch scores
+    // against the STATIC coded corpus (foreachBatch — the same serve
+    // discipline as the BM25 tier); at rest the accumulated result
+    // page must equal the one-shot batch run
+    val qs = graft.sources.Tables.embeddings(spark, sf).filter($"vec_id" < 32)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val (b1, b2) = qs.splitAt(qs.length / 2)
+    val mem = MemoryStream[(Long, Seq[Float])](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+    val q = mem.toDF().toDF("query_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= Similarity.pqAnnOn(spark, sf, batch).collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        }
+        ()
+      }.start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val want = Similarity.pqAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(buf.size == want.size && buf.toSet == want,
+      s"streamed ADC page (${buf.size}) diverges from batch (${want.size})")
+  }
+
+  test("perceptual dup components equal a driver-side union-find over the phash pairs") {
+    import spark.implicits._
+    val pairs = Multimodal.phashNearDups(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val nodes = Multimodal.blockHashes(spark, sf)
+      .select("doc_id").as[Long].collect()
+    val parent = scala.collection.mutable.Map(nodes.map(v => v -> v): _*)
+    def find(v: Long): Long = { var r = v; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = nodes.map(v => v -> find(v)).toMap
+    val got = Multimodal.phashComponents(spark, sf).as[(Long, Long)].collect()
+    assert(got.length == nodes.length, "one row per hashed asset")
+    got.foreach { case (v, rep) => assert(rep == want(v), s"asset $v: $rep vs ${want(v)}") }
+  }
+
   test("phash ingest: planted twin flagged with witness; disjoint and far assets stay silent") {
     import spark.implicits._
     val half = "a" * 64 + "z" * 64
