@@ -766,6 +766,45 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Quantization-fidelity report: per vector, the cosine between the
+    * FLOAT vector and its own PQ reconstruction (subspace centroids
+    * concatenated) — the distribution every PQ deployment checks
+    * before the coded corpus replaces the float one (a fat low-
+    * fidelity tail means more subspaces / centroids are needed, not a
+    * retrieval-time fix). Same fixed-order double algebra as
+    * [[pqAnn]]; codes never re-derived (reads the memoized code
+    * frame), codebooks broadcast.
+    *
+    * Scale shape: one coded-corpus scan + four broadcast-hash joins on
+    * 4-bit keys; no shuffle at all until the presentation sort. */
+  def pqResidual(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fold = "CAST(0.0 AS DOUBLE), (a, v) -> a + v"
+    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        expr(s"aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), $fold)").as("qn"))
+    var df = e.join(memoPqCodes(spark, dir), Seq("vec_id"))
+    (0 until PqM).foreach { m =>
+      val (ids, cents) = pqModel(spark, dir, m)
+      val cb = ids.zip(cents)
+        .map { case (cid, ce) => (cid.toLong, ce.toSeq) }.toSeq
+        .toDF(s"code_$m", s"ce_$m")
+      df = df.join(broadcast(cb), Seq(s"code_$m"))
+        .withColumn(s"t$m",
+          expr(s"aggregate(zip_with(slice(embedding, ${m * PqSubDim + 1}, $PqSubDim), ce_$m, " +
+            s"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), $fold)"))
+        .withColumn(s"n$m",
+          expr(s"aggregate(transform(ce_$m, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), $fold)"))
+    }
+    df
+      .withColumn("adot", col("t0") + col("t1") + col("t2") + col("t3"))
+      .withColumn("xn", col("n0") + col("n1") + col("n2") + col("n3"))
+      .select(col("vec_id"),
+        when(col("qn") === 0.0 || col("xn") === 0.0, lit(0.0))
+          .otherwise(col("adot") / (sqrt(col("qn")) * sqrt(col("xn")))).as("fidelity"))
+      .orderBy(col("vec_id"))
+  }
+
   /** [[annRecall]] for the PQ/ADC path — the third index family's
     * audit row: IVF prunes candidates, LSH buckets them, PQ compresses
     * them; each trades recall differently and the deploy decision
@@ -790,6 +829,7 @@ object Similarity {
     "sim_pq_codes" -> ((s, d) => pqCodes(s, d)),
     "sim_pq_cells" -> ((s, d) => pqCells(s, d)),
     "sim_pq_ann" -> ((s, d) => pqAnn(s, d)),
+    "sim_pq_residual" -> ((s, d) => pqResidual(s, d)),
     "sim_pq_recall" -> ((s, d) => pqRecall(s, d)),
     "sim_label_centroids" -> ((s, d) => labelCentroids(s, d)),
     "sim_embedding_stats" -> ((s, d) => embeddingStats(s, d)),
@@ -1325,6 +1365,43 @@ object Similarity {
          |), bf AS (
          |${baseOracles("sim_ann_topk_float")}
          |), ${recallTailSql("pq")}""".stripMargin) +
+    ("sim_pq_residual" ->
+      s"""WITH $pqOracleCtes,
+         |pqcodes AS (
+         |$pqCodesSql
+         |), pqfq AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS eq
+         |  FROM embeddings
+         |), pqfqn AS (
+         |  SELECT vec_id, eq, ${ieeeFold("list_transform(eq, x -> x * x)")} AS qn FROM pqfq
+         |), pqfcb AS (
+         |  SELECT CAST(0 AS BIGINT) AS m, cid, ced, nc FROM pq0centn
+         |  UNION ALL SELECT CAST(1 AS BIGINT), cid, ced, nc FROM pq1centn
+         |  UNION ALL SELECT CAST(2 AS BIGINT), cid, ced, nc FROM pq2centn
+         |  UNION ALL SELECT CAST(3 AS BIGINT), cid, ced, nc FROM pq3centn
+         |), pqfcu AS (
+         |  SELECT vec_id, CAST(0 AS BIGINT) AS m, code_0 AS code FROM pqcodes
+         |  UNION ALL SELECT vec_id, CAST(1 AS BIGINT), code_1 FROM pqcodes
+         |  UNION ALL SELECT vec_id, CAST(2 AS BIGINT), code_2 FROM pqcodes
+         |  UNION ALL SELECT vec_id, CAST(3 AS BIGINT), code_3 FROM pqcodes
+         |), pqft AS (
+         |  SELECT n.vec_id, n.qn, u.m,
+         |    ${ieeeFold(s"list_transform(range(1, $PqSubDim + 1), i -> n.eq[CAST(u.m AS INT) * $PqSubDim + i] * c.ced[i])")} AS term,
+         |    c.nc AS cn
+         |  FROM pqfqn n JOIN pqfcu u ON n.vec_id = u.vec_id
+         |  JOIN pqfcb c ON c.m = u.m AND c.cid = u.code
+         |), pqfa AS (
+         |  SELECT vec_id, MAX(qn) AS qn,
+         |    SUM(CASE WHEN m = 0 THEN term END) AS t0, SUM(CASE WHEN m = 1 THEN term END) AS t1,
+         |    SUM(CASE WHEN m = 2 THEN term END) AS t2, SUM(CASE WHEN m = 3 THEN term END) AS t3,
+         |    SUM(CASE WHEN m = 0 THEN cn END) AS n0, SUM(CASE WHEN m = 1 THEN cn END) AS n1,
+         |    SUM(CASE WHEN m = 2 THEN cn END) AS n2, SUM(CASE WHEN m = 3 THEN cn END) AS n3
+         |  FROM pqft GROUP BY vec_id
+         |)
+         |SELECT vec_id,
+         |  CASE WHEN qn = 0 OR (n0 + n1 + n2 + n3) = 0 THEN 0.0
+         |       ELSE (t0 + t1 + t2 + t3) / (sqrt(qn) * sqrt(n0 + n1 + n2 + n3)) END AS fidelity
+         |FROM pqfa ORDER BY vec_id""".stripMargin) +
     ("sim_pq_codes" ->
       s"""WITH $pqOracleCtes
          |$pqCodesSql

@@ -855,6 +855,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("PQ fidelity: one row per vector, bounded, and a shuffle-free coded-scan plan") {
+    import spark.implicits._
+    val r = Similarity.pqResidual(spark, sf).as[(Long, Double)].collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(r.length == n, "one fidelity row per corpus vector")
+    assert(r.forall { case (_, f) => f >= -1.0 - 1e-9 && f <= 1.0 + 1e-9 })
+    // a 4×4-bit code of 64 random-ish dims is lossy but must carry real
+    // signal: mean cosine to the reconstruction well above 0
+    val mean = r.map(_._2).sum / r.length
+    assert(mean >= 0.3, s"mean PQ fidelity $mean suspiciously low")
+    // codebook joins broadcast; no key shuffle before the presentation sort
+    val plan = Similarity.pqResidual(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("ADC serving over a STREAM of query vectors: accumulated top-k = batch top-k") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
