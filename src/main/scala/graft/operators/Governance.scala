@@ -159,7 +159,34 @@ object Governance {
     }.reduce(_ unionByName _).orderBy(col("column_name"))
   }
 
+  /** TTL/retention enforcement plan over the event log: per event-day
+    * partition, the row/user mass and the action the retention job
+    * would take — `drop` for days wholly past the horizon, `retain`
+    * otherwise. The horizon is DATA-relative (max event time − TTL),
+    * never wall-clock, so the plan is reproducible; in production the
+    * anchor is the run date, same plan shape. Day keys are compared as
+    * `yyyy-MM-dd` strings (lexicographic = chronological).
+    *
+    * Scale shape: one scan → one day-keyed aggregation (thousands of
+    * rows at ANY corpus size) + a broadcast 1-row horizon attach; a
+    * dt-partitioned table executes the `drop` rows as O(1) partition
+    * deletes, never a row-level rewrite (the same layout contract
+    * PartitionPruningSpec pins for reads). */
+  def retentionPlan(spark: SparkSession, dir: String,
+                    retainDays: Int = 14): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val horizon = ev.agg(
+      date_format(date_sub(to_date(max(col("ts"))), retainDays), "yyyy-MM-dd").as("h"))
+    ev.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("row_ct"), countDistinct(col("user_id")).as("user_ct"))
+      .crossJoin(broadcast(horizon))
+      .select(col("dt"), col("row_ct"), col("user_ct"),
+        when(col("dt") < col("h"), "drop").otherwise("retain").as("action"))
+      .orderBy(col("dt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gov_retention" -> ((s, d) => retentionPlan(s, d)),
     "gov_erasure_report" -> ((s, d) => erasureReport(s, d)),
     "gov_fk_audit" -> ((s, d) => fkAudit(s, d)),
     "gov_table_profile" -> ((s, d) => tableProfile(s, d)),
@@ -191,6 +218,18 @@ object Governance {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "gov_retention" ->
+      """WITH h AS (
+        |  SELECT strftime(CAST(MAX(ts) AS DATE) - 14, '%Y-%m-%d') AS hd FROM events
+        |), d AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |    CAST(COUNT(*) AS BIGINT) AS row_ct,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS user_ct
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT dt, row_ct, user_ct,
+        |  CASE WHEN dt < (SELECT hd FROM h) THEN 'drop' ELSE 'retain' END AS action
+        |FROM d ORDER BY dt""".stripMargin,
     "gov_skew_report" ->
       (Seq(("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
         ("orders", "o_custkey"), ("events", "user_id"))

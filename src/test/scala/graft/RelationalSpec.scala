@@ -94,6 +94,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(orphanCt == 1L)
   }
 
+  test("retention plan: day mass conserved, horizon rule matches a driver recount") {
+    import spark.implicits._
+    val plan = graft.operators.Governance.retentionPlan(spark, sf)
+      .as[(String, Long, Long, String)].collect()
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(plan.map(_._2).sum == ev.count(), "day partitions must account for every event")
+    // driver recount of the horizon: max day − 14, string-compared
+    val maxDt = plan.map(_._1).max
+    val horizon = java.time.LocalDate.parse(maxDt).minusDays(14).toString
+    plan.foreach { case (dt, _, _, action) =>
+      assert(action == (if (dt < horizon) "drop" else "retain"), s"day $dt: $action") }
+    // both actions exercised on the fixture, and the split is a prefix
+    val dropped = plan.filter(_._4 == "drop").map(_._1)
+    assert(dropped.nonEmpty && dropped.length < plan.length)
+    assert(plan.sortBy(_._1).takeWhile(_._4 == "drop").length == dropped.length,
+      "drop days must form a contiguous oldest prefix")
+  }
+
   test("q1 pricing summary is exact") {
     val row = Relational.q1OnDir(spark, sf)
     assert(row.nonEmpty)
