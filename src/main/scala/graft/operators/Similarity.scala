@@ -805,6 +805,163 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  // ── IVF-PQ: residual product quantization ───────────────────────
+
+  /** Each vector minus its coarse cell's centroid — SINGLE-PRECISION
+    * subtraction (Spark float − float = float; DuckDB FLOAT − FLOAT =
+    * FLOAT — bit-identical), so the residual corpus replays exactly.
+    * Residual PQ beats plain PQ at equal bits because residual norms
+    * are a fraction of vector norms — the whole point of IVF-PQ. */
+  private def memoIvfpqResiduals(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "sim.ivfpq.residuals") {
+      import spark.implicits._
+      val (ids, cents) = kmeansModel(spark, dir)
+      val cdf = ids.zip(cents)
+        .map { case (cid, ce) => (cid, ce.toSeq) }.toSeq.toDF("centroid_id", "cce")
+      val e = Tables.spread(spark, Tables.embeddings(spark, dir))
+        .select(col("vec_id"), col("embedding"))
+      ivfAssign(e, ids, cents)
+        .join(broadcast(cdf), Seq("centroid_id"))
+        .select(col("vec_id"), col("centroid_id").cast(LongType).as("centroid_id"),
+          col("embedding"),
+          expr("zip_with(embedding, cce, (x, y) -> x - y)").as("rv"))
+    }
+
+  /** Per-subspace RESIDUAL codebook — the same deterministic Lloyd
+    * loop, trained on residual slices. */
+  private def ivfpqModel(spark: SparkSession, dir: String, m: Int)
+  : (Array[Int], Array[Array[Float]]) =
+    memoModel(spark, dir, s"ivfpq$m") {
+      kmeansModelOn(memoIvfpqResiduals(spark, dir)
+        .select(col("vec_id"),
+          slice(col("rv"), m * PqSubDim + 1, PqSubDim).as("embedding")))
+    }
+
+  /** The IVF-PQ index frame: (vec_id, coarse cell, 4 residual codes).
+    * Like [[pqCodesBuild]], coding is a zero-shuffle projection chain
+    * over broadcast-constant codebooks. */
+  def ivfpqCodes(spark: SparkSession, dir: String): DataFrame =
+    memoIvfpqCodes(spark, dir).orderBy(col("vec_id"))
+
+  private def memoIvfpqCodes(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "sim_ivfpq_codes") {
+      val r = memoIvfpqResiduals(spark, dir)
+      val coded = (0 until PqM).foldLeft(r) { (df, m) =>
+        val (ids, cents) = ivfpqModel(spark, dir, m)
+        df.withColumn(s"code_$m",
+          GraftExpressions.nearestCentroidsFloat(
+            slice(col("rv"), m * PqSubDim + 1, PqSubDim), ids, cents, 1)
+            .getItem(0).cast(LongType))
+      }
+      coded.select(col("vec_id") +: col("centroid_id") +:
+        (0 until PqM).map(m => col(s"code_$m")): _*)
+    }
+
+  /** Exact double dot in ascending index order from +0.0 — the
+    * driver-side twin of the `aggregate(zip_with(...))` fold, for
+    * model-constant tables (cell × codebook cross terms). */
+  private def dotD(a: Array[Float], aOff: Int, b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < b.length) { s += a(aOff + i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** IVF-PQ/ADC retrieval: queries probe their [[NProbe]] nearest
+    * coarse cells; database vectors surface as (cell, 4 codes) only.
+    * The cosine against the reconstruction x̂ = c_cell + r̂ is computed
+    * EXACTLY from constants: dot(q, x̂) = dot(q, c) + Σ_m lut[m][code];
+    * |x̂|² = |c|² + 2·Σ_m dot(c_m, ĉ_m) + Σ_m |ĉ_m|² (subspaces are
+    * disjoint coordinates, so no cross term is missing). The
+    * (cell, m, code) cross-term table is model-sized (C·M·C rows),
+    * computed driver-side with the same ascending-index double fold
+    * and broadcast — the corpus side still scans codes only. */
+  def ivfpqAnn(spark: SparkSession, dir: String, nQueries: Int = 32,
+               k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val fold = "CAST(0.0 AS DOUBLE), (a, v) -> a + v"
+    val (kids, kcents) = kmeansModel(spark, dir)
+    val rmodels = (0 until PqM).map(m => ivfpqModel(spark, dir, m))
+    val cellConsts = (for {
+      (cid, ce) <- kids.zip(kcents)
+      m <- 0 until PqM
+      (rcid, rce) <- rmodels(m)._1.zip(rmodels(m)._2)
+    } yield (cid.toLong, m.toLong, rcid.toLong,
+      dotD(ce, m * PqSubDim, rce), dotD(rce, 0, rce))).toSeq
+      .toDF("centroid_id", "m", "code", "xterm", "nterm")
+    val rcb = (0 until PqM).flatMap { m =>
+      rmodels(m)._1.zip(rmodels(m)._2)
+        .map { case (cid, rce) => (m.toLong, cid.toLong, rce.toSeq) }
+    }.toSeq.toDF("m", "code", "rce")
+    val cdf = kids.zip(kcents)
+      .map { case (cid, ce) => (cid.toLong, ce.toSeq) }.toSeq
+      .toDF("centroid_id", "cce")
+    val q0 = Tables.spread(spark, Tables.embeddings(spark, dir))
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        expr(s"aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), $fold)").as("qn"))
+    val probes = q0
+      .select(col("query_id"), col("embedding"), col("qn"),
+        explode(GraftExpressions.nearestCentroidsFloat(
+          col("embedding"), kids, kcents, NProbe)).as("cid0"))
+      .withColumn("centroid_id", col("cid0").cast(LongType))
+      .join(broadcast(cdf), Seq("centroid_id"))
+      .select(col("query_id"), col("qn"), col("centroid_id"),
+        expr(s"aggregate(zip_with(embedding, cce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), $fold)").as("qc"),
+        expr(s"aggregate(transform(cce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), $fold)").as("cn"))
+    val slices = (0 until PqM).map(m =>
+      s"CAST($m AS BIGINT), slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
+    val lut = q0
+      .select(col("query_id"), expr(s"stack($PqM, $slices) AS (m, qm)"))
+      .join(broadcast(rcb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        expr(s"aggregate(zip_with(qm, rce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), $fold)").as("term"))
+    val codeStack = (0 until PqM).map(m => s"CAST($m AS BIGINT), code_$m").mkString(", ")
+    val icu = memoIvfpqCodes(spark, dir)
+      .select(col("vec_id"), col("centroid_id"),
+        expr(s"stack($PqM, $codeStack) AS (m, code)"))
+    def only(m: Int, c: Column) = sum(when(col("m") === m, c))
+    icu.join(probes, Seq("centroid_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .join(broadcast(cellConsts), Seq("centroid_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("qn")).as("qn"), max(col("qc")).as("qc"), max(col("cn")).as("cn"),
+        only(0, col("term")).as("t0"), only(1, col("term")).as("t1"),
+        only(2, col("term")).as("t2"), only(3, col("term")).as("t3"),
+        only(0, col("xterm")).as("x0"), only(1, col("xterm")).as("x1"),
+        only(2, col("xterm")).as("x2"), only(3, col("xterm")).as("x3"),
+        only(0, col("nterm")).as("n0"), only(1, col("nterm")).as("n1"),
+        only(2, col("nterm")).as("n2"), only(3, col("nterm")).as("n3"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adot", col("qc") + col("t0") + col("t1") + col("t2") + col("t3"))
+      .withColumn("xn", col("cn") + lit(2.0) * (col("x0") + col("x1") + col("x2") + col("x3")) +
+        (col("n0") + col("n1") + col("n2") + col("n3")))
+      .withColumn("sim", when(col("qn") === 0.0 || col("xn") <= 0.0, lit(0.0))
+        .otherwise(col("adot") / (sqrt(col("qn")) * sqrt(col("xn")))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** [[annRecall]] for the IVF-PQ path — the compressed-index recall
+    * row next to IVF (uncompressed probe), LSH, and plain PQ. */
+  def ivfpqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val approx = ivfpqAnn(spark, dir, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val truth = annTopKFloat(spark, dir, k = k)
+      .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
+    val hits = approx
+      .join(truth, col("query_id") === col("tq") && col("neighbor_id") === col("tn"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hit_ct"))
+    truth.select(col("tq").as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hit_ct"), lit(0L)).as("hit_ct"),
+        (coalesce(col("hit_ct"), lit(0L)).cast(DoubleType) / k.toDouble).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** [[annRecall]] for the PQ/ADC path — the third index family's
     * audit row: IVF prunes candidates, LSH buckets them, PQ compresses
     * them; each trades recall differently and the deploy decision
@@ -830,6 +987,9 @@ object Similarity {
     "sim_pq_cells" -> ((s, d) => pqCells(s, d)),
     "sim_pq_ann" -> ((s, d) => pqAnn(s, d)),
     "sim_pq_residual" -> ((s, d) => pqResidual(s, d)),
+    "sim_ivfpq_codes" -> ((s, d) => ivfpqCodes(s, d)),
+    "sim_ivfpq_ann" -> ((s, d) => ivfpqAnn(s, d)),
+    "sim_ivfpq_recall" -> ((s, d) => ivfpqRecall(s, d)),
     "sim_pq_recall" -> ((s, d) => pqRecall(s, d)),
     "sim_label_centroids" -> ((s, d) => labelCentroids(s, d)),
     "sim_embedding_stats" -> ((s, d) => embeddingStats(s, d)),
@@ -1357,7 +1517,122 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** IVF-PQ oracle prefix: coarse Lloyd + rn=1 assignment, FLOAT
+    * residuals off the final float centroids (`kc3`), four prefixed
+    * residual Lloyd replays + assignments — ending in `rv0` (residual
+    * frame with cell) and `ipq{m}a` / `ipq{m}centn` per subspace. */
+  private def ivfpqOracleCtes: String = {
+    val sub = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"""ipq${m}e AS (
+         |  SELECT vec_id, rv[$lo:$hi] AS embedding FROM rv0
+         |),
+         |""".stripMargin +
+        kmeansCtes(s"ipq${m}e", KMeansIters, s"ipq$m") + ",\n" +
+        probeCte(s"ipq${m}a", s"ipq${m}n", 1, centn = s"ipq${m}centn")
+    }.mkString(",\n")
+    s"""${kmeansCtes("embeddings", KMeansIters, "k")},
+       |${probeCte("kass", "kn", 1)},
+       |rv0 AS (
+       |  SELECT e.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
+       |    list_transform(range(1, len(e.embedding) + 1), i -> e.embedding[i] - c.ce[i]) AS rv
+       |  FROM embeddings e
+       |  JOIN kass a ON e.vec_id = a.vec_id
+       |  JOIN kc$KMeansIters c ON c.cid = a.cid
+       |),
+       |$sub""".stripMargin
+  }
+
+  private def ivfpqCodesSql: String =
+    s"""SELECT r.vec_id, r.centroid_id,
+       |  CAST(a0.cid AS BIGINT) AS code_0, CAST(a1.cid AS BIGINT) AS code_1,
+       |  CAST(a2.cid AS BIGINT) AS code_2, CAST(a3.cid AS BIGINT) AS code_3
+       |FROM rv0 r
+       |JOIN ipq0a a0 ON r.vec_id = a0.vec_id
+       |JOIN ipq1a a1 ON r.vec_id = a1.vec_id
+       |JOIN ipq2a a2 ON r.vec_id = a2.vec_id
+       |JOIN ipq3a a3 ON r.vec_id = a3.vec_id""".stripMargin
+
+  /** Full IVF-PQ/ADC replay: query probes ([[probeCte]] at NProbe),
+    * per-(query, cell) dot/norm constants, the residual-codebook LUT,
+    * cell × codebook cross terms, and the exact-reconstruction cosine
+    * in the engine's literal operation order. */
+  private def ivfpqAnnSql(nQueries: Int = 32, k: Int = 5): String = {
+    val rcbUnion = (0 until PqM).map(m =>
+      s"SELECT CAST($m AS BIGINT) AS m, cid AS code, ced, nc FROM ipq${m}centn")
+      .mkString("\n  UNION ALL ")
+    val cuUnion = (0 until PqM).map(m =>
+      s"SELECT vec_id, centroid_id, CAST($m AS BIGINT) AS m, code_$m AS code FROM icodes")
+      .mkString("\n  UNION ALL ")
+    val onlyT = (0 until PqM).map(m =>
+      s"SUM(CASE WHEN r.m = $m THEN r.term END) AS t$m").mkString(", ")
+    val onlyX = (0 until PqM).map(m =>
+      s"SUM(CASE WHEN r.m = $m THEN r.xterm END) AS x$m").mkString(", ")
+    val onlyN = (0 until PqM).map(m =>
+      s"SUM(CASE WHEN r.m = $m THEN r.nterm END) AS n$m").mkString(", ")
+    s"""WITH $ivfpqOracleCtes,
+       |icodes AS (
+       |$ivfpqCodesSql
+       |), ${probeCte("iqp", "kn", NProbe, s"v.vec_id < $nQueries")},
+       |iqc AS (
+       |  SELECT p.vec_id AS query_id, CAST(p.cid AS BIGINT) AS centroid_id,
+       |    n.na AS qn,
+       |    ${ieeeFold("list_transform(range(1, len(n.e) + 1), i -> n.e[i] * c.ced[i])")} AS qc,
+       |    c.nc AS cn
+       |  FROM iqp p JOIN kn n ON p.vec_id = n.vec_id
+       |  JOIN kcentn c ON c.cid = p.cid
+       |), ircb AS (
+       |  $rcbUnion
+       |), ilut AS (
+       |  SELECT n.vec_id AS query_id, r.m, r.code,
+       |    ${ieeeFold(s"list_transform(range(1, $PqSubDim + 1), i -> n.e[CAST(r.m AS INT) * $PqSubDim + i] * r.ced[i])")} AS term
+       |  FROM kn n CROSS JOIN ircb r WHERE n.vec_id < $nQueries
+       |), icc AS (
+       |  SELECT CAST(kk.cid AS BIGINT) AS centroid_id, r.m, r.code,
+       |    ${ieeeFold(s"list_transform(range(1, $PqSubDim + 1), i -> kk.ced[CAST(r.m AS INT) * $PqSubDim + i] * r.ced[i])")} AS xterm,
+       |    r.nc AS nterm
+       |  FROM kcentn kk CROSS JOIN ircb r
+       |), icu AS (
+       |  $cuUnion
+       |), irows AS (
+       |  SELECT p.query_id, u.vec_id, p.qn, p.qc, p.cn, u.m, l.term, c.xterm, c.nterm
+       |  FROM iqc p
+       |  JOIN icu u ON u.centroid_id = p.centroid_id
+       |  JOIN ilut l ON l.query_id = p.query_id AND l.m = u.m AND l.code = u.code
+       |  JOIN icc c ON c.centroid_id = u.centroid_id AND c.m = u.m AND c.code = u.code
+       |), iagg AS (
+       |  SELECT r.query_id, r.vec_id, MAX(r.qn) AS qn, MAX(r.qc) AS qc, MAX(r.cn) AS cn,
+       |    $onlyT, $onlyX, $onlyN
+       |  FROM irows r GROUP BY r.query_id, r.vec_id
+       |), iscored AS (
+       |  SELECT query_id, vec_id,
+       |    CASE WHEN qn = 0 OR (cn + 2.0 * (x0 + x1 + x2 + x3) + (n0 + n1 + n2 + n3)) <= 0 THEN 0.0
+       |         ELSE (qc + t0 + t1 + t2 + t3)
+       |              / (sqrt(qn) * sqrt(cn + 2.0 * (x0 + x1 + x2 + x3) + (n0 + n1 + n2 + n3))) END AS sim
+       |  FROM iagg WHERE query_id <> vec_id
+       |), iranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+       |  FROM iscored
+       |)
+       |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id AS neighbor_id, sim
+       |FROM iranked WHERE rk <= $k
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val oracles: Map[String, String] = baseOracles +
+    ("sim_ivfpq_codes" ->
+      s"""WITH $ivfpqOracleCtes
+         |$ivfpqCodesSql
+         |ORDER BY r.vec_id""".stripMargin) +
+    ("sim_ivfpq_ann" -> ivfpqAnnSql()) +
+    ("sim_ivfpq_recall" ->
+      s"""WITH ivfpq AS (
+         |${ivfpqAnnSql()}
+         |), bf AS (
+         |${baseOracles("sim_ann_topk_float")}
+         |), ${recallTailSql("ivfpq")}""".stripMargin) +
     ("sim_pq_ann" -> pqAnnSql()) +
     ("sim_pq_recall" ->
       s"""WITH pq AS (

@@ -855,6 +855,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("IVF-PQ: codes complete and in range; residual quantization beats plain PQ recall") {
+    import spark.implicits._
+    val codes = Similarity.ivfpqCodes(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(codes.length == n, "one index row per corpus vector")
+    assert(codes.forall { case (_, cell, c0, c1, c2, c3) =>
+      cell >= 0 && cell < Similarity.NumCentroids &&
+        Seq(c0, c1, c2, c3).forall(c => c >= 0 && c < Similarity.NumCentroids)
+    }, "cell and codes must be valid ids")
+    // the IVF-PQ promise: residuals are small, so the same 4×4-bit
+    // budget reconstructs better — macro recall must not fall below
+    // the plain-PQ path (it probes only NProbe of C cells and STILL
+    // wins on this corpus)
+    val ivfpq = Similarity.ivfpqRecall(spark, sf).as[(Long, Long, Double)].collect()
+    val pq = Similarity.pqRecall(spark, sf).as[(Long, Long, Double)].collect()
+    val (mi, mp) = (ivfpq.map(_._3).sum / ivfpq.length, pq.map(_._3).sum / pq.length)
+    assert(mi >= mp, s"IVF-PQ recall $mi below plain PQ $mp")
+    assert(mi >= 0.1, s"IVF-PQ recall $mi below sanity floor")
+    // retrieval joins broadcast; no cartesian anywhere
+    val plan = Similarity.ivfpqAnn(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("PQ fidelity: one row per vector, bounded, and a shuffle-free coded-scan plan") {
     import spark.implicits._
     val r = Similarity.pqResidual(spark, sf).as[(Long, Double)].collect()
