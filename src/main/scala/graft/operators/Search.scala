@@ -748,7 +748,36 @@ object Search {
       .orderBy(col("qid"), col("doc_id"))
   }
 
+  /** Related-query mining from result-set overlap — the zero-log
+    * bootstrap of "searches related to X": two queries relate when
+    * their top-`k` result pages share documents (the co-click graph's
+    * content-based stand-in). Every query pair gets a row (zero
+    * overlaps included — an all-zero report is a ranking-drift alarm,
+    * not an empty table).
+    *
+    * Scale shape: the result page is k·|queries| rows; the overlap
+    * self-join and the pair frame are workload-sized, never
+    * corpus-sized. */
+  def relatedQueries(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val top = topKTwoPhase(bm25Memo(spark, dir), k).select(col("qid"), col("doc_id"))
+    val sz = top.groupBy(col("qid")).agg(count(lit(1)).as("n"))
+    val inter = top.select(col("qid").as("qid_a"), col("doc_id"))
+      .join(top.select(col("qid").as("qid_b"), col("doc_id")), Seq("doc_id"))
+      .filter(col("qid_a") < col("qid_b"))
+      .groupBy(col("qid_a"), col("qid_b")).agg(count(lit(1)).as("overlap_ct"))
+    sz.select(col("qid").as("qid_a"), col("n").as("n_a"))
+      .join(sz.select(col("qid").as("qid_b"), col("n").as("n_b")),
+        col("qid_a") < col("qid_b"))
+      .join(inter, Seq("qid_a", "qid_b"), "left")
+      .withColumn("overlap_ct", coalesce(col("overlap_ct"), lit(0L)))
+      .select(col("qid_a"), col("qid_b"), col("overlap_ct"), col("n_a"), col("n_b"),
+        (col("overlap_ct").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("overlap_ct")).cast(DoubleType)).as("jaccard"))
+      .orderBy(col("qid_a"), col("qid_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_related_queries" -> ((s, d) => relatedQueries(s, d)),
     "search_snippets" -> ((s, d) => snippets(s, d)),
     "search_workload" -> ((s, d) => workloadTable(s, d)),
     "search_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
@@ -850,6 +879,23 @@ object Search {
   }
 
   val oracles: Map[String, String] = Map(
+    "search_related_queries" ->
+      s"""WITH $bm25Ctes,
+         |rt AS (SELECT qid, doc_id FROM r WHERE rk <= 10),
+         |rsz AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n FROM rt GROUP BY qid),
+         |rint AS (
+         |  SELECT a.qid AS qid_a, b.qid AS qid_b, CAST(COUNT(*) AS BIGINT) AS overlap_ct
+         |  FROM rt a JOIN rt b ON a.doc_id = b.doc_id AND a.qid < b.qid
+         |  GROUP BY 1, 2
+         |)
+         |SELECT x.qid_a, x.qid_b,
+         |  CAST(COALESCE(i.overlap_ct, 0) AS BIGINT) AS overlap_ct, x.n_a, x.n_b,
+         |  CAST(COALESCE(i.overlap_ct, 0) AS DOUBLE)
+         |    / CAST(x.n_a + x.n_b - COALESCE(i.overlap_ct, 0) AS DOUBLE) AS jaccard
+         |FROM (SELECT a.qid AS qid_a, a.n AS n_a, b.qid AS qid_b, b.n AS n_b
+         |      FROM rsz a JOIN rsz b ON a.qid < b.qid) x
+         |LEFT JOIN rint i ON x.qid_a = i.qid_a AND x.qid_b = i.qid_b
+         |ORDER BY x.qid_a, x.qid_b""".stripMargin,
     "search_snippets" ->
       s"""WITH $bm25Ctes,
          |stok AS (

@@ -327,6 +327,22 @@ class SearchSpec extends AnyFunSuite {
       s"engine ${got.length} rows != naive ${expected.size} rows")
   }
 
+  test("related queries equal a driver-side overlap recount, all pairs present") {
+    import spark.implicits._
+    val top = Search.bm25TopK(spark, sf, k = 10)
+      .select("qid", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val got = Search.relatedQueries(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    val qids = top.keys.toSeq.sorted
+    assert(got.length == qids.combinations(2).size, "every query pair gets a row")
+    got.foreach { case (a, b, ov, na, nb, j) =>
+      val inter = top(a).intersect(top(b)).size
+      assert(ov == inter && na == top(a).size && nb == top(b).size, s"pair ($a,$b)")
+      assert(math.abs(j - inter.toDouble / (na + nb - inter)) < 1e-12)
+    }
+  }
+
   test("snippets equal a driver-side best-window recount") {
     import spark.implicits._
     val corpus = graft.sources.Tables.documents(spark, sf)
