@@ -238,18 +238,46 @@ object Multimodal {
   private[graft] def phashNearDupsOn(h: DataFrame, maxHamming: Int = 12): DataFrame =
     phashPairsOn(h, maxHamming).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Per-(band, value) bucket cap — the giant-bucket guard the text
+    * LSH path carries ([[Dedup.BucketCap]] reasoning, verbatim): m
+    * identical assets collide in EVERY band, and without the cap each
+    * band bucket emits m²/2 candidates on one reducer. Buckets over
+    * the cap star-link members to the bucket minimum instead — O(m)
+    * candidates that preserve exactly what components and hamming-0
+    * reporting need (a true giant bucket is near-identical content, so
+    * every member verifies against the min anchor). */
+  private[graft] val BandCap = 32
+
   /** The unsorted pair core — shared by the named pair query and the
     * component closure. */
-  private[graft] def phashPairsOn(h: DataFrame, maxHamming: Int = 12): DataFrame = {
+  private[graft] def phashPairsOn(h: DataFrame, maxHamming: Int = 12,
+                                  cap: Int = BandCap): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val a = h.select(col("doc_id").as("doc_a"), col("band0").as("a0"),
-      col("band1").as("a1"), col("band2").as("a2"), col("band3").as("a3"))
-    val b = h.select(col("doc_id").as("doc_b"), col("band0").as("b0"),
-      col("band1").as("b1"), col("band2").as("b2"), col("band3").as("b3"))
-    val cand = (0 until 4).map { j =>
-      a.join(b, col(s"a$j") === col(s"b$j") && col("doc_a") < col("doc_b"))
-    }.reduce(_ unionByName _).distinct()
-    cand
+    val bandStack = (0 until 4).map(j => s"CAST($j AS BIGINT), band$j").mkString(", ")
+    val bands = h.select(col("doc_id"), col("band0"), col("band1"),
+      col("band2"), col("band3"), expr(s"stack(4, $bandStack) AS (j, bv)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("j"), col("bv"))
+    val stats = bands
+      .withColumn("mn", min(col("doc_id")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+    val small = stats.filter(col("cnt") <= cap)
+    val pairsSmall = small.as("a").join(small.as("b"),
+        col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.band0").as("a0"), col("a.band1").as("a1"),
+        col("a.band2").as("a2"), col("a.band3").as("a3"),
+        col("b.band0").as("b0"), col("b.band1").as("b1"),
+        col("b.band2").as("b2"), col("b.band3").as("b3"))
+    val pairsGiant = stats.filter(col("cnt") > cap && col("doc_id") =!= col("mn"))
+      .select(col("mn").as("doc_a"), col("doc_id").as("doc_b"),
+        col("band0").as("b0"), col("band1").as("b1"),
+        col("band2").as("b2"), col("band3").as("b3"))
+      .join(h.select(col("doc_id").as("doc_a"), col("band0").as("a0"),
+        col("band1").as("a1"), col("band2").as("a2"), col("band3").as("a3")),
+        Seq("doc_a"))
+    pairsSmall.unionByName(pairsGiant.select(pairsSmall.columns.map(col): _*))
+      .distinct()
       .withColumn("hamming",
         expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
           "bit_count(a2 ^ b2) + bit_count(a3 ^ b3)").cast(LongType))
@@ -362,24 +390,30 @@ object Multimodal {
     * four band equi-joins, DISTINCT, exact hamming ≤ 12 — ending in
     * `mmpairs(doc_a, doc_b, hamming)`. */
   private def phashPairCtes: String =
-    """mmcand AS (
+    """mmbnd AS (
+      |  SELECT doc_id, band0, band1, band2, band3, j, bv FROM (
+      |    SELECT *, CAST(0 AS BIGINT) AS j, band0 AS bv FROM mmh
+      |    UNION ALL SELECT *, CAST(1 AS BIGINT), band1 FROM mmh
+      |    UNION ALL SELECT *, CAST(2 AS BIGINT), band2 FROM mmh
+      |    UNION ALL SELECT *, CAST(3 AS BIGINT), band3 FROM mmh
+      |  )
+      |), mmst AS (
+      |  SELECT doc_id, band0, band1, band2, band3, j, bv,
+      |    MIN(doc_id) OVER w AS mn, COUNT(*) OVER w AS cnt
+      |  FROM mmbnd WINDOW w AS (PARTITION BY j, bv)
+      |), mmcand AS (
       |  SELECT DISTINCT doc_a, doc_b, a0, a1, a2, a3, b0, b1, b2, b3 FROM (
       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |      a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
       |      b.band0 AS b0, b.band1 AS b1, b.band2 AS b2, b.band3 AS b3
-      |    FROM mmh a JOIN mmh b ON a.band0 = b.band0 AND a.doc_id < b.doc_id
+      |    FROM mmst a JOIN mmst b
+      |      ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |    WHERE a.cnt <= 32 AND b.cnt <= 32
       |    UNION ALL
-      |    SELECT a.doc_id, b.doc_id, a.band0, a.band1, a.band2, a.band3,
-      |      b.band0, b.band1, b.band2, b.band3
-      |    FROM mmh a JOIN mmh b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
-      |    UNION ALL
-      |    SELECT a.doc_id, b.doc_id, a.band0, a.band1, a.band2, a.band3,
-      |      b.band0, b.band1, b.band2, b.band3
-      |    FROM mmh a JOIN mmh b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
-      |    UNION ALL
-      |    SELECT a.doc_id, b.doc_id, a.band0, a.band1, a.band2, a.band3,
-      |      b.band0, b.band1, b.band2, b.band3
-      |    FROM mmh a JOIN mmh b ON a.band3 = b.band3 AND a.doc_id < b.doc_id
+      |    SELECT g.mn, g.doc_id, m.band0, m.band1, m.band2, m.band3,
+      |      g.band0, g.band1, g.band2, g.band3
+      |    FROM mmst g JOIN mmh m ON m.doc_id = g.mn
+      |    WHERE g.cnt > 32 AND g.doc_id <> g.mn
       |  )
       |), mmpairs AS (
       |  SELECT doc_a, doc_b,

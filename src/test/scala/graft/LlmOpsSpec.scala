@@ -926,6 +926,26 @@ class LlmOpsSpec extends AnyFunSuite {
       s"streamed ADC page (${buf.size}) diverges from batch (${want.size})")
   }
 
+  test("phash band cap: giant buckets star-link at O(m); closure still collapses the family") {
+    import spark.implicits._
+    // 200 identical assets (the boilerplate-thumbnail shape) + one
+    // disjoint asset: without the cap each of the 4 band buckets emits
+    // ~m²/2 = 19 900 candidates; with it, exactly m−1 star edges
+    val docs = ((1L to 200L).map(i => (i, "a" * 64 + "z" * 64)) :+
+      ((500L, "z" * 64 + "a" * 64))).toDF("doc_id", "t")
+    val h = Multimodal.blockHashesOn(docs)
+    val pairs = Multimodal.phashPairsOn(h).as[(Long, Long, Long)].collect()
+    assert(pairs.length == 199, s"expected 199 star pairs, got ${pairs.length}")
+    assert(pairs.forall(p => p._1 == 1L && p._3 == 0L),
+      "every star edge anchors at the bucket min with hamming 0")
+    // transitive collapse is preserved through the star edges
+    val labels = Dedup.starLabels(
+      Multimodal.phashPairsOn(h).select($"doc_a", $"doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert((2L to 200L).forall(v => labels(v) == 1L), "family must collapse to its min")
+    assert(!labels.contains(500L), "the disjoint asset stays isolated")
+  }
+
   test("perceptual dup components equal a driver-side union-find over the phash pairs") {
     import spark.implicits._
     val pairs = Multimodal.phashNearDups(spark, sf)
