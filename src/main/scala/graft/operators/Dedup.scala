@@ -574,6 +574,34 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** LSH banding-recall audit: the verified LSH pair set measured
+    * against the exact shingle-Jaccard truth, per similarity band —
+    * the number that justifies replacing the exact index join with the
+    * banded index at scale (the S-curve: recall ~1 above the banding
+    * knee, deliberately lossy in the 0.015-grazing tail, where pairs
+    * are near-noise). Precision needs no row: every emitted LSH pair
+    * is exact-verified at the same threshold by construction.
+    *
+    * Scale shape: both inputs are the already-bounded pair frames
+    * (memoized); the audit itself is a pair-keyed left join + a
+    * 3-row aggregation. */
+  def lshEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = verifiedPairs(spark, dir)
+    val found = lshVerifiedPairs(spark, dir)
+      .select(col("doc_a").as("fa"), col("doc_b").as("fb"), lit(1L).as("hit"))
+    truth
+      .join(found, col("doc_a") === col("fa") && col("doc_b") === col("fb"), "left")
+      .withColumn("found", coalesce(col("hit"), lit(0L)))
+      .withColumn("band",
+        when(col("jaccard") >= 0.5, ">=0.5")
+          .when(col("jaccard") >= 0.1, "0.1-0.5").otherwise("0.015-0.1"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("truth_ct"), sum(col("found")).as("found_ct"))
+      .withColumn("recall",
+        col("found_ct").cast(DoubleType) / col("truth_ct").cast(DoubleType))
+      .orderBy(col("band"))
+  }
+
   private[graft] def minhashLshOn(docs: DataFrame, allDocs: DataFrame,
                                   threshold: Double = 0.015,
                                   cap: Int = BucketCap): DataFrame = {
@@ -923,6 +951,7 @@ object Dedup {
     "dedup_edit_distance" -> ((s, d) => editDistancePairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "dedup_triangles" -> ((s, d) => dedupTriangles(s, d)),
+    "dedup_lsh_eval" -> ((s, d) => lshEval(s, d)),
     "dedup_ingest_lsh" -> ((s, d) => ingestLsh(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)))
@@ -1005,27 +1034,32 @@ object Dedup {
     * BucketCap=32 giant-bucket star, and the exact shingle-set verify
     * at t=0.015 — ending in `verified(doc_a, doc_b)`. Consumed by the
     * rep-collapse oracle AND the triangle census. */
-  private def lshVerifiedCtesSql: String =
-    s"""${DuckSql.minhashCtes("documents")},
-       |stats AS (
+  private def lshVerifiedCtesSql: String = lshVerifiedCtesPfx("")
+
+  /** Prefixed form for composition next to other shingle CTE chains
+    * (the eval oracle joins this against the exact-truth CTEs, which
+    * also define an `sh`). */
+  private def lshVerifiedCtesPfx(p: String): String =
+    s"""${DuckSql.minhashCtes("documents", p)},
+       |${p}stats AS (
        |  SELECT doc_id, band_idx, b0, b1, b2, b3,
        |    MIN(doc_id) OVER w AS mn, COUNT(*) OVER w AS cnt
-       |  FROM bands WINDOW w AS (PARTITION BY band_idx, b0, b1, b2, b3)
-       |), cand AS (
+       |  FROM ${p}bands WINDOW w AS (PARTITION BY band_idx, b0, b1, b2, b3)
+       |), ${p}cand AS (
        |  SELECT DISTINCT doc_a, doc_b FROM (
        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |    FROM stats a JOIN stats b
+       |    FROM ${p}stats a JOIN ${p}stats b
        |      ON a.band_idx = b.band_idx AND a.b0 = b.b0 AND a.b1 = b.b1
        |      AND a.b2 = b.b2 AND a.b3 = b.b3 AND a.doc_id < b.doc_id
        |    WHERE a.cnt <= 32
        |    UNION ALL
-       |    SELECT mn AS doc_a, doc_id AS doc_b FROM stats WHERE cnt > 32 AND doc_id <> mn
+       |    SELECT mn AS doc_a, doc_id AS doc_b FROM ${p}stats WHERE cnt > 32 AND doc_id <> mn
        |  )
-       |), verified AS (
+       |), ${p}verified AS (
        |  SELECT doc_a, doc_b
-       |  FROM cand
-       |    JOIN sh sa ON cand.doc_a = sa.doc_id
-       |    JOIN sh sb ON cand.doc_b = sb.doc_id
+       |  FROM ${p}cand
+       |    JOIN ${p}sh sa ON ${p}cand.doc_a = sa.doc_id
+       |    JOIN ${p}sh sb ON ${p}cand.doc_b = sb.doc_id
        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
        |        CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) >= 0.015
        |)""".stripMargin
@@ -1034,6 +1068,30 @@ object Dedup {
     // degree-ordered orientation (deg, id), wedges from shared src with
     // ordered dst pair, equi-join closure — then per-node counts and
     // lcc = 2·tri/(deg·(deg−1)) in the engine's exact operation order
+    // exact truth (uncapped pair CTEs, jaccard value) left-joined with
+    // the prefixed LSH verified set; same band cuts and double division
+    "dedup_lsh_eval" ->
+      s"""WITH $ngramPairCtes,
+         |${lshVerifiedCtesPfx("lv")},
+         |evt AS (
+         |  SELECT pairs.doc_a, pairs.doc_b,
+         |    CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS j
+         |  FROM pairs
+         |    JOIN sizes na ON pairs.doc_a = na.doc_id
+         |    JOIN sizes nb ON pairs.doc_b = nb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.015
+         |), evb AS (
+         |  SELECT t.doc_a, t.doc_b,
+         |    CASE WHEN t.j >= 0.5 THEN '>=0.5'
+         |         WHEN t.j >= 0.1 THEN '0.1-0.5' ELSE '0.015-0.1' END AS band,
+         |    CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found
+         |  FROM evt t LEFT JOIN lvverified f
+         |    ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+         |)
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS truth_ct,
+         |  CAST(SUM(found) AS BIGINT) AS found_ct,
+         |  CAST(CAST(SUM(found) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+         |FROM evb GROUP BY band ORDER BY band""".stripMargin,
     "dedup_triangles" ->
       s"""WITH $lshVerifiedCtesSql,
          |tedges AS (SELECT doc_a, doc_b FROM verified GROUP BY 1, 2),

@@ -80,22 +80,22 @@ private[operators] object DuckSql {
     * band_idx, b0..b3)` — the 8×4 band unpivot. Band equality on the
     * raw 4-tuples ≡ the engine's xxhash64 bucket keys (the hash is
     * just a compact grouping key). */
-  def minhashCtes(from: String): String =
-    s"""mh_docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $from),
-       |sh AS (
+  def minhashCtes(from: String, p: String = ""): String =
+    s"""${p}mh_docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $from),
+       |${p}sh AS (
        |  SELECT doc_id, CASE WHEN len(tk) < 3 THEN CAST([] AS HUGEINT[]) ELSE
        |    list_distinct(list_transform(range(1, len(tk) - 1),
        |      i -> ${fnvU("array_to_string(list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 2), '_')")})) END AS sh
-       |  FROM mh_docs
-       |), sig AS (
+       |  FROM ${p}mh_docs
+       |), ${p}sig AS (
        |  SELECT doc_id, list_transform(range(0, 32), i -> list_min(
        |    list_transform(
        |      list_transform(sh, x -> (CAST(2*i+1 AS HUGEINT) * x + CAST('11400714819323198485' AS HUGEINT) + CAST(i AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)),
        |      v -> $permMod))) AS sig
-       |  FROM sh WHERE len(sh) > 0
-       |), bands AS (
+       |  FROM ${p}sh WHERE len(sh) > 0
+       |), ${p}bands AS (
        |  SELECT doc_id, i AS band_idx, sig[4*i+1] AS b0, sig[4*i+2] AS b1, sig[4*i+3] AS b2, sig[4*i+4] AS b3
-       |  FROM sig, range(0, 8) t(i)
+       |  FROM ${p}sig, range(0, 8) t(i)
        |)""".stripMargin
 
   /** Per-doc SimHash pipeline (mirrors [[graft.functions.SimHash64]]):

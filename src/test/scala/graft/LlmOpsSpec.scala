@@ -824,6 +824,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fixture.nonEmpty && fixture.forall(_._4 > 1.0))
   }
 
+  test("LSH banding S-curve: total recall above the knee, lossy on the noise tail") {
+    import spark.implicits._
+    val eval = Dedup.lshEval(spark, sf)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // 8 bands of 4 hashes: P[collide] ≈ 1 − (1 − s⁴)⁸ — ~1 above 0.5,
+    // near-0 at 0.015-grazing similarity; the audit must show that curve
+    eval.get(">=0.5").foreach { case (_, t, f, r) =>
+      assert(t > 0 && f == t && r == 1.0, s"high-sim recall must be total: $t/$f") }
+    eval.get("0.015-0.1").foreach { case (_, t, f, r) =>
+      assert(r < 0.5, s"noise-tail recall $r=$f/$t unexpectedly high — banding is not pruning") }
+  }
+
   test("triangle census: clique/chain fixture exact, fixture recount, equi-join plan") {
     import spark.implicits._
     // planted: a 4-clique (transitive dup family) + a 3-chain (broken
