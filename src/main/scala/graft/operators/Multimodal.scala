@@ -238,6 +238,32 @@ object Multimodal {
   private[graft] def phashNearDupsOn(h: DataFrame, maxHamming: Int = 12): DataFrame =
     phashPairsOn(h, maxHamming).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Thumbnail/resize PLANNING over the parsed headers: for every
+    * visual asset, the aspect-preserving target geometry under a
+    * 128-px bounding box — the metadata half of a resize stage (the
+    * pixel half needs codecs this container lacks; the plan is what a
+    * production resize fleet consumes). All-integer math
+    * (`dim·128 DIV max`, floor semantics, min 1 px) so the plan
+    * hashes exactly; audio rows are excluded (no geometry).
+    * Scale shape: pure row-local projection over the header probe —
+    * scan-bound, zero shuffles before the presentation sort. */
+  def thumbnailPlan(spark: SparkSession, dir: String,
+                    maxPx: Int = 128): DataFrame = {
+    val mx = greatest(col("width"), col("height"))
+    mediaFeatures(spark, dir)
+      .filter(col("format") =!= "wav")
+      .withColumn("needs_resize", (mx > maxPx).cast("long"))
+      .withColumn("target_w",
+        when(mx <= maxPx, col("width"))
+          .otherwise(greatest(expr(s"width * $maxPx DIV greatest(width, height)"), lit(1L))))
+      .withColumn("target_h",
+        when(mx <= maxPx, col("height"))
+          .otherwise(greatest(expr(s"height * $maxPx DIV greatest(width, height)"), lit(1L))))
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("needs_resize"), col("target_w"), col("target_h"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-(band, value) bucket cap — the giant-bucket guard the text
     * LSH path carries ([[Dedup.BucketCap]] reasoning, verbatim): m
     * identical assets collide in EVERY band, and without the cap each
@@ -384,6 +410,7 @@ object Multimodal {
     "mm_phash_neardup" -> ((s, d) => phashNearDups(s, d)),
     "mm_phash_ingest" -> ((s, d) => phashIngest(s, d)),
     "mm_dup_components" -> ((s, d) => phashComponents(s, d)),
+    "mm_thumbnail_plan" -> ((s, d) => thumbnailPlan(s, d)),
     "mm_frame_samples" -> ((s, d) => frameSamples(s, d)))
 
   /** Shared DuckDB rebuild of [[phashPairsOn]] (after [[blockHashCtes]]):
@@ -425,6 +452,23 @@ object Multimodal {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // geometry from the doc_id synthesis rules (PNG for doc_id%3=0,
+    // JPEG for %3=2), integer floor scale, 128-px box
+    "mm_thumbnail_plan" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |    CAST(64 + doc_id % 577 AS BIGINT) AS width,
+        |    CAST(64 + doc_id % 433 AS BIGINT) AS height
+        |  FROM documents WHERE doc_id % 3 <> 1
+        |)
+        |SELECT doc_id, format, width, height,
+        |  CAST(CASE WHEN GREATEST(width, height) > 128 THEN 1 ELSE 0 END AS BIGINT) AS needs_resize,
+        |  CASE WHEN GREATEST(width, height) <= 128 THEN width
+        |       ELSE GREATEST((width * 128) // GREATEST(width, height), 1) END AS target_w,
+        |  CASE WHEN GREATEST(width, height) <= 128 THEN height
+        |       ELSE GREATEST((height * 128) // GREATEST(width, height), 1) END AS target_h
+        |FROM g ORDER BY doc_id""".stripMargin,
     "mm_phash_ingest" ->
       s"""WITH $blockHashCtes,
          |mmin AS (SELECT * FROM mmh WHERE doc_id % 2 = 1),
