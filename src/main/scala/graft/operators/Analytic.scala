@@ -576,6 +576,30 @@ object Analytic {
       .orderBy(col("event_type"))
   }
 
+  /** Per-type equi-width histogram of the event `value` measure — the
+    * distribution profile behind alerting thresholds and partition
+    * sizing. Per type: the [min, max] range split into 32 bins, bin
+    * assignment as one pinned double expression (`(v − mn)·32 ÷
+    * (mx − mn)`, floored, clamped to 31), degenerate ranges collapse
+    * to bin 0. Two scans (range, assign) with the range broadcast —
+    * type-cardinality output at any event volume. */
+  def valueHistogram(spark: SparkSession, dir: String,
+                     buckets: Int = 32): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val rng = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    ev.join(broadcast(rng), Seq("event_type"))
+      .withColumn("bucket",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("vmin")) * lit(buckets.toDouble) /
+              (col("vmax") - col("vmin"))).cast(LongType),
+            lit(buckets - 1L))))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("ct"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "an_distinct_sketch" -> ((s, d) => distinctSketch(s, d)),
     "an_ewma_hours" -> ((s, d) => ewmaHours(s, d)),
@@ -589,6 +613,7 @@ object Analytic {
     "an_session_stats" -> sessionStats,
     "an_hopping_window" -> hoppingWindow,
     "an_anomaly_hours" -> anomalyHours,
+    "an_value_histogram" -> ((s, d) => valueHistogram(s, d)),
     "an_gap_hours" -> gapHours,
     "an_transitions" -> transitions,
     "an_running_total" -> runningTotal,
@@ -863,6 +888,18 @@ object Analytic {
          |$ewCtes
          |SELECT event_type, hr, ct, ewma FROM ew
          |ORDER BY event_type, hr""".stripMargin,
+    "an_value_histogram" ->
+      """WITH rng AS (
+        |  SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type,
+        |  CASE WHEN r.vmax = r.vmin THEN CAST(0 AS BIGINT)
+        |       ELSE LEAST(CAST(floor(((e.value - r.vmin) * 32.0) / (r.vmax - r.vmin)) AS BIGINT),
+        |                  CAST(31 AS BIGINT)) END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS ct
+        |FROM events e JOIN rng r ON e.event_type = r.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "an_anomaly_hours" ->
       s"""WITH $hourlyCte,
          |$momentsCte,
