@@ -875,10 +875,12 @@ object Similarity {
     * (cell, m, code) cross-term table is model-sized (C·M·C rows),
     * computed driver-side with the same ascending-index double fold
     * and broadcast — the corpus side still scans codes only. */
-  def ivfpqAnn(spark: SparkSession, dir: String, nQueries: Int = 32,
-               k: Int = 5): DataFrame = {
+  /** Shared IVF-PQ constant frames: the (cell, m, code) cross-term
+    * table, the residual codebook, and the coarse-centroid table —
+    * model-sized, broadcast by every consumer. */
+  private def ivfpqConsts(spark: SparkSession, dir: String)
+  : (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-    val fold = "CAST(0.0 AS DOUBLE), (a, v) -> a + v"
     val (kids, kcents) = kmeansModel(spark, dir)
     val rmodels = (0 until PqM).map(m => ivfpqModel(spark, dir, m))
     val cellConsts = (for {
@@ -895,6 +897,15 @@ object Similarity {
     val cdf = kids.zip(kcents)
       .map { case (cid, ce) => (cid.toLong, ce.toSeq) }.toSeq
       .toDF("centroid_id", "cce")
+    (cellConsts, rcb, cdf)
+  }
+
+  def ivfpqAnn(spark: SparkSession, dir: String, nQueries: Int = 32,
+               k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val fold = "CAST(0.0 AS DOUBLE), (a, v) -> a + v"
+    val (kids, kcents) = kmeansModel(spark, dir)
+    val (cellConsts, rcb, cdf) = ivfpqConsts(spark, dir)
     val q0 = Tables.spread(spark, Tables.embeddings(spark, dir))
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding"),
@@ -944,6 +955,55 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** IVF-PQ quantization-fidelity report: per vector, cosine to its
+    * reconstruction x̂ = c_cell + r̂ — the paired number to
+    * [[pqResidual]], and the measurable proof of WHY residual
+    * quantization exists: at the same 4×4-bit budget the residual
+    * codebooks cover a tighter ball, so fidelity strictly improves
+    * (spec-pinned against the plain-PQ report). Same constants as
+    * [[ivfpqAnn]], corpus side scans the coded index + the float
+    * column, zero key shuffles before the presentation sort. */
+  def ivfpqResidualReport(spark: SparkSession, dir: String): DataFrame = {
+    val fold = "CAST(0.0 AS DOUBLE), (a, v) -> a + v"
+    val (cellConsts, rcb, cdf) = ivfpqConsts(spark, dir)
+    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        expr(s"aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), $fold)").as("qn"))
+    val codes = memoIvfpqCodes(spark, dir)
+    val base = e.join(codes.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .join(broadcast(cdf), Seq("centroid_id"))
+      .select(col("vec_id"), col("qn"),
+        expr(s"aggregate(zip_with(embedding, cce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), $fold)").as("qc"),
+        expr(s"aggregate(transform(cce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), $fold)").as("cn"))
+    val slices = (0 until PqM).map(m =>
+      s"CAST($m AS BIGINT), slice(embedding, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
+    val xm = e.select(col("vec_id"), expr(s"stack($PqM, $slices) AS (m, xm)"))
+    val codeStack = (0 until PqM).map(m => s"CAST($m AS BIGINT), code_$m").mkString(", ")
+    val cu = codes.select(col("vec_id"), col("centroid_id"),
+      expr(s"stack($PqM, $codeStack) AS (m, code)"))
+    def only(m: Int, c: Column) = sum(when(col("m") === m, c))
+    xm.join(cu, Seq("vec_id", "m"))
+      .join(broadcast(rcb), Seq("m", "code"))
+      .join(broadcast(cellConsts), Seq("centroid_id", "m", "code"))
+      .withColumn("term",
+        expr(s"aggregate(zip_with(xm, rce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), $fold)"))
+      .groupBy(col("vec_id"))
+      .agg(only(0, col("term")).as("t0"), only(1, col("term")).as("t1"),
+        only(2, col("term")).as("t2"), only(3, col("term")).as("t3"),
+        only(0, col("xterm")).as("x0"), only(1, col("xterm")).as("x1"),
+        only(2, col("xterm")).as("x2"), only(3, col("xterm")).as("x3"),
+        only(0, col("nterm")).as("n0"), only(1, col("nterm")).as("n1"),
+        only(2, col("nterm")).as("n2"), only(3, col("nterm")).as("n3"))
+      .join(base, Seq("vec_id"))
+      .withColumn("adot", col("qc") + col("t0") + col("t1") + col("t2") + col("t3"))
+      .withColumn("xn", col("cn") + lit(2.0) * (col("x0") + col("x1") + col("x2") + col("x3")) +
+        (col("n0") + col("n1") + col("n2") + col("n3")))
+      .select(col("vec_id"),
+        when(col("qn") === 0.0 || col("xn") <= 0.0, lit(0.0))
+          .otherwise(col("adot") / (sqrt(col("qn")) * sqrt(col("xn")))).as("fidelity"))
+      .orderBy(col("vec_id"))
+  }
+
   /** [[annRecall]] for the IVF-PQ path — the compressed-index recall
     * row next to IVF (uncompressed probe), LSH, and plain PQ. */
   def ivfpqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
@@ -990,6 +1050,7 @@ object Similarity {
     "sim_ivfpq_codes" -> ((s, d) => ivfpqCodes(s, d)),
     "sim_ivfpq_ann" -> ((s, d) => ivfpqAnn(s, d)),
     "sim_ivfpq_recall" -> ((s, d) => ivfpqRecall(s, d)),
+    "sim_ivfpq_residual" -> ((s, d) => ivfpqResidualReport(s, d)),
     "sim_pq_recall" -> ((s, d) => pqRecall(s, d)),
     "sim_label_centroids" -> ((s, d) => labelCentroids(s, d)),
     "sim_embedding_stats" -> ((s, d) => embeddingStats(s, d)),
@@ -1622,6 +1683,47 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = baseOracles +
+    ("sim_ivfpq_residual" ->
+      s"""WITH $ivfpqOracleCtes,
+         |icodes AS (
+         |$ivfpqCodesSql
+         |), ircb AS (
+         |  ${(0 until PqM).map(m => s"SELECT CAST($m AS BIGINT) AS m, cid AS code, ced, nc FROM ipq${m}centn").mkString("\n  UNION ALL ")}
+         |), icu AS (
+         |  ${(0 until PqM).map(m => s"SELECT vec_id, centroid_id, CAST($m AS BIGINT) AS m, code_$m AS code FROM icodes").mkString("\n  UNION ALL ")}
+         |), ibase AS (
+         |  SELECT n.vec_id, n.na AS qn, i.centroid_id,
+         |    ${ieeeFold("list_transform(range(1, len(n.e) + 1), i2 -> n.e[i2] * k2.ced[i2])")} AS qc,
+         |    k2.nc AS cn
+         |  FROM kn n
+         |  JOIN (SELECT DISTINCT vec_id, centroid_id FROM icu) i ON n.vec_id = i.vec_id
+         |  JOIN kcentn k2 ON k2.cid = i.centroid_id
+         |), icc AS (
+         |  SELECT CAST(kk.cid AS BIGINT) AS centroid_id, r.m, r.code,
+         |    ${ieeeFold(s"list_transform(range(1, $PqSubDim + 1), i -> kk.ced[CAST(r.m AS INT) * $PqSubDim + i] * r.ced[i])")} AS xterm,
+         |    r.nc AS nterm
+         |  FROM kcentn kk CROSS JOIN ircb r
+         |), ift AS (
+         |  SELECT u.vec_id, u.m,
+         |    ${ieeeFold(s"list_transform(range(1, $PqSubDim + 1), i -> n.e[CAST(u.m AS INT) * $PqSubDim + i] * r.ced[i])")} AS term,
+         |    c.xterm, c.nterm
+         |  FROM icu u
+         |  JOIN kn n ON n.vec_id = u.vec_id
+         |  JOIN ircb r ON r.m = u.m AND r.code = u.code
+         |  JOIN icc c ON c.centroid_id = u.centroid_id AND c.m = u.m AND c.code = u.code
+         |), ifa AS (
+         |  SELECT vec_id,
+         |    ${(0 until PqM).map(m => s"SUM(CASE WHEN m = $m THEN term END) AS t$m").mkString(", ")},
+         |    ${(0 until PqM).map(m => s"SUM(CASE WHEN m = $m THEN xterm END) AS x$m").mkString(", ")},
+         |    ${(0 until PqM).map(m => s"SUM(CASE WHEN m = $m THEN nterm END) AS n$m").mkString(", ")}
+         |  FROM ift GROUP BY vec_id
+         |)
+         |SELECT b.vec_id,
+         |  CASE WHEN b.qn = 0 OR (b.cn + 2.0 * (x0 + x1 + x2 + x3) + (n0 + n1 + n2 + n3)) <= 0 THEN 0.0
+         |       ELSE (b.qc + t0 + t1 + t2 + t3)
+         |            / (sqrt(b.qn) * sqrt(b.cn + 2.0 * (x0 + x1 + x2 + x3) + (n0 + n1 + n2 + n3))) END AS fidelity
+         |FROM ifa f JOIN ibase b ON f.vec_id = b.vec_id
+         |ORDER BY b.vec_id""".stripMargin) +
     ("sim_ivfpq_codes" ->
       s"""WITH $ivfpqOracleCtes
          |$ivfpqCodesSql

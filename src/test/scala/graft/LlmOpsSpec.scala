@@ -890,6 +890,13 @@ class LlmOpsSpec extends AnyFunSuite {
     val plan = Similarity.ivfpqAnn(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // fidelity dominance: at the same 4×4-bit budget, quantizing
+    // RESIDUALS must reconstruct strictly better on average
+    val fi = Similarity.ivfpqResidualReport(spark, sf).as[(Long, Double)].collect()
+    val fp = Similarity.pqResidual(spark, sf).as[(Long, Double)].collect()
+    assert(fi.length == fp.length && fi.forall { case (_, f) => f >= -1.0 - 1e-9 && f <= 1.0 + 1e-9 })
+    val (mfi, mfp) = (fi.map(_._2).sum / fi.length, fp.map(_._2).sum / fp.length)
+    assert(mfi > mfp, s"IVF-PQ fidelity $mfi must beat plain PQ $mfp")
   }
 
   test("PQ fidelity: one row per vector, bounded, and a shuffle-free coded-scan plan") {
