@@ -264,6 +264,40 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** The per-asset media curation decision table — the multimodal twin
+    * of `text_curation_decisions`: for every asset, the parsed format,
+    * the entropy QA verdict, the perceptual-dup representative, the
+    * resize plan, and the composed `keep` verdict (parsed ∧ healthy
+    * entropy ∧ its own dup rep). Every input column comes from an
+    * already-oracle-checked operator; this table pins their JOIN
+    * composition with one more full-value oracle. All joins are on
+    * `doc_id` (co-partitionable); the inputs carry their own
+    * banded/broadcast scale stories. */
+  def mediaCurationDecisions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val feats = mediaFeatures(spark, dir)
+      .select(col("doc_id"), col("kind"), col("format"))
+    val ent = contentEntropy(spark, dir).select(col("doc_id"), col("entropy"))
+    val comp = phashComponents(spark, dir)
+    val thumb = thumbnailPlan(spark, dir)
+      .select(col("doc_id"), col("needs_resize"), col("target_w"), col("target_h"))
+    feats.join(ent, Seq("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .join(thumb, Seq("doc_id"), "left")
+      .withColumn("rep_asset_id", coalesce(col("rep_asset_id"), col("doc_id")))
+      .withColumn("is_dup", (col("rep_asset_id") =!= col("doc_id")).cast(LongType))
+      .withColumn("low_entropy", (col("entropy") <= 1.0).cast(LongType))
+      .withColumn("keep",
+        (col("format") =!= "unknown" && col("low_entropy") === 0 &&
+          col("is_dup") === 0).cast(LongType))
+      .select(col("doc_id"), col("kind"), col("format"), col("rep_asset_id"),
+        col("is_dup"), col("low_entropy"),
+        coalesce(col("needs_resize"), lit(-1L)).as("needs_resize"),
+        coalesce(col("target_w"), lit(-1L)).as("target_w"),
+        coalesce(col("target_h"), lit(-1L)).as("target_h"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-(band, value) bucket cap — the giant-bucket guard the text
     * LSH path carries ([[Dedup.BucketCap]] reasoning, verbatim): m
     * identical assets collide in EVERY band, and without the cap each
@@ -411,6 +445,7 @@ object Multimodal {
     "mm_phash_ingest" -> ((s, d) => phashIngest(s, d)),
     "mm_dup_components" -> ((s, d) => phashComponents(s, d)),
     "mm_thumbnail_plan" -> ((s, d) => thumbnailPlan(s, d)),
+    "mm_curation_decisions" -> ((s, d) => mediaCurationDecisions(s, d)),
     "mm_frame_samples" -> ((s, d) => frameSamples(s, d)))
 
   /** Shared DuckDB rebuild of [[phashPairsOn]] (after [[blockHashCtes]]):
@@ -452,6 +487,67 @@ object Multimodal {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the composed decision table: entropy CTEs (inline, prefixed) +
+    // the recursive dup closure + doc_id geometry rules, joined on
+    // doc_id exactly like the engine
+    "mm_curation_decisions" ->
+      (s"""WITH RECURSIVE $blockHashCtes,
+         |$phashPairCtes,
+         |mmedg2 AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM mmpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM mmpairs
+         |),
+         |mmreach2 AS (
+         |  SELECT doc_id AS u, doc_id AS r FROM mmh
+         |  UNION
+         |  SELECT e.u, mmreach2.r FROM mmedg2 e JOIN mmreach2 ON e.v = mmreach2.u
+         |),
+         |mmcomp2 AS (SELECT u AS doc_id, MIN(r) AS rep FROM mmreach2 GROUP BY u),
+         |mdc AS (
+         |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS ct FROM (
+         |    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+         |  ) GROUP BY doc_id, ch
+         |), mdt AS (
+         |  SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n FROM mdc GROUP BY doc_id
+         |), mdm AS (
+         |  SELECT c.doc_id,
+         |    (CAST(c.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+         |      * """ + Search.duckDetLn("(CAST(c.ct AS DOUBLE) / CAST(t.n AS DOUBLE))") + s""" AS term
+         |  FROM mdc c JOIN mdt t ON c.doc_id = t.doc_id
+         |), ment AS (
+         |  SELECT doc_id,
+         |    0.0 - list_reduce(list_sort(list(term)), (a, x) -> a + x) AS entropy
+         |  FROM mdm GROUP BY doc_id
+         |), mfe AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS format,
+         |    CAST(64 + doc_id % 577 AS BIGINT) AS width,
+         |    CAST(64 + doc_id % 433 AS BIGINT) AS height
+         |  FROM documents
+         |), mth AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN GREATEST(width, height) > 128 THEN 1 ELSE 0 END AS BIGINT) AS needs_resize,
+         |    CASE WHEN GREATEST(width, height) <= 128 THEN width
+         |         ELSE GREATEST((width * 128) // GREATEST(width, height), 1) END AS target_w,
+         |    CASE WHEN GREATEST(width, height) <= 128 THEN height
+         |         ELSE GREATEST((height * 128) // GREATEST(width, height), 1) END AS target_h
+         |  FROM mfe WHERE format <> 'wav'
+         |)
+         |SELECT f.doc_id, f.kind, f.format,
+         |  COALESCE(c.rep, f.doc_id) AS rep_asset_id,
+         |  CAST(CASE WHEN COALESCE(c.rep, f.doc_id) <> f.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+         |  CAST(CASE WHEN e.entropy <= 1.0 THEN 1 ELSE 0 END AS BIGINT) AS low_entropy,
+         |  COALESCE(t.needs_resize, CAST(-1 AS BIGINT)) AS needs_resize,
+         |  COALESCE(t.target_w, CAST(-1 AS BIGINT)) AS target_w,
+         |  COALESCE(t.target_h, CAST(-1 AS BIGINT)) AS target_h,
+         |  CAST(CASE WHEN f.format <> 'unknown' AND e.entropy > 1.0
+         |    AND COALESCE(c.rep, f.doc_id) = f.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM mfe f
+         |JOIN ment e ON f.doc_id = e.doc_id
+         |LEFT JOIN mmcomp2 c ON f.doc_id = c.doc_id
+         |LEFT JOIN mth t ON f.doc_id = t.doc_id
+         |ORDER BY f.doc_id""").stripMargin,
     // geometry from the doc_id synthesis rules (PNG for doc_id%3=0,
     // JPEG for %3=2), integer floor scale, 128-px box
     "mm_thumbnail_plan" ->
