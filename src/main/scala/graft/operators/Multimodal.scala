@@ -298,6 +298,28 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental maintenance of the blockhash index over the crawl
+    * diff ([[Curation.snapshotDiffOn]]'s v1→v2): carry stored hashes
+    * for unchanged assets, re-hash ONLY added/changed content,
+    * anti-join out removed/changed — work scales with the delta, and
+    * hashes are asset-local so the splice alone IS the maintained
+    * index (the [[Dedup.incrementalSignatures]] discipline applied to
+    * the media tier). The oracle re-derives every v2 hash from
+    * scratch, so hash-equality proves the carried rows are
+    * byte-for-byte what a full rebuild would produce. */
+  def incrementalBlockHashes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+    val v2 = Curation.snapshotV2On(docs)
+    val diff = Curation.snapshotDiffOn(docs, v2)
+    val gone = diff.filter(col("status").isin("removed", "changed")).select(col("doc_id"))
+    val fresh = diff.filter(col("status").isin("added", "changed")).select(col("doc_id"))
+    memoBlockHashes(spark, dir)
+      .join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(blockHashesOn(
+        v2.join(fresh, Seq("doc_id")).select(col("doc_id"), col("text").as("t"))))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-(band, value) bucket cap — the giant-bucket guard the text
     * LSH path carries ([[Dedup.BucketCap]] reasoning, verbatim): m
     * identical assets collide in EVERY band, and without the cap each
@@ -407,10 +429,10 @@ object Multimodal {
     * `mmh(doc_id, n_bytes, band0..band3)`. Content bytes = text bytes
     * (ASCII fixture contract), so the oracle works from `text` and the
     * integer cross-multiplied bit rule matches the engine exactly. */
-  private def blockHashCtes: String =
-    """mmc AS (
+  private def blockHashCtes(src: String = "documents"): String =
+    s"""mmc AS (
       |  SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS L
-      |  FROM documents WHERE length(text) >= 64
+      |  FROM $src WHERE length(text) >= 64
       |), mmb AS (
       |  SELECT doc_id, L, t, unnest(range(0, L)) AS pos FROM mmc
       |), mmv AS (
@@ -446,6 +468,7 @@ object Multimodal {
     "mm_dup_components" -> ((s, d) => phashComponents(s, d)),
     "mm_thumbnail_plan" -> ((s, d) => thumbnailPlan(s, d)),
     "mm_curation_decisions" -> ((s, d) => mediaCurationDecisions(s, d)),
+    "mm_incremental_hashes" -> ((s, d) => incrementalBlockHashes(s, d)),
     "mm_frame_samples" -> ((s, d) => frameSamples(s, d)))
 
   /** Shared DuckDB rebuild of [[phashPairsOn]] (after [[blockHashCtes]]):
@@ -487,11 +510,18 @@ object Multimodal {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full re-hash of the SAME v2 synthesis (Curation.diffCtes) —
+    // equality proves the incremental splice
+    "mm_incremental_hashes" ->
+      s"""WITH ${Curation.diffCtes},
+         |${blockHashCtes("v2")}
+         |SELECT doc_id, n_bytes, band0, band1, band2, band3
+         |FROM mmh ORDER BY doc_id""".stripMargin,
     // the composed decision table: entropy CTEs (inline, prefixed) +
     // the recursive dup closure + doc_id geometry rules, joined on
     // doc_id exactly like the engine
     "mm_curation_decisions" ->
-      (s"""WITH RECURSIVE $blockHashCtes,
+      (s"""WITH RECURSIVE ${blockHashCtes()},
          |$phashPairCtes,
          |mmedg2 AS (
          |  SELECT doc_a AS u, doc_b AS v FROM mmpairs
@@ -566,7 +596,7 @@ object Multimodal {
         |       ELSE GREATEST((height * 128) // GREATEST(width, height), 1) END AS target_h
         |FROM g ORDER BY doc_id""".stripMargin,
     "mm_phash_ingest" ->
-      s"""WITH $blockHashCtes,
+      s"""WITH ${blockHashCtes()},
          |mmin AS (SELECT * FROM mmh WHERE doc_id % 2 = 1),
          |mmcorp AS (SELECT * FROM mmh WHERE doc_id % 2 = 0),
          |mmic AS (
@@ -592,21 +622,21 @@ object Multimodal {
          |FROM mmfl GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
     "mm_blockhash" ->
-      s"""WITH $blockHashCtes
+      s"""WITH ${blockHashCtes()}
          |SELECT doc_id, n_bytes, band0, band1, band2, band3
          |FROM mmh ORDER BY doc_id""".stripMargin,
     // candidates via four separate band equi-joins (mirroring the
     // engine's union-of-hash-joins, never an OR-join), then exact
     // 64-bit hamming at the same threshold
     "mm_phash_neardup" ->
-      s"""WITH $blockHashCtes,
+      s"""WITH ${blockHashCtes()},
          |$phashPairCtes
          |SELECT doc_a, doc_b, hamming FROM mmpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
     // the same pair CTEs feeding a recursive min-label closure over
     // the hashed-asset node set (mirrors Dedup.starLabels' contract)
     "mm_dup_components" ->
-      s"""WITH RECURSIVE $blockHashCtes,
+      s"""WITH RECURSIVE ${blockHashCtes()},
          |$phashPairCtes,
          |mmedg AS (
          |  SELECT doc_a AS u, doc_b AS v FROM mmpairs
