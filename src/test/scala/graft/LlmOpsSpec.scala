@@ -965,6 +965,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!labels.contains(500L), "the disjoint asset stays isolated")
   }
 
+  test("thumbnail plan geometry and media-decision verdict recount") {
+    import spark.implicits._
+    val tp = Multimodal.thumbnailPlan(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    assert(tp.nonEmpty && tp.forall(_._2 != "wav"), "audio must be excluded")
+    tp.foreach { case (id, _, w, h, nr, tw, th) =>
+      val mx = math.max(w, h)
+      if (mx <= 128) assert(nr == 0 && tw == w && th == h, s"asset $id")
+      else {
+        assert(nr == 1 && math.max(tw, th) <= 128 && tw >= 1 && th >= 1, s"asset $id")
+        // exact floor semantics of the integer scale rule
+        assert(tw == math.max(w * 128 / mx, 1) && th == math.max(h * 128 / mx, 1), s"asset $id")
+      }
+    }
+    // decision verdict = parsed ∧ healthy entropy ∧ own dup rep — recount
+    val ent = Multimodal.contentEntropy(spark, sf)
+      .select($"doc_id", $"entropy").as[(Long, Double)].collect().toMap
+    val rep = Multimodal.phashComponents(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val dec = Multimodal.mediaCurationDecisions(spark, sf)
+      .select($"doc_id", $"format", $"keep").as[(Long, String, Long)].collect()
+    assert(dec.length == ent.size, "one decision per asset")
+    dec.foreach { case (id, fmt, keep) =>
+      val want = fmt != "unknown" && ent(id) > 1.0 && rep.getOrElse(id, id) == id
+      assert(keep == (if (want) 1L else 0L), s"asset $id verdict") }
+  }
+
   test("perceptual dup components equal a driver-side union-find over the phash pairs") {
     import spark.implicits._
     val pairs = Multimodal.phashNearDups(spark, sf)
