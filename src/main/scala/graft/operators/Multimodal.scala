@@ -278,7 +278,7 @@ object Multimodal {
     val feats = mediaFeatures(spark, dir)
       .select(col("doc_id"), col("kind"), col("format"))
     val ent = contentEntropy(spark, dir).select(col("doc_id"), col("entropy"))
-    val comp = phashComponents(spark, dir)
+    val comp = memoPhashComponents(spark, dir)
     val thumb = thumbnailPlan(spark, dir)
       .select(col("doc_id"), col("needs_resize"), col("target_w"), col("target_h"))
     feats.join(ent, Seq("doc_id"))
@@ -372,14 +372,20 @@ object Multimodal {
     * O(log n)-round alternating-star contraction the text dedup tier
     * uses — one machinery, two modalities). Every hashed asset gets a
     * row; isolated assets are their own representative. */
-  def phashComponents(spark: SparkSession, dir: String): DataFrame = {
-    val h = memoBlockHashes(spark, dir)
-    val labels = Dedup.starLabels(phashPairsOn(h).select(col("doc_a"), col("doc_b")))
-      .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("rep"))
-    h.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep_asset_id"))
-      .orderBy(col("doc_id"))
-  }
+  def phashComponents(spark: SparkSession, dir: String): DataFrame =
+    memoPhashComponents(spark, dir).orderBy(col("doc_id"))
+
+  /** Memoized closure — the named query AND the decision table read
+    * it; unmemoized, the star-contraction rounds ran once per
+    * consumer (measured 2× the pipeline cost in the decision query). */
+  private def memoPhashComponents(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "mm_dup_components") {
+      val h = memoBlockHashes(spark, dir)
+      val labels = Dedup.starLabels(phashPairsOn(h).select(col("doc_a"), col("doc_b")))
+        .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("rep"))
+      h.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep_asset_id"))
+    }
 
   /** At-ingest perceptual dedup: each incoming asset (odd doc_ids —
     * the stream stand-in, mirroring the text path's
