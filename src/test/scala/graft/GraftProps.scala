@@ -573,4 +573,39 @@ object GraftProps extends Properties("graft") {
         got == want
       }
     }
+
+  // ------------------------------------------------ blockhash bit rule
+
+  /** Driver-side reimplementation of Multimodal.blockHashesOn: block
+    * of byte p = ⌊p·64/L⌋, bit = block-sum·L > total·block-count,
+    * bands = 16-bit packs. Random ASCII content, including lengths
+    * straddling the ≥64 gate and block-boundary sizes. */
+  property("blockHashesOn == driver-side bit-rule recompute on random ASCII") = {
+    val genDoc = for {
+      n <- Gen.frequency((1, Gen.choose(0, 63)), (4, Gen.choose(64, 400)))
+      cs <- Gen.listOfN(n, Gen.choose(32, 126))
+    } yield cs.map(_.toChar).mkString
+    forAll(Gen.nonEmptyListOf(genDoc).map(_.take(6))) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.operators.Multimodal.blockHashesOn(docs.toDF("doc_id", "t"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, (r._3, r._4, r._5, r._6))).toMap
+      val want = docs.filter(_._2.length >= 64).map { case (id, t) =>
+        val l = t.length
+        val sums = new Array[Long](64); val cts = new Array[Long](64)
+        var total = 0L
+        t.zipWithIndex.foreach { case (c, p) =>
+          val b = (p.toLong * 64 / l).toInt
+          sums(b) += c.toLong; cts(b) += 1; total += c.toLong
+        }
+        val bands = new Array[Long](4)
+        (0 until 64).foreach { b =>
+          if (sums(b) * l > total * cts(b)) bands(b / 16) |= 1L << (b % 16)
+        }
+        id -> (l.toLong, (bands(0), bands(1), bands(2), bands(3)))
+      }.toMap
+      got == want
+    }
+  }
 }

@@ -1010,6 +1010,41 @@ class LlmOpsSpec extends AnyFunSuite {
     got.foreach { case (v, rep) => assert(rep == want(v), s"asset $v: $rep vs ${want(v)}") }
   }
 
+  test("phash ingest over a STREAM of assets: accumulated flags = batch probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // incoming (odd) assets arrive in two micro-batches; each batch is
+    // hashed and probed against the STATIC even-corpus band index via
+    // foreachBatch — at rest the accumulated flag set must equal the
+    // one-shot batch probe
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val corpus = Multimodal.blockHashesOn(
+      docs.filter(_._1 % 2 == 0).toSeq.toDF("doc_id", "t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      .toDF("doc_id", "n_bytes", "band0", "band1", "band2", "band3")
+    val incoming = docs.filter(_._1 % 2 == 1)
+    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+    val mem = MemoryStream[(Long, String)](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val q = mem.toDF().toDF("doc_id", "t").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= Multimodal.phashIngestOn(Multimodal.blockHashesOn(batch), corpus)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+        ()
+      }.start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val want = Multimodal.phashIngest(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(buf.toSet == want, s"streamed ingest (${buf.size}) diverges from batch (${want.size})")
+  }
+
   test("phash ingest: planted twin flagged with witness; disjoint and far assets stay silent") {
     import spark.implicits._
     val half = "a" * 64 + "z" * 64
