@@ -1004,6 +1004,35 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** The ANN deploy-decision table: macro recall@5 of ALL FOUR index
+    * families (IVF probe, hyperplane LSH, plain PQ/ADC, IVF-PQ)
+    * against one shared brute-force truth panel — the single artifact
+    * an index rollout reads (family, hit_total, query_ct, recall).
+    * Exact integer hit counts + ONE division per row, so the whole
+    * comparison hashes. The truth side is memoized and computed once;
+    * each family side reuses its own memoized index frames. */
+  def annLeaderboard(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val truth = Memo(spark, dir, s"sim.bf.$k")(annTopKFloat(spark, dir, k = k))
+      .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
+    def fam(name: String, df: DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(truth, col("query_id") === col("tq") && col("neighbor_id") === col("tn"))
+        .agg(count(lit(1)).as("hit_total"))
+        .withColumn("family", lit(name))
+    Seq(
+      fam("ivf", annIvf(spark, dir, k = k)),
+      fam("ivfpq", ivfpqAnn(spark, dir, k = k)),
+      fam("lsh", annLsh(spark, dir, k = k)),
+      fam("pq", pqAnn(spark, dir, k = k)))
+      .reduce(_ unionByName _)
+      .crossJoin(broadcast(
+        truth.select(col("tq")).distinct().agg(count(lit(1)).as("query_ct"))))
+      .select(col("family"), col("hit_total"), col("query_ct"),
+        (col("hit_total").cast(DoubleType) /
+          (col("query_ct") * k).cast(DoubleType)).as("recall"))
+      .orderBy(col("family"))
+  }
+
   /** [[annRecall]] for the IVF-PQ path — the compressed-index recall
     * row next to IVF (uncompressed probe), LSH, and plain PQ. */
   def ivfpqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
@@ -1051,6 +1080,7 @@ object Similarity {
     "sim_ivfpq_ann" -> ((s, d) => ivfpqAnn(s, d)),
     "sim_ivfpq_recall" -> ((s, d) => ivfpqRecall(s, d)),
     "sim_ivfpq_residual" -> ((s, d) => ivfpqResidualReport(s, d)),
+    "sim_ann_leaderboard" -> ((s, d) => annLeaderboard(s, d)),
     "sim_pq_recall" -> ((s, d) => pqRecall(s, d)),
     "sim_label_centroids" -> ((s, d) => labelCentroids(s, d)),
     "sim_embedding_stats" -> ((s, d) => embeddingStats(s, d)),
@@ -1683,6 +1713,35 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = baseOracles +
+    ("sim_ann_leaderboard" ->
+      s"""WITH bfq AS (
+         |${baseOracles("sim_ann_topk_float")}
+         |), ivfq AS (
+         |${baseOracles("sim_ann_ivf")}
+         |), lshq AS (
+         |${baseOracles("sim_ann_lsh")}
+         |), pqq2 AS (
+         |${pqAnnSql()}
+         |), ipqq AS (
+         |${ivfpqAnnSql()}
+         |), qct AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS query_ct FROM bfq),
+         |lb AS (
+         |  SELECT 'ivf' AS family, CAST(COUNT(*) AS BIGINT) AS hit_total
+         |  FROM ivfq i JOIN bfq b ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |  UNION ALL
+         |  SELECT 'ivfpq', CAST(COUNT(*) AS BIGINT)
+         |  FROM ipqq i JOIN bfq b ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |  UNION ALL
+         |  SELECT 'lsh', CAST(COUNT(*) AS BIGINT)
+         |  FROM lshq i JOIN bfq b ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |  UNION ALL
+         |  SELECT 'pq', CAST(COUNT(*) AS BIGINT)
+         |  FROM pqq2 i JOIN bfq b ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |)
+         |SELECT family, hit_total, query_ct,
+         |  CAST(hit_total AS DOUBLE) / CAST(query_ct * 5 AS DOUBLE) AS recall
+         |FROM lb CROSS JOIN qct
+         |ORDER BY family""".stripMargin) +
     ("sim_ivfpq_residual" ->
       s"""WITH $ivfpqOracleCtes,
          |icodes AS (

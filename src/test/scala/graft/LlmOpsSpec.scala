@@ -899,6 +899,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mfi > mfp, s"IVF-PQ fidelity $mfi must beat plain PQ $mfp")
   }
 
+  test("ANN leaderboard is consistent with the per-family recall audits") {
+    import spark.implicits._
+    val lb = Similarity.annLeaderboard(spark, sf)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(lb.keySet == Set("ivf", "ivfpq", "lsh", "pq"))
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("hit_ct").as[Long].collect().sum
+    assert(lb("ivf")._2 == hits(Similarity.annRecall(spark, sf)))
+    assert(lb("lsh")._2 == hits(Similarity.annRecallLsh(spark, sf)))
+    assert(lb("pq")._2 == hits(Similarity.pqRecall(spark, sf)))
+    assert(lb("ivfpq")._2 == hits(Similarity.ivfpqRecall(spark, sf)))
+    // the structural ordering the families are built to produce:
+    // uncompressed probes beat compressed codes; residual beats plain
+    assert(lb("ivf")._4 > lb("ivfpq")._4 && lb("ivfpq")._4 >= lb("pq")._4)
+  }
+
   test("PQ fidelity: one row per vector, bounded, and a shuffle-free coded-scan plan") {
     import spark.implicits._
     val r = Similarity.pqResidual(spark, sf).as[(Long, Double)].collect()
