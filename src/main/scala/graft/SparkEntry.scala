@@ -39,7 +39,18 @@ object SparkEntry {
     modules.iterator.flatMap(_._1).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Every oracle ships with its CTEs `MATERIALIZED`
+    * ([[graft.operators.DuckSql.materialize]]): DuckDB re-inlines
+    * plain CTEs at every reference, which made the multiply-referenced
+    * replay CTEs catastrophically slow (387 s for one PQ oracle) and
+    * starved the round-11 driver gate into an empty artifact. Measured
+    * across all 204 oracles at sf0.001: 119.6 s → 48.0 s total, no
+    * query slower, results identical up to row order (which the gate
+    * canonicalizes away). One choke point here so every future oracle
+    * is covered; `tools/oracle_bench.py` is the cost tripwire. */
   def oracleSql: Map[String, String] =
-    modules.iterator.flatMap(_._2).toMap
+    modules.iterator.flatMap(_._2)
+      .map { case (k, v) => k -> DuckSql.materialize(v) }.toMap
 }

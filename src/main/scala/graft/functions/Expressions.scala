@@ -51,6 +51,8 @@ object GraftExpressions {
     toColumn(NearestCentroidsFloat(toExpression(vec), centIds, cents, k))
   def segmentTokens(c: Column): Column = toColumn(SegmentTokens(toExpression(c)))
   def mediaHeader(c: Column): Column = toColumn(MediaHeaderInfo(toExpression(c)))
+  def blockHash64(c: Column): Column = toColumn(BlockHash64(toExpression(c)))
+  def byteEntropyStats(c: Column): Column = toColumn(ByteEntropyStats(toExpression(c)))
   def minhashSetAgg(hash: Column, numHashes: Int): Column =
     toColumn(MinHashSetAgg(toExpression(hash), numHashes).toAggregateExpression())
   def bloomMightContainLong(hash: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
@@ -179,6 +181,56 @@ case class MediaHeaderInfo(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.MediaHeaders.packedInfo($c);")
 
   override protected def withNewChildInternal(newChild: Expression): MediaHeaderInfo =
+    copy(newChild)
+}
+
+/** 64-bit mean-threshold blockhash of a content string — one codegen'd
+  * pass via [[MediaContent.blockHash64]], replacing a per-byte
+  * `posexplode` + two aggregations (the bands the LSH join needs are
+  * bit-slices of this long, extracted with plain shift/mask columns).
+  * Returns 0L below the 64-code-point gate; callers filter first. */
+case class BlockHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(child.dataType == StringType,
+      s"graft_blockhash64 requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaContent.blockHash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MediaContent.blockHash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): BlockHash64 =
+    copy(newChild)
+}
+
+/** Code-point histogram stats of a content string —
+  * struct(n_bytes, distinct_bytes, entropy) in one codegen'd pass via
+  * [[MediaContent.entropyStats]], replacing a per-byte explode + two
+  * keyed aggregations + sorted-collect fold. The entropy double
+  * replays the old plan's exact IEEE op order, so oracles and any
+  * cached results stay bit-identical. */
+case class ByteEntropyStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("distinct_bytes", LongType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(child.dataType == StringType,
+      s"graft_byte_entropy requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaContent.entropyStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MediaContent.entropyStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteEntropyStats =
     copy(newChild)
 }
 

@@ -63,6 +63,16 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
         "graft_media_header(bin) - packed PNG/JPEG/WAV header info: [format:4][width:20][height:20][channels:4][sample_rate:16]"),
       (args: Seq[Expression]) => { arity(args, 1, "graft_media_header"); MediaHeaderInfo(args.head) }))
 
+    ext.injectFunction((FunctionIdentifier("graft_blockhash64"),
+      info("graft_blockhash64",
+        "graft_blockhash64(str) - 64-bit mean-threshold blockhash of the content (0 below the 64-char gate)"),
+      (args: Seq[Expression]) => { arity(args, 1, "graft_blockhash64"); BlockHash64(args.head) }))
+
+    ext.injectFunction((FunctionIdentifier("graft_byte_entropy"),
+      info("graft_byte_entropy",
+        "graft_byte_entropy(str) - struct(n_bytes, distinct_bytes, entropy) of the code-point histogram"),
+      (args: Seq[Expression]) => { arity(args, 1, "graft_byte_entropy"); ByteEntropyStats(args.head) }))
+
     ext.injectFunction((FunctionIdentifier("graft_minhash_set_agg"),
       info("graft_minhash_set_agg",
         "graft_minhash_set_agg(hash, n) - aggregate: n-permutation minhash signature of the group's hash set"),

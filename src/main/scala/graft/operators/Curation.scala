@@ -553,20 +553,53 @@ object Curation {
 
   /** The corpus encoded as token-id sequences — what a training job
     * actually consumes. Ids are assigned by corpus frequency rank
-    * (ct desc, then token — fully deterministic), 1-based; the output
-    * is the exploded (doc_id, pos, token_id) form so downstream
-    * packing/sharding stays row-oriented.
+    * (ct desc, ties by md5(token) then token — fully deterministic),
+    * 1-based; the output is the exploded (doc_id, pos, token_id) form
+    * so downstream packing/sharding stays row-oriented.
     *
-    * The ranking window runs over the AGGREGATED vocabulary, not the
-    * corpus: tokenizer vocabularies are bounded (≤ millions of rows at
-    * any corpus size), so the single-partition sort is the standard
-    * shape — the corpus-scale work is the explode and the token-keyed
-    * id join, both shuffle-partitioned. */
+    * The rank over the RAW vocabulary is fully distributed — this is
+    * the one place a "vocabularies are bounded" argument fails, because
+    * the raw whitespace vocabulary of a web crawl has an unbounded
+    * hapax tail. Three levels, none corpus- or vocabulary-wide:
+    *  1. within (ct, digest-byte bucket): parallel `row_number` — the
+    *     md5 tie-break makes buckets uniform AND bucket order == rank
+    *     order (the [[rankAndPrefix]] convention), and splits the huge
+    *     ct=1 class 256 ways where a token-lexicographic tie-break
+    *     could not;
+    *  2. bucket offsets within a ct class: a window over ≤256 rows per
+    *     class;
+    *  3. class offsets across distinct ct values: one cumsum over the
+    *     distinct-count frame — O(√(corpus token mass)) rows by the
+    *     standard distinct-counts bound (Σct = N ⇒ ≤ √(2N) distinct
+    *     values), i.e. ~10^7 rows at 100 T tokens, versus the 10^9+
+    *     raw vocabulary the old partition-less window sorted on one
+    *     task. */
   def tokenIds(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokensShared(spark, dir)
-    val ids = toks.groupBy(col("token")).agg(count(lit(1)).as("ct"))
-      .withColumn("token_id", row_number().over(
-        Window.orderBy(col("ct").desc, col("token"))).cast(LongType))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("ct"))
+      .withColumn("_dg", md5(col("token")))
+      .withColumn("_bucket", conv(substring(col("_dg"), 1, 2), 16, 10).cast(LongType))
+    val wIn = Window.partitionBy(col("ct"), col("_bucket"))
+      .orderBy(col("_dg"), col("token"))
+    val inner = counts.withColumn("_rn", row_number().over(wIn).cast(LongType))
+    val wB = Window.partitionBy(col("ct")).orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perBucket = counts.groupBy(col("ct"), col("_bucket"))
+      .agg(count(lit(1)).as("_bc"))
+      .withColumn("_boff", coalesce(sum(col("_bc")).over(wB), lit(0L)))
+    // constant-group partition keeps the cumsum a defined-partition
+    // window (epochShuffleOn's trick); the frame is distinct-ct-sized
+    val wCt = Window.partitionBy(col("_g")).orderBy(col("ct").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ctOff = perBucket.groupBy(col("ct")).agg(sum(col("_bc")).as("_cc"))
+      .withColumn("_g", lit(0))
+      .withColumn("_coff", coalesce(sum(col("_cc")).over(wCt), lit(0L)))
+      .select(col("ct"), col("_coff"))
+    val ids = inner
+      .join(perBucket.select(col("ct"), col("_bucket"), col("_boff")),
+        Seq("ct", "_bucket"))
+      .join(ctOff, Seq("ct"))
+      .withColumn("token_id", col("_coff") + col("_boff") + col("_rn"))
       .select(col("token"), col("token_id"))
     toks.join(ids, "token")
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("token_id"))
@@ -1119,7 +1152,7 @@ object Curation {
         |  SELECT token, COUNT(*) AS ct FROM tok GROUP BY token
         |), ids AS (
         |  SELECT token,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY ct DESC, token) AS BIGINT) AS token_id
+        |    CAST(ROW_NUMBER() OVER (ORDER BY ct DESC, md5(token), token) AS BIGINT) AS token_id
         |  FROM v
         |)
         |SELECT tok.doc_id, CAST(tok.pos AS BIGINT) AS pos, ids.token_id

@@ -135,23 +135,21 @@ object Multimodal {
     contentEntropyOn(Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), col("text")))
 
-  private[graft] def contentEntropyOn(docs: DataFrame): DataFrame = {
-    val counts = docs
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("ct"))
-    val totals = counts.groupBy(col("doc_id"))
-      .agg(sum(col("ct")).as("n"), count(lit(1)).as("distinct_bytes"))
-    counts.join(totals, Seq("doc_id"))
-      .withColumn("p", col("ct").cast("double") / col("n").cast("double"))
-      .withColumn("term", col("p") * Search.detLn(col("p")))
-      .groupBy(col("doc_id"))
-      .agg(max(col("n")).as("n_bytes"),
-        max(col("distinct_bytes")).as("distinct_bytes"),
-        (lit(0.0) - expr(
-          "aggregate(sort_array(collect_list(term)), cast(0.0 as double), (a, x) -> a + x)"))
-          .as("entropy"))
+  private[graft] def contentEntropyOn(docs: DataFrame): DataFrame =
+    // one codegen'd histogram pass per row (ByteEntropyStats) in place
+    // of the old explode → two keyed aggs → sorted-collect fold, which
+    // amplified the scan by one row per payload byte. The entropy
+    // double replays the old plan's exact op order (p = ct/n, term =
+    // p·detLn(p), ascending fold from 0.0), so results — and the
+    // DuckDB oracle — are bit-identical.
+    docs
+      .select(col("doc_id"),
+        graft.functions.GraftExpressions.byteEntropyStats(col("text")).as("st"))
+      .select(col("doc_id"),
+        col("st.n_bytes").as("n_bytes"),
+        col("st.distinct_bytes").as("distinct_bytes"),
+        col("st.entropy").as("entropy"))
       .orderBy(col("doc_id"))
-  }
 
   /** 64-bit BLOCKHASH fingerprint over the payload CONTENT bytes — the
     * perceptual-hash analog for this fixture (real pHash needs a pixel
@@ -195,28 +193,23 @@ object Multimodal {
       .select(col("doc_id"), col("t")))
 
   /** Hash core over a `(doc_id, t)` content frame — split out so specs
-    * can feed adversarial content directly. */
+    * can feed adversarial content directly. One codegen'd pass per row
+    * ([[graft.functions.BlockHash64]]) computes all 64 mean-threshold
+    * bits; the four 16-bit LSH bands are plain shift/mask slices of
+    * that long. Replaces the old per-byte posexplode → two keyed
+    * aggregations, whose scan stage paid one full row per payload byte
+    * for what is a few hundred bytes of per-row state — zero shuffles
+    * now (the old exchange was ≤64 rows/doc; this one is none). */
   private[graft] def blockHashesOn(contentDocs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val content = contentDocs
+    def band(j: Int) =
+      shiftrightunsigned(col("h"), 16 * j).bitwiseAND(lit(0xFFFFL)).as(s"band$j")
+    contentDocs
       .select(col("doc_id"), col("t"), length(col("t")).cast(LongType).as("L"))
       .filter(col("L") >= 64)
-    val bytes = content
-      .select(col("doc_id"), col("L"), posexplode(split(col("t"), "")))
-      .select(col("doc_id"), col("L"),
-        ascii(col("col")).cast(LongType).as("v"),
-        expr("CAST(pos AS BIGINT) * 64 DIV L").as("blk"))
-    val blocks = bytes.groupBy(col("doc_id"), col("blk"))
-      .agg(sum(col("v")).as("bs"), count(lit(1)).as("bc"), max(col("L")).as("L"))
-    val tot = bytes.groupBy(col("doc_id")).agg(sum(col("v")).as("ts"))
-    val bits = blocks.join(tot, Seq("doc_id"))
-      .withColumn("bit", (col("bs") * col("L") > col("ts") * col("bc")).cast(LongType))
-    def band(j: Int) =
-      sum(when(col("bit") === 1 && expr("blk DIV 16") === j,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(blk % 16 AS INT))"))
-        .otherwise(0L)).as(s"band$j")
-    bits.groupBy(col("doc_id"))
-      .agg(max(col("L")).as("n_bytes"), band(0), band(1), band(2), band(3))
+      .withColumn("h", graft.functions.GraftExpressions.blockHash64(col("t")))
+      .select(col("doc_id"), col("L").as("n_bytes"),
+        band(0), band(1), band(2), band(3))
   }
 
   /** Banded hamming near-dup over the blockhashes — the standard

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.DuckSql
+
+/** Pins the oracle-cost protections that keep the driver's DuckDB gate
+  * alive (round 11 shipped an EMPTY correctness artifact because one
+  * un-materialized oracle family starved it — see
+  * [[DuckSql.materialize]]). `tools/oracle_bench.py` is the runtime
+  * tripwire; these are the static ones. */
+class OracleHygieneSpec extends AnyFunSuite {
+
+  test("materialize rewrites CTEs, skips named-window clauses, idempotent") {
+    val in =
+      """WITH a AS (SELECT 1 AS x), b AS
+        |  (SELECT x, COUNT(*) OVER w AS c FROM a WINDOW w AS (PARTITION BY x))
+        |SELECT CAST(x AS BIGINT) FROM b, UNNEST(range(0, 2)) AS t(i)""".stripMargin
+    val out = DuckSql.materialize(in)
+    assert(out.contains("WITH a AS MATERIALIZED (SELECT 1 AS x)"))
+    assert(out.contains("b AS MATERIALIZED \n  (SELECT") ||
+      out.contains("b AS MATERIALIZED (SELECT"))
+    // the named-window clause must stay plain `AS (` — MATERIALIZED
+    // there is a DuckDB syntax error
+    assert(out.contains("WINDOW w AS (PARTITION BY x)"))
+    // non-CTE AS forms untouched
+    assert(out.contains("CAST(x AS BIGINT)"))
+    assert(out.contains("AS t(i)"))
+    assert(DuckSql.materialize(out) == out, "materialize must be idempotent")
+  }
+
+  test("every shipped oracle is fully materialized (SparkEntry choke point)") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(DuckSql.materialize(sql) == sql,
+        s"$name reached the driver with un-materialized CTEs")
+    }
+  }
+
+  test("no oracle uses a multi-window WINDOW list (materialize's blind spot)") {
+    // `WINDOW w AS (...), v AS (...)`: the lookbehind guard only sees
+    // the first entry, so the 2nd+ would get MATERIALIZED → syntax
+    // error in DuckDB. Single-window clauses are what the codebase
+    // uses; pin it so a future multi-window oracle fails here instead
+    // of starving the driver's gate with parse errors.
+    val multi = """(?is)WINDOW\s+\w+\s+AS\s*\([^)]*\)\s*,\s*\w+\s+AS\s*\(""".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(multi.findFirstIn(sql).isEmpty,
+        s"$name uses a multi-window WINDOW list; extend DuckSql.materialize first")
+    }
+  }
+}
