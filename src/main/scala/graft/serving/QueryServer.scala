@@ -1,0 +1,130 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{Row, SparkSession}
+
+import graft.SparkEntry
+
+/** The serving shell over the query library — the counterpart of the
+  * reference's Spring Boot publisher (`gmall-publisher-2022`), on the
+  * JDK's built-in [[com.sun.net.httpserver.HttpServer]] so the
+  * zero-dependency build stays zero-dependency.
+  *
+  * Routes:
+  *  - every [[SugarApi.endpoints]] route (the reference's six
+  *    controllers), with the reference's `?date=` semantics: filter
+  *    the ADS frame to that `dt`, defaulting to the LATEST day in the
+  *    fixture (the static analog of `DateUtil.now()`);
+  *  - `GET /api/query/<name>?limit=N` — any of the 200+ named queries
+  *    as JSON records (`limit` defaults to 1000 and is pushed into the
+  *    plan BEFORE collect, so an exploratory hit on a corpus-sized
+  *    query never materializes the corpus on the driver).
+  *
+  * Scale shape: serving reads ADS-grain frames — the row counts are
+  * (days × channel-like keys), megabytes at any corpus scale — so each
+  * query is collected ONCE per server and memoized; requests after the
+  * first are pure in-memory shaping. In a production deployment the
+  * same table would be the foreachBatch-maintained store (SURVEY
+  * §3.3); the HTTP layer is identical either way.
+  */
+final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val pool = Executors.newFixedThreadPool(4)
+  // (fieldNames, rows) per cache key; ADS frames are key-grain bounded
+  private val cache = new ConcurrentHashMap[String, (Array[String], Array[Row])]()
+
+  private def load(name: String, limit: Int = Int.MaxValue): (Array[String], Array[Row]) =
+    cache.computeIfAbsent(s"$name:$limit", _ => {
+      val df0 = SparkEntry.queries(name)(spark, sfDir)
+      val df = if (limit == Int.MaxValue) df0 else df0.limit(limit)
+      (df.schema.fieldNames, df.collect())
+    })
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).map(_.split("&").toSeq).getOrElse(Nil)
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath
+      SugarApi.endpoints.get(path) match {
+        case Some(SugarApi.Endpoint(query, shape)) =>
+          val (fields, rows) = load(query)
+          val dtIdx = fields.indexOf("dt")
+          val slice =
+            if (dtIdx < 0) rows.toSeq
+            else {
+              val dates = rows.iterator.map(_.get(dtIdx).toString)
+              val day = queryParams(ex).getOrElse("date",
+                if (rows.isEmpty) "" else dates.max)
+              rows.iterator.filter(_.get(dtIdx).toString == day).toSeq
+            }
+          respond(ex, 200, SugarApi.render(shape, fields, slice))
+        case None if path.startsWith("/api/query/") =>
+          val name = path.stripPrefix("/api/query/")
+          if (!SparkEntry.queries.contains(name))
+            respond(ex, 404, s"""{"status":1,"msg":"unknown query ${SugarApi.jsonEscape(name)}"}""")
+          else {
+            val limit = queryParams(ex).get("limit").map(_.toInt).getOrElse(1000)
+            val (fields, rows) = load(name, limit)
+            val data = rows.iterator.map { r =>
+              fields.indices.map(i =>
+                s""""${SugarApi.jsonEscape(fields(i))}":${SugarApi.valueJson(r.get(i))}""")
+                .mkString("{", ",", "}")
+            }.mkString("[", ",", "]")
+            respond(ex, 200,
+              s"""{"status":0,"msg":"","query":"${SugarApi.jsonEscape(name)}","rows":$data}""")
+          }
+        case None =>
+          respond(ex, 404, """{"status":1,"msg":"not found"}""")
+      }
+    } catch {
+      case e: Throwable =>
+        respond(ex, 500,
+          s"""{"status":1,"msg":"${SugarApi.jsonEscape(String.valueOf(e.getMessage))}"}""")
+    }
+
+  def start(): Int = {
+    server.createContext("/", handle(_))
+    server.setExecutor(pool)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+  }
+}
+
+/** `runMain graft.serving.ServeMain <sfDir> [port]` — blocks forever. */
+object ServeMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val port = if (args.length > 1) args(1).toInt else 8070
+    val spark = graft.GraftSession.builder("local[4]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val bound = new QueryServer(spark, sfDir, port).start()
+    println(s"graft serving on http://127.0.0.1:$bound (routes: " +
+      s"${SugarApi.endpoints.size} sugar + /api/query/<name>)")
+    Thread.currentThread.join()
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.Row
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.serving.{QueryServer, SugarApi}
+
+/** End-to-end checks for the REST serving shell (the reference's
+  * Spring publisher surface on the JDK HttpServer): real HTTP round
+  * trips against the live query library on sf0.001, plus renderer
+  * unit pins for the four Sugar payload shapes.
+  */
+class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import TestSession._
+
+  private var server: QueryServer = _
+  private var base: String = _
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    server = new QueryServer(spark, sf, port = 0)
+    val port = server.start()
+    base = s"http://127.0.0.1:$port"
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop()
+
+  private def get(path: String): (Int, String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  // ---------------------------------------------------- renderer pins
+
+  test("renderer: series/pie/scalar/table shapes and quoting rules") {
+    val fields = Array("dt", "ch", "uv_ct", "amt")
+    val rows = Seq(
+      Row("2024-01-01", "ch\"0", 6L, new java.math.BigDecimal("10.50")),
+      Row("2024-01-01", "ch1", 2L, new java.math.BigDecimal("3.00")))
+    // series: categories and data QUOTED (TrafficController.java:44-56)
+    assert(SugarApi.render(
+      SugarApi.SeriesChart("ch", Seq("uv_ct" -> "独立访客数")), fields, rows) ==
+      """{"status":0,"msg":"","data":{"categories":["ch\"0","ch1"],""" +
+        """"series":[{"name":"独立访客数","data":["6","2"]}]}}""")
+    // pie: bare numeric values (CommodityStatsController.java:102-110)
+    assert(SugarApi.render(
+      SugarApi.NameValue("ch", "amt"), fields, rows) ==
+      """{"status":0,"msg":"","data":[{"name":"ch\"0","value":10.50},""" +
+        """{"name":"ch1","value":3.00}]}""")
+    // scalar: one bare number (TradeController.java:29-34)
+    assert(SugarApi.render(SugarApi.ScalarValue("uv_ct"), fields, rows) ==
+      """{"status":0,"msg":"","data":6}""")
+    // table: columns/rows with ids (TrafficController.java:290-410)
+    assert(SugarApi.render(
+      SugarApi.TableShape(Seq("ch" -> "类别", "uv_ct" -> "独立访客数")), fields, rows) ==
+      """{"status":0,"msg":"","data":{"columns":[{"name":"类别","id":"ch"},""" +
+        """{"name":"独立访客数","id":"uv_ct"}],""" +
+        """"rows":[{"ch":"ch\"0","uv_ct":6},{"ch":"ch1","uv_ct":2}]}}""")
+    // empty slice -> empty body (the controllers' `return ""`)
+    assert(SugarApi.render(SugarApi.ScalarValue("uv_ct"), fields, Nil) == "")
+  }
+
+  // ------------------------------------------------- HTTP round trips
+
+  test("uvCt endpoint == renderer over the query's day slice (explicit date)") {
+    val df = SparkEntry.queries("ads_traffic_uv_ct")(spark, sf)
+    val fields = df.schema.fieldNames
+    val rows = df.collect().toSeq
+    val day = rows.map(_.get(0).toString).min // any present day; use the first
+    val expected = SugarApi.render(
+      SugarApi.endpoints("/gmall/realtime/traffic/uvCt").shape,
+      fields, rows.filter(_.get(0).toString == day))
+    val (code, body) = get(s"/gmall/realtime/traffic/uvCt?date=$day")
+    assert(code == 200 && body == expected)
+    assert(body.contains("\"categories\"") && body.contains("独立访客数"))
+  }
+
+  test("trade/total defaults to the LATEST day (the DateUtil.now analog)") {
+    val rows = SparkEntry.queries("ads_trade_total_amount")(spark, sf).collect()
+    val latest = rows.map(_.get(0).toString).max
+    val expectRow = rows.filter(_.get(0).toString == latest).head
+    val (code, body) = get("/gmall/realtime/trade/total")
+    assert(code == 200)
+    assert(body == s"""{"status":0,"msg":"","data":${SugarApi.valueJson(expectRow.get(1))}}""")
+  }
+
+  test("all 21 sugar endpoints serve 200 with a non-empty default-day payload") {
+    SugarApi.endpoints.keys.foreach { route =>
+      val (code, body) = get(route)
+      assert(code == 200, s"$route -> $code")
+      assert(body.startsWith("""{"status":0"""), s"$route empty/err: ${body.take(80)}")
+    }
+  }
+
+  test("generic /api/query/<name> serves records; unknown routes 404") {
+    val n = SparkEntry.queries("ads_topk_brand")(spark, sf).count()
+    val (code, body) = get("/api/query/ads_topk_brand")
+    assert(code == 200)
+    assert(body.contains(""""query":"ads_topk_brand""""))
+    assert("\"p_brand\":".r.findAllIn(body).size == n.toInt)
+    assert(get("/api/query/no_such_query")._1 == 404)
+    assert(get("/no/such/route")._1 == 404)
+  }
+
+  test("limit is pushed into the plan before collect") {
+    val (code, body) = get("/api/query/ads_gmv?limit=3")
+    assert(code == 200)
+    assert("\"gmv\":".r.findAllIn(body).size == 3)
+  }
+}
