@@ -402,6 +402,52 @@ object Similarity {
       .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))
   }
 
+  /** Arrival slice for [[incrementalIvf]]: `vec_id % IncrMod == 0`
+    * rows land in the delta batch; the rest are the day-1 base. */
+  val IncrMod = 16L
+  /** Deletion slice: BASE rows with `vec_id % IncrDelMod == 0` are
+    * erased before the delta splices in (coprime to [[IncrMod]] so
+    * adds and deletes overlap nothing). */
+  val IncrDelMod = 17L
+
+  /** Incremental IVF index maintenance under a FROZEN coarse
+    * quantizer — the production ANN delta path: the k-means model is
+    * trained once (the shared memoized model) and never retrained per
+    * batch; a delta batch is assigned to its nearest frozen centroid
+    * by the same zero-shuffle codegen projection ([[ivfAssign]]), and
+    * the stored index is spliced set-wise — deletes via filter, adds
+    * via union — exactly the [[graft.operators.Search.incrementalPostings]] /
+    * `Multimodal.incrementalHashes` maintenance discipline, applied to
+    * the vector index.
+    *
+    * Scale shape: the delta pass touches ONLY delta rows (a projection
+    * over the broadcast-free centroid constant — no Exchange), the
+    * carried index is a stored-frame filter, and nothing re-reads the
+    * base corpus embeddings. At 100 TB the per-batch cost is
+    * O(|delta|·C·dims) scan work plus the splice. LlmOpsSpec proves
+    * the splice ≡ assigning the v2 corpus directly under the frozen
+    * model; the DuckDB oracle replays model + assignment exactly. */
+  def incrementalIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"))
+    val (ids, cents) = kmeansModel(spark, dir)
+    if (ids.isEmpty)
+      return e.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0L).as("centroid_id"), lit("").as("src"))
+    // "stored" v1 index state (the search.postings.v1 memo precedent)
+    val v1 = Memo(spark, dir, "sim.ivf.v1")(
+      ivfAssign(e.filter(col("vec_id") % IncrMod =!= 0), ids, cents)
+        .select(col("vec_id"), col("centroid_id").cast(LongType).as("centroid_id")))
+    val carried = v1.filter(col("vec_id") % IncrDelMod =!= 0)
+      .withColumn("src", lit("carried"))
+    val added = ivfAssign(e.filter(col("vec_id") % IncrMod === 0), ids, cents)
+      .select(col("vec_id"), col("centroid_id").cast(LongType).as("centroid_id"))
+      .withColumn("src", lit("added"))
+    carried.unionByName(added)
+      .select(col("vec_id"), col("centroid_id"), col("src"))
+      .orderBy(col("vec_id"))
+  }
+
   /** How many nearest cells each vector PROBES during semantic dedup.
     * The database side stays one cell per vector; probing 2 of
     * `NumCentroids` cells catches near-dup pairs that straddle a
@@ -1094,7 +1140,8 @@ object Similarity {
     "sim_ann_topk_float" -> ((s, d) => annTopKFloat(s, d)),
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
     "sim_ann_recall_lsh" -> ((s, d) => annRecallLsh(s, d)),
-    "sim_semantic_dedup" -> ((s, d) => semanticDedup(s, d)))
+    "sim_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
+    "sim_incremental_ivf" -> ((s, d) => incrementalIvf(s, d)))
 
   /** DuckDB rebuild of the hyperplane-LSH buckets: plane components
     * are FNV-derived ([[planeComponent]] — low 32 bits / 2^31 − 1, all
@@ -1861,6 +1908,17 @@ object Similarity {
          |), bf AS (
          |${baseOracles("sim_ann_topk_float")}
          |), ${recallTailSql("lsh")}""".stripMargin) +
+    ("sim_incremental_ivf" ->
+      s"""WITH ${kmeansCtes("embeddings")},
+         |v2set AS (
+         |  SELECT vec_id, e, na FROM kn
+         |  WHERE vec_id % $IncrMod = 0
+         |     OR (vec_id % $IncrMod <> 0 AND vec_id % $IncrDelMod <> 0)
+         |),
+         |${probeCte("iva", "v2set", 1)}
+         |SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id,
+         |  CASE WHEN vec_id % $IncrMod = 0 THEN 'added' ELSE 'carried' END AS src
+         |FROM iva ORDER BY vec_id""".stripMargin) +
     ("sim_ann_recall" ->
       s"""WITH ivf AS (
          |${baseOracles("sim_ann_ivf")}

@@ -1323,4 +1323,72 @@ class LlmOpsSpec extends AnyFunSuite {
     // least one real near-dup group exists in the fixture
     assert(rows.exists(_._1 == 1L) && rows.exists(_._1 > 1L))
   }
+
+  test("incremental IVF: splice == frozen-model assignment of the v2 corpus; no-exchange delta") {
+    import spark.implicits._
+    val got = Similarity.incrementalIvf(spark, sf)
+      .as[(Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    // src tags and delete erasure follow the arrival/deletion slices
+    got.foreach { case (id, _, src) =>
+      assert(src == (if (id % Similarity.IncrMod == 0) "added" else "carried"), s"vec $id tagged $src")
+    }
+    assert(got.forall { case (id, _, _) =>
+      id % Similarity.IncrMod == 0 || id % Similarity.IncrDelMod != 0 },
+      "a deleted base vector survived the splice")
+    // the splice must equal assigning the v2 corpus DIRECTLY under the
+    // same frozen model — the invariant that makes per-batch
+    // maintenance safe to run forever without index drift
+    val e = graft.sources.Tables.spread(spark,
+      graft.sources.Tables.embeddings(spark, sf)).select(col("vec_id"), col("embedding"))
+    val (ids, cents) = Similarity.kmeansModel(spark, sf)
+    val v2 = e.filter(col("vec_id") % Similarity.IncrMod === 0 ||
+      col("vec_id") % Similarity.IncrDelMod =!= 0)
+    val want = Similarity.ivfAssign(v2, ids, cents)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.map(r => r._1 -> r._2).toMap == want)
+    // the delta-assignment path is a pure projection over the centroid
+    // constant: no ALGORITHMIC shuffle (hash/range) — the only Exchange
+    // allowed is Tables.spread's ingest-side RoundRobin fan-out
+    val deltaPlan = Similarity.ivfAssign(
+      e.filter(col("vec_id") % Similarity.IncrMod === 0), ids, cents)
+      .queryExecution.executedPlan.toString
+    assert(!deltaPlan.contains("hashpartitioning") &&
+      !deltaPlan.contains("rangepartitioning"),
+      s"delta path shuffles on a key:\n$deltaPlan")
+  }
+
+  test("incremental IVF ingest: streamed delta assignment == batch added slice") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // the delta batch arrives as a STREAM: assignment is a stateless
+    // projection over the frozen-model constant, so the same ivfAssign
+    // serves micro-batches unchanged — accumulated assignments must
+    // equal the one-shot 'added' slice of the batch splice
+    val (ids, cents) = Similarity.kmeansModel(spark, sf)
+    val delta = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % Similarity.IncrMod === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized {
+          buf ++= Similarity.ivfAssign(batch, ids, cents)
+            .select($"vec_id", $"centroid_id".cast("long"))
+            .as[(Long, Long)].collect()
+        }
+        ()
+      }.start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val want = Similarity.incrementalIvf(spark, sf)
+      .filter($"src" === "added")
+      .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toSet
+    assert(buf.toSet == want, s"streamed delta (${buf.size}) diverges from batch (${want.size})")
+  }
 }
