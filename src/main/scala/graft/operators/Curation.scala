@@ -692,6 +692,37 @@ object Curation {
     cur
   }
 
+  /** The corpus ENCODED with the learned merge table — the
+    * tokenizer-application pass a training pipeline runs over every
+    * document after BPE induction. Each position gets its token's
+    * piece sequence (space-joined symbols) and piece count.
+    *
+    * Scale shape: the merge table is k driver rows (what a tokenizer
+    * ships; memoized via [[Memo.value]] so induction runs once per
+    * (session, dir)); the k merges are applied on the DISTINCT-token
+    * vocabulary — each word TYPE is encoded exactly once, the
+    * textbook trick that makes BPE encoding corpus-size-independent —
+    * and one token-keyed join carries the encodings back to positions.
+    * The corpus is scanned once; the merge loop never touches it. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = Memo.value(spark, dir, "bpe.merges")(
+      bpeMerges(spark, dir).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    val toks = tokensShared(spark, dir).filter(col("token") =!= "")
+    var vocab = toks.select(col("token")).distinct()
+      .withColumn("syms", concat(lit(" "),
+        concat_ws(" ", expr("regexp_extract_all(token, '.', 0)")), lit(" ")))
+    merges.foreach { case (a, b) => vocab = bpeApplyMerge(vocab, a, b) }
+    val enc = vocab
+      .withColumn("pieces", trim(col("syms")))
+      .withColumn("n_pieces", size(split(trim(col("syms")), " ")).cast(LongType))
+      .select(col("token"), col("pieces"), col("n_pieces"))
+    toks.join(enc, "token")
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        col("token"), col("pieces"), col("n_pieces"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   // ---------------------------------------------------------------
   // Crawl snapshot diff (incremental corpus maintenance)
   // ---------------------------------------------------------------
@@ -829,7 +860,8 @@ object Curation {
     "text_dist_drift" -> ((s, d) => distDrift(s, d)),
     "text_snapshot_diff_summary" -> ((s, d) => snapshotDiffSummary(s, d)),
     "text_token_ids" -> ((s, d) => tokenIds(s, d)),
-    "text_bpe_merges" -> ((s, d) => bpeMerges(s, d)))
+    "text_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
+    "text_bpe_encode" -> ((s, d) => bpeEncode(s, d)))
 
   // Single-line on purpose: this fragment is interpolated into
   // stripMargin'd oracle strings, where a line starting with `||`
@@ -1174,35 +1206,80 @@ object Curation {
     // bpeApplyMerge, so leftmost-greedy semantics match exactly) feeds
     // the next; the merge table is the union of the k scalar rows.
     "text_bpe_merges" -> {
-      val w0 =
-        """w0 AS MATERIALIZED (
-          |  SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS syms,
-          |    CAST(COUNT(*) AS BIGINT) AS freq
-          |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-          |  WHERE w <> '' GROUP BY w
-          |)""".stripMargin
-      val rounds = (1 to BpeRounds).map { r =>
-        val prev = s"w${r - 1}"
-        s"""pc$r AS MATERIALIZED (
-           |  SELECT ts[i] || ' ' || ts[i + 1] AS pair, CAST(SUM(freq) AS BIGINT) AS ct
-           |  FROM (SELECT string_split(trim(syms), ' ') AS ts, freq FROM $prev),
-           |       unnest(range(1, len(ts))) AS u(i)
-           |  GROUP BY 1
-           |), t$r AS MATERIALIZED (
-           |  SELECT pair, ct, string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
-           |  FROM pc$r ORDER BY ct DESC, pair LIMIT 1
-           |), w$r AS MATERIALIZED (
-           |  SELECT replace(replace(syms,
-           |      ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ',
-           |      ' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' '),
-           |      ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ',
-           |      ' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' ') AS syms, freq
-           |  FROM $prev
-           |)""".stripMargin
-      }.mkString(",\n")
       val rows = (1 to BpeRounds).map { r =>
         s"SELECT CAST($r AS BIGINT) AS round, a AS p1, b AS p2, a || b AS merged, ct AS pair_ct FROM t$r"
       }.mkString("\nUNION ALL\n")
-      s"WITH $w0,\n$rounds\n$rows\nORDER BY round"
+      s"WITH $bpeReplayCtes\n$rows\nORDER BY round"
+    },
+    // Encoding replays the SAME merge sequence over the distinct-token
+    // vocabulary (each word type once), then joins back to positions —
+    // the engine's exact shape.
+    "text_bpe_encode" -> {
+      val encRounds = (1 to BpeRounds).map { r =>
+        s"""enc$r AS MATERIALIZED (
+           |  SELECT token, replace(replace(syms,
+           |      ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ',
+           |      ' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' '),
+           |      ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ',
+           |      ' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' ') AS syms
+           |  FROM enc${r - 1}
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bpeReplayCtes,
+         |bt0 AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+         |), btok AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, len(toks))) AS pos, unnest(toks) AS token
+         |  FROM bt0
+         |), enc0 AS (
+         |  SELECT DISTINCT token,
+         |    ' ' || array_to_string(regexp_extract_all(token, '.'), ' ') || ' ' AS syms
+         |  FROM btok WHERE token <> ''
+         |),
+         |$encRounds,
+         |encf AS (
+         |  SELECT token, trim(syms) AS pieces,
+         |    CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_pieces
+         |  FROM enc$BpeRounds
+         |)
+         |SELECT btok.doc_id, CAST(btok.pos AS BIGINT) AS pos, btok.token,
+         |  e.pieces, e.n_pieces
+         |FROM btok JOIN encf e USING (token)
+         |WHERE btok.token <> ''
+         |ORDER BY doc_id, pos""".stripMargin
     })
+
+  /** The BPE training replay shared by the merges and encode oracles:
+    * `w0` (sentinel-spaced word types) through `w{k}` with the scalar
+    * top-pair CTEs `t1..tk` in between. */
+  private def bpeReplayCtes: String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS syms,
+        |    CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w
+        |)""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""pc$r AS MATERIALIZED (
+         |  SELECT ts[i] || ' ' || ts[i + 1] AS pair, CAST(SUM(freq) AS BIGINT) AS ct
+         |  FROM (SELECT string_split(trim(syms), ' ') AS ts, freq FROM $prev),
+         |       unnest(range(1, len(ts))) AS u(i)
+         |  GROUP BY 1
+         |), t$r AS MATERIALIZED (
+         |  SELECT pair, ct, string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+         |  FROM pc$r ORDER BY ct DESC, pair LIMIT 1
+         |), w$r AS MATERIALIZED (
+         |  SELECT replace(replace(syms,
+         |      ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ',
+         |      ' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' '),
+         |      ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ',
+         |      ' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' ') AS syms, freq
+         |  FROM $prev
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"$w0,\n$rounds"
+  }
 }

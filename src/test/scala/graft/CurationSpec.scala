@@ -405,6 +405,37 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSet == Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("bpe encode: pieces round-trip to the token; exact vs driver-side merge replay") {
+    import spark.implicits._
+    val merges = Curation.bpeMerges(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val enc = Curation.bpeEncode(spark, sf)
+      .select("token", "pieces", "n_pieces").distinct()
+      .as[(String, String, Long)].collect()
+    assert(enc.nonEmpty)
+    // lossless: pieces concatenate back to the token; count matches
+    enc.foreach { case (tok, pieces, n) =>
+      assert(pieces.split(" ").mkString == tok, s"'$tok' -> '$pieces' lost chars")
+      assert(pieces.split(" ").length.toLong == n)
+    }
+    // the merge table did real work on the fixture
+    assert(enc.exists { case (tok, _, n) => n < tok.length },
+      "no token was ever merged — merge table unapplied?")
+    // exact: replay the learned merges driver-side per word type (the
+    // same double-replace non-overlapping semantics as bpeApplyMerge)
+    def applyAll(tok: String): String = {
+      var s = " " + tok.toCharArray.mkString(" ") + " "
+      merges.foreach { case (a, b) =>
+        val pat = s" $a $b "; val rep = s" $a$b "
+        s = s.replace(pat, rep).replace(pat, rep)
+      }
+      s.trim
+    }
+    enc.foreach { case (tok, pieces, _) =>
+      assert(pieces == applyAll(tok), s"'$tok': got '$pieces' want '${applyAll(tok)}'")
+    }
+  }
+
   test("token ids: dense 1..V by frequency, positions dense per doc") {
     import spark.implicits._
     val ids = Curation.tokenIds(spark, sf).cache()
