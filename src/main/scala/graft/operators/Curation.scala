@@ -574,8 +574,13 @@ object Curation {
     *     values), i.e. ~10^7 rows at 100 T tokens, versus the 10^9+
     *     raw vocabulary the old partition-less window sorted on one
     *     task. */
-  def tokenIds(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokensShared(spark, dir)
+  def tokenIds(spark: SparkSession, dir: String): DataFrame =
+    tokenIdsOn(tokensShared(spark, dir))
+
+  /** Core over an explicit (doc_id, pos, token) frame — split out so
+    * the GraftProps property can prove the three-level decomposition
+    * equals the naive global-window rank on random corpora. */
+  private[graft] def tokenIdsOn(toks: DataFrame): DataFrame = {
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("ct"))
       .withColumn("_dg", md5(col("token")))
       .withColumn("_bucket", conv(substring(col("_dg"), 1, 2), 16, 10).cast(LongType))

@@ -574,6 +574,69 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  // ---------------------------------------- tokenIds distributed rank
+
+  /** The three-level rank decomposition behind `text_token_ids`
+    * (parallel windows per (ct, md5-bucket) → ≤256-row bucket offsets
+    * → distinct-count cumsum) against the naive single-window rank.
+    * Tiny alphabet on purpose: heavy count ties exercise the
+    * cross-bucket ordering, the dominant ct=1 tail, and the md5
+    * tie-break — the parts a uniform vocabulary would never stress. */
+  property("tokenIdsOn 3-level rank == naive global-window rank") = {
+    val genDoc = Gen.nonEmptyListOf(
+      Gen.oneOf("a", "b", "c", "aa", "bb", "zz", "q", "longword"))
+      .map(_.mkString(" "))
+    forAll(Gen.nonEmptyListOf(genDoc).map(_.take(6))) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val toks = graft.operators.Curation.tokensOf(docs)
+      val got = graft.operators.Curation.tokenIdsOn(toks)
+        .as[(Long, Long, Long)].collect().toSet
+      val ids = toks.groupBy($"token").agg(count(lit(1)).as("ct"))
+        .withColumn("token_id", row_number().over(
+          Window.orderBy($"ct".desc, md5($"token"), $"token")).cast("long"))
+      val want = toks.join(ids, "token")
+        .select($"doc_id", $"pos".cast("long"), $"token_id")
+        .as[(Long, Long, Long)].collect().toSet
+      got == want
+    }
+  }
+
+  // ------------------------------------------ byte-entropy kernel
+
+  /** `ByteEntropyStats` (the codegen histogram kernel) against a
+    * driver-side recompute with the identical op order: counts per
+    * code point, p = ct/n, term = p·detLn(p) (the 20-sqrt ln),
+    * ascending fold from 0.0, negated. Bit-equality, not tolerance. */
+  property("ByteEntropyStats == driver-side sorted-fold recompute") = {
+    val genText = Gen.nonEmptyListOf(Gen.choose(32, 126))
+      .map(_.map(_.toChar).mkString)
+    forAll(Gen.nonEmptyListOf(genText).map(_.take(6))) { texts =>
+      import spark.implicits._
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select($"doc_id",
+          graft.functions.GraftExpressions.byteEntropyStats($"text").as("st"))
+        .select($"doc_id", $"st.n_bytes", $"st.distinct_bytes", $"st.entropy")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      def detLn(x: Double): Double = {
+        var c = x; (0 until 20).foreach(_ => c = Math.sqrt(c)); (c - 1.0) * 1048576.0
+      }
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        val counts = t.groupBy(identity).view.mapValues(_.length.toLong)
+        val n = t.length.toLong
+        val terms = counts.values.map { ct =>
+          val p = ct.toDouble / n.toDouble; p * detLn(p)
+        }.toArray.sorted
+        val s = terms.foldLeft(0.0)(_ + _)
+        i.toLong -> ((n, counts.size.toLong, 0.0 - s))
+      }.toMap
+      got == want
+    }
+  }
+
   // ------------------------------------------------ blockhash bit rule
 
   /** Driver-side reimplementation of Multimodal.blockHashesOn: block
