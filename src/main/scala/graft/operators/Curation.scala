@@ -720,7 +720,7 @@ object Curation {
     merges.foreach { case (a, b) => vocab = bpeApplyMerge(vocab, a, b) }
     val enc = vocab
       .withColumn("pieces", trim(col("syms")))
-      .withColumn("n_pieces", size(split(trim(col("syms")), " ")).cast(LongType))
+      .withColumn("n_pieces", size(split(col("pieces"), " ")).cast(LongType))
       .select(col("token"), col("pieces"), col("n_pieces"))
     toks.join(enc, "token")
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),

@@ -35,15 +35,43 @@ final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = Executors.newFixedThreadPool(4)
-  // (fieldNames, rows) per cache key; ADS frames are key-grain bounded
-  private val cache = new ConcurrentHashMap[String, (Array[String], Array[Row])]()
 
-  private def load(name: String, limit: Int = Int.MaxValue): (Array[String], Array[Row]) =
-    cache.computeIfAbsent(s"$name:$limit", _ => {
-      val df0 = SparkEntry.queries(name)(spark, sfDir)
-      val df = if (limit == Int.MaxValue) df0 else df0.limit(limit)
+  /** Per-key lazy holder: `computeIfAbsent` only ever creates the
+    * cheap Slot (CHM requires its mapping fn be short — a multi-second
+    * Spark collect inside it would hold the bin lock and serialize
+    * unrelated keys that hash to the same bin); the collect itself
+    * runs under the Slot's own lazy-init lock, so concurrent requests
+    * for the SAME query wait on each other and nothing else. */
+  private final class Slot(build: () => (Array[String], Array[Row])) {
+    lazy val value: (Array[String], Array[Row]) = build()
+  }
+  private val cache = new ConcurrentHashMap[String, Slot]()
+
+  /** Hard cap on rows the generic route ever collects: keeps any
+    * named query — including corpus-sized ones — driver-safe, and
+    * bounds the cache at one entry per route-kind×query (smaller
+    * `?limit=` values are served as prefixes of the cached result,
+    * which is sound because every query has a deterministic ORDER BY). */
+  private val MaxApiRows = 10000
+
+  private def load(key: String)(build: => (Array[String], Array[Row])): (Array[String], Array[Row]) =
+    cache.computeIfAbsent(key, _ => new Slot(() => build)).value
+
+  /** Sugar frames are ADS-grain (days × channel-like keys) — bounded
+    * at any corpus scale, collected in full. */
+  private def loadSugar(name: String): (Array[String], Array[Row]) =
+    load(s"sugar:$name") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
       (df.schema.fieldNames, df.collect())
-    })
+    }
+
+  /** Generic route: one plan-side-limited collect per query, shared by
+    * every request regardless of its `?limit=`. */
+  private def loadApi(name: String): (Array[String], Array[Row]) =
+    load(s"api:$name") {
+      val df = SparkEntry.queries(name)(spark, sfDir).limit(MaxApiRows)
+      (df.schema.fieldNames, df.collect())
+    }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -67,7 +95,7 @@ final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
       val path = ex.getRequestURI.getPath
       SugarApi.endpoints.get(path) match {
         case Some(SugarApi.Endpoint(query, shape)) =>
-          val (fields, rows) = load(query)
+          val (fields, rows) = loadSugar(query)
           val dtIdx = fields.indexOf("dt")
           val slice =
             if (dtIdx < 0) rows.toSeq
@@ -83,8 +111,16 @@ final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
           if (!SparkEntry.queries.contains(name))
             respond(ex, 404, s"""{"status":1,"msg":"unknown query ${SugarApi.jsonEscape(name)}"}""")
           else {
-            val limit = queryParams(ex).get("limit").map(_.toInt).getOrElse(1000)
-            val (fields, rows) = load(name, limit)
+            val limitRaw = queryParams(ex).get("limit")
+            val limitOpt = limitRaw.map(_.toIntOption)
+            if (limitOpt.exists(v => v.isEmpty || v.exists(_ < 1))) {
+              respond(ex, 400,
+                s"""{"status":1,"msg":"limit must be a positive integer, got ${SugarApi.jsonEscape(limitRaw.get)}"}""")
+              return
+            }
+            val limit = math.min(limitOpt.flatten.getOrElse(1000), MaxApiRows)
+            val (fields, cached) = loadApi(name)
+            val rows = if (cached.length > limit) cached.take(limit) else cached
             val data = rows.iterator.map { r =>
               fields.indices.map(i =>
                 s""""${SugarApi.jsonEscape(fields(i))}":${SugarApi.valueJson(r.get(i))}""")

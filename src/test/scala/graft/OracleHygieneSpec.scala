@@ -40,11 +40,33 @@ class OracleHygieneSpec extends AnyFunSuite {
     // the first entry, so the 2nd+ would get MATERIALIZED → syntax
     // error in DuckDB. Single-window clauses are what the codebase
     // uses; pin it so a future multi-window oracle fails here instead
-    // of starving the driver's gate with parse errors.
-    val multi = """(?is)WINDOW\s+\w+\s+AS\s*\([^)]*\)\s*,\s*\w+\s+AS\s*\(""".r
+    // of starving the driver's gate with parse errors. The window spec
+    // is skipped with a balanced-paren scan (a regex [^)]* would stop
+    // at the first ')' of a nested call like PARTITION BY coalesce(x,0)
+    // and miss the second entry).
+    val windowHead = """(?is)\bWINDOW\s+\w+\s+AS\s*\(""".r
+    def hasSecondEntry(sql: String, openIdx: Int): Boolean = {
+      var i = openIdx; var depth = 0
+      while (i < sql.length) {
+        sql.charAt(i) match {
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) {
+              val rest = sql.substring(i + 1)
+              return rest.matches("""(?is)\s*,\s*\w+\s+AS\s*\(.*""")
+            }
+          case _ => ()
+        }
+        i += 1
+      }
+      false
+    }
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      assert(multi.findFirstIn(sql).isEmpty,
-        s"$name uses a multi-window WINDOW list; extend DuckSql.materialize first")
+      windowHead.findAllMatchIn(sql).foreach { m =>
+        assert(!hasSecondEntry(sql, sql.indexOf('(', m.start)),
+          s"$name uses a multi-window WINDOW list; extend DuckSql.materialize first")
+      }
     }
   }
 }

@@ -113,4 +113,20 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(code == 200)
     assert("\"gmv\":".r.findAllIn(body).size == 3)
   }
+
+  test("limit hygiene: bad limits 400, huge limits clamp, smaller limits share the cache") {
+    assert(get("/api/query/ads_gmv?limit=abc")._1 == 400)
+    assert(get("/api/query/ads_gmv?limit=0")._1 == 400)
+    assert(get("/api/query/ads_gmv?limit=-5")._1 == 400)
+    // Int.MaxValue must NOT disable the limit (the driver-safety cap):
+    // ads_gmv has ~1k rows at this SF, well under the cap, so the
+    // clamped request returns them all
+    val n = SparkEntry.queries("ads_gmv")(spark, sf).count().toInt
+    val (code, body) = get("/api/query/ads_gmv?limit=2147483647")
+    assert(code == 200 && "\"gmv\":".r.findAllIn(body).size == n)
+    // a smaller limit is a prefix of the same cached collect (same
+    // leading row, no extra Spark job needed for the slice)
+    val first = get("/api/query/ads_gmv?limit=1")._2
+    assert(body.startsWith(first.stripSuffix("]}")), "limit=1 is not a prefix of the full result")
+  }
 }
