@@ -728,6 +728,30 @@ object Curation {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** Tokenizer-evaluation report over the encoded corpus: per
+    * (lang, source), token/piece/char mass plus FERTILITY (pieces per
+    * token — the standard "how well does this tokenizer fit this
+    * slice" metric; high-fertility slices waste context window) and
+    * compression (chars per piece). Exact integer masses; the two
+    * ratios are single IEEE divisions of exact longs, bit-equal in
+    * DuckDB. Scale shape: rides [[bpeEncode]] (vocab-sized merge work)
+    * + one doc-keyed metadata join + one partial-agg groupBy over a
+    * (langs × sources)-sized result. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Tables.spread(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"))
+    bpeEncode(spark, dir).join(meta, "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(length(col("token")).cast(LongType)).as("n_chars"))
+      .withColumn("fertility",
+        col("n_pieces").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("chars_per_piece",
+        col("n_chars").cast(DoubleType) / col("n_pieces").cast(DoubleType))
+      .orderBy(col("lang"), col("source"))
+  }
+
   // ---------------------------------------------------------------
   // Crawl snapshot diff (incremental corpus maintenance)
   // ---------------------------------------------------------------
@@ -866,7 +890,8 @@ object Curation {
     "text_snapshot_diff_summary" -> ((s, d) => snapshotDiffSummary(s, d)),
     "text_token_ids" -> ((s, d) => tokenIds(s, d)),
     "text_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
-    "text_bpe_encode" -> ((s, d) => bpeEncode(s, d)))
+    "text_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
+    "text_bpe_fertility" -> ((s, d) => bpeFertility(s, d)))
 
   // Single-line on purpose: this fragment is interpolated into
   // stripMargin'd oracle strings, where a line starting with `||`
@@ -1219,41 +1244,63 @@ object Curation {
     // Encoding replays the SAME merge sequence over the distinct-token
     // vocabulary (each word type once), then joins back to positions —
     // the engine's exact shape.
-    "text_bpe_encode" -> {
-      val encRounds = (1 to BpeRounds).map { r =>
-        s"""enc$r AS MATERIALIZED (
-           |  SELECT token, replace(replace(syms,
-           |      ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ',
-           |      ' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' '),
-           |      ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ',
-           |      ' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' ') AS syms
-           |  FROM enc${r - 1}
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $bpeReplayCtes,
-         |bt0 AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-         |), btok AS (
-         |  SELECT doc_id,
-         |    unnest(range(0, len(toks))) AS pos, unnest(toks) AS token
-         |  FROM bt0
-         |), enc0 AS (
-         |  SELECT DISTINCT token,
-         |    ' ' || array_to_string(regexp_extract_all(token, '.'), ' ') || ' ' AS syms
-         |  FROM btok WHERE token <> ''
-         |),
-         |$encRounds,
-         |encf AS (
-         |  SELECT token, trim(syms) AS pieces,
-         |    CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_pieces
-         |  FROM enc$BpeRounds
-         |)
+    "text_bpe_encode" ->
+      s"""$bpeEncodePrefix
          |SELECT btok.doc_id, CAST(btok.pos AS BIGINT) AS pos, btok.token,
          |  e.pieces, e.n_pieces
          |FROM btok JOIN encf e USING (token)
          |WHERE btok.token <> ''
-         |ORDER BY doc_id, pos""".stripMargin
-    })
+         |ORDER BY doc_id, pos""".stripMargin,
+    "text_bpe_fertility" ->
+      s"""$bpeEncodePrefix
+         |SELECT d.lang, d.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(len(btok.token)) AS BIGINT) AS n_chars,
+         |  CAST(CAST(SUM(e.n_pieces) AS BIGINT) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS fertility,
+         |  CAST(CAST(SUM(len(btok.token)) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(SUM(e.n_pieces) AS BIGINT) AS DOUBLE) AS chars_per_piece
+         |FROM btok
+         |JOIN encf e USING (token)
+         |JOIN documents d USING (doc_id)
+         |WHERE btok.token <> ''
+         |GROUP BY d.lang, d.source
+         |ORDER BY lang, source""".stripMargin)
+
+  /** Shared WITH-prefix of the BPE encode/fertility oracles: training
+    * replay + positioned tokens (`btok`) + per-word-type encodings
+    * (`encf`). */
+  private def bpeEncodePrefix: String = {
+    val encRounds = (1 to BpeRounds).map { r =>
+      s"""enc$r AS MATERIALIZED (
+         |  SELECT token, replace(replace(syms,
+         |      ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ',
+         |      ' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' '),
+         |      ' ' || (SELECT a FROM t$r) || ' ' || (SELECT b FROM t$r) || ' ',
+         |      ' ' || (SELECT a FROM t$r) || (SELECT b FROM t$r) || ' ') AS syms
+         |  FROM enc${r - 1}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeReplayCtes,
+       |bt0 AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+       |), btok AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, len(toks))) AS pos, unnest(toks) AS token
+       |  FROM bt0
+       |), enc0 AS (
+       |  SELECT DISTINCT token,
+       |    ' ' || array_to_string(regexp_extract_all(token, '.'), ' ') || ' ' AS syms
+       |  FROM btok WHERE token <> ''
+       |),
+       |$encRounds,
+       |encf AS (
+       |  SELECT token, trim(syms) AS pieces,
+       |    CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_pieces
+       |  FROM enc$BpeRounds
+       |)""".stripMargin
+  }
 
   /** The BPE training replay shared by the merges and encode oracles:
     * `w0` (sentinel-spaced word types) through `w{k}` with the scalar

@@ -436,6 +436,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe fertility: masses recount from the encoded corpus; ratios exact") {
+    import spark.implicits._
+    val rep = Curation.bpeFertility(spark, sf)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+    assert(rep.nonEmpty)
+    val enc = Curation.bpeEncode(spark, sf)
+      .select("doc_id", "token", "n_pieces").as[(Long, String, Long)].collect()
+    val meta = Tables_docs().select("doc_id", "lang", "source")
+      .as[(Long, String, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val want = enc.groupBy(r => meta(r._1))
+      .map { case (k, rows) =>
+        k -> ((rows.length.toLong, rows.map(_._3).sum, rows.map(_._2.length.toLong).sum))
+      }
+    rep.foreach { case (lang, source, nTok, nPieces, nChars, fert, cpp) =>
+      val (wTok, wPieces, wChars) = want((lang, source))
+      assert((nTok, nPieces, nChars) == ((wTok, wPieces, wChars)), s"($lang,$source) mass")
+      assert(fert == nPieces.toDouble / nTok.toDouble && fert >= 1.0, s"($lang,$source) fertility")
+      assert(cpp == nChars.toDouble / nPieces.toDouble && cpp >= 1.0, s"($lang,$source) compression")
+    }
+  }
+
   test("token ids: dense 1..V by frequency, positions dense per doc") {
     import spark.implicits._
     val ids = Curation.tokenIds(spark, sf).cache()
