@@ -402,6 +402,25 @@ object Similarity {
       .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))
   }
 
+  /** IVF cell-occupancy histogram — the dead/hot-cell detector every
+    * IVF deployment watches (an empty cell wastes a probe budget
+    * slot; a hot cell degrades probe selectivity toward brute force).
+    * The PQ twin is [[pqCells]]; this is the coarse-quantizer side.
+    * Shape: the zero-shuffle assignment projection + one partial-agg
+    * groupBy over ≤ C rows. */
+  def ivfCells(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"))
+    val (ids, cents) = kmeansModel(spark, dir)
+    if (ids.isEmpty)
+      return e.sparkSession.emptyDataFrame
+        .select(lit(0L).as("centroid_id"), lit(0L).as("ct"))
+    ivfAssign(e, ids, cents)
+      .groupBy(col("centroid_id").cast(LongType).as("centroid_id"))
+      .agg(count(lit(1)).as("ct"))
+      .orderBy(col("centroid_id"))
+  }
+
   /** Arrival slice for [[incrementalIvf]]: `vec_id % IncrMod == 0`
     * rows land in the delta batch; the rest are the day-1 base. */
   val IncrMod = 16L
@@ -1141,7 +1160,8 @@ object Similarity {
     "sim_ann_recall" -> ((s, d) => annRecall(s, d)),
     "sim_ann_recall_lsh" -> ((s, d) => annRecallLsh(s, d)),
     "sim_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
-    "sim_incremental_ivf" -> ((s, d) => incrementalIvf(s, d)))
+    "sim_incremental_ivf" -> ((s, d) => incrementalIvf(s, d)),
+    "sim_ivf_cells" -> ((s, d) => ivfCells(s, d)))
 
   /** DuckDB rebuild of the hyperplane-LSH buckets: plane components
     * are FNV-derived ([[planeComponent]] — low 32 bits / 2^31 − 1, all
@@ -1908,6 +1928,12 @@ object Similarity {
          |), bf AS (
          |${baseOracles("sim_ann_topk_float")}
          |), ${recallTailSql("lsh")}""".stripMargin) +
+    ("sim_ivf_cells" ->
+      s"""WITH ${kmeansCtes("embeddings")},
+         |${probeCte("kass", "kn", 1)}
+         |SELECT CAST(cid AS BIGINT) AS centroid_id,
+         |  CAST(COUNT(*) AS BIGINT) AS ct
+         |FROM kass GROUP BY 1 ORDER BY centroid_id""".stripMargin) +
     ("sim_incremental_ivf" ->
       s"""WITH ${kmeansCtes("embeddings")},
          |v2set AS (

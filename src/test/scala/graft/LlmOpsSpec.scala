@@ -1391,4 +1391,14 @@ class LlmOpsSpec extends AnyFunSuite {
       .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toSet
     assert(buf.toSet == want, s"streamed delta (${buf.size}) diverges from batch (${want.size})")
   }
+
+  test("IVF cell occupancy: covers the corpus; cells are model cells") {
+    import spark.implicits._
+    val cells = Similarity.ivfCells(spark, sf).as[(Long, Long)].collect()
+    assert(cells.nonEmpty && cells.forall(_._2 > 0))
+    val total = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(cells.map(_._2).sum == total, "occupancy must account for every vector")
+    val (ids, _) = Similarity.kmeansModel(spark, sf)
+    assert(cells.map(_._1).toSet.subsetOf(ids.map(_.toLong).toSet))
+  }
 }
