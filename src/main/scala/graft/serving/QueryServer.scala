@@ -20,9 +20,12 @@ import graft.SparkEntry
   *    the ADS frame to that `dt`, defaulting to the LATEST day in the
   *    fixture (the static analog of `DateUtil.now()`);
   *  - `GET /api/query/<name>?limit=N` — any of the 200+ named queries
-  *    as JSON records (`limit` defaults to 1000 and is pushed into the
-  *    plan BEFORE collect, so an exploratory hit on a corpus-sized
-  *    query never materializes the corpus on the driver).
+  *    as JSON records. The first hit collects AT MOST [[MaxApiRows]]
+  *    (a plan-side `limit`, so an exploratory hit on a corpus-sized
+  *    query never materializes the corpus on the driver); every
+  *    request — any `?limit=` up to the cap — is then a prefix slice
+  *    of that one cached collect (sound because every query has a
+  *    deterministic ORDER BY).
   *
   * Scale shape: serving reads ADS-grain frames — the row counts are
   * (days × channel-like keys), megabytes at any corpus scale — so each

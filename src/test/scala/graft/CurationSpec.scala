@@ -449,6 +449,8 @@ class CurationSpec extends AnyFunSuite {
       .map { case (k, rows) =>
         k -> ((rows.length.toLong, rows.map(_._3).sum, rows.map(_._2.length.toLong).sum))
       }
+    // completeness: every (lang, source) slice in the corpus reports
+    assert(rep.map(r => (r._1, r._2)).toSet == want.keySet)
     rep.foreach { case (lang, source, nTok, nPieces, nChars, fert, cpp) =>
       val (wTok, wPieces, wChars) = want((lang, source))
       assert((nTok, nPieces, nChars) == ((wTok, wPieces, wChars)), s"($lang,$source) mass")

@@ -53,8 +53,14 @@ class OracleHygieneSpec extends AnyFunSuite {
           case ')' =>
             depth -= 1
             if (depth == 0) {
+              // the SQL under test is POST-materialize (oracleSql maps
+              // through DuckSql.materialize), so a second window entry
+              // arrives as either `v AS (` (guard somehow skipped it)
+              // or `v AS MATERIALIZED (` (guard corrupted it — the
+              // actual hazard); match both or the tripwire passes
+              // exactly when the failure it pins has occurred
               val rest = sql.substring(i + 1)
-              return rest.matches("""(?is)\s*,\s*\w+\s+AS\s*\(.*""")
+              return rest.matches("""(?is)\s*,\s*\w+\s+AS\s+(MATERIALIZED\s*)?\(.*""")
             }
           case _ => ()
         }

@@ -108,7 +108,7 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/no/such/route")._1 == 404)
   }
 
-  test("limit is pushed into the plan before collect") {
+  test("limit slices the one cached plan-side-capped collect") {
     val (code, body) = get("/api/query/ads_gmv?limit=3")
     assert(code == 200)
     assert("\"gmv\":".r.findAllIn(body).size == 3)
