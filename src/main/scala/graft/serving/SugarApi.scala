@@ -113,7 +113,13 @@ object SugarApi {
       Endpoint("ads_coupon_stats", TableShape(Seq(
         "coupon_reduce_amount" -> "优惠券减免金额",
         "origin_total_amount" -> "原始金额总和",
-        "coupon_subsidy_rate" -> "优惠券补贴率")))
+        "coupon_subsidy_rate" -> "优惠券补贴率"))),
+    // Legacy module gmall-publisher SugarController.java:45-94 (GMV
+    // scalar + daily-active-by-channel series; series quoting follows
+    // the 2022 module's uniform convention)
+    "/api/sugar/gmv" -> Endpoint("ads_gmv", ScalarValue("gmv")),
+    "/api/sugar/ch" ->
+      Endpoint("ads_uv_by_ch_legacy", SeriesChart("ch", Seq("uv" -> "日活")))
   )
 
   def jsonEscape(s: String): String = {

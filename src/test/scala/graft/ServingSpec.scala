@@ -90,7 +90,8 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(body == s"""{"status":0,"msg":"","data":${SugarApi.valueJson(expectRow.get(1))}}""")
   }
 
-  test("all 21 sugar endpoints serve 200 with a non-empty default-day payload") {
+  test("all 23 sugar endpoints (incl. legacy /api/sugar) serve 200 with a non-empty default-day payload") {
+    assert(SugarApi.endpoints.size == 23)
     SugarApi.endpoints.keys.foreach { route =>
       val (code, body) = get(route)
       assert(code == 200, s"$route -> $code")
