@@ -214,6 +214,23 @@ object Similarity {
     sig.select(keep :+ posexplode(col("b")).as(Seq("t", "bucket")): _*)
   }
 
+  /** LSH bucket-occupancy histogram, per table: how many buckets hold
+    * exactly `occ` vectors — the hyperplane-LSH skew detector (a hot
+    * bucket means that table's sign pattern is degenerate for this
+    * corpus and its probes degrade toward a scan; lots of singletons
+    * at this corpus/2^planes ratio is the healthy shape). Completes
+    * the occupancy-audit symmetry across all three index families
+    * ([[ivfCells]], [[pqCells]]). Shape: one fused signature pass +
+    * two keyed partial-agg groupBys; output ≤ tables × distinct
+    * occupancies. */
+  def lshOccupancy(spark: SparkSession, dir: String): DataFrame =
+    bucketsUnpivoted(Tables.spread(spark, Tables.embeddings(spark, dir)),
+      carryEmbedding = false)
+      .groupBy(col("t"), col("bucket")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("t").cast(LongType).as("t"), col("occ"))
+      .agg(count(lit(1)).as("bucket_ct"))
+      .orderBy(col("t"), col("occ"))
+
   /** ANN via multi-table, multi-probe LSH: a pair is a candidate when
     * the query's probe set (its bucket + Hamming-1 flips) hits the
     * neighbor's bucket in ANY table; exact cosine (codegen'd float
@@ -1161,7 +1178,8 @@ object Similarity {
     "sim_ann_recall_lsh" -> ((s, d) => annRecallLsh(s, d)),
     "sim_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
     "sim_incremental_ivf" -> ((s, d) => incrementalIvf(s, d)),
-    "sim_ivf_cells" -> ((s, d) => ivfCells(s, d)))
+    "sim_ivf_cells" -> ((s, d) => ivfCells(s, d)),
+    "sim_lsh_occupancy" -> ((s, d) => lshOccupancy(s, d)))
 
   /** DuckDB rebuild of the hyperplane-LSH buckets: plane components
     * are FNV-derived ([[planeComponent]] — low 32 bits / 2^31 − 1, all
@@ -1928,6 +1946,15 @@ object Similarity {
          |), bf AS (
          |${baseOracles("sim_ann_topk_float")}
          |), ${recallTailSql("lsh")}""".stripMargin) +
+    ("sim_lsh_occupancy" ->
+      s"""WITH ${lshCtes()},
+         |lob AS (
+         |  SELECT t, bucket, CAST(COUNT(*) AS BIGINT) AS occ
+         |  FROM buckets GROUP BY 1, 2
+         |)
+         |SELECT CAST(t AS BIGINT) AS t, occ,
+         |  CAST(COUNT(*) AS BIGINT) AS bucket_ct
+         |FROM lob GROUP BY 1, 2 ORDER BY t, occ""".stripMargin) +
     ("sim_ivf_cells" ->
       s"""WITH ${kmeansCtes("embeddings")},
          |${probeCte("kass", "kn", 1)}

@@ -1401,4 +1401,17 @@ class LlmOpsSpec extends AnyFunSuite {
     val (ids, _) = Similarity.kmeansModel(spark, sf)
     assert(cells.map(_._1).toSet.subsetOf(ids.map(_.toLong).toSet))
   }
+
+  test("LSH occupancy: every table accounts for the whole corpus") {
+    import spark.implicits._
+    val occ = Similarity.lshOccupancy(spark, sf).as[(Long, Long, Long)].collect()
+    val total = graft.sources.Tables.embeddings(spark, sf).count()
+    val byTable = occ.groupBy(_._1)
+    assert(byTable.keySet == (0L until Similarity.NumTables.toLong).toSet)
+    byTable.foreach { case (t, rows) =>
+      assert(rows.map(r => r._2 * r._3).sum == total, s"table $t mass")
+      // bucket keys are PlanesPerTable-bit patterns: at most 2^planes buckets
+      assert(rows.map(_._3).sum <= (1L << Similarity.PlanesPerTable), s"table $t bucket ct")
+    }
+  }
 }
