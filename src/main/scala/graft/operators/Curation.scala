@@ -710,22 +710,47 @@ object Curation {
     * and one token-keyed join carries the encodings back to positions.
     * The corpus is scanned once; the merge loop never touches it. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val merges = Memo.value(spark, dir, "bpe.merges")(
-      bpeMerges(spark, dir).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq)
     val toks = tokensShared(spark, dir).filter(col("token") =!= "")
-    var vocab = toks.select(col("token")).distinct()
-      .withColumn("syms", concat(lit(" "),
-        concat_ws(" ", expr("regexp_extract_all(token, '.', 0)")), lit(" ")))
-    merges.foreach { case (a, b) => vocab = bpeApplyMerge(vocab, a, b) }
-    val enc = vocab
-      .withColumn("pieces", trim(col("syms")))
-      .withColumn("n_pieces", size(split(col("pieces"), " ")).cast(LongType))
-      .select(col("token"), col("pieces"), col("n_pieces"))
-    toks.join(enc, "token")
+    toks.join(bpeEncodedVocab(spark, dir), "token")
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         col("token"), col("pieces"), col("n_pieces"))
       .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** Each distinct word type with the learned merges applied — the
+    * vocab-sized frame every BPE consumer joins against ([[bpeEncode]]
+    * back to positions, [[bpeVocab]] to piece frequencies). */
+  private[graft] def bpeEncodedVocab(spark: SparkSession, dir: String): DataFrame = {
+    val merges = Memo.value(spark, dir, "bpe.merges")(
+      bpeMerges(spark, dir).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    var vocab = tokensShared(spark, dir).filter(col("token") =!= "")
+      .select(col("token")).distinct()
+      .withColumn("syms", concat(lit(" "),
+        concat_ws(" ", expr("regexp_extract_all(token, '.', 0)")), lit(" ")))
+    merges.foreach { case (a, b) => vocab = bpeApplyMerge(vocab, a, b) }
+    vocab
+      .withColumn("pieces", trim(col("syms")))
+      .withColumn("n_pieces", size(split(col("pieces"), " ")).cast(LongType))
+      .select(col("token"), col("pieces"), col("n_pieces"))
+  }
+
+  /** The PIECE vocabulary with corpus frequencies — the vocab.json a
+    * trained tokenizer ships: per piece, total corpus occurrences and
+    * the number of distinct word types containing it. Scale shape:
+    * word-type frequencies (one corpus aggregation) join the encoded
+    * vocabulary, so the piece explode runs over WORD TYPES weighted by
+    * frequency — vocabulary-sized, the corpus is never re-exploded. */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val freqs = tokensShared(spark, dir).filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    freqs.join(bpeEncodedVocab(spark, dir), "token")
+      .select(col("token"), col("freq"),
+        explode(split(col("pieces"), " ")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("freq")).as("ct"),
+        countDistinct(col("token")).as("word_type_ct"))
+      .orderBy(col("ct").desc, col("piece"))
   }
 
   /** Tokenizer-evaluation report over the encoded corpus: per
@@ -891,7 +916,8 @@ object Curation {
     "text_token_ids" -> ((s, d) => tokenIds(s, d)),
     "text_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "text_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
-    "text_bpe_fertility" -> ((s, d) => bpeFertility(s, d)))
+    "text_bpe_fertility" -> ((s, d) => bpeFertility(s, d)),
+    "text_bpe_vocab" -> ((s, d) => bpeVocab(s, d)))
 
   // Single-line on purpose: this fragment is interpolated into
   // stripMargin'd oracle strings, where a line starting with `||`
@@ -1266,7 +1292,19 @@ object Curation {
          |JOIN documents d USING (doc_id)
          |WHERE btok.token <> ''
          |GROUP BY d.lang, d.source
-         |ORDER BY lang, source""".stripMargin)
+         |ORDER BY lang, source""".stripMargin,
+    "text_bpe_vocab" ->
+      s"""$bpeEncodePrefix,
+         |bfr AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM btok WHERE token <> '' GROUP BY token
+         |), bpc AS (
+         |  SELECT f.token, f.freq, unnest(string_split(e.pieces, ' ')) AS piece
+         |  FROM bfr f JOIN encf e USING (token)
+         |)
+         |SELECT piece, CAST(SUM(freq) AS BIGINT) AS ct,
+         |  CAST(COUNT(DISTINCT token) AS BIGINT) AS word_type_ct
+         |FROM bpc GROUP BY piece ORDER BY ct DESC, piece""".stripMargin)
 
   /** Shared WITH-prefix of the BPE encode/fertility oracles: training
     * replay + positioned tokens (`btok`) + per-word-type encodings

@@ -459,6 +459,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe vocab: piece mass equals the encoded corpus; merged pieces present") {
+    import spark.implicits._
+    val vocab = Curation.bpeVocab(spark, sf).as[(String, Long, Long)].collect()
+    assert(vocab.nonEmpty)
+    // total piece mass == sum of n_pieces over the encoded corpus
+    val encMass = Curation.bpeEncode(spark, sf)
+      .agg(sum("n_pieces")).as[Long].head()
+    assert(vocab.map(_._2).sum == encMass, "piece mass must cover the encoded corpus")
+    // the vocabulary holds both merged (multi-char) and base pieces
+    assert(vocab.exists(_._1.length > 1) && vocab.exists(_._1.length == 1))
+    // occurrences dominate containing-type counts; both positive
+    vocab.foreach { case (p, ct, wt) =>
+      assert(ct >= wt && wt >= 1, s"piece '$p': ct=$ct wt=$wt")
+    }
+  }
+
   test("token ids: dense 1..V by frequency, positions dense per doc") {
     import spark.implicits._
     val ids = Curation.tokenIds(spark, sf).cache()
