@@ -438,6 +438,43 @@ object Similarity {
       .orderBy(col("centroid_id"))
   }
 
+  /** Index-health dashboard: occupancy balance for all four ANN index
+    * families in one table — the deploy-decision companion to
+    * [[annLeaderboard]] (recall says which family FINDS neighbors;
+    * this says whether its partitioning is balanced enough to keep
+    * probe cost bounded: a high `max_share` family degrades toward a
+    * scan on its hot cell). Per family: populated cells, hottest-cell
+    * occupancy, total assignments, hot share. Composed from each
+    * family's own assignment path — one fused signature/assignment
+    * pass each, then ≤cell-count-sized aggregations; no pairwise work
+    * anywhere. */
+  def indexHealth(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
+    val (ids, cents) = kmeansModel(spark, dir)
+    def health(family: String, cells: DataFrame): DataFrame =
+      cells.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+        .agg(count(lit(1)).as("cells_used"), max(col("occ")).as("max_occ"),
+          sum(col("occ")).as("total_assignments"))
+        .select(lit(family).as("family"), col("cells_used"), col("max_occ"),
+          col("total_assignments"),
+          (col("max_occ").cast(DoubleType) /
+            col("total_assignments").cast(DoubleType)).as("max_share"))
+    def codeCells(codes: DataFrame): DataFrame =
+      (0 until PqM).map(m => codes.select(
+        concat(lit(s"$m:"), col(s"code_$m").cast(StringType)).as("cell")))
+        .reduce(_ unionByName _)
+    val ivf = health("ivf",
+      ivfAssign(e.select(col("vec_id"), col("embedding")), ids, cents)
+        .select(col("centroid_id").cast(StringType).as("cell")))
+    val lsh = health("lsh", bucketsUnpivoted(e, carryEmbedding = false)
+      .select(concat(col("t").cast(StringType), lit(":"),
+        col("bucket").cast(StringType)).as("cell")))
+    val pq = health("pq", codeCells(pqCodes(spark, dir)))
+    val ivfpq = health("ivfpq", codeCells(ivfpqCodes(spark, dir)))
+    ivf.unionByName(ivfpq).unionByName(lsh).unionByName(pq)
+      .orderBy(col("family"))
+  }
+
   /** Arrival slice for [[incrementalIvf]]: `vec_id % IncrMod == 0`
     * rows land in the delta batch; the rest are the day-1 base. */
   val IncrMod = 16L
@@ -1179,7 +1216,8 @@ object Similarity {
     "sim_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
     "sim_incremental_ivf" -> ((s, d) => incrementalIvf(s, d)),
     "sim_ivf_cells" -> ((s, d) => ivfCells(s, d)),
-    "sim_lsh_occupancy" -> ((s, d) => lshOccupancy(s, d)))
+    "sim_lsh_occupancy" -> ((s, d) => lshOccupancy(s, d)),
+    "sim_index_health" -> ((s, d) => indexHealth(s, d)))
 
   /** DuckDB rebuild of the hyperplane-LSH buckets: plane components
     * are FNV-derived ([[planeComponent]] — low 32 bits / 2^31 − 1, all
@@ -1946,6 +1984,46 @@ object Similarity {
          |), bf AS (
          |${baseOracles("sim_ann_topk_float")}
          |), ${recallTailSql("lsh")}""".stripMargin) +
+    ("sim_index_health" -> {
+      def unpivot(src: String): String = (0 until PqM).map(m =>
+        s"SELECT CAST($m AS VARCHAR) || ':' || CAST(code_$m AS VARCHAR) AS cell FROM $src")
+        .mkString("\n  UNION ALL ")
+      def fam(name: String, cellsCte: String): String =
+        s"""SELECT '$name' AS family,
+           |  CAST(COUNT(*) AS BIGINT) AS cells_used,
+           |  CAST(MAX(occ) AS BIGINT) AS max_occ,
+           |  CAST(SUM(occ) AS BIGINT) AS total_assignments,
+           |  CAST(CAST(MAX(occ) AS BIGINT) AS DOUBLE)
+           |    / CAST(CAST(SUM(occ) AS BIGINT) AS DOUBLE) AS max_share
+           |FROM (SELECT cell, CAST(COUNT(*) AS BIGINT) AS occ FROM $cellsCte GROUP BY 1)""".stripMargin
+      s"""WITH $ivfpqOracleCtes,
+         |icodes AS (
+         |$ivfpqCodesSql
+         |),
+         |$pqOracleCtes,
+         |pqcodes AS (
+         |$pqCodesSql
+         |),
+         |${lshCtes()},
+         |hiv AS (SELECT CAST(cid AS VARCHAR) AS cell FROM kass),
+         |hlsh AS (
+         |  SELECT CAST(t AS VARCHAR) || ':' || CAST(bucket AS VARCHAR) AS cell FROM buckets
+         |),
+         |hpq AS (
+         |  ${unpivot("pqcodes")}
+         |),
+         |hiq AS (
+         |  ${unpivot("icodes")}
+         |)
+         |${fam("ivf", "hiv")}
+         |UNION ALL
+         |${fam("ivfpq", "hiq")}
+         |UNION ALL
+         |${fam("lsh", "hlsh")}
+         |UNION ALL
+         |${fam("pq", "hpq")}
+         |ORDER BY family""".stripMargin
+    }) +
     ("sim_lsh_occupancy" ->
       s"""WITH ${lshCtes()},
          |lob AS (

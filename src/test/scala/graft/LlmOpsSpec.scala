@@ -1402,6 +1402,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cells.map(_._1).toSet.subsetOf(ids.map(_.toLong).toSet))
   }
 
+  test("index health: per-family masses and consistency with the standalone audits") {
+    import spark.implicits._
+    val h = Similarity.indexHealth(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(h.keySet == Set("ivf", "ivfpq", "lsh", "pq"))
+    assert(h("ivf")._4 == n && h("lsh")._4 == Similarity.NumTables * n)
+    assert(h("pq")._4 == 4 * n && h("ivfpq")._4 == 4 * n)
+    h.values.foreach { case (f, used, mx, tot, share) =>
+      assert(used >= 1 && mx >= 1 && mx <= tot, s"$f bounds")
+      assert(share == mx.toDouble / tot.toDouble && share > 0.0 && share <= 1.0, s"$f share")
+    }
+    // the ivf row must agree with the standalone occupancy audit
+    val cells = Similarity.ivfCells(spark, sf).as[(Long, Long)].collect()
+    assert(h("ivf")._2 == cells.length && h("ivf")._3 == cells.map(_._2).max)
+  }
+
   test("LSH occupancy: every table accounts for the whole corpus") {
     import spark.implicits._
     val occ = Similarity.lshOccupancy(spark, sf).as[(Long, Long, Long)].collect()
