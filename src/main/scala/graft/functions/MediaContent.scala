@@ -79,6 +79,13 @@ object MediaContent {
     * division per distinct value. */
   def entropyStats(s: UTF8String): InternalRow = {
     val str = s.toString
+    // Empty content: the legacy explode pipeline (`split(t, '')` →
+    // `['']`) saw ONE empty-string element → (1, 1, 0.0). The
+    // histogram loop below would say (0, 0, 0.0) — replay the legacy
+    // contract instead so "bit-identical by construction" (and the
+    // mm_content_entropy oracle) holds for empty documents too, not
+    // just the non-empty fixture docs.
+    if (str.isEmpty) return new GenericInternalRow(Array[Any](1L, 1L, 0.0))
     val counts = new java.util.HashMap[Integer, Array[Long]]()
     var i = 0
     var n = 0L

@@ -451,6 +451,15 @@ object Similarity {
   def indexHealth(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(spark, Tables.embeddings(spark, dir))
     val (ids, cents) = kmeansModel(spark, dir)
+    // same empty-model guard as ivfCells/incrementalIvf: with an empty
+    // embeddings table ivfAssign over zero centroids yields null cells
+    // and the global agg a null max/sum division — return the empty
+    // frame in the dashboard's schema instead
+    if (ids.isEmpty)
+      return e.sparkSession.emptyDataFrame
+        .select(lit("").as("family"), lit(0L).as("cells_used"),
+          lit(0L).as("max_occ"), lit(0L).as("total_assignments"),
+          lit(0.0).as("max_share"))
     def health(family: String, cells: DataFrame): DataFrame =
       cells.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
         .agg(count(lit(1)).as("cells_used"), max(col("occ")).as("max_occ"),

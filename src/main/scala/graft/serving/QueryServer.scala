@@ -103,10 +103,12 @@ final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
           val slice =
             if (dtIdx < 0) rows.toSeq
             else {
-              val dates = rows.iterator.map(_.get(dtIdx).toString)
+              // null dt rows can't belong to any day slice — skip them
+              // (a .toString there would NPE the route into a 500)
+              val dated = rows.filter(!_.isNullAt(dtIdx))
               val day = queryParams(ex).getOrElse("date",
-                if (rows.isEmpty) "" else dates.max)
-              rows.iterator.filter(_.get(dtIdx).toString == day).toSeq
+                if (dated.isEmpty) "" else dated.iterator.map(_.get(dtIdx).toString).max)
+              dated.iterator.filter(_.get(dtIdx).toString == day).toSeq
             }
           respond(ex, 200, SugarApi.render(shape, fields, slice))
         case None if path.startsWith("/api/query/") =>

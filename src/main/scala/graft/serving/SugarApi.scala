@@ -140,6 +140,10 @@ object SugarApi {
     * quoted, decimals in plain notation so 1E+2 never leaks). */
   def valueJson(v: Any): String = v match {
     case null => "null"
+    // bare NaN/Infinity is invalid JSON — a zero-denominator ratio
+    // slice must not make the whole payload unparseable
+    case d: Double if java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d) => "null"
+    case f: Float if java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f) => "null"
     case d: java.math.BigDecimal => d.toPlainString
     case d: BigDecimal => d.underlying.toPlainString
     case n @ (_: Long | _: Int | _: Short | _: Byte | _: Double | _: Float) => n.toString
@@ -177,8 +181,10 @@ object SugarApi {
       case NameValue(label, value) =>
         val li = field(fields, label)
         val vi = field(fields, value)
+        // quoted(...) instead of valueJson(_.toString): a null label
+        // must render as "" (the series-datum null contract), not NPE
         val data = rows.map(r =>
-          s"""{"name":${valueJson(r.get(li).toString)},"value":${valueJson(r.get(vi))}}""")
+          s"""{"name":${quoted(r.get(li))},"value":${valueJson(r.get(vi))}}""")
           .mkString("[", ",", "]")
         s"""{"status":0,"msg":"","data":$data}"""
       case ScalarValue(value) =>

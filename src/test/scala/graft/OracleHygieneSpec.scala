@@ -75,4 +75,25 @@ class OracleHygieneSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("every WINDOW clause sits inside materialize's lookbehind bound") {
+    // DuckSql.materialize's named-window exclusion is a BOUNDED
+    // lookbehind: `WINDOW` + ≤8 ws + name ≤40 chars + ≤8 ws before the
+    // `AS`. A future line-wrapped or padded window head (e.g.
+    // `WINDOW\n         w AS (`, 9+ ws) escapes the guard, gets
+    // `AS MATERIALIZED (` — a DuckDB syntax error — and the
+    // idempotence test above can't see it (the corrupted text is a
+    // fixed point). Pin statically: every `WINDOW` keyword followed by
+    // an AS-parenthesis must match the exact protected shape. The SQL
+    // under test is post-materialize, so the corrupted form
+    // (`AS MATERIALIZED (`) is itself a violation this catches.
+    val anyWindow = """(?is)\bWINDOW\b(?!\s{1,8}\w{1,40}\s{1,8}AS\s*\()""".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      anyWindow.findFirstMatchIn(sql).foreach { m =>
+        val ctx = sql.substring(m.start, math.min(sql.length, m.start + 60))
+        fail(s"$name has a WINDOW clause outside materialize's lookbehind " +
+          s"bound (would be corrupted to AS MATERIALIZED): …$ctx…")
+      }
+    }
+  }
 }
