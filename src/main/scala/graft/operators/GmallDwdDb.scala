@@ -428,29 +428,33 @@ object GmallDwdDb {
 
   private def d(key: String): Column = col("data").getItem(key)
 
-  /** `DwdTradeCancelDetail.java:70-77`: cancel order_info updates
-    * (status 1003, old has order_status) joined back to the
-    * order-detail wide rows they cancel. */
-  def tradeCancelDetail(spark: SparkSession, dir: String): DataFrame = {
-    val cancels = LogStream.cdcSlice(envelope(spark, dir), "order_info", Seq("update"))
+  /** `DwdTradeCancelDetail.java:70-77` over ANY envelope frame (batch
+    * OR readStream): cancel order_info updates (status 1003, old has
+    * order_status) joined back to the order-detail wide rows they
+    * cancel. The wide side is the static store, so on a stream this is
+    * the stream-static inner join (stateless — no watermark needed);
+    * OdsToAdsSpec drives exactly that shape. */
+  def tradeCancelDetailOn(env: DataFrame, wide: DataFrame): DataFrame = {
+    val cancels = LogStream.cdcSlice(env, "order_info", Seq("update"))
       .filter(LogStream.columnChanged(col("old"), "order_status") &&
         d("order_status") === "1003")
       .select(d("id").cast(LongType).as("cancel_order_id"),
         d("operate_time").as("operate_time"), col("ts"))
-    val wide = GmallDwd.orderWide(spark, dir)
     wide.join(cancels, wide("order_id") === col("cancel_order_id"))
       .select(col("order_id"), col("line_no"), col("user_id"), col("sku_id"),
         col("province_id"),
         col("split_total_amount").cast(DoubleType).as("split_total_amount"),
         col("operate_time"), col("ts"))
-      .orderBy(col("order_id"), col("line_no"))
   }
 
-  /** `DwdTradeOrderRefund.java:76-135`: refund inserts ⟕ refund-ack
-    * order updates ⟕ base_dic (type, reason). */
-  def tradeOrderRefund(spark: SparkSession, dir: String): DataFrame = {
-    val env = envelope(spark, dir)
-    val ri = LogStream.cdcSlice(env, "order_refund_info", Seq("insert"))
+  def tradeCancelDetail(spark: SparkSession, dir: String): DataFrame =
+    tradeCancelDetailOn(envelope(spark, dir), GmallDwd.orderWide(spark, dir))
+      .orderBy(col("order_id"), col("line_no"))
+
+  /** `order_refund_info` insert slice of [[tradeOrderRefund]] —
+    * envelope-agnostic (batch or readStream). */
+  private[graft] def refundInfoSliceOn(env: DataFrame): DataFrame =
+    LogStream.cdcSlice(env, "order_refund_info", Seq("insert"))
       .select(d("id").as("id"), d("user_id").as("user_id"),
         d("order_id").as("order_id"), d("sku_id").as("sku_id"),
         d("refund_type").as("refund_type_code"),
@@ -458,24 +462,85 @@ object GmallDwdDb {
         d("refund_reason_type").as("refund_reason_type_code"),
         d("refund_reason_txt").as("refund_reason_txt"),
         d("create_time").as("create_time"), col("ts"))
-    val oi = LogStream.cdcSlice(env, "order_info", Seq("update"))
+
+  /** Refund-ack slice: order_info updates to status 1005 whose old
+    * shows the status change; carries its own `ack_ts` so the stream
+    * form can watermark it. */
+  private[graft] def refundAckSliceOn(env: DataFrame): DataFrame =
+    LogStream.cdcSlice(env, "order_info", Seq("update"))
       .filter(d("order_status") === "1005" &&
         LogStream.columnChanged(col("old"), "order_status"))
-      .select(d("id").as("oid"), d("province_id").as("province_id"))
-    val typeDic = baseDic(spark)
-      .select(col("dic_code").as("t_code"), col("dic_name").as("refund_type_name"))
-    val reasonDic = baseDic(spark)
-      .select(col("dic_code").as("r_code"), col("dic_name").as("refund_reason_type_name"))
-    ri.join(oi, ri("order_id") === col("oid"), "left")
+      .select(d("id").as("oid"), d("province_id").as("province_id"),
+        col("ts").as("ack_ts"))
+
+  private def refundProject(joined: DataFrame): DataFrame =
+    joined.select(col("id"), col("user_id"), col("order_id"), col("sku_id"),
+      col("province_id"), substring(col("create_time"), 1, 10).as("date_id"),
+      col("create_time"), col("refund_type_code"), col("refund_type_name"),
+      col("refund_reason_type_code"), col("refund_reason_type_name"),
+      col("refund_reason_txt"), col("refund_num"), col("refund_amount"), col("ts"))
+
+  private def refundDics(dic: DataFrame): (DataFrame, DataFrame) = (
+    dic.select(col("dic_code").as("t_code"), col("dic_name").as("refund_type_name")),
+    dic.select(col("dic_code").as("r_code"), col("dic_name").as("refund_reason_type_name")))
+
+  /** `DwdTradeOrderRefund.java:76-135`: refund inserts ⟕ refund-ack
+    * order updates ⟕ base_dic (type, reason) — over pre-built slices,
+    * shared by the batch query and the stream≡batch oracle side. */
+  def tradeOrderRefundOn(ri: DataFrame, oi: DataFrame, dic: DataFrame): DataFrame = {
+    val (typeDic, reasonDic) = refundDics(dic)
+    refundProject(ri.join(oi, ri("order_id") === col("oid"), "left")
       .join(broadcast(typeDic), col("refund_type_code") === col("t_code"), "left")
-      .join(broadcast(reasonDic), col("refund_reason_type_code") === col("r_code"), "left")
-      .select(col("id"), col("user_id"), col("order_id"), col("sku_id"),
-        col("province_id"), substring(col("create_time"), 1, 10).as("date_id"),
-        col("create_time"), col("refund_type_code"), col("refund_type_name"),
-        col("refund_reason_type_code"), col("refund_reason_type_name"),
-        col("refund_reason_txt"), col("refund_num"), col("refund_amount"), col("ts"))
+      .join(broadcast(reasonDic), col("refund_reason_type_code") === col("r_code"), "left"))
+  }
+
+  def tradeOrderRefund(spark: SparkSession, dir: String): DataFrame = {
+    val env = envelope(spark, dir)
+    tradeOrderRefundOn(refundInfoSliceOn(env), refundAckSliceOn(env), baseDic(spark))
       .orderBy(col("id"))
   }
+
+  /** [[tradeOrderRefundOn]] in STREAMING form — the refund analog of
+    * [[tradeOrderDetailStreamOn]]: watermarked slices over a
+    * `readStream` envelope, one J2 left-outer (`ri ⟕ ack` on the order
+    * key, bounded by `boundSec` exactly like the flagship's 3-day CDC
+    * TTL mapping) and the two J3 broadcast dic decodes. Output matches
+    * the batch form's projection, so OdsToAdsSpec can assert at-rest
+    * equality layer by layer. */
+  def tradeOrderRefundStreamOn(env: DataFrame, dic: DataFrame,
+                               boundSec: Long = 3L * 24 * 3600,
+                               wmDelay: String = "2 seconds"): DataFrame = {
+    val ri = refundInfoSliceOn(env)
+      .withColumn("ri_et", timestamp_seconds(col("ts"))).withWatermark("ri_et", wmDelay)
+    val ack = refundAckSliceOn(env)
+      .withColumn("ack_et", timestamp_seconds(col("ack_ts"))).withWatermark("ack_et", wmDelay)
+    val (typeDic, reasonDic) = refundDics(dic)
+    refundProject(
+      Joins.streamStream(ri, ack, "order_id", "oid", "ri_et", "ack_et",
+        boundSec, boundSec, joinType = "leftOuter")
+      .join(broadcast(typeDic), col("refund_type_code") === col("t_code"), "left")
+      .join(broadcast(reasonDic), col("refund_reason_type_code") === col("r_code"), "left"))
+  }
+
+  /** DIM sku star-chain analog for the CDC fixture: the reference's
+    * refund DWS window decorates each refund with `dim_sku_info` →
+    * `base_trademark` → `base_category3/2/1`
+    * (`DwsTradeTrademarkCategoryUserRefundWindow.java:140-219`, four
+    * chained async lookups); here the decoded chain is ONE
+    * deterministic dim frame (sku_id → trademark + category triple),
+    * broadcast like [[baseDic]]. The modulus rules make the DuckDB
+    * side reproducible from `range()`. */
+  def skuDim(spark: SparkSession, n: Long = 4096): DataFrame =
+    spark.range(0, n).select(
+      s(col("id")).as("sku_id"),
+      concat(lit("tm_"), s(col("id") % 12)).as("trademark_id"),
+      concat(lit("trademark "), s(col("id") % 12)).as("trademark_name"),
+      concat(lit("c1_"), s(col("id") % 3)).as("category1_id"),
+      concat(lit("category1 "), s(col("id") % 3)).as("category1_name"),
+      concat(lit("c2_"), s(col("id") % 6)).as("category2_id"),
+      concat(lit("category2 "), s(col("id") % 6)).as("category2_name"),
+      concat(lit("c3_"), s(col("id") % 24)).as("category3_id"),
+      concat(lit("category3 "), s(col("id") % 24)).as("category3_name"))
 
   // The `*On(env)` forms below are the apps' transforms over ANY
   // Maxwell envelope frame — batch OR readStream (stateless

@@ -216,6 +216,30 @@ object GmallDws {
       .drop("dt")
     }
 
+  /** W4 over the CDC pipeline: the reference's
+    * `DwsTradeTrademarkCategoryUserRefundWindow.java:113-235` consumes
+    * the `dwd_trade_order_refund` topic and decorates each refund with
+    * the DIM star chain (dim_sku_info → base_trademark →
+    * base_category3/2/1) before the tumbling window's per-key distinct
+    * order count. Same dataflow over ANY refund frame: a J4-style
+    * broadcast dim join ([[GmallDwdDb.skuDim]] carries the whole
+    * decoded chain in one frame) + the daily window. The star-schema
+    * [[tradeTmCatUserRefund]] above stays the batch-lineage twin;
+    * OdsToAdsSpec drives THIS form against a STREAMED dwd refund
+    * store, so the CDC layer stack runs exactly this code. */
+  def tradeTmCatUserRefundCdcOn(refund: DataFrame, sku: DataFrame): DataFrame =
+    dtStt(refund
+        .withColumn("sku_id", col("sku_id").cast(StringType))
+        .join(broadcast(sku), Seq("sku_id"))
+        .withColumn("dt", col("date_id"))
+        .groupBy(col("dt"), col("trademark_id"), col("trademark_name"),
+          col("category1_id"), col("category1_name"), col("category2_id"), col("category2_name"),
+          col("category3_id"), col("category3_name"), col("user_id"))
+        .agg(countDistinct(col("order_id")).as("refund_count")))
+      .select(col("stt"), col("edt"), col("trademark_id"), col("trademark_name"),
+        col("category1_id"), col("category1_name"), col("category2_id"), col("category2_name"),
+        col("category3_id"), col("category3_name"), col("user_id"), col("refund_count"))
+
   // -------------------- query wrappers (DOUBLE at the boundary) ----
 
   private def q(f: (SparkSession, String) => DataFrame, doubleCols: Seq[String], sortCols: Seq[String])

@@ -10,6 +10,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.types.DecimalType
+
 import graft.operators.{GmallDwd, GmallDwdDb, GmallDws}
 import graft.streaming.LogStream
 
@@ -26,7 +28,17 @@ import graft.streaming.LogStream
   *     per micro-batch (the K5 mapper analog);
   *   - traffic leg: `topic_log` file stream → P1 parse/clean → P10/M3
   *     five-way split appending DWD branch parquet → per micro-batch
-  *     page/display DWS overwrite → a J7-shaped ADS read.
+  *     page/display DWS overwrite → a J7-shaped ADS read;
+  *   - refund/cancel leg (r12 task #1): `topic_db` file stream →
+  *     `dwd_trade_order_refund` (J2 left-outer stream form) and
+  *     `dwd_trade_cancel_detail` (stream-static) appending DWD parquet
+  *     → per micro-batch the CDC refund window
+  *     (`GmallDws.tradeTmCatUserRefundCdcOn` + the skuDim star chain)
+  *     overwrites a DWS store → an `ads_trademark_stats`-shaped J7
+  *     full-outer ADS read. Reference dataflow:
+  *     `DwdTradeOrderRefund.java:76-135` →
+  *     `DwsTradeTrademarkCategoryUserRefundWindow.java:113-235` →
+  *     `CommodityStatsMapper.selectTrademarkStats`.
   *
   * Each leg is fed file-by-file (one micro-batch per ODS file, in
   * event-time order — the Kafka-arrival analog), and the FINAL frames
@@ -143,6 +155,137 @@ class OdsToAdsSpec extends AnyFunSuite {
     val wantAds = adsProvince(GmallDws.tradeProvinceOrderCdcOn(batchWide))
       .collect().map(_.toString).toSet
     assert(adsSnapshots.last == wantAds, "final ADS frame diverged from batch")
+  }
+
+  // refund-leg sentinels: one ri+ack pair per round that JOINS (both
+  // branches' watermarks advance) at a far-future ts, flushing the
+  // left-outer's unmatched refund state
+  private def refundSentinelLines(round: Int, t: Long): Seq[String] = Seq(
+    s"""{"database":"g","table":"order_refund_info","type":"insert","data":{"id":"zr$round","user_id":"1","order_id":"zq$round","sku_id":"7","refund_type":"1101","refund_num":"1","refund_amount":"1.00","refund_reason_type":"1301","refund_reason_txt":"r","create_time":"2099-01-01 00:00:00"},"ts":$t}""",
+    s"""{"database":"g","table":"order_info","type":"update","data":{"id":"zq$round","order_status":"1005","province_id":"1","operate_time":"2099-01-01 00:00:00"},"old":{"order_status":"1002"},"ts":$t}""")
+
+  private def notRefundSentinel = !col("id").startsWith("zr")
+
+  test("refund/cancel leg: topic_db stream -> DWD refund+cancel parquet -> DWS refund window -> ADS trademark == batch") {
+    import spark.implicits._
+    val odsDir = Files.createTempDirectory("ods_refund").toString
+    val refundDwdDir = Files.createTempDirectory("dwd_refund").toString + "/refund"
+    val cancelDwdDir = Files.createTempDirectory("dwd_cancel").toString + "/cancel"
+    val dwsDir = Files.createTempDirectory("dws_refund").toString + "/tm_refund"
+
+    val lines = GmallDwdDb.envelopeJson(spark, sf)
+      .as[String].collect().toSeq.sortBy(tsOf)
+    val maxTs = tsOf(lines.last)
+    writeChunks(odsDir, lines, 3)
+
+    val dic = GmallDwdDb.baseDic(spark)
+    val sku = GmallDwdDb.skuDim(spark)
+    val wide = GmallDwd.orderWide(spark, sf)
+
+    // ADS: ads_trademark_stats' shape (CommodityStatsMapper
+    // .selectTrademarkStats) — refund stats ⟗ cancel stats per
+    // (dt, trademark), zero-filled. Amount summed in DECIMAL so the
+    // streamed/batch set compare is order-independent.
+    def adsTrademark(refundDws: DataFrame, cancel: DataFrame): DataFrame = {
+      val r = refundDws
+        .groupBy(substring(col("stt"), 1, 10).as("rdt"),
+          col("trademark_id").as("rtm"), col("trademark_name").as("rtmn"))
+        .agg(sum(col("refund_count")).as("refund_count"),
+          countDistinct(col("user_id")).as("refund_uu_count"))
+      val c = cancel
+        .withColumn("sku_id", col("sku_id").cast("string"))
+        .join(broadcast(sku), Seq("sku_id"))
+        .groupBy(substring(col("operate_time"), 1, 10).as("cdt"),
+          col("trademark_id").as("ctm"), col("trademark_name").as("ctmn"))
+        .agg(countDistinct(col("order_id")).as("cancel_count"),
+          sum(col("split_total_amount").cast(DecimalType(18, 4))).as("cancel_amount"))
+      r.join(c, col("rdt") === col("cdt") && col("rtm") === col("ctm"), "full_outer")
+        .select(coalesce(col("rdt"), col("cdt")).as("dt"),
+          coalesce(col("rtmn"), col("ctmn")).as("trademark_name"),
+          coalesce(col("refund_count"), lit(0L)).as("refund_count"),
+          coalesce(col("refund_uu_count"), lit(0L)).as("refund_uu_count"),
+          coalesce(col("cancel_count"), lit(0L)).as("cancel_count"),
+          coalesce(col("cancel_amount"), lit(0).cast(DecimalType(18, 4))).as("cancel_amount"))
+    }
+
+    // leg A: cancel detail — stateless stream-static inner join, runs
+    // to completion first (a separate app in the reference too)
+    val cq = GmallDwdDb.tradeCancelDetailOn(
+        LogStream.maxwellEnvelope(
+          spark.readStream.option("maxFilesPerTrigger", "1").text(odsDir)), wide)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(cancelDwdDir)
+        ()
+      }.start()
+    try cq.processAllAvailable() finally cq.stop()
+
+    // leg B: refund — J2 left-outer stream form with sentinel flushes;
+    // per micro-batch, DWS overwrite + ADS snapshot over BOTH stores
+    val boundSec = 3L * 24 * 3600
+    val adsSnapshots = ArrayBuffer.empty[Set[String]]
+    val rq = GmallDwdDb.tradeOrderRefundStreamOn(
+        LogStream.maxwellEnvelope(
+          spark.readStream.option("maxFilesPerTrigger", "1").text(odsDir)), dic)
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(refundDwdDir) // DWD layer
+        Try(spark.read.parquet(refundDwdDir)).foreach { acc =>
+          GmallDws.tradeTmCatUserRefundCdcOn(acc.filter(notRefundSentinel), sku)
+            .write.mode("overwrite").parquet(dwsDir) // DWS layer (K4)
+          adsSnapshots += adsTrademark(spark.read.parquet(dwsDir), // ADS (K5)
+            spark.read.parquet(cancelDwdDir)).collect().map(_.toString).toSet
+        }
+        ()
+      }.start()
+    try {
+      rq.processAllAvailable()
+      (1 to 3).foreach { r =>
+        Files.write(Paths.get(odsDir, f"refund-sentinel-$r.jsonl"),
+          refundSentinelLines(r, maxTs + r * 3 * boundSec).mkString("\n").getBytes("UTF-8"))
+        rq.processAllAvailable()
+      }
+    } finally rq.stop()
+
+    // batch oracle over the SAME ODS lines (pre-sentinel), layer by layer
+    val benv = LogStream.maxwellEnvelope(lines.toDF("value"))
+    val batchRefund = GmallDwdDb.tradeOrderRefundOn(
+      GmallDwdDb.refundInfoSliceOn(benv), GmallDwdDb.refundAckSliceOn(benv), dic)
+
+    val gotRefund = spark.read.parquet(refundDwdDir).filter(notRefundSentinel)
+    val rCols = batchRefund.columns.sorted.toSeq
+    assert(gotRefund.columns.sorted.toSeq == rCols,
+      s"streamed refund DWD columns ${gotRefund.columns.sorted.toSeq} != batch $rCols")
+    val gr = gotRefund.select(rCols.map(col): _*).collect().map(_.toString).toSet
+    val br = batchRefund.select(rCols.map(col): _*).collect().map(_.toString).toSet
+    assert(br.nonEmpty && gr == br,
+      s"streamed refund DWD store diverged from batch (got ${gr.size}, want ${br.size})")
+    // the left-outer's watermark flush is load-bearing: unacked refunds
+    // (null province) must be present, not dropped as inner rows
+    assert(br.exists(_.contains("null")) &&
+      gotRefund.filter(col("province_id").isNull).count() > 0,
+      "unmatched (null-province) refunds missing — watermark flush never fired")
+
+    val batchCancel = GmallDwdDb.tradeCancelDetailOn(benv, wide)
+    val cCols = batchCancel.columns.sorted.toSeq
+    val gotCancel = spark.read.parquet(cancelDwdDir)
+    assert(gotCancel.columns.sorted.toSeq == cCols, "cancel DWD columns diverged")
+    val gc = gotCancel.select(cCols.map(col): _*).collect().map(_.toString).toSet
+    val bc = batchCancel.select(cCols.map(col): _*).collect().map(_.toString).toSet
+    assert(bc.nonEmpty && gc == bc,
+      s"streamed cancel DWD store diverged from batch (got ${gc.size}, want ${bc.size})")
+
+    val gotDws = spark.read.parquet(dwsDir).collect().map(_.toString).toSet
+    val wantDws = GmallDws.tradeTmCatUserRefundCdcOn(batchRefund, sku)
+      .collect().map(_.toString).toSet
+    assert(wantDws.nonEmpty && gotDws == wantDws, "final DWS refund store diverged from batch")
+
+    assert(adsSnapshots.size >= 3, s"expected >=3 micro-batches, saw ${adsSnapshots.size}")
+    val wantAds = adsTrademark(
+      GmallDws.tradeTmCatUserRefundCdcOn(batchRefund, sku), batchCancel)
+      .collect().map(_.toString).toSet
+    assert(wantAds.nonEmpty && adsSnapshots.last == wantAds,
+      "final ADS trademark frame diverged from batch")
   }
 
   test("traffic leg: topic_log stream -> DWD split parquet -> DWS parquet -> ADS == batch") {
