@@ -671,8 +671,21 @@ object Curation {
     * round top pair is a 1-row driver value (the k-means-centroid
     * precedent); everything distributed is a vocabulary-sized
     * aggregation. Output: the merge table a tokenizer ships. */
+  /** Lineage cap for the BPE merge loops: every N applied merges the
+    * word-type frame is `localCheckpoint`ed (the [[Dedup]] iterative-
+    * round cadence), so plan depth stays O(N) instead of O(rounds) —
+    * at the shipped [[BpeRounds]]=5 the cap never fires (plans, and
+    * thus oracles, unchanged); a real 32k-merge training run would
+    * otherwise build a 32k-deep `replace` lineage and crawl to a halt
+    * in the analyzer long before the data mattered. Checkpointing is
+    * semantics-free here (the frame is deterministic per round);
+    * CurationSpec pins that a forced cadence leaves the merge table
+    * bit-identical. */
+  val BpeCheckpointEvery = 64
+
   def bpeMerges(spark: SparkSession, dir: String,
-                rounds: Int = BpeRounds): DataFrame = {
+                rounds: Int = BpeRounds,
+                checkpointEvery: Int = BpeCheckpointEvery): DataFrame = {
     var cur = bpeWords(spark, dir)
     val out = scala.collection.mutable.ListBuffer.empty[(Long, String, String, String, Long)]
     for (r <- 1 to rounds) {
@@ -681,6 +694,7 @@ object Curation {
       val Array(a, b) = top.getString(0).split(" ", 2)
       out += ((r.toLong, a, b, a + b, top.getLong(1)))
       cur = bpeApplyMerge(cur, a, b)
+      if (r % checkpointEvery == 0) cur = cur.localCheckpoint()
     }
     spark.createDataFrame(out.toSeq)
       .toDF("round", "p1", "p2", "merged", "pair_ct")
@@ -728,7 +742,12 @@ object Curation {
       .select(col("token")).distinct()
       .withColumn("syms", concat(lit(" "),
         concat_ws(" ", expr("regexp_extract_all(token, '.', 0)")), lit(" ")))
-    merges.foreach { case (a, b) => vocab = bpeApplyMerge(vocab, a, b) }
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      vocab = bpeApplyMerge(vocab, a, b)
+      // same lineage cap as the induction loop — the application side
+      // of a 32k-merge table is a 32k-deep replace chain otherwise
+      if ((i + 1) % BpeCheckpointEvery == 0) vocab = vocab.localCheckpoint()
+    }
     vocab
       .withColumn("pieces", trim(col("syms")))
       .withColumn("n_pieces", size(split(col("pieces"), " ")).cast(LongType))

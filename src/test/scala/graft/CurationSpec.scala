@@ -436,6 +436,19 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe merges: forced checkpoint cadence leaves the merge table bit-identical") {
+    // the BpeCheckpointEvery lineage cap must be semantics-free:
+    // every-round checkpointing == never checkpointing (the shipped
+    // BpeRounds=5 never reaches the default cadence, so this is the
+    // only exercise the cap gets)
+    val never = Curation.bpeMerges(spark, sf, checkpointEvery = Int.MaxValue)
+      .collect().map(_.toString).toSeq
+    val every = Curation.bpeMerges(spark, sf, checkpointEvery = 1)
+      .collect().map(_.toString).toSeq
+    assert(never.nonEmpty && every == never,
+      "checkpoint cadence changed the BPE merge table")
+  }
+
   test("bpe fertility: masses recount from the encoded corpus; ratios exact") {
     import spark.implicits._
     val rep = Curation.bpeFertility(spark, sf)
