@@ -31,8 +31,10 @@ import graft.SparkEntry
   * (days × channel-like keys), megabytes at any corpus scale — so each
   * query is collected ONCE per server and memoized; requests after the
   * first are pure in-memory shaping. In a production deployment the
-  * same table would be the foreachBatch-maintained store (SURVEY
-  * §3.3); the HTTP layer is identical either way.
+  * same table is a foreachBatch-maintained [[AdsStore]] bound via
+  * [[bindStore]] — the HTTP layer is identical either way, and the
+  * memo turns per-version (ServingSpec proves micro-batch publishes
+  * are visible through live HTTP).
   */
 final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
 
@@ -60,20 +62,56 @@ final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
   private def load(key: String)(build: => (Array[String], Array[Row])): (Array[String], Array[Row]) =
     cache.computeIfAbsent(key, _ => new Slot(() => build)).value
 
+  /** STREAMING-maintained stores: query name → [[AdsStore]] root. A
+    * bound name is served from the store's newest committed version
+    * instead of the batch query library — the production deployment
+    * shape where a `foreachBatch` pipeline publishes the ADS frame per
+    * micro-batch and the HTTP layer reflects it (SURVEY §3.3). The
+    * memo stays warm per VERSION (`name@v<N>` keys), so a publish is
+    * picked up on the next request — one version listing per hit, one
+    * collect per new version — and superseded versions' entries are
+    * evicted when a newer one loads. */
+  private val stores = new ConcurrentHashMap[String, String]()
+
+  /** Bind `name` to a foreachBatch-maintained [[AdsStore]] root; both
+    * the sugar routes referencing `name` and `/api/query/name` switch
+    * to store reads (the name need not exist in the batch library). */
+  def bindStore(name: String, root: String): Unit = stores.put(name, root)
+
+  private def loadStore(kind: String, name: String, root: String,
+                        limit: Option[Int]): (Array[String], Array[Row]) =
+    AdsStore.read(spark, root) match {
+      case Some((v, df0)) =>
+        val key = s"$kind:$name@v$v"
+        val got = load(key) {
+          val df = limit.fold(df0)(df0.limit)
+          (df.schema.fieldNames, df.collect())
+        }
+        cache.keySet.removeIf(k => k.startsWith(s"$kind:$name@v") && k != key)
+        got
+      case None => (Array.empty[String], Array.empty[Row]) // bound, nothing published yet
+    }
+
   /** Sugar frames are ADS-grain (days × channel-like keys) — bounded
     * at any corpus scale, collected in full. */
   private def loadSugar(name: String): (Array[String], Array[Row]) =
-    load(s"sugar:$name") {
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      (df.schema.fieldNames, df.collect())
+    Option(stores.get(name)) match {
+      case Some(root) => loadStore("sugar", name, root, None)
+      case None => load(s"sugar:$name") {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        (df.schema.fieldNames, df.collect())
+      }
     }
 
   /** Generic route: one plan-side-limited collect per query, shared by
     * every request regardless of its `?limit=`. */
   private def loadApi(name: String): (Array[String], Array[Row]) =
-    load(s"api:$name") {
-      val df = SparkEntry.queries(name)(spark, sfDir).limit(MaxApiRows)
-      (df.schema.fieldNames, df.collect())
+    Option(stores.get(name)) match {
+      case Some(root) => loadStore("api", name, root, Some(MaxApiRows))
+      case None => load(s"api:$name") {
+        val df = SparkEntry.queries(name)(spark, sfDir).limit(MaxApiRows)
+        (df.schema.fieldNames, df.collect())
+      }
     }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
@@ -113,7 +151,7 @@ final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
           respond(ex, 200, SugarApi.render(shape, fields, slice))
         case None if path.startsWith("/api/query/") =>
           val name = path.stripPrefix("/api/query/")
-          if (!SparkEntry.queries.contains(name))
+          if (!SparkEntry.queries.contains(name) && !stores.containsKey(name))
             respond(ex, 404, s"""{"status":1,"msg":"unknown query ${SugarApi.jsonEscape(name)}"}""")
           else {
             val limitRaw = queryParams(ex).get("limit")

@@ -2,12 +2,18 @@ package graft
 
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.Row
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.serving.{QueryServer, SugarApi}
+import graft.serving.{AdsStore, QueryServer, SugarApi}
+import graft.streaming.LogStream
 
 /** End-to-end checks for the REST serving shell (the reference's
   * Spring publisher surface on the JDK HttpServer): real HTTP round
@@ -129,5 +135,91 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // leading row, no extra Spark job needed for the slice)
     val first = get("/api/query/ads_gmv?limit=1")._2
     assert(body.startsWith(first.stripSuffix("]}")), "limit=1 is not a prefix of the full result")
+  }
+
+  // ------------------------- streaming-maintained ADS store --------
+
+  /** The /api/query rows payload for a frame, via the server's own
+    * renderer rules — the expected-body builder for store parity. */
+  private def apiRows(df: DataFrame): String = {
+    val fields = df.schema.fieldNames
+    df.collect().map { r =>
+      fields.indices.map(i =>
+        s""""${SugarApi.jsonEscape(fields(i))}":${SugarApi.valueJson(r.get(i))}""")
+        .mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+  }
+
+  test("foreachBatch-maintained ADS store: each micro-batch publish is visible over HTTP and == batch recompute") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("ads_store_src").toString
+    val rawDir = Files.createTempDirectory("ads_store_raw").toString + "/raw"
+    val root = Files.createTempDirectory("ads_store").toString + "/gmv"
+
+    // a second server so binding ads_gmv can't shadow the shared
+    // server's batch ads_gmv for the other cases
+    val live = new QueryServer(spark, sf, port = 0)
+    val liveBase = s"http://127.0.0.1:${live.start()}"
+    def getLive(path: String): (Int, String) = {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(liveBase + path)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    try {
+      live.bindStore("ads_gmv_live", root) // store-only name (not in the batch library)
+      live.bindStore("ads_gmv", root)      // shadows the sugar route's query
+      // bound but nothing committed yet: empty, not 500
+      assert(getLive("/api/query/ads_gmv_live") == ((200,
+        """{"status":0,"msg":"","query":"ads_gmv_live","rows":[]}""")))
+      assert(getLive("/api/sugar/gmv")._2 == "") // empty slice contract
+
+      // the maintained ADS: GMV per dt over the accumulated envelope —
+      // the ads_gmv payload shape (dt, gmv DOUBLE), DECIMAL inside
+      def gmvOf(env: DataFrame): DataFrame =
+        LogStream.cdcSlice(env, "order_info", Seq("insert"))
+          .select(substring(col("data")("create_time"), 1, 10).as("dt"),
+            col("data")("total_amount").cast(DecimalType(18, 2)).as("amt"))
+          .groupBy(col("dt"))
+          .agg(sum(col("amt")).cast(DoubleType).as("gmv"))
+          .orderBy(col("dt"))
+
+      def line(id: Int, amt: String, day: String, t: Long) =
+        s"""{"database":"g","table":"order_info","type":"insert","data":{"id":"$id","total_amount":"$amt","create_time":"$day 00:00:00","order_status":"1001"},"ts":$t}"""
+      val batches = Seq(
+        Seq(line(1, "10.00", "2024-01-01", 1000), line(2, "5.00", "2024-01-01", 1001)),
+        Seq(line(3, "7.50", "2024-01-02", 2000)),
+        Seq(line(4, "2.25", "2024-01-01", 3000)))
+
+      val q = spark.readStream.option("maxFilesPerTrigger", "1").text(srcDir)
+        .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("append").parquet(rawDir) // the DWD store
+          AdsStore.publish( // the K4/K5 publish
+            gmvOf(LogStream.maxwellEnvelope(spark.read.parquet(rawDir))), root, id)
+          ()
+        }.start()
+      val seen = ArrayBuffer.empty[String]
+      try {
+        batches.zipWithIndex.foreach { case (ls, i) =>
+          Files.write(Paths.get(srcDir, f"b-$i%02d.jsonl"), ls.mkString("\n").getBytes("UTF-8"))
+          q.processAllAvailable()
+          val want = gmvOf(LogStream.maxwellEnvelope(
+            batches.take(i + 1).flatten.toDF("value")))
+          val body = getLive("/api/query/ads_gmv_live")._2
+          assert(body ==
+            s"""{"status":0,"msg":"","query":"ads_gmv_live","rows":${apiRows(want)}}""",
+            s"batch $i: HTTP != batch recompute")
+          seen += body
+          // the sugar route serves the store's latest-day scalar
+          val latestGmv = want.orderBy(col("dt").desc).head().getDouble(1)
+          assert(getLive("/api/sugar/gmv")._2 ==
+            s"""{"status":0,"msg":"","data":$latestGmv}""")
+        }
+      } finally q.stop()
+      assert(seen.distinct.size == batches.size,
+        "micro-batch publishes were not individually visible over HTTP")
+      // only the newest `keep` versions survive pruning
+      assert(AdsStore.versions(spark, root).size <= 2)
+    } finally live.stop()
   }
 }
