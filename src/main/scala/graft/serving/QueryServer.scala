@@ -144,7 +144,13 @@ final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
               // null dt rows can't belong to any day slice — skip them
               // (a .toString there would NPE the route into a 500)
               val dated = rows.filter(!_.isNullAt(dtIdx))
-              val day = queryParams(ex).getOrElse("date",
+              // the reference takes yyyyMMdd integers (DateUtil.now);
+              // accept that form alongside the native yyyy-MM-dd
+              val day = queryParams(ex).get("date").map { d =>
+                if (d.matches("\\d{8}"))
+                  s"${d.substring(0, 4)}-${d.substring(4, 6)}-${d.substring(6, 8)}"
+                else d
+              }.getOrElse(
                 if (dated.isEmpty) "" else dated.iterator.map(_.get(dtIdx).toString).max)
               dated.iterator.filter(_.get(dtIdx).toString == day).toSeq
             }

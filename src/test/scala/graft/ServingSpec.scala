@@ -54,22 +54,78 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
       SugarApi.SeriesChart("ch", Seq("uv_ct" -> "独立访客数")), fields, rows) ==
       """{"status":0,"msg":"","data":{"categories":["ch\"0","ch1"],""" +
         """"series":[{"name":"独立访客数","data":["6","2"]}]}}""")
+    // legacy /ch series: BARE data (SugarController.java:85-88)
+    assert(SugarApi.render(
+      SugarApi.SeriesChart("ch", Seq("uv_ct" -> "日活"), quotedData = false),
+      fields, rows) ==
+      """{"status":0,"msg":"","data":{"categories":["ch\"0","ch1"],""" +
+        """"series":[{"name":"日活","data":[6,2]}]}}""")
     // pie: bare numeric values (CommodityStatsController.java:102-110)
     assert(SugarApi.render(
       SugarApi.NameValue("ch", "amt"), fields, rows) ==
       """{"status":0,"msg":"","data":[{"name":"ch\"0","value":10.50},""" +
         """{"name":"ch1","value":3.00}]}""")
+    // province map: the mapData/valueName wrapper (TradeController.java:108-116)
+    assert(SugarApi.render(
+      SugarApi.NameValue("ch", "uv_ct", mapName = Some("订单数")), fields, rows) ==
+      """{"status":0,"msg":"","data":{"mapData":[{"name":"ch\"0","value":6},""" +
+        """{"name":"ch1","value":2}],"valueName":"订单数"}}""")
     // scalar: one bare number (TradeController.java:29-34)
     assert(SugarApi.render(SugarApi.ScalarValue("uv_ct"), fields, rows) ==
       """{"status":0,"msg":"","data":6}""")
-    // table: columns/rows with ids (TrafficController.java:290-410)
+    // table: per-column output ids and quoting
+    // (CommodityStatsController.java:43-66 quotes and renames;
+    // TradeController.java:50-60 mixes quoted type with bare value)
     assert(SugarApi.render(
-      SugarApi.TableShape(Seq("ch" -> "类别", "uv_ct" -> "独立访客数")), fields, rows) ==
-      """{"status":0,"msg":"","data":{"columns":[{"name":"类别","id":"ch"},""" +
+      SugarApi.TableShape(Seq(
+        SugarApi.TableCol("ch", "channel", "类别", quoted = true),
+        SugarApi.TableCol("uv_ct", "uv_ct", "独立访客数", quoted = false))),
+      fields, rows) ==
+      """{"status":0,"msg":"","data":{"columns":[{"name":"类别","id":"channel"},""" +
         """{"name":"独立访客数","id":"uv_ct"}],""" +
-        """"rows":[{"ch":"ch\"0","uv_ct":6},{"ch":"ch1","uv_ct":2}]}}""")
-    // empty slice -> empty body (the controllers' `return ""`)
-    assert(SugarApi.render(SugarApi.ScalarValue("uv_ct"), fields, Nil) == "")
+        """"rows":[{"channel":"ch\"0","uv_ct":6},{"channel":"ch1","uv_ct":2}]}}""")
+    // empty slice -> empty body (the controllers' `return ""`) for
+    // lists; the SCALAR renders the null value (TradeController.java:29-35)
+    assert(SugarApi.render(SugarApi.NameValue("ch", "amt"), fields, Nil) == "")
+    assert(SugarApi.render(SugarApi.ScalarValue("uv_ct"), fields, Nil) ==
+      """{"status":0,"msg":"","data":null}""")
+  }
+
+  test("renderer: visitorPerHr zero-fills 24 bare-number hour buckets") {
+    val fields = Array("dt", "hr", "uv_ct", "pv_ct", "new_uv_ct")
+    val rows = Seq(Row("2024-01-01", 1L, 5L, 9L, 2L), Row("2024-01-01", 23L, 1L, 1L, 0L))
+    val body = SugarApi.render(SugarApi.endpoints(
+      "/gmall/realtime/traffic/visitorPerHr").shape, fields, rows)
+    // TrafficController.java:423-446: categories always 00..23, data
+    // bare and zero-filled per missing hour
+    assert(body.contains(""""categories":["00","01","02"""))
+    assert(body.contains(""""name":"独立访客数","data":[0,5,0"""))
+    // hour 23's uv=1 lands in the last bucket of the first series
+    assert(body.contains("""0,1]},{"name":"页面浏览数""""))
+    assert("\"data\":\\[".r.findAllIn(body).size == 3)
+    assert(!body.contains("\"5\""), "hour series data must be bare")
+  }
+
+  test("renderer: visitorPerType pivots to the reference's 5-metric table with derived ratios") {
+    val fields = Array("dt", "is_new", "uv_ct", "pv_ct", "sv_ct", "uj_ct", "dur_sum")
+    val rows = Seq(
+      Row("2024-01-01", "1", 10L, 40L, 20L, 5L, 100000L),
+      Row("2024-01-01", "0", 6L, 12L, 4L, 1L, 8000L))
+    val body = SugarApi.render(SugarApi.VisitorTypePivot, fields, rows)
+    // TrafficController.java:385-410 + TrafficVisitorTypeStats.java:
+    // ujRate = uj/sv, avgDur = dur/sv/1000, avgPv = pv/sv
+    assert(body ==
+      """{"status":0,"data":{"total":5,"columns":[{"name":"类别","id":"type"},""" +
+        """{"name":"新访客","id":"new"},{"name":"老访客","id":"old"}],"rows":[""" +
+        """{"type":"访客数(人)","new":10,"old":6},""" +
+        """{"type":"总访问页面数(次)","new":40,"old":12},""" +
+        """{"type":"跳出率(%)","new":0.25,"old":0.25},""" +
+        """{"type":"平均在线时长(秒)","new":5.0,"old":2.0},""" +
+        """{"type":"平均访问页面数(人次)","new":2.0,"old":3.0}]}}""")
+    // a missing visitor class zero-fills instead of the reference's
+    // NPE (documented divergence)
+    val one = SugarApi.render(SugarApi.VisitorTypePivot, fields, rows.take(1))
+    assert(one.contains(""""new":10,"old":0"""))
   }
 
   // ------------------------------------------------- HTTP round trips
@@ -103,6 +159,23 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(code == 200, s"$route -> $code")
       assert(body.startsWith("""{"status":0"""), s"$route empty/err: ${body.take(80)}")
     }
+  }
+
+  test("empty explicit day: lists return the empty body, scalars data:null; yyyyMMdd accepted") {
+    // a day no fixture contains
+    assert(get("/gmall/realtime/traffic/uvCt?date=1900-01-01") == ((200, "")))
+    assert(get("/gmall/realtime/commodity/trademark?date=1900-01-01") == ((200, "")))
+    assert(get("/gmall/realtime/trade/total?date=1900-01-01")._2 ==
+      """{"status":0,"msg":"","data":null}""")
+    assert(get("/api/sugar/gmv?date=1900-01-01")._2 ==
+      """{"status":0,"msg":"","data":null}""")
+    // the reference's integer date form (DateUtil.now yyyyMMdd) slices
+    // the same day as the native yyyy-MM-dd
+    val rows = SparkEntry.queries("ads_trade_total_amount")(spark, sf).collect()
+    val day = rows.map(_.get(0).toString).max
+    val compact = day.replace("-", "")
+    assert(get(s"/gmall/realtime/trade/total?date=$compact")._2 ==
+      get(s"/gmall/realtime/trade/total?date=$day")._2)
   }
 
   test("generic /api/query/<name> serves records; unknown routes 404") {
@@ -172,7 +245,8 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // bound but nothing committed yet: empty, not 500
       assert(getLive("/api/query/ads_gmv_live") == ((200,
         """{"status":0,"msg":"","query":"ads_gmv_live","rows":[]}""")))
-      assert(getLive("/api/sugar/gmv")._2 == "") // empty slice contract
+      // empty-day SCALAR contract: the controller renders the null value
+      assert(getLive("/api/sugar/gmv")._2 == """{"status":0,"msg":"","data":null}""")
 
       // the maintained ADS: GMV per dt over the accumulated envelope —
       // the ads_gmv payload shape (dt, gmv DOUBLE), DECIMAL inside
