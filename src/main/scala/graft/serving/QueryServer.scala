@@ -200,14 +200,25 @@ final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
   }
 }
 
-/** `runMain graft.serving.ServeMain <sfDir> [port]` — blocks forever. */
+/** `runMain graft.serving.ServeMain <sfDir> [port] [name=storeRoot …]`
+  * — blocks forever. Each trailing `name=path` binds that query name
+  * to a foreachBatch-maintained [[AdsStore]] root (the streaming
+  * deployment: a separate pipeline publishes versions there and the
+  * server picks each one up on the next request). */
 object ServeMain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val port = if (args.length > 1) args(1).toInt else 8070
     val spark = graft.GraftSession.builder("local[4]", 4).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val bound = new QueryServer(spark, sfDir, port).start()
+    val server = new QueryServer(spark, sfDir, port)
+    args.drop(2).foreach { a =>
+      a.split("=", 2) match {
+        case Array(name, root) => server.bindStore(name, root)
+        case _ => sys.error(s"expected name=storeRoot, got '$a'")
+      }
+    }
+    val bound = server.start()
     println(s"graft serving on http://127.0.0.1:$bound (routes: " +
       s"${SugarApi.endpoints.size} sugar + /api/query/<name>)")
     Thread.currentThread.join()
