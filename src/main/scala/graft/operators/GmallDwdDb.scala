@@ -473,12 +473,15 @@ object GmallDwdDb {
       .select(d("id").as("oid"), d("province_id").as("province_id"),
         col("ts").as("ack_ts"))
 
-  private def refundProject(joined: DataFrame): DataFrame =
-    joined.select(col("id"), col("user_id"), col("order_id"), col("sku_id"),
+  private def refundProjection: Seq[Column] =
+    Seq(col("id"), col("user_id"), col("order_id"), col("sku_id"),
       col("province_id"), substring(col("create_time"), 1, 10).as("date_id"),
       col("create_time"), col("refund_type_code"), col("refund_type_name"),
       col("refund_reason_type_code"), col("refund_reason_type_name"),
       col("refund_reason_txt"), col("refund_num"), col("refund_amount"), col("ts"))
+
+  private def refundProject(joined: DataFrame): DataFrame =
+    joined.select(refundProjection: _*)
 
   private def refundDics(dic: DataFrame): (DataFrame, DataFrame) = (
     dic.select(col("dic_code").as("t_code"), col("dic_name").as("refund_type_name")),
@@ -509,17 +512,23 @@ object GmallDwdDb {
     * equality layer by layer. */
   def tradeOrderRefundStreamOn(env: DataFrame, dic: DataFrame,
                                boundSec: Long = 3L * 24 * 3600,
-                               wmDelay: String = "2 seconds"): DataFrame = {
+                               wmDelay: String = "2 seconds",
+                               keepEventTime: Boolean = false): DataFrame = {
     val ri = refundInfoSliceOn(env)
       .withColumn("ri_et", timestamp_seconds(col("ts"))).withWatermark("ri_et", wmDelay)
     val ack = refundAckSliceOn(env)
       .withColumn("ack_et", timestamp_seconds(col("ack_ts"))).withWatermark("ack_et", wmDelay)
     val (typeDic, reasonDic) = refundDics(dic)
-    refundProject(
-      Joins.streamStream(ri, ack, "order_id", "oid", "ri_et", "ack_et",
+    val joined = Joins.streamStream(ri, ack, "order_id", "oid", "ri_et", "ack_et",
         boundSec, boundSec, joinType = "leftOuter")
       .join(broadcast(typeDic), col("refund_type_code") === col("t_code"), "left")
-      .join(broadcast(reasonDic), col("refund_reason_type_code") === col("r_code"), "left"))
+      .join(broadcast(reasonDic), col("refund_reason_type_code") === col("r_code"), "left")
+    // keepEventTime: retain the refund side's watermarked ri_et so a
+    // DOWNSTREAM stateful operator (a chained windowed DWS agg) can
+    // window on an already-watermarked column — the flagship's
+    // keepEventTime contract
+    if (keepEventTime) joined.select(col("ri_et") +: refundProjection: _*)
+    else refundProject(joined)
   }
 
   /** DIM sku star-chain analog for the CDC fixture: the reference's

@@ -264,6 +264,61 @@ class GmallDwdDbSpec extends AnyFunSuite {
       s"streaming DWD→DWS window diverged: got=$got want=$want")
   }
 
+  test("refund stream chains into a windowed DWS agg (one query, 3 stateful operators)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    def ri(id: String, order: String, t: Long) =
+      s"""{"database":"g","table":"order_refund_info","type":"insert","data":{"id":"$id","user_id":"42","order_id":"$order","sku_id":"7","refund_type":"1101","refund_num":"1","refund_amount":"19.00","refund_reason_type":"1301","refund_reason_txt":"r","create_time":"1995-03-01 00:00:00"},"ts":$t}"""
+    val oldSt = ""","old":{"order_status":"1002"}"""
+    val lines = Seq(
+      ri("r1", "41", 100), ri("r2", "42", 110), ri("r3", "43", 200),
+      ri("r9", "99", 300), // never acknowledged → null-padded at watermark close
+      oi("41", "update", "1005", oldSt, 130), oi("42", "update", "1005", oldSt, 140),
+      oi("43", "update", "1005", oldSt, 230),
+      oi("44", "update", "1003", oldSt, 240)) // a cancel, not an ack — filtered
+    val dic = GmallDwdDb.baseDic(spark)
+    def windowed(refund: org.apache.spark.sql.DataFrame, etCol: org.apache.spark.sql.Column) =
+      refund.groupBy(window(etCol, "60 seconds"), col("province_id"))
+        .agg(count(lit(1)).as("refund_ct"))
+        .select(col("window.start").cast("long").as("ws"), col("province_id"), col("refund_ct"))
+    val benv = LogStream.maxwellEnvelope(lines.toDF("value"))
+    // UNLIKE the flagship's 3-join chain (whose caveat drops
+    // null-padded rows), the single left-outer hop here keeps them ON
+    // TIME for the chained window: the agg's late-record filter uses
+    // the join's OUTPUT watermark (input wm − boundSec), which trails
+    // the flushed rows' event times — so the streamed chain equals the
+    // FULL batch left-outer, unmatched (null-province) refunds
+    // included. Empirically pinned; if Spark's multi-stateful
+    // watermark propagation ever changes, this assert localizes it.
+    val want = windowed(GmallDwdDb.tradeOrderRefundOn(
+        GmallDwdDb.refundInfoSliceOn(benv), GmallDwdDb.refundAckSliceOn(benv), dic),
+      timestamp_seconds(col("ts"))).collect().map(_.toString).toSet
+
+    val mem = MemoryStream[String](spark)
+    val agg = windowed(GmallDwdDb.tradeOrderRefundStreamOn(
+        LogStream.maxwellEnvelope(mem.toDF()), dic, keepEventTime = true),
+      col("ri_et"))
+    val q = agg.writeStream.format("memory").queryName("refund_dws")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(lines)
+    q.processAllAvailable()
+    // sentinel ri+ack pairs (join survivors) advance both watermarks
+    // and close the real windows; extra rounds for the agg's hop
+    (1 to 4).foreach { r =>
+      val t = 5000000L * r
+      mem.addData(Seq(ri(s"zs$r", s"90$r", t),
+        oi(s"90$r", "update", "1005", oldSt, t)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("refund_dws")
+      .filter(col("ws") < 1000000L) // sentinel windows start near 5M·r
+      .collect().map(_.toString).toSet
+    assert(want.nonEmpty && got == want,
+      s"streaming refund DWD→DWS window diverged: got=$got want=$want")
+  }
+
   test("flagship wide plan: broadcast dic lookup, shuffle fact joins, no cartesian") {
     // build the join fresh from the slices (the memoized frame would
     // plan as a cached scan and hide the join structure)

@@ -87,4 +87,68 @@ class StreamRecoverySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
     assert(got == Seq(("x", 1L), ("y", 2L), ("z", 3L)), s"sink rows wrong: $got")
   }
+
+  test("stream-stream join state survives restart: a refund acked after the restart still joins") {
+    import graft.operators.GmallDwdDb
+    import graft.streaming.LogStream
+    val inDir = Files.createTempDirectory("rec3_in").toString
+    val ckpt = Files.createTempDirectory("rec3_ck").toString
+    val outDir = Files.createTempDirectory("rec3_out").toString + "/refund"
+
+    def ri(id: String, order: String, t: Long) =
+      s"""{"database":"g","table":"order_refund_info","type":"insert","data":{"id":"$id","user_id":"42","order_id":"$order","sku_id":"7","refund_type":"1101","refund_num":"1","refund_amount":"19.00","refund_reason_type":"1301","refund_reason_txt":"r","create_time":"1995-03-01 00:00:00"},"ts":$t}"""
+    def ack(order: String, t: Long) =
+      s"""{"database":"g","table":"order_info","type":"update","data":{"id":"$order","order_status":"1005","province_id":"${order.toLong % 25}","operate_time":"1995-03-01 01:00:00"},"old":{"order_status":"1002"},"ts":$t}"""
+
+    val dic = GmallDwdDb.baseDic(spark)
+    def runOnce(): Unit = {
+      val refund = GmallDwdDb.tradeOrderRefundStreamOn(
+        LogStream.maxwellEnvelope(spark.readStream.text(inDir)), dic)
+      val q = refund.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .start()
+      assert(q.awaitTermination(120000), "stream run timed out")
+    }
+
+    // incarnation 1: r1 acked immediately; r2's ack arrives only AFTER
+    // the restart; r3 is never acked (the watermark-flush row)
+    writeLines(inDir, "a.jsonl",
+      Seq(ri("r1", "41", 100), ack("41", 110), ri("r2", "42", 120), ri("r3", "43", 125)))
+    runOnce()
+    // incarnation 2: the cross-incarnation ack (needs r2 restored from
+    // the join state store) + a far-future sentinel pair to advance
+    // both watermarks past the data
+    val far = 200L + 3L * 3 * 86400
+    writeLines(inDir, "b.jsonl",
+      Seq(ack("42", 130), ri("zr1", "901", far), ack("901", far)))
+    runOnce()
+    // incarnation 3: a second sentinel round — the watermark computed
+    // from delivery B only applies to the NEXT batch, which flushes
+    // r3's null-padded row
+    writeLines(inDir, "c.jsonl", Seq(ri("zr2", "902", 2 * far), ack("902", 2 * far)))
+    runOnce()
+
+    val gotDf = spark.read.parquet(outDir).filter(!col("id").startsWith("zr"))
+    val got = gotDf.select("id", "order_id", "province_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq(
+      ("r1", "41", "16"),  // joined within incarnation 1
+      ("r2", "42", "17"),  // joined ACROSS the restart — restored join state
+      ("r3", "43", null)), // unmatched, flushed exactly once at watermark
+      s"recovered refund rows wrong: $got")
+    // exactly-once: batch recompute over the union of all deliveries
+    import spark.implicits._
+    val allLines = Seq(ri("r1", "41", 100), ack("41", 110), ri("r2", "42", 120),
+      ri("r3", "43", 125), ack("42", 130)).toDF("value")
+    val benv = LogStream.maxwellEnvelope(allLines)
+    val want = GmallDwdDb.tradeOrderRefundOn(
+        GmallDwdDb.refundInfoSliceOn(benv), GmallDwdDb.refundAckSliceOn(benv), dic)
+      .collect().map(_.toString).toSet
+    assert(gotDf.collect().map(_.toString).toSet == want,
+      "recovered store != batch over the union of deliveries")
+  }
 }
