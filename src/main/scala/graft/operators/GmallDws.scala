@@ -227,6 +227,19 @@ object GmallDws {
     * [[tradeTmCatUserRefund]] above stays the batch-lineage twin;
     * OdsToAdsSpec drives THIS form against a STREAMED dwd refund
     * store, so the CDC layer stack runs exactly this code. */
+  /** The CDC refund window as a named query: the refund DWD frame from
+    * the Maxwell envelope (exactly `dwd_trade_order_refund`) decorated
+    * through [[GmallDwdDb.skuDim]] — the reference's actual topic
+    * dataflow, memoized like the province CDC twin. */
+  def tradeTmCatUserRefundCdc(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dws.tradeTmCatUserRefundCdc") {
+      val env = GmallDwdDb.envelope(spark, dir)
+      tradeTmCatUserRefundCdcOn(
+        GmallDwdDb.tradeOrderRefundOn(GmallDwdDb.refundInfoSliceOn(env),
+          GmallDwdDb.refundAckSliceOn(env), GmallDwdDb.baseDic(spark)),
+        GmallDwdDb.skuDim(spark))
+    }
+
   def tradeTmCatUserRefundCdcOn(refund: DataFrame, sku: DataFrame): DataFrame =
     dtStt(refund
         .withColumn("sku_id", col("sku_id").cast(StringType))
@@ -272,6 +285,11 @@ object GmallDws {
     "dws_trade_trademark_category_user_spu_order_window" -> q(tradeTmCatUserSpuOrder,
       Seq("order_amount"), Seq("stt", "trademark_id", "category3_id", "user_id", "spu_id")),
     "dws_trade_trademark_category_user_refund_window" -> q(tradeTmCatUserRefund,
+      Nil, Seq("stt", "trademark_id", "category3_id", "user_id")),
+    // (stt, category3_id, user_id) is the functional key — category3
+    // (sku % 24) determines trademark (sku % 12) and the c1/c2 pair —
+    // so this ORDER BY is a full deterministic tiebreak
+    "dws_trade_trademark_category_user_refund_cdc_window" -> q(tradeTmCatUserRefundCdc,
       Nil, Seq("stt", "trademark_id", "category3_id", "user_id")))
 
   // ------------------------- oracle SQL -----------------------------
@@ -465,5 +483,32 @@ object GmallDws {
       """SELECT stt, edt, trademark_id, trademark_name, category1_id, category1_name,
         | category2_id, category2_name, category3_id, category3_name, user_id, refund_count
         |FROM dws_trade_trademark_category_user_refund_window
-        |ORDER BY stt, trademark_id, category3_id, user_id""".stripMargin))
+        |ORDER BY stt, trademark_id, category3_id, user_id""".stripMargin),
+    // CDC lineage: the refund envelope slice (o%10==3 inserts — the
+    // dwd_trade_order_refund oracle's source rule) decorated by the
+    // skuDim modulus chain (sku = okey % 200; tm = sku % 12, c1/c2/c3 =
+    // sku % 3/6/24), daily window, distinct order count
+    "dws_trade_trademark_category_user_refund_cdc_window" ->
+      """WITH rf AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+        |    strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d') AS dt1,
+        |    o_orderkey % 200 AS sku,
+        |    CAST(o_custkey AS VARCHAR) AS user_id,
+        |    o_orderkey AS okey
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |)
+        |SELECT dt || ' 00:00:00' AS stt, dt1 || ' 00:00:00' AS edt,
+        |  'tm_' || CAST(sku % 12 AS VARCHAR) AS trademark_id,
+        |  'trademark ' || CAST(sku % 12 AS VARCHAR) AS trademark_name,
+        |  'c1_' || CAST(sku % 3 AS VARCHAR) AS category1_id,
+        |  'category1 ' || CAST(sku % 3 AS VARCHAR) AS category1_name,
+        |  'c2_' || CAST(sku % 6 AS VARCHAR) AS category2_id,
+        |  'category2 ' || CAST(sku % 6 AS VARCHAR) AS category2_name,
+        |  'c3_' || CAST(sku % 24 AS VARCHAR) AS category3_id,
+        |  'category3 ' || CAST(sku % 24 AS VARCHAR) AS category3_name,
+        |  user_id,
+        |  CAST(COUNT(DISTINCT okey) AS BIGINT) AS refund_count
+        |FROM rf
+        |GROUP BY dt, dt1, sku % 12, sku % 3, sku % 6, sku % 24, user_id
+        |ORDER BY stt, trademark_id, category3_id, user_id""".stripMargin)
 }
