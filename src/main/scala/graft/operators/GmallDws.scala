@@ -253,6 +253,33 @@ object GmallDws {
         col("category1_id"), col("category1_name"), col("category2_id"), col("category2_name"),
         col("category3_id"), col("category3_name"), col("user_id"), col("refund_count"))
 
+  /** Incremental DWS store maintenance for DECOMPOSABLE measures
+    * (counts, sums): merge one micro-batch's partial aggregate into
+    * the stored DWS frame with a full-outer coalesce-sum — per batch
+    * cost O(|store| + |delta|), where the store is AGGREGATE-grain
+    * (days × channel-like keys, megabytes at any corpus scale). This
+    * is the maintenance path the OdsToAdsSpec legs document as the
+    * scale alternative to their per-batch recompute over the
+    * ACCUMULATED DWD store (kept there because it also re-proves layer
+    * semantics each batch): the reference gets the same effect from
+    * ClickHouse `SummingMergeTree` roll-ups on the K4 sink. Distinct
+    * counts are NOT decomposable — they keep the DWD-grain store (the
+    * legs' path) or an approx sketch ([[graft.operators.Analytic]]'s
+    * KMV). Pair with [[graft.serving.AdsStore]] versions so a reader
+    * never sees the half-merged store and the merge never reads the
+    * directory it is writing. */
+  def mergeDwsDelta(store: Option[DataFrame], deltaAgg: DataFrame,
+                    keys: Seq[String], measures: Seq[String]): DataFrame =
+    store match {
+      case None => deltaAgg
+      case Some(s) =>
+        val sAlias = measures.foldLeft(s)((acc, m) => acc.withColumnRenamed(m, s"_s_$m"))
+        val dAlias = measures.foldLeft(deltaAgg)((acc, m) => acc.withColumnRenamed(m, s"_d_$m"))
+        sAlias.join(dAlias, keys, "full_outer")
+          .select(keys.map(col) ++ measures.map(m =>
+            (coalesce(col(s"_s_$m"), lit(0L)) + coalesce(col(s"_d_$m"), lit(0L))).as(m)): _*)
+    }
+
   // -------------------- query wrappers (DOUBLE at the boundary) ----
 
   private def q(f: (SparkSession, String) => DataFrame, doubleCols: Seq[String], sortCols: Seq[String])

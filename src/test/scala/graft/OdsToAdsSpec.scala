@@ -43,10 +43,10 @@ import graft.streaming.LogStream
   * Each leg is fed file-by-file (one micro-batch per ODS file, in
   * event-time order — the Kafka-arrival analog), and the FINAL frames
   * of every layer must equal the one-shot batch computation over the
-  * same ODS text. Per-batch DWS recompute is O(accumulated) here; at
-  * scale the store update is the bucketed DIM merge / incremental
-  * path — this spec pins layer SEMANTICS, not the store's write
-  * amplification.
+  * same ODS text. Per-batch DWS recompute is O(accumulated) in the
+  * legs (it re-proves layer semantics each batch); the O(delta) scale
+  * path — `GmallDws.mergeDwsDelta` through `AdsStore` versions — is
+  * pinned by the dedicated incremental-maintenance test below.
   */
 class OdsToAdsSpec extends AnyFunSuite {
   import TestSession._
@@ -286,6 +286,51 @@ class OdsToAdsSpec extends AnyFunSuite {
       .collect().map(_.toString).toSet
     assert(wantAds.nonEmpty && adsSnapshots.last == wantAds,
       "final ADS trademark frame diverged from batch")
+  }
+
+  test("incremental DWS maintenance: per-batch O(delta) merge through AdsStore versions == batch recompute") {
+    import graft.serving.AdsStore
+    // closes the legs' documented caveat: instead of recomputing the
+    // DWS from the ACCUMULATED DWD store each batch, aggregate ONLY
+    // the micro-batch and merge it into the stored frame
+    // (GmallDws.mergeDwsDelta), published as AdsStore versions so no
+    // reader sees a half-merge and the merge never reads the directory
+    // it writes
+    import spark.implicits._
+    val odsDir = Files.createTempDirectory("ods_incr").toString
+    val root = Files.createTempDirectory("dws_incr").toString + "/page_view"
+
+    val lines = GmallDwd.logJson(spark, sf).as[String].collect().toSeq.sortBy(tsOf)
+    writeChunks(odsDir, lines, 3)
+
+    def pageDws(page: DataFrame): DataFrame = page
+      .groupBy(to_date(timestamp_millis(col("ts"))).as("dt"),
+        col("common.ch").as("ch"), col("page.page_id").as("page_id"))
+      .agg(count(lit(1)).as("pv_ct"))
+    val keys = Seq("dt", "ch", "page_id")
+
+    val parsed = LogStream.parse(
+      spark.readStream.option("maxFilesPerTrigger", "1").text(odsDir),
+      LogStream.pageLogSchema)
+    val q = parsed.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val page = LogStream.splitLog(LogStream.clean(b)).apply("page")
+        val delta = pageDws(page) // THIS batch only — never the accumulation
+        val store = AdsStore.read(spark, root).map(_._2)
+        AdsStore.publish(
+          GmallDws.mergeDwsDelta(store, delta, keys, Seq("pv_ct")), root, id)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(AdsStore.versions(spark, root).nonEmpty, "no version published")
+    val got = AdsStore.read(spark, root).get._2
+      .collect().map(_.toString).toSet
+    val want = pageDws(LogStream.splitLog(LogStream.clean(
+      LogStream.parse(spark.read.text(odsDir), LogStream.pageLogSchema))).apply("page"))
+      .collect().map(_.toString).toSet
+    assert(want.nonEmpty && got == want,
+      "incrementally merged DWS store diverged from the batch recompute")
   }
 
   test("traffic leg: topic_log stream -> DWD split parquet -> DWS parquet -> ADS == batch") {
