@@ -296,4 +296,48 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(AdsStore.versions(spark, root).size <= 2)
     } finally live.stop()
   }
+
+  test("user erasure propagates to serving: anti-join rewrite republished, victim vanishes over HTTP") {
+    import graft.operators.Governance
+    import graft.sources.Tables
+    val root = Files.createTempDirectory("erasure_store").toString + "/user_ads"
+    val live = new QueryServer(spark, sf, port = 0)
+    val liveBase = s"http://127.0.0.1:${live.start()}"
+    def getLive(path: String): String = client.send(
+      HttpRequest.newBuilder(URI.create(liveBase + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+    try {
+      live.bindStore("ads_user_orders_live", root)
+      // a user-keyed ADS frame (per-user order counts) — the serving
+      // surface an erasure request must reach
+      val ads = Tables.orders(spark, sf)
+        .groupBy(col("o_custkey").cast("long").as("user_id"))
+        .agg(count(lit(1)).as("order_ct"))
+        .orderBy(col("user_id"))
+      AdsStore.publish(ads, root, 0)
+      val v = Governance.victims(spark, sf)
+      // a victim who actually has served rows
+      val gone = ads.join(v, ads("user_id") === v("uid")).select("user_id")
+        .head().getLong(0)
+      val before = getLive("/api/query/ads_user_orders_live?limit=10000")
+      assert(before.contains(s""""user_id":$gone,"""), "victim not served before erasure")
+
+      // the erasure rewrite job (the Governance scaladoc's shape:
+      // broadcast victim set, anti-join probe), republished as v1
+      val erased = ads.join(broadcast(v), ads("user_id") === v("uid"), "left_anti")
+      AdsStore.publish(erased, root, 1)
+      val after = getLive("/api/query/ads_user_orders_live?limit=10000")
+      assert(!after.contains(s""""user_id":$gone,"""), "victim still served after erasure")
+      // non-victims unchanged: the after-body is the before-body minus
+      // exactly the victim rows
+      val victimIds = ads.join(broadcast(v), ads("user_id") === v("uid"))
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      val rowRe = """\{"user_id":(\d+),"order_ct":\d+\}""".r
+      val beforeRows = rowRe.findAllMatchIn(before).map(_.matched).toSeq
+      val afterRows = rowRe.findAllMatchIn(after).map(_.matched).toSeq
+      assert(afterRows == beforeRows.filterNot(r =>
+        victimIds.contains(rowRe.findFirstMatchIn(r).get.group(1).toLong)),
+        "erasure touched non-victim rows or left residue")
+    } finally live.stop()
+  }
 }
