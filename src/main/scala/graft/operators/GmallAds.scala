@@ -79,6 +79,35 @@ object GmallAds {
       .orderBy(col("dt"), col("trademark_name"))
   }
 
+  /** The all-CDC-lineage twin of [[trademarkStats]]: both sides consume
+    * the envelope-derived CDC windows
+    * ([[GmallDws.tradeTmCatUserSpuOrderCdc]] /
+    * [[GmallDws.tradeTmCatUserRefundCdc]] — the reference's actual
+    * topic dataflow) instead of the star-schema batch twins, so the
+    * full DWD→DWS→ADS commodity path exists end-to-end on the CDC
+    * lineage too. */
+  def trademarkStatsCdc(s: SparkSession, d: String): DataFrame = {
+    val o = withDt(GmallDws.tradeTmCatUserSpuOrderCdc(s, d))
+      .groupBy(col("dt").as("odt"), col("trademark_id").as("otm"), col("trademark_name").as("otmn"))
+      .agg(sum(col("order_count")).as("order_count"),
+        countDistinct(col("user_id")).as("uu_count"),
+        sum(col("order_amount")).as("order_amount"))
+    val r = withDt(GmallDws.tradeTmCatUserRefundCdc(s, d))
+      .groupBy(col("dt").as("rdt"), col("trademark_id").as("rtm"), col("trademark_name").as("rtmn"))
+      .agg(sum(col("refund_count")).as("refund_count"),
+        countDistinct(col("user_id")).as("refund_uu_count"))
+    o.join(r, col("odt") === col("rdt") && col("otm") === col("rtm"), "full_outer")
+      .select(
+        coalesce(col("odt"), col("rdt")).as("dt"),
+        coalesce(col("otmn"), col("rtmn")).as("trademark_name"),
+        coalesce(col("order_count"), lit(0L)).as("order_count"),
+        coalesce(col("uu_count"), lit(0L)).as("uu_count"),
+        coalesce(col("order_amount").cast(DoubleType), lit(0.0)).as("order_amount"),
+        coalesce(col("refund_count"), lit(0L)).as("refund_count"),
+        coalesce(col("refund_uu_count"), lit(0L)).as("refund_uu_count"))
+      .orderBy(col("dt"), col("trademark_name"))
+  }
+
   /** CommodityStatsMapper.selectTmOrderAmtPieGra */
   def trademarkOrderAmountPie(s: SparkSession, d: String): DataFrame =
     withDt(tradeTmCatUserSpuOrder(s, d))
@@ -280,6 +309,7 @@ object GmallAds {
     "ads_activity_stats" -> activityStats,
     "ads_coupon_stats" -> couponStats,
     "ads_trademark_stats" -> trademarkStats,
+    "ads_trademark_stats_cdc" -> trademarkStatsCdc,
     "ads_trademark_order_amount_pie" -> trademarkOrderAmountPie,
     "ads_category_stats" -> categoryStats,
     "ads_spu_stats" -> spuStats,
@@ -339,6 +369,27 @@ object GmallAds {
         |      FROM dws_trade_trademark_category_user_refund_window GROUP BY dt, trademark_id, trademark_name) r
         | ON o.dt = r.dt AND o.trademark_id = r.trademark_id
         |ORDER BY dt, trademark_name""".stripMargin),
+    "ads_trademark_stats_cdc" ->
+      s"""${graft.operators.GmallDwdDb.flagshipWideCte},
+        |${GmallDws.spuOrderCdcCtes},
+        |${GmallDws.refundCdcCtes}
+        |SELECT COALESCE(o.dt, r.dt) AS dt,
+        | COALESCE(o.trademark_name, r.trademark_name) AS trademark_name,
+        | COALESCE(o.order_count, 0) AS order_count,
+        | COALESCE(o.uu_count, 0) AS uu_count,
+        | COALESCE(CAST(o.order_amount AS DOUBLE), 0.0) AS order_amount,
+        | COALESCE(r.refund_count, 0) AS refund_count,
+        | COALESCE(r.refund_uu_count, 0) AS refund_uu_count
+        |FROM (SELECT substring(stt, 1, 10) AS dt, trademark_id, trademark_name,
+        |       CAST(SUM(order_count) AS BIGINT) AS order_count,
+        |       COUNT(DISTINCT user_id) AS uu_count, SUM(order_amount) AS order_amount
+        |      FROM spu_cdc GROUP BY 1, 2, 3) o
+        |FULL OUTER JOIN (SELECT substring(stt, 1, 10) AS dt, trademark_id, trademark_name,
+        |       CAST(SUM(refund_count) AS BIGINT) AS refund_count,
+        |       COUNT(DISTINCT user_id) AS refund_uu_count
+        |      FROM refund_cdc GROUP BY 1, 2, 3) r
+        | ON o.dt = r.dt AND o.trademark_id = r.trademark_id
+        |ORDER BY dt, trademark_name""".stripMargin,
     "ads_trademark_order_amount_pie" -> wTrade(dws10Cte,
       """SELECT dt, trademark_name, CAST(SUM(order_amount) AS DOUBLE) AS order_amount
         |FROM dws_trade_trademark_category_user_spu_order_window

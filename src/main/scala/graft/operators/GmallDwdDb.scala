@@ -531,14 +531,22 @@ object GmallDwdDb {
     else refundProject(joined)
   }
 
+  /** [[skuDim]] domain for part-key sku ids (the flagship wide frame's
+    * `sku_id` = `l_partkey`, 200 k·SF keys — 2^18 covers SF 1; beyond
+    * that a real deployment reads its real dim table). The refund
+    * envelope's sku domain (`okey % 200`) fits any n ≥ 200. */
+  val SkuDimWide: Long = 1L << 18
+
   /** DIM sku star-chain analog for the CDC fixture: the reference's
-    * refund DWS window decorates each refund with `dim_sku_info` →
-    * `base_trademark` → `base_category3/2/1`
-    * (`DwsTradeTrademarkCategoryUserRefundWindow.java:140-219`, four
+    * trademark DWS windows decorate each fact with `dim_sku_info` →
+    * `base_trademark` → `base_category3/2/1` (+ spu)
+    * (`DwsTradeTrademarkCategoryUserRefundWindow.java:140-219`,
+    * `DwsTradeTrademarkCategoryUserSpuOrderWindow.java:118-318` —
     * chained async lookups); here the decoded chain is ONE
-    * deterministic dim frame (sku_id → trademark + category triple),
-    * broadcast like [[baseDic]]. The modulus rules make the DuckDB
-    * side reproducible from `range()`. */
+    * deterministic dim frame (sku_id → trademark + category triple +
+    * spu), broadcast like [[baseDic]]. The modulus rules make the
+    * DuckDB side reproducible from `range()` or directly from the
+    * joined key. */
   def skuDim(spark: SparkSession, n: Long = 4096): DataFrame =
     spark.range(0, n).select(
       s(col("id")).as("sku_id"),
@@ -549,7 +557,9 @@ object GmallDwdDb {
       concat(lit("c2_"), s(col("id") % 6)).as("category2_id"),
       concat(lit("category2 "), s(col("id") % 6)).as("category2_name"),
       concat(lit("c3_"), s(col("id") % 24)).as("category3_id"),
-      concat(lit("category3 "), s(col("id") % 24)).as("category3_name"))
+      concat(lit("category3 "), s(col("id") % 24)).as("category3_name"),
+      concat(lit("spu_"), s(col("id") % 50)).as("spu_id"),
+      concat(lit("spu name "), s(col("id") % 50)).as("spu_name"))
 
   // The `*On(env)` forms below are the apps' transforms over ANY
   // Maxwell envelope frame — batch OR readStream (stateless

@@ -227,6 +227,41 @@ object GmallDws {
     * [[tradeTmCatUserRefund]] above stays the batch-lineage twin;
     * OdsToAdsSpec drives THIS form against a STREAMED dwd refund
     * store, so the CDC layer stack runs exactly this code. */
+  /** W2/J4 over the CDC pipeline: the reference's
+    * `DwsTradeTrademarkCategoryUserSpuOrderWindow.java:118-318`
+    * consumes the `dwd_trade_order_detail` topic (D2 latest-wins per
+    * detail id, like the province CDC window) and decorates through
+    * the DIM star chain + spu; same dataflow over the memoized
+    * flagship wide frame with the [[GmallDwdDb.skuDim]] broadcast
+    * (wide domain — part-key sku ids). */
+  def tradeTmCatUserSpuOrderCdc(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dws.tradeTmCatUserSpuOrderCdc") {
+      tradeTmCatUserSpuOrderCdcOn(GmallDwdDb.tradeOrderDetailWide(spark, dir),
+        GmallDwdDb.skuDim(spark, GmallDwdDb.SkuDimWide))
+    }
+
+  def tradeTmCatUserSpuOrderCdcOn(wide: DataFrame, sku: DataFrame): DataFrame = {
+    val latest = wide
+      .withColumn("drn", row_number().over(
+        Window.partitionBy(col("order_detail_id")).orderBy(
+          col("type").desc, col("operate_time").desc, col("order_status").desc)))
+      .filter(col("drn") === 1)
+    dtStt(latest
+        .withColumn("sku_id", col("sku_id").cast(StringType))
+        .join(broadcast(sku), Seq("sku_id"))
+        .withColumn("dt", substring(col("order_create_time"), 1, 10))
+        .groupBy(col("dt"), col("trademark_id"), col("trademark_name"),
+          col("category1_id"), col("category1_name"), col("category2_id"), col("category2_name"),
+          col("category3_id"), col("category3_name"), col("user_id"),
+          col("spu_id"), col("spu_name"))
+        .agg(countDistinct(col("order_id")).as("order_count"),
+          sum(col("split_total_amount").cast(DecimalType(18, 4))).as("order_amount")))
+      .select(col("stt"), col("edt"), col("trademark_id"), col("trademark_name"),
+        col("category1_id"), col("category1_name"), col("category2_id"), col("category2_name"),
+        col("category3_id"), col("category3_name"), col("user_id"),
+        col("spu_id"), col("spu_name"), col("order_count"), col("order_amount"))
+  }
+
   /** The CDC refund window as a named query: the refund DWD frame from
     * the Maxwell envelope (exactly `dwd_trade_order_refund`) decorated
     * through [[GmallDwdDb.skuDim]] — the reference's actual topic
@@ -317,7 +352,11 @@ object GmallDws {
     // (sku % 24) determines trademark (sku % 12) and the c1/c2 pair —
     // so this ORDER BY is a full deterministic tiebreak
     "dws_trade_trademark_category_user_refund_cdc_window" -> q(tradeTmCatUserRefundCdc,
-      Nil, Seq("stt", "trademark_id", "category3_id", "user_id")))
+      Nil, Seq("stt", "trademark_id", "category3_id", "user_id")),
+    // likewise (stt, category3_id, spu_id, user_id) is functional:
+    // %24 and %50 jointly fix every other sku modulus class
+    "dws_trade_trademark_category_user_spu_order_cdc_window" -> q(tradeTmCatUserSpuOrderCdc,
+      Seq("order_amount"), Seq("stt", "trademark_id", "category3_id", "spu_id", "user_id")))
 
   // ------------------------- oracle SQL -----------------------------
 
@@ -455,6 +494,68 @@ object GmallDws {
   private def withTrade(extra: String, select: String) =
     s"WITH ${GmallDwd.orderWideCte},\n${GmallDwd.ordersEnrichedCte},\n$extra\n$select"
 
+  /** Reusable CDC refund-window CTE (final relation `refund_cdc`) —
+    * shared by its own oracle and the all-CDC ads_trademark_stats
+    * twin. */
+  private[operators] val refundCdcCtes: String =
+    """rf AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+      |    strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d') AS dt1,
+      |    o_orderkey % 200 AS sku,
+      |    CAST(o_custkey AS VARCHAR) AS user_id,
+      |    o_orderkey AS okey
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |), refund_cdc AS (
+      |  SELECT dt || ' 00:00:00' AS stt, dt1 || ' 00:00:00' AS edt,
+      |    'tm_' || CAST(sku % 12 AS VARCHAR) AS trademark_id,
+      |    'trademark ' || CAST(sku % 12 AS VARCHAR) AS trademark_name,
+      |    'c1_' || CAST(sku % 3 AS VARCHAR) AS category1_id,
+      |    'category1 ' || CAST(sku % 3 AS VARCHAR) AS category1_name,
+      |    'c2_' || CAST(sku % 6 AS VARCHAR) AS category2_id,
+      |    'category2 ' || CAST(sku % 6 AS VARCHAR) AS category2_name,
+      |    'c3_' || CAST(sku % 24 AS VARCHAR) AS category3_id,
+      |    'category3 ' || CAST(sku % 24 AS VARCHAR) AS category3_name,
+      |    user_id,
+      |    CAST(COUNT(DISTINCT okey) AS BIGINT) AS refund_count
+      |  FROM rf
+      |  GROUP BY dt, dt1, sku % 12, sku % 3, sku % 6, sku % 24, user_id
+      |)""".stripMargin
+
+  /** Reusable CDC spu-order-window CTEs (final relation `spu_cdc`;
+    * must be preceded by [[GmallDwdDb.flagshipWideCte]]). The `WHERE
+    * sku < SkuDimWide` mirrors the engine's inner dim join — vacuous
+    * at tested SFs (part keys ≤ 20 k), present for exactness. */
+  private[operators] val spuOrderCdcCtes: String =
+    s"""cdc_latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY order_detail_id
+      |    ORDER BY type DESC, operate_time DESC, order_status DESC) AS drn
+      |  FROM wide
+      |), spu_src AS (
+      |  SELECT substring(order_create_time, 1, 10) AS dt,
+      |    CAST(sku_id AS BIGINT) AS sku, user_id, order_id,
+      |    CAST(split_total_amount AS DECIMAL(18,4)) AS amt
+      |  FROM cdc_latest
+      |  WHERE drn = 1 AND CAST(sku_id AS BIGINT) < ${GmallDwdDb.SkuDimWide}
+      |), spu_cdc AS (
+      |  SELECT dt || ' 00:00:00' AS stt,
+      |    strftime(CAST(dt AS DATE) + 1, '%Y-%m-%d') || ' 00:00:00' AS edt,
+      |    'tm_' || CAST(sku % 12 AS VARCHAR) AS trademark_id,
+      |    'trademark ' || CAST(sku % 12 AS VARCHAR) AS trademark_name,
+      |    'c1_' || CAST(sku % 3 AS VARCHAR) AS category1_id,
+      |    'category1 ' || CAST(sku % 3 AS VARCHAR) AS category1_name,
+      |    'c2_' || CAST(sku % 6 AS VARCHAR) AS category2_id,
+      |    'category2 ' || CAST(sku % 6 AS VARCHAR) AS category2_name,
+      |    'c3_' || CAST(sku % 24 AS VARCHAR) AS category3_id,
+      |    'category3 ' || CAST(sku % 24 AS VARCHAR) AS category3_name,
+      |    user_id,
+      |    'spu_' || CAST(sku % 50 AS VARCHAR) AS spu_id,
+      |    'spu name ' || CAST(sku % 50 AS VARCHAR) AS spu_name,
+      |    CAST(COUNT(DISTINCT order_id) AS BIGINT) AS order_count,
+      |    SUM(amt) AS order_amount
+      |  FROM spu_src
+      |  GROUP BY dt, sku % 12, sku % 3, sku % 6, sku % 24, sku % 50, user_id
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dwd_traffic_display_log" -> GmallDwd.displayLogSql,
     "dwd_traffic_action_log" -> GmallDwd.actionLogSql,
@@ -516,26 +617,17 @@ object GmallDws {
     // skuDim modulus chain (sku = okey % 200; tm = sku % 12, c1/c2/c3 =
     // sku % 3/6/24), daily window, distinct order count
     "dws_trade_trademark_category_user_refund_cdc_window" ->
-      """WITH rf AS (
-        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
-        |    strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d') AS dt1,
-        |    o_orderkey % 200 AS sku,
-        |    CAST(o_custkey AS VARCHAR) AS user_id,
-        |    o_orderkey AS okey
-        |  FROM orders WHERE o_orderkey % 10 = 3
-        |)
-        |SELECT dt || ' 00:00:00' AS stt, dt1 || ' 00:00:00' AS edt,
-        |  'tm_' || CAST(sku % 12 AS VARCHAR) AS trademark_id,
-        |  'trademark ' || CAST(sku % 12 AS VARCHAR) AS trademark_name,
-        |  'c1_' || CAST(sku % 3 AS VARCHAR) AS category1_id,
-        |  'category1 ' || CAST(sku % 3 AS VARCHAR) AS category1_name,
-        |  'c2_' || CAST(sku % 6 AS VARCHAR) AS category2_id,
-        |  'category2 ' || CAST(sku % 6 AS VARCHAR) AS category2_name,
-        |  'c3_' || CAST(sku % 24 AS VARCHAR) AS category3_id,
-        |  'category3 ' || CAST(sku % 24 AS VARCHAR) AS category3_name,
-        |  user_id,
-        |  CAST(COUNT(DISTINCT okey) AS BIGINT) AS refund_count
-        |FROM rf
-        |GROUP BY dt, dt1, sku % 12, sku % 3, sku % 6, sku % 24, user_id
-        |ORDER BY stt, trademark_id, category3_id, user_id""".stripMargin)
+      s"""WITH $refundCdcCtes
+        |SELECT * FROM refund_cdc
+        |ORDER BY stt, trademark_id, category3_id, user_id""".stripMargin,
+    // CDC lineage order side: the flagship wide replay + D2 latest-wins
+    // (the province CDC oracle's dedup) + the skuDim modulus chain over
+    // the wide frame's part-key sku ids
+    "dws_trade_trademark_category_user_spu_order_cdc_window" ->
+      s"""${GmallDwdDb.flagshipWideCte},
+        |$spuOrderCdcCtes
+        |SELECT * EXCLUDE (order_amount), CAST(order_amount AS DOUBLE) AS order_amount
+        |FROM spu_cdc
+        |ORDER BY stt, trademark_id, category3_id, spu_id, user_id""".stripMargin)
+
 }
