@@ -734,7 +734,8 @@ object Curation {
   /** Each distinct word type with the learned merges applied — the
     * vocab-sized frame every BPE consumer joins against ([[bpeEncode]]
     * back to positions, [[bpeVocab]] to piece frequencies). */
-  private[graft] def bpeEncodedVocab(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def bpeEncodedVocab(spark: SparkSession, dir: String,
+                                     checkpointEvery: Int = BpeCheckpointEvery): DataFrame = {
     val merges = Memo.value(spark, dir, "bpe.merges")(
       bpeMerges(spark, dir).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq)
@@ -746,7 +747,8 @@ object Curation {
       vocab = bpeApplyMerge(vocab, a, b)
       // same lineage cap as the induction loop — the application side
       // of a 32k-merge table is a 32k-deep replace chain otherwise
-      if ((i + 1) % BpeCheckpointEvery == 0) vocab = vocab.localCheckpoint()
+      // (parameterized so CurationSpec can force the cadence)
+      if ((i + 1) % checkpointEvery == 0) vocab = vocab.localCheckpoint()
     }
     vocab
       .withColumn("pieces", trim(col("syms")))

@@ -23,15 +23,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AdsStore {
 
-  /** Write `df` as version `version` under `root`, then prune all but
-    * the newest `keep` committed versions. */
-  def publish(df: DataFrame, root: String, version: Long, keep: Int = 2): Unit = {
-    df.write.mode("overwrite").parquet(s"$root/v=$version")
+  /** Write `df` as a NEW version under `root` (single writer assumed —
+    * the foreachBatch contract), then prune everything but the newest
+    * `keep` committed versions. Returns the version actually written:
+    * `version` normally, `latest + 1` when `version` is not strictly
+    * newer — a restarted pipeline whose batch ids reset (fresh
+    * checkpoint) or a retried batch must NEVER `overwrite` a committed
+    * `v=` directory in place, because that deletes before it writes
+    * and a concurrent read would catch the gap this class exists to
+    * close. Readers therefore always observe monotonically increasing
+    * versions. Pruning removes uncommitted partials too (a crashed
+    * earlier publish's leftovers — safe under the single-writer
+    * contract), so disk stays bounded at `keep` versions. */
+  def publish(df: DataFrame, root: String, version: Long, keep: Int = 2): Long = {
     val spark = df.sparkSession
-    versions(spark, root).dropRight(keep).foreach { v =>
-      val p = new Path(s"$root/v=$v")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val committed = versions(spark, root)
+    val v = committed.lastOption match {
+      case Some(latest) if version <= latest => latest + 1
+      case _ => version
     }
+    df.write.mode("overwrite").parquet(s"$root/v=$v")
+    val keepSet = (versions(spark, root) :+ v).distinct.sorted.takeRight(keep).toSet
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => !s.getPath.getName.stripPrefix("v=").toLongOption.exists(keepSet))
+      .foreach(s => fs.delete(s.getPath, true))
+    v
   }
 
   /** Committed (`_SUCCESS`-marked) versions under `root`, ascending. */
@@ -46,8 +65,15 @@ object AdsStore {
       .sorted
   }
 
+  /** Newest committed version number only — one listing, no DataFrame
+    * construction (no parquet footer I/O); the serving hot path
+    * resolves this per request and defers the actual read to a cache
+    * miss. */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption
+
   /** The newest committed version's frame, with its version number —
     * None until the first publish commits. */
   def read(spark: SparkSession, root: String): Option[(Long, DataFrame)] =
-    versions(spark, root).lastOption.map(v => (v, spark.read.parquet(s"$root/v=$v")))
+    latestVersion(spark, root).map(v => (v, spark.read.parquet(s"$root/v=$v")))
 }

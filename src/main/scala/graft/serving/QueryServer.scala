@@ -80,14 +80,23 @@ final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
 
   private def loadStore(kind: String, name: String, root: String,
                         limit: Option[Int]): (Array[String], Array[Row]) =
-    AdsStore.read(spark, root) match {
-      case Some((v, df0)) =>
-        val key = s"$kind:$name@v$v"
-        val got = load(key) {
-          val df = limit.fold(df0)(df0.limit)
+    // version-only resolution per request (one listing); the parquet
+    // read + collect happen only on a cache miss for a NEW version
+    AdsStore.latestVersion(spark, root) match {
+      case Some(v) =>
+        // root-scoped key: re-binding the name to a different store
+        // can never serve a stale collision; versions within one root
+        // are monotonic (AdsStore.publish's contract)
+        val prefix = s"$kind:$name@${Integer.toHexString(root.hashCode)}@v"
+        val got = load(s"$prefix$v") {
+          val df0 = spark.read.parquet(s"$root/v=$v")
+          val df = limit.fold(df0)(n => df0.limit(n))
           (df.schema.fieldNames, df.collect())
         }
-        cache.keySet.removeIf(k => k.startsWith(s"$kind:$name@v") && k != key)
+        // evict only SUPERSEDED versions — an in-flight request on an
+        // older version must not evict a newer entry it races with
+        cache.keySet.removeIf(k => k.startsWith(prefix) &&
+          k.stripPrefix(prefix).toLongOption.exists(_ < v))
         got
       case None => (Array.empty[String], Array.empty[Row]) // bound, nothing published yet
     }

@@ -303,6 +303,10 @@ object SugarApi {
             .getOrElse((0L, 0L, 0L, 0L, 0L))
         val (nUv, nPv, nSv, nUj, nDur) = stats(isNew = true)
         val (oUv, oPv, oSv, oUj, oDur) = stats(isNew = false)
+        // NOTE the (%)-labeled bounce metric is the PLAIN uj/sv
+        // fraction — the reference bean's getUjRate returns
+        // `(double)ujCt/(double)svCt` with no ×100 and the controller
+        // prints it raw, so 0.25 (not 25) IS the audited payload
         def ratio(a: Long, sv: Long): Double = if (sv == 0) 0.0 else a.toDouble / sv
         def durSec(dur: Long, sv: Long): Double = if (sv == 0) 0.0 else dur.toDouble / sv / 1000
         val metricRows = Seq(

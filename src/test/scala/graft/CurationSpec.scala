@@ -447,6 +447,13 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(never.nonEmpty && every == never,
       "checkpoint cadence changed the BPE merge table")
+    // the APPLICATION loop's cadence too (bpeEncodedVocab)
+    val vNever = Curation.bpeEncodedVocab(spark, sf, checkpointEvery = Int.MaxValue)
+      .collect().map(_.toString).sorted.toSeq
+    val vEvery = Curation.bpeEncodedVocab(spark, sf, checkpointEvery = 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(vNever.nonEmpty && vEvery == vNever,
+      "checkpoint cadence changed the encoded vocabulary")
   }
 
   test("bpe fertility: masses recount from the encoded corpus; ratios exact") {

@@ -294,6 +294,16 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
         "micro-batch publishes were not individually visible over HTTP")
       // only the newest `keep` versions survive pruning
       assert(AdsStore.versions(spark, root).size <= 2)
+      // restart semantics: re-publishing an OLD version number (a
+      // fresh checkpoint resets batchIds to 0) must never rewrite a
+      // committed dir in place — it lands as latest+1, readers advance
+      val restartFrame = gmvOf(LogStream.maxwellEnvelope(batches.head.toDF("value")))
+      val vNew = AdsStore.publish(restartFrame, root, 0)
+      assert(vNew > 2 && AdsStore.versions(spark, root).max == vNew,
+        s"re-publish landed at $vNew instead of a strictly newer version")
+      assert(getLive("/api/query/ads_gmv_live")._2 ==
+        s"""{"status":0,"msg":"","query":"ads_gmv_live","rows":${apiRows(restartFrame)}}""",
+        "HTTP did not advance to the re-published store")
     } finally live.stop()
   }
 
