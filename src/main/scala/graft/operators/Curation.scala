@@ -94,21 +94,60 @@ object Curation {
   /** Token capacity of one packed training shard. */
   val ShardTokens = 2048L
 
-  /** Docs per prefix-sum bucket: inner cumsums run as a partitioned
-    * window; only one row PER BUCKET reaches the bucket-offset
-    * cumsum, so pick the bucket size so bucket count stays driver-
-    * friendly (at 10¹⁰ docs, 4096-doc buckets → 2.4 M bucket rows —
-    * still one small window; add a second level if that ever grows
-    * past memory). */
-  val PackBucketDocs = 64L
+  /** Keys per prefix-sum block at each level of [[exclusivePrefixSum]].
+    * Each inner window sees at most this many rows (bounds per-task
+    * work); with levels=2 the final single-partition residue is
+    * keys/4096² rows (~6·10⁴ at 10¹² keys). The packed output is
+    * decomposition-independent (GraftProps), so the width is free to
+    * tune. */
+  val PackBucketDocs = 4096L
+
+  /** Exclusive running sum of `valC` over ascending `keyC` (unique,
+    * non-negative Longs; sparse is fine), returned as
+    * `(keyC, valC, _prev)`.
+    *
+    * The standard work-efficient distributed prefix sum, as a STATIC
+    * fixed-depth plan: level i blocks keys by `keyC div fanout`,
+    * computes per-block exclusive cumsums as a partitioned window
+    * (≤ `fanout` rows per task, massively parallel), and recurses on
+    * the one-row-per-block totals frame — each level shrinks the
+    * frame ≥ `fanout`×. Only the `levels`-deep residue (keys/fanoutᴸ
+    * rows — e.g. ~6·10⁴ at 10¹² keys with fanout 4096, levels 2) runs
+    * the final single-partition window, and no level broadcasts a
+    * corpus-proportional frame (the offset joins are plain equi-joins;
+    * AQE broadcasts the small side when it fits). */
+  private[graft] def exclusivePrefixSum(rows: DataFrame, keyC: String, valC: String,
+                                        fanout: Long = 4096L,
+                                        levels: Int = 2): DataFrame =
+    if (levels <= 0)
+      rows.withColumn("_prev",
+        coalesce(sum(col(valC)).over(
+          Window.orderBy(col(keyC)).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col(keyC), col(valC), col("_prev"))
+    else {
+      val withB = rows.select(col(keyC), col(valC))
+        .withColumn("_pb", expr(s"$keyC div $fanout"))
+      val inner = withB.withColumn("_ip",
+        coalesce(sum(col(valC)).over(
+          Window.partitionBy(col("_pb")).orderBy(col(keyC))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      // level-unique names: at depth ≥1 keyC IS "_k<level>" and a bare
+      // "_pb" withColumn would overwrite the key it blocks on
+      val totals = withB.groupBy(col("_pb")).agg(sum(col(valC)).as("_bt"))
+        .select(col("_pb").as(s"_k$levels"), col("_bt").as(s"_v$levels"))
+      val blockOff =
+        exclusivePrefixSum(totals, s"_k$levels", s"_v$levels", fanout, levels - 1)
+          .select(col(s"_k$levels").as("_pb"), col("_prev").as("_boff"))
+      inner.join(blockOff, Seq("_pb"))
+        .select(col(keyC), col(valC), (col("_ip") + col("_boff")).as("_prev"))
+    }
 
   /** Contiguous token-budget packing: order docs by doc_id, give each
     * doc its exclusive running-token offset, and assign it to shard
-    * `offset div capacity`. This is the standard distributed prefix
-    * sum: per-bucket windows compute local cumsums in parallel, the
-    * per-bucket totals (a tiny frame) get their own cumsum, and a
-    * broadcast join composes the global offset — no global
-    * single-partition window anywhere. */
+    * `offset div capacity` — [[exclusivePrefixSum]] over the
+    * (pack_key, tok_ct) frame. */
   private[graft] def packShardsOn(docs: DataFrame,
                                   capacity: Long = ShardTokens,
                                   bucketDocs: Long = PackBucketDocs): DataFrame =
@@ -120,31 +159,20 @@ object Curation {
         col("tok_offset"), col("shard_id"))
 
   /** The packing core over an arbitrary `(pack_key, tok_ct)` frame —
-    * the distributed prefix sum is key-agnostic, so the same machinery
-    * packs documents (key = doc_id) or RAG chunks (key = the composed
-    * doc/chunk ordinal). Keys may be sparse: buckets are `key div
-    * bucketKeys`, and a sparse key space only makes buckets smaller,
-    * never incorrect. */
+    * the prefix sum is key-agnostic, so the same machinery packs
+    * documents (key = doc_id) or RAG chunks (key = the composed
+    * doc/chunk ordinal). Keys may be sparse: blocks are `key div
+    * bucketKeys`, and a sparse key space only makes blocks smaller,
+    * never incorrect (GraftProps pins result-invariance across bucket
+    * widths). The prefix sum itself is the recursive
+    * [[exclusivePrefixSum]]; `tok_offset` is decomposition-independent
+    * so the pack oracles need no knowledge of the fanout. */
   private[graft] def packByKey(rows: DataFrame,
                                capacity: Long = ShardTokens,
                                bucketKeys: Long = PackBucketDocs): DataFrame = {
-    val base = rows.withColumn("bucket", expr(s"pack_key div $bucketKeys"))
-    val inner = base.withColumn("inner_prev",
-      coalesce(
-        sum(col("tok_ct")).over(
-          Window.partitionBy(col("bucket")).orderBy(col("pack_key"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-    val bucketOffsets = base
-      .groupBy(col("bucket")).agg(sum(col("tok_ct")).as("bt"))
-      .withColumn("bucket_prev",
-        coalesce(
-          sum(col("bt")).over(
-            Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("bucket"), col("bucket_prev"))
-    inner.join(broadcast(bucketOffsets), "bucket")
-      .withColumn("tok_offset", col("bucket_prev") + col("inner_prev"))
+    exclusivePrefixSum(rows, "pack_key", "tok_ct",
+      fanout = bucketKeys, levels = 2)
+      .withColumn("tok_offset", col("_prev"))
       .select(col("pack_key"), col("tok_ct"), col("tok_offset"),
         expr(s"tok_offset div $capacity").as("shard_id"))
   }
@@ -289,16 +317,18 @@ object Curation {
   /** Distributed rank (1-based) and exclusive running sum of `valC`
     * over rows of each `grpC` group, ordered by (`keyC`, doc_id) —
     * WITHOUT a group-wide single-partition window. Rows are bucketed
-    * by the first hex byte of `keyC` (256 buckets; `keyC` must be a
+    * by the first two hex bytes of `keyC` (65 536 buckets — at 10¹¹
+    * rows that is ~1.5 M rows per window task; `keyC` must be a
     * hex digest so buckets are uniform AND bucket order == key order);
     * per-bucket windows run in parallel, only one row per
-    * (group, bucket) reaches the offset cumsum, and the offsets come
-    * back via a broadcast join. Same two-level shape as
-    * [[packShardsOn]], keyed by hash prefix instead of doc ranges. */
+    * (group, bucket) reaches the offset cumsum (≤65 536 rows per
+    * group — constant-bounded), and the offsets come back via a
+    * broadcast join. Same two-level shape as [[packShardsOn]], keyed
+    * by hash prefix instead of doc ranges. */
   private[graft] def rankAndPrefix(df: DataFrame, grpC: String, keyC: String,
                                    valC: String): DataFrame = {
     val withB = df.withColumn("_bucket",
-      conv(substring(col(keyC), 1, 2), 16, 10).cast(LongType))
+      conv(substring(col(keyC), 1, 4), 16, 10).cast(LongType))
     val wIn = Window.partitionBy(col(grpC), col("_bucket"))
       .orderBy(col(keyC), col("doc_id"))
     val inner = withB
@@ -561,13 +591,13 @@ object Curation {
     * the one place a "vocabularies are bounded" argument fails, because
     * the raw whitespace vocabulary of a web crawl has an unbounded
     * hapax tail. Three levels, none corpus- or vocabulary-wide:
-    *  1. within (ct, digest-byte bucket): parallel `row_number` — the
+    *  1. within (ct, digest-prefix bucket): parallel `row_number` — the
     *     md5 tie-break makes buckets uniform AND bucket order == rank
     *     order (the [[rankAndPrefix]] convention), and splits the huge
-    *     ct=1 class 256 ways where a token-lexicographic tie-break
-    *     could not;
-    *  2. bucket offsets within a ct class: a window over ≤256 rows per
-    *     class;
+    *     ct=1 class 65 536 ways where a token-lexicographic tie-break
+    *     could not (~1.5·10⁴ rows per task at 10⁹ hapaxes);
+    *  2. bucket offsets within a ct class: a window over ≤65 536 rows
+    *     per class;
     *  3. class offsets across distinct ct values: one cumsum over the
     *     distinct-count frame — O(√(corpus token mass)) rows by the
     *     standard distinct-counts bound (Σct = N ⇒ ≤ √(2N) distinct
@@ -583,7 +613,7 @@ object Curation {
   private[graft] def tokenIdsOn(toks: DataFrame): DataFrame = {
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("ct"))
       .withColumn("_dg", md5(col("token")))
-      .withColumn("_bucket", conv(substring(col("_dg"), 1, 2), 16, 10).cast(LongType))
+      .withColumn("_bucket", conv(substring(col("_dg"), 1, 4), 16, 10).cast(LongType))
     val wIn = Window.partitionBy(col("ct"), col("_bucket"))
       .orderBy(col("_dg"), col("token"))
     val inner = counts.withColumn("_rn", row_number().over(wIn).cast(LongType))

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regression protection for EVERY named query (r9 ask #6,
@@ -15,7 +16,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *     always a bug, except the explicitly-allowlisted oracle
   *     baselines below;
   *   - no lambda fallback (`MapPartitions`/`DeserializeToObject`) —
-  *     every shipped path stays inside whole-stage codegen.
+  *     every shipped path stays inside whole-stage codegen;
+  *   - no partition-less `WindowExec` over an unbounded frame — a
+  *     window with an empty partitionSpec moves ALL rows to one task,
+  *     which is a single-machine bottleneck at 100 TB unless the
+  *     windowed frame is provably bounded (sort+limit upstream, a
+  *     model-/vocabulary-sized frame, …). Bounded cases must be
+  *     allowlisted with their bound documented.
   *
   * BroadcastNestedLoopJoin is allowed: the engine's 1-row scalar
   * attaches (corpus stats, decile cuts, model frames) plan as BNLJ by
@@ -29,6 +36,28 @@ class PlanPinSpec extends AnyFunSuite {
     * accepted by design"). */
   private val cartesianOk: Set[String] = Set("sim_neardup_pairs")
 
+  /** Queries whose partition-less window is over a PROVABLY BOUNDED
+    * frame (value = the bound and why). Anything else with an empty
+    * partitionSpec fails its pin — that window would serialize the
+    * whole table through one task at scale. */
+  private val globalWindowOk: Map[String, String] = Map(
+    "an_moving_window" -> ("window input is the DAILY rollup (groupBy dt) — " +
+      "rows = distinct calendar days (~2.4k over the TPC-H date range), " +
+      "calendar-bounded regardless of fact-table size"),
+    "text_vocab_topk" -> ("rank/cumshare windows run AFTER orderBy().limit(k) — " +
+      "frame is exactly k=100 rows"),
+    "text_quality_deciles" -> ("both windows are over the token_ct HISTOGRAM " +
+      "(groupBy token_ct) — rows = distinct per-doc token counts, bounded by " +
+      "max document length, not corpus size"),
+    "text_token_ids" -> ("level-3 class-offset cumsum of the three-level rank " +
+      "decomposition — frame is the distinct-ct rollup, O(sqrt(corpus token " +
+      "mass)) rows (~1e7 at 100T tokens; Curation.tokenIdsOn scaladoc)"),
+    "text_epoch_shuffle" -> ("rankAndPrefix bucket-offset cumsum — frame is " +
+      "one row per (group, 2-hex-byte bucket), <=65536 rows per group"),
+    "text_chunk_pack" -> ("exclusivePrefixSum's level-2 residue — frame is " +
+      "keys/4096^2 rows (~6e4 at 1e12 chunks), every other level a " +
+      "partitioned window over <=4096 rows"))
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"plan pin: $name") {
       val df = fn(spark, sf)
@@ -38,6 +67,13 @@ class PlanPinSpec extends AnyFunSuite {
           s"$name plan has an unbroadcast cartesian join:\n$plan")
       assert(!plan.contains("MapPartitions") && !plan.contains("DeserializeToObject"),
         s"$name plan fell out of codegen into lambda execution:\n$plan")
+      val globalWindows = df.queryExecution.sparkPlan.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (globalWindows.nonEmpty && !globalWindowOk.contains(name))
+        fail(s"$name has ${globalWindows.size} partition-less window(s) over a " +
+          s"potentially unbounded frame (all rows to ONE task at scale); fix the " +
+          s"plan or allowlist with a documented bound:\n${globalWindows.head}")
     }
   }
 
