@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -53,21 +56,43 @@ class PlanPinSpec extends AnyFunSuite {
       "decomposition — frame is the distinct-ct rollup, O(sqrt(corpus token " +
       "mass)) rows (~1e7 at 100T tokens; Curation.tokenIdsOn scaladoc)"),
     "text_epoch_shuffle" -> ("rankAndPrefix bucket-offset cumsum — frame is " +
-      "one row per (group, 2-hex-byte bucket), <=65536 rows per group"),
-    "text_chunk_pack" -> ("exclusivePrefixSum's level-2 residue — frame is " +
-      "keys/4096^2 rows (~6e4 at 1e12 chunks), every other level a " +
-      "partitioned window over <=4096 rows"))
+      "one row per (group, 2-hex-byte bucket), <=65536 rows per group")) ++
+    Seq("text_chunk_pack", "text_pack_shards", "text_shard_manifest").map(_ ->
+      ("exclusivePrefixSum's level-2 residue — frame is keys/4096^2 rows " +
+        "(~6e4 at 1e12 keys), every other level a partitioned window over " +
+        "<=4096 rows")).toMap ++
+    Seq("search_workload", "search_bm25_topk", "search_phrase",
+      "search_hybrid_rerank", "search_snippets", "search_related_queries").map(_ ->
+      ("the memoized workload-spec builder's rank windows run AFTER " +
+        "orderBy().limit(maxRank) / limit(2) — frames are bounded by the " +
+        "workload geometry (slot count), not the corpus; visible here because " +
+        "the sweep expands InMemoryTableScan into the cached plan")).toMap
+
+  /** Every physical node reachable from `p`, INCLUDING the plans
+    * hidden inside memoized frames (`InMemoryTableScan` is a leaf —
+    * its `relation.cachedPlan` is the real operator tree the shipped
+    * path executes the first time) and inside AQE wrappers. Without
+    * this, `Memo`-shared frames (the flagship wide join, the shared
+    * token explode, ...) would be plan-pin blind spots. */
+  private def expand(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries { case n => n }.flatMap {
+      case im: InMemoryTableScanExec => im +: expand(im.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => a +: expand(a.inputPlan)
+      case n => Seq(n)
+    }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"plan pin: $name") {
       val df = fn(spark, sf)
-      val plan = df.queryExecution.executedPlan.toString
+      val nodes = expand(df.queryExecution.sparkPlan)
       if (!cartesianOk(name))
-        assert(!plan.contains("CartesianProduct"),
-          s"$name plan has an unbroadcast cartesian join:\n$plan")
-      assert(!plan.contains("MapPartitions") && !plan.contains("DeserializeToObject"),
-        s"$name plan fell out of codegen into lambda execution:\n$plan")
-      val globalWindows = df.queryExecution.sparkPlan.collectWithSubqueries {
+        assert(!nodes.exists(_.nodeName.contains("CartesianProduct")),
+          s"$name plan has an unbroadcast cartesian join:\n${df.queryExecution.sparkPlan}")
+      val lambda = nodes.filter(n => n.nodeName.contains("MapPartitions") ||
+        n.nodeName.contains("DeserializeToObject"))
+      assert(lambda.isEmpty,
+        s"$name plan fell out of codegen into lambda execution:\n${lambda.headOption.getOrElse("")}")
+      val globalWindows = nodes.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
       if (globalWindows.nonEmpty && !globalWindowOk.contains(name))
