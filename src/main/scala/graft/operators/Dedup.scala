@@ -81,6 +81,9 @@ object Dedup {
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("s"))
+    // hot-set broadcast is bounded: at most occurrences/dfCap distinct
+    // values can exceed the cap, and under any Zipf-like shingle
+    // distribution the >dfCap head is tiny in absolute terms
     val rare = inv.join(broadcast(hot), Seq("s"), "left_anti")
     val pairs = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -336,6 +339,8 @@ object Dedup {
       explode(GraftExpressions.shingleHashes(toks(col("text")), k)).as("w"))
     val hot = win.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("w"))
+    // bounded broadcast: ≤ occurrences/dfCap values can exceed the cap
+    // (and the Zipf head above df=64 is tiny in absolute terms)
     val rare = win.join(broadcast(hot), Seq("w"), "left_anti")
     rare.as("a").join(rare.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
