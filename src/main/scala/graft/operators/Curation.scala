@@ -103,45 +103,53 @@ object Curation {
   val PackBucketDocs = 4096L
 
   /** Exclusive running sum of `valC` over ascending `keyC` (unique,
-    * non-negative Longs; sparse is fine), returned as
-    * `(keyC, valC, _prev)`.
+    * non-negative Longs), returned as `(keyC, valC, _prev)`.
     *
     * The standard work-efficient distributed prefix sum, as a STATIC
-    * fixed-depth plan: level i blocks keys by `keyC div fanout`,
+    * fixed-depth plan: level i blocks keys by `keyC div fanouts(i)`,
     * computes per-block exclusive cumsums as a partitioned window
-    * (≤ `fanout` rows per task, massively parallel), and recurses on
-    * the one-row-per-block totals frame — each level shrinks the
-    * frame ≥ `fanout`×. Only the `levels`-deep residue (keys/fanoutᴸ
-    * rows — e.g. ~6·10⁴ at 10¹² keys with fanout 4096, levels 2) runs
-    * the final single-partition window, and no level broadcasts a
+    * (massively parallel), and recurses on the one-row-per-block
+    * totals frame. Only the residue after the last level runs a
+    * single-partition window, and no level broadcasts a
     * corpus-proportional frame (the offset joins are plain equi-joins;
-    * AQE broadcasts the small side when it fits). */
+    * AQE broadcasts the small side when it fits).
+    *
+    * THE SHRINK IS A CONTRACT ON `fanouts`, NOT A GIVEN: level i's
+    * frame is the number of DISTINCT `key div fanouts(i)` values, so
+    * the caller must align the fanouts with the key structure. Dense
+    * keys shrink fanout× per level; a SPARSE composed key does not
+    * (e.g. `doc_id·2³² + chunk` under a 4096 divisor leaves ≈ one
+    * block per document — Θ(corpus) residue, the exact single-task
+    * bottleneck this function exists to avoid). For composed keys the
+    * first fanout must be the composition stride (2³² → level-1
+    * blocks ARE the dense doc ids), then dense fanouts after. */
   private[graft] def exclusivePrefixSum(rows: DataFrame, keyC: String, valC: String,
-                                        fanout: Long = 4096L,
-                                        levels: Int = 2): DataFrame =
-    if (levels <= 0)
-      rows.withColumn("_prev",
-        coalesce(sum(col(valC)).over(
-          Window.orderBy(col(keyC)).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .select(col(keyC), col(valC), col("_prev"))
-    else {
-      val withB = rows.select(col(keyC), col(valC))
-        .withColumn("_pb", expr(s"$keyC div $fanout"))
-      val inner = withB.withColumn("_ip",
-        coalesce(sum(col(valC)).over(
-          Window.partitionBy(col("_pb")).orderBy(col(keyC))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      // level-unique names: at depth ≥1 keyC IS "_k<level>" and a bare
-      // "_pb" withColumn would overwrite the key it blocks on
-      val totals = withB.groupBy(col("_pb")).agg(sum(col(valC)).as("_bt"))
-        .select(col("_pb").as(s"_k$levels"), col("_bt").as(s"_v$levels"))
-      val blockOff =
-        exclusivePrefixSum(totals, s"_k$levels", s"_v$levels", fanout, levels - 1)
-          .select(col(s"_k$levels").as("_pb"), col("_prev").as("_boff"))
-      inner.join(blockOff, Seq("_pb"))
-        .select(col(keyC), col(valC), (col("_ip") + col("_boff")).as("_prev"))
+                                        fanouts: Seq[Long]): DataFrame =
+    fanouts match {
+      case Seq() =>
+        rows.withColumn("_prev",
+          coalesce(sum(col(valC)).over(
+            Window.orderBy(col(keyC)).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select(col(keyC), col(valC), col("_prev"))
+      case fanout +: rest =>
+        val levels = fanouts.length
+        val withB = rows.select(col(keyC), col(valC))
+          .withColumn("_pb", expr(s"$keyC div $fanout"))
+        val inner = withB.withColumn("_ip",
+          coalesce(sum(col(valC)).over(
+            Window.partitionBy(col("_pb")).orderBy(col(keyC))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        // level-unique names: at depth ≥1 keyC IS "_k<level>" and a bare
+        // "_pb" withColumn would overwrite the key it blocks on
+        val totals = withB.groupBy(col("_pb")).agg(sum(col(valC)).as("_bt"))
+          .select(col("_pb").as(s"_k$levels"), col("_bt").as(s"_v$levels"))
+        val blockOff =
+          exclusivePrefixSum(totals, s"_k$levels", s"_v$levels", rest)
+            .select(col(s"_k$levels").as("_pb"), col("_prev").as("_boff"))
+        inner.join(blockOff, Seq("_pb"))
+          .select(col(keyC), col(valC), (col("_ip") + col("_boff")).as("_prev"))
     }
 
   /** Contiguous token-budget packing: order docs by doc_id, give each
@@ -161,36 +169,45 @@ object Curation {
   /** The packing core over an arbitrary `(pack_key, tok_ct)` frame —
     * the prefix sum is key-agnostic, so the same machinery packs
     * documents (key = doc_id) or RAG chunks (key = the composed
-    * doc/chunk ordinal). Keys may be sparse: blocks are `key div
-    * bucketKeys`, and a sparse key space only makes blocks smaller,
-    * never incorrect (GraftProps pins result-invariance across bucket
-    * widths). The prefix sum itself is the recursive
-    * [[exclusivePrefixSum]]; `tok_offset` is decomposition-independent
-    * so the pack oracles need no knowledge of the fanout. */
+    * doc/chunk ordinal, via the fanouts overload). Sparse keys stay
+    * CORRECT at any fanout (GraftProps pins result-invariance across
+    * bucket widths) — only the per-level SHRINK needs fanouts aligned
+    * with the key structure (see [[exclusivePrefixSum]]).
+    * `tok_offset` is decomposition-independent so the pack oracles
+    * need no knowledge of the fanouts. */
   private[graft] def packByKey(rows: DataFrame,
                                capacity: Long = ShardTokens,
-                               bucketKeys: Long = PackBucketDocs): DataFrame = {
-    exclusivePrefixSum(rows, "pack_key", "tok_ct",
-      fanout = bucketKeys, levels = 2)
+                               bucketKeys: Long = PackBucketDocs): DataFrame =
+    packByKeyFanouts(rows, capacity, Seq(bucketKeys, bucketKeys))
+
+  private[graft] def packByKeyFanouts(rows: DataFrame, capacity: Long,
+                                      fanouts: Seq[Long]): DataFrame =
+    exclusivePrefixSum(rows, "pack_key", "tok_ct", fanouts)
       .withColumn("tok_offset", col("_prev"))
       .select(col("pack_key"), col("tok_ct"), col("tok_offset"),
         expr(s"tok_offset div $capacity").as("shard_id"))
-  }
 
   /** Chunk-level sequence packing: the RAG pipeline's last mile —
     * [[TextAnalysis.chunkRagOn]]'s overlapping chunks, in (doc,
     * chunk) order, assigned contiguous token offsets and
     * [[ShardTokens]]-capacity training shards through the SAME
-    * two-level prefix sum as document packing ([[packByKey]]).
+    * prefix sum as document packing ([[packByKey]]).
     * The composed ordinal `doc_id·2³² + chunk_index` keeps chunks of
     * one document adjacent and ordered at any chunk count (a 10 MB
-    * document yields ~70 k chunks — far under 2³²). */
+    * document yields ~70 k chunks — far under 2³²). Because the key
+    * is SPARSE (stride 2³² per doc), the first fanout must be the
+    * stride itself: level 1 blocks by document (window over one doc's
+    * chunks — document-size-bounded), whose block ids ARE the dense
+    * doc ids, then two dense 4096-ary levels shrink to a docs/4096²
+    * residue. A uniform 4096 fanout here would leave one block per
+    * document at every level — a Θ(corpus) single-task residue. */
   def chunkPack(spark: SparkSession, dir: String): DataFrame =
-    packByKey(
+    packByKeyFanouts(
       TextAnalysis.chunkRagOn(Tables.spread(spark, Tables.documents(spark, dir)))
         .select(
           (col("doc_id") * lit(4294967296L) + col("chunk_index")).as("pack_key"),
-          col("chunk_token_ct").as("tok_ct")))
+          col("chunk_token_ct").as("tok_ct")),
+      ShardTokens, Seq(4294967296L, PackBucketDocs, PackBucketDocs))
       .select(
         expr("pack_key div 4294967296").as("doc_id"),
         (col("pack_key") % 4294967296L).as("chunk_index"),
@@ -322,9 +339,12 @@ object Curation {
     * hex digest so buckets are uniform AND bucket order == key order);
     * per-bucket windows run in parallel, only one row per
     * (group, bucket) reaches the offset cumsum (≤65 536 rows per
-    * group — constant-bounded), and the offsets come back via a
-    * broadcast join. Same two-level shape as [[packShardsOn]], keyed
-    * by hash prefix instead of doc ranges. */
+    * group — constant-bounded), and the offsets come back via a plain
+    * equi-join: AQE broadcasts it when it fits, and a corpus with many
+    * groups (offsets is groups×65 536 rows at worst) degrades to a
+    * shuffle join instead of a forced multi-GB broadcast build. Same
+    * two-level shape as [[packShardsOn]], keyed by hash prefix
+    * instead of doc ranges. */
   private[graft] def rankAndPrefix(df: DataFrame, grpC: String, keyC: String,
                                    valC: String): DataFrame = {
     val withB = df.withColumn("_bucket",
@@ -343,7 +363,7 @@ object Curation {
       .select(col(grpC), col("_bucket"),
         coalesce(sum(col("_bc")).over(wOff), lit(0L)).as("_cnt_off"),
         coalesce(sum(col("_bv")).over(wOff), lit(0L)).as("_val_off"))
-    inner.join(broadcast(offsets), Seq(grpC, "_bucket"))
+    inner.join(offsets, Seq(grpC, "_bucket"))
       .withColumn("rank", col("_cnt_off") + col("_rn"))
       .withColumn("cum_before", col("_val_off") + col("_prev"))
       .drop("_bucket", "_rn", "_prev", "_cnt_off", "_val_off")

@@ -48,7 +48,10 @@ object AdsStore {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .filter(s => !s.getPath.getName.stripPrefix("v=").toLongOption.exists(keepSet))
+      // delete only NUMERIC v=<long> dirs outside the keep set (stale
+      // versions and crashed publishes' partials); a non-numeric
+      // "v=..." name was never written by this class — leave it alone
+      .filter(_.getPath.getName.stripPrefix("v=").toLongOption.exists(!keepSet(_)))
       .foreach(s => fs.delete(s.getPath, true))
     v
   }
@@ -72,8 +75,13 @@ object AdsStore {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
+  /** One committed version's frame — the `v=` directory layout stays
+    * private to this class. */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    spark.read.parquet(s"$root/v=$version")
+
   /** The newest committed version's frame, with its version number —
     * None until the first publish commits. */
   def read(spark: SparkSession, root: String): Option[(Long, DataFrame)] =
-    latestVersion(spark, root).map(v => (v, spark.read.parquet(s"$root/v=$v")))
+    latestVersion(spark, root).map(v => (v, readVersion(spark, root, v)))
 }

@@ -75,8 +75,16 @@ final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
 
   /** Bind `name` to a foreachBatch-maintained [[AdsStore]] root; both
     * the sugar routes referencing `name` and `/api/query/name` switch
-    * to store reads (the name need not exist in the batch library). */
-  def bindStore(name: String, root: String): Unit = stores.put(name, root)
+    * to store reads (the name need not exist in the batch library).
+    * Re-binding evicts EVERY cached entry for the name — per-version
+    * eviction is root-scoped, so the old root's entries would
+    * otherwise be stranded in the cache for the server's lifetime. */
+  def bindStore(name: String, root: String): Unit = {
+    stores.put(name, root)
+    cache.keySet.removeIf(k =>
+      k.startsWith(s"sugar:$name@") || k.startsWith(s"api:$name@") ||
+        k == s"sugar:$name" || k == s"api:$name")
+  }
 
   private def loadStore(kind: String, name: String, root: String,
                         limit: Option[Int]): (Array[String], Array[Row]) =
@@ -89,7 +97,7 @@ final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
         // are monotonic (AdsStore.publish's contract)
         val prefix = s"$kind:$name@${Integer.toHexString(root.hashCode)}@v"
         val got = load(s"$prefix$v") {
-          val df0 = spark.read.parquet(s"$root/v=$v")
+          val df0 = AdsStore.readVersion(spark, root, v)
           val df = limit.fold(df0)(n => df0.limit(n))
           (df.schema.fieldNames, df.collect())
         }

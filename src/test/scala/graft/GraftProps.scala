@@ -574,6 +574,27 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  /** Mixed, uneven, shallow and deep fanout LISTS (the chunkPack
+    * shape: a structure-aligned first level, then dense levels) —
+    * the result must be fanout-plan-independent. */
+  property("packByKeyFanouts == sequential prefix sum under any fanout plan") =
+    forAll(genPackRows,
+      Gen.oneOf(Seq.empty[Long], Seq(7L), Seq(65536L, 64L),
+        Seq(4096L, 4096L, 4096L), Seq(1L, 3L, 9L, 27L))) { (rows, fanouts) =>
+      import spark.implicits._
+      rows.isEmpty || {
+        val got = graft.operators.Curation
+          .packByKeyFanouts(rows.toDF("pack_key", "tok_ct").repartition(7),
+            capacity = 100L, fanouts = fanouts)
+          .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+        var off = 0L
+        val want = rows.sortBy(_._1).map { case (key, t) =>
+          val r = (key, t, off, off / 100L); off += t; r
+        }
+        got == want
+      }
+    }
+
   // ---------------------------------------- tokenIds distributed rank
 
   /** The three-level rank decomposition behind `text_token_ids`

@@ -57,10 +57,16 @@ class PlanPinSpec extends AnyFunSuite {
       "mass)) rows (~1e7 at 100T tokens; Curation.tokenIdsOn scaladoc)"),
     "text_epoch_shuffle" -> ("rankAndPrefix bucket-offset cumsum — frame is " +
       "one row per (group, 2-hex-byte bucket), <=65536 rows per group")) ++
-    Seq("text_chunk_pack", "text_pack_shards", "text_shard_manifest").map(_ ->
-      ("exclusivePrefixSum's level-2 residue — frame is keys/4096^2 rows " +
-        "(~6e4 at 1e12 keys), every other level a partitioned window over " +
+    Seq("text_pack_shards", "text_shard_manifest").map(_ ->
+      ("exclusivePrefixSum's final residue — frame is docs/4096^2 rows " +
+        "(~6e4 at 1e12 docs), every other level a partitioned window over " +
         "<=4096 rows")).toMap ++
+    Map("text_chunk_pack" ->
+      ("exclusivePrefixSum residue with doc-aligned fanouts (2^32, 4096, " +
+        "4096): level 1 windows one document's chunks (doc-size-bounded), " +
+        "level-1 block ids ARE the dense doc ids, so the residue is " +
+        "docs/4096^2 rows — a uniform fanout would leave one block per doc " +
+        "(theta(corpus) residue, the r13 review catch)")) ++
     Seq("search_workload", "search_bm25_topk", "search_phrase",
       "search_hybrid_rerank", "search_snippets", "search_related_queries").map(_ ->
       ("the memoized workload-spec builder's rank windows run AFTER " +
@@ -73,13 +79,23 @@ class PlanPinSpec extends AnyFunSuite {
     * its `relation.cachedPlan` is the real operator tree the shipped
     * path executes the first time) and inside AQE wrappers. Without
     * this, `Memo`-shared frames (the flagship wide join, the shared
-    * token explode, ...) would be plan-pin blind spots. */
-  private def expand(p: SparkPlan): Seq[SparkPlan] =
-    p.collectWithSubqueries { case n => n }.flatMap {
-      case im: InMemoryTableScanExec => im +: expand(im.relation.cachedPlan)
-      case a: AdaptiveSparkPlanExec => a +: expand(a.inputPlan)
-      case n => Seq(n)
-    }
+    * token explode, ...) would be plan-pin blind spots. Each distinct
+    * cached plan expands ONCE (nested memos reference each other; a
+    * per-reference re-expansion would blow up combinatorially on the
+    * flagship's envelope+dim memo stack). */
+  private def expand(p: SparkPlan): Seq[SparkPlan] = {
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def go(p: SparkPlan): Seq[SparkPlan] =
+      p.collectWithSubqueries { case n => n }.flatMap {
+        case im: InMemoryTableScanExec =>
+          if (seen.add(System.identityHashCode(im.relation.cachedPlan)))
+            im +: go(im.relation.cachedPlan)
+          else Seq(im)
+        case a: AdaptiveSparkPlanExec => a +: go(a.inputPlan)
+        case n => Seq(n)
+      }
+    go(p)
+  }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"plan pin: $name") {

@@ -304,6 +304,23 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(getLive("/api/query/ads_gmv_live")._2 ==
         s"""{"status":0,"msg":"","query":"ads_gmv_live","rows":${apiRows(restartFrame)}}""",
         "HTTP did not advance to the re-published store")
+      // the prune must only ever touch numeric v=<long> dirs it wrote
+      // itself: a foreign "v=..." name next to the versions survives
+      val foreign = Paths.get(root, "v=backup")
+      Files.createDirectories(foreign)
+      Files.write(foreign.resolve("keep.txt"), "precious".getBytes("UTF-8"))
+      AdsStore.publish(restartFrame, root, 99)
+      assert(Files.exists(foreign.resolve("keep.txt")),
+        "publish pruning deleted a non-numeric v= directory it never wrote")
+      // re-binding the name to a DIFFERENT store root must serve the
+      // new root immediately (stale per-root cache entries evicted)
+      val root2 = Files.createTempDirectory("gmv_store2").toString + "/ads_gmv2"
+      val other = gmvOf(LogStream.maxwellEnvelope(batches(1).toDF("value")))
+      AdsStore.publish(other, root2, 0)
+      live.bindStore("ads_gmv_live", root2)
+      assert(getLive("/api/query/ads_gmv_live")._2 ==
+        s"""{"status":0,"msg":"","query":"ads_gmv_live","rows":${apiRows(other)}}""",
+        "rebind did not switch serving to the new store root")
     } finally live.stop()
   }
 

@@ -51,10 +51,10 @@ class ShufflePinSpec extends AnyFunSuite {
     * InMemoryTableScan IS expanded (most queries memoize their shared
     * frames, some memoize the whole query — the interior is the plan
     * that actually executes on first build), so the pin is the cost
-    * of computing the query from cold parquet. A memoized subtree
-    * referenced twice counts twice; that double-count is stable, and
-    * pinning it also guards the sharing itself (un-memoizing a shared
-    * frame would genuinely re-run its shuffles per reference). */
+    * of computing the query from cold parquet. Each distinct cached
+    * plan counts ONCE no matter how many scans reference it (`seen`
+    * below) — matching physical reality: a persisted frame
+    * materializes a single time per session. */
   private def countShuffles(root: SparkPlan): Int = {
     // each cached plan counts ONCE no matter how many scans reference
     // it — that is what executes (a persisted frame materializes a
