@@ -339,14 +339,19 @@ object Curation {
     * hex digest so buckets are uniform AND bucket order == key order);
     * per-bucket windows run in parallel, only one row per
     * (group, bucket) reaches the offset cumsum (≤65 536 rows per
-    * group — constant-bounded), and the offsets come back via a plain
-    * equi-join: AQE broadcasts it when it fits, and a corpus with many
-    * groups (offsets is groups×65 536 rows at worst) degrades to a
-    * shuffle join instead of a forced multi-GB broadcast build. Same
-    * two-level shape as [[packShardsOn]], keyed by hash prefix
-    * instead of doc ranges. */
+    * group — constant-bounded), and the offsets come back via a join.
+    *
+    * `boundedGroups`: the offsets frame is groups×65 536 rows at
+    * worst, so a forced broadcast is only safe when the CALLER can
+    * bound the group count — pass true where that bound is structural
+    * (epoch shuffle's group key is a literal constant → ≤65 536 rows,
+    * and the hint spares the corpus side its shuffle map stage). With
+    * false (mixture sampling, where sources could number 10⁴+) the
+    * plain equi-join lets AQE broadcast when small and degrade to a
+    * shuffle join instead of a multi-GB forced broadcast build. */
   private[graft] def rankAndPrefix(df: DataFrame, grpC: String, keyC: String,
-                                   valC: String): DataFrame = {
+                                   valC: String,
+                                   boundedGroups: Boolean = false): DataFrame = {
     val withB = df.withColumn("_bucket",
       conv(substring(col(keyC), 1, 4), 16, 10).cast(LongType))
     val wIn = Window.partitionBy(col(grpC), col("_bucket"))
@@ -363,7 +368,8 @@ object Curation {
       .select(col(grpC), col("_bucket"),
         coalesce(sum(col("_bc")).over(wOff), lit(0L)).as("_cnt_off"),
         coalesce(sum(col("_bv")).over(wOff), lit(0L)).as("_val_off"))
-    inner.join(offsets, Seq(grpC, "_bucket"))
+    inner.join(if (boundedGroups) broadcast(offsets) else offsets,
+        Seq(grpC, "_bucket"))
       .withColumn("rank", col("_cnt_off") + col("_rn"))
       .withColumn("cum_before", col("_val_off") + col("_prev"))
       .drop("_bucket", "_rn", "_prev", "_cnt_off", "_val_off")
@@ -586,7 +592,7 @@ object Curation {
     val keyed = docs.select(col("doc_id"),
       md5(concat(lit(s"epoch$epoch:"), col("doc_id").cast(StringType))).as("shuffle_key"),
       lit(1L).as("one"), lit(0L).as("grp"))
-    rankAndPrefix(keyed, "grp", "shuffle_key", "one")
+    rankAndPrefix(keyed, "grp", "shuffle_key", "one", boundedGroups = true)
       .withColumn("shuffle_pos", col("rank") - 1L)
       .withColumn("shard_id", expr(s"shuffle_pos div $ShuffleShardDocs"))
       .select(col("doc_id"), col("shuffle_key"), col("shuffle_pos"),
