@@ -219,6 +219,40 @@ object Curation {
       packShardsOn(Tables.spread(spark, Tables.documents(spark, dir))))
       .orderBy(col("doc_id"))
 
+  /** Incremental shard packing over an APPEND-ONLY corpus: the stored
+    * v1 pack (docs at or below the append cutoff — here the oldest 90%
+    * of the id range plays the stored corpus) is CARRIED untouched,
+    * and only the appended delta is packed — its offsets shifted by
+    * the stored token total (one scalar), its shard ids continuing the
+    * stream. Because appends only ever add larger keys, the splice is
+    * EXACTLY the full repack (the oracle recomputes everything from
+    * scratch and the gate hash-compares), so a 100 TB corpus absorbs a
+    * 1 GB crawl drop with O(|delta|) packing work and zero movement of
+    * already-scheduled shards — the property a training-data pipeline
+    * actually needs from its packer. `carried` marks the rows that
+    * were NOT recomputed. */
+  def packIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(spark, Tables.documents(spark, dir))
+    // integer arithmetic in the same order as the oracle (max*9//10)
+    val cut = docs.agg(((max(col("doc_id")) * 9) / 10).cast(LongType).as("cut"))
+    val withCut = docs.crossJoin(broadcast(cut))
+    val basePack = Memo(spark, dir, "curation.packIncremental.base")(
+      packShardsOn(withCut.filter(col("doc_id") <= col("cut"))
+        .select(col("doc_id"), col("text"))))
+    val baseTok = basePack.agg(coalesce(sum(col("tok_ct")), lit(0L)).as("base_tok"))
+    val deltaPack =
+      packShardsOn(withCut.filter(col("doc_id") > col("cut"))
+        .select(col("doc_id"), col("text")))
+        .crossJoin(broadcast(baseTok)) // 1-row shift scalar
+        .select(col("doc_id"), col("tok_ct"),
+          (col("tok_offset") + col("base_tok")).as("tok_offset"))
+        .withColumn("shard_id", expr(s"tok_offset div $ShardTokens"))
+    basePack.select(col("doc_id"), col("tok_ct"), col("tok_offset"),
+        col("shard_id"), lit(true).as("carried"))
+      .unionByName(deltaPack.withColumn("carried", lit(false)))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shard-level manifest over [[packShards]]: the frame a training
     * job reads to plan its data loading. */
   def shardManifest(spark: SparkSession, dir: String): DataFrame =
@@ -978,6 +1012,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_block_dedup" -> ((s, d) => blockDedup(s, d)),
     "text_pack_shards" -> ((s, d) => packShards(s, d)),
+    "text_incremental_pack" -> ((s, d) => packIncremental(s, d)),
     "text_chunk_pack" -> ((s, d) => chunkPack(s, d)),
     "text_shard_manifest" -> ((s, d) => shardManifest(s, d)),
     "text_pii_scan" -> ((s, d) => piiScan(s, d)),
@@ -1091,6 +1126,14 @@ object Curation {
     "text_pack_shards" ->
       s"""WITH $packCtes
          |SELECT doc_id, tok_ct, tok_offset, shard_id
+         |FROM packed ORDER BY doc_id""".stripMargin,
+    // the incremental packer must EQUAL the from-scratch pack (append
+    // splice exactness); carried = below the append cutoff
+    "text_incremental_pack" ->
+      s"""WITH $packCtes,
+         |cutoff AS (SELECT CAST(max(doc_id) * 9 // 10 AS BIGINT) AS cut FROM documents)
+         |SELECT doc_id, tok_ct, tok_offset, shard_id,
+         |  doc_id <= (SELECT cut FROM cutoff) AS carried
          |FROM packed ORDER BY doc_id""".stripMargin,
     // chunk CTEs (TextAnalysis) + the same two-level prefix sum keyed
     // by the composed doc/chunk ordinal

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Curation
+import graft.sources.Tables
 import graft.streaming.Stateful
 import graft.streaming.Stateful.Keyed
 
@@ -67,6 +68,27 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id", "tok_ct", "tok_offset", "shard_id")
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(repart.toSeq == got.toSeq)
+  }
+
+  test("incremental pack: splice == full repack; carried rows are the stored base, untouched") {
+    import spark.implicits._
+    val inc = Curation.packIncremental(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // append-splice exactness: drop the flag and it IS the full pack
+    val full = Curation.packShards(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(inc.map(r => (r._1, r._2, r._3, r._4)).toSeq == full.toSeq)
+    // carried == below the append cutoff, and both sides are non-empty
+    val cut = full.map(_._1).max * 9 / 10
+    assert(inc.forall(r => r._5 == (r._1 <= cut)))
+    assert(inc.exists(_._5) && inc.exists(!_._5))
+    // stability: the carried slice equals the stored v1 pack verbatim
+    // (it is unioned from the memo, never recomputed — the O(delta)
+    // maintenance contract)
+    val stored = Curation.packShardsOn(
+      Tables.spread(spark, Tables.documents(spark, sf)).filter(col("doc_id") <= cut))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(inc.filter(_._5).map(r => (r._1, r._2, r._3, r._4)).toSeq == stored.toSeq)
   }
 
   test("chunk pack: sequential over (doc, chunk) order, doc chunks contiguous") {

@@ -57,7 +57,7 @@ class PlanPinSpec extends AnyFunSuite {
       "mass)) rows (~1e7 at 100T tokens; Curation.tokenIdsOn scaladoc)"),
     "text_epoch_shuffle" -> ("rankAndPrefix bucket-offset cumsum — frame is " +
       "one row per (group, 2-hex-byte bucket), <=65536 rows per group")) ++
-    Seq("text_pack_shards", "text_shard_manifest").map(_ ->
+    Seq("text_pack_shards", "text_shard_manifest", "text_incremental_pack").map(_ ->
       ("exclusivePrefixSum's final residue — frame is docs/4096^2 rows " +
         "(~6e4 at 1e12 docs), every other level a partitioned window over " +
         "<=4096 rows")).toMap ++
