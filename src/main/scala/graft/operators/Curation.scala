@@ -239,18 +239,29 @@ object Curation {
     val basePack = Memo(spark, dir, "curation.packIncremental.base")(
       packShardsOn(withCut.filter(col("doc_id") <= col("cut"))
         .select(col("doc_id"), col("text"))))
+    packSplice(basePack,
+      withCut.filter(col("doc_id") > col("cut")).select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The splice core: carry `basePack` (a packed `(doc_id, tok_ct,
+    * tok_offset, shard_id)` frame) VERBATIM with `carried = true`, and
+    * pack `deltaDocs` — whose doc_ids must all exceed the base's (the
+    * append contract) — with offsets shifted by the base's token total
+    * (one scalar) and shard ids continuing the stream. Folding this
+    * over successive appends equals the one-shot pack of everything
+    * (CurationSpec pins the N-batch fold). */
+  private[graft] def packSplice(basePack: DataFrame, deltaDocs: DataFrame): DataFrame = {
     val baseTok = basePack.agg(coalesce(sum(col("tok_ct")), lit(0L)).as("base_tok"))
-    val deltaPack =
-      packShardsOn(withCut.filter(col("doc_id") > col("cut"))
-        .select(col("doc_id"), col("text")))
-        .crossJoin(broadcast(baseTok)) // 1-row shift scalar
-        .select(col("doc_id"), col("tok_ct"),
-          (col("tok_offset") + col("base_tok")).as("tok_offset"))
-        .withColumn("shard_id", expr(s"tok_offset div $ShardTokens"))
+    val deltaPack = packShardsOn(deltaDocs)
+      .crossJoin(broadcast(baseTok)) // 1-row shift scalar
+      .select(col("doc_id"), col("tok_ct"),
+        (col("tok_offset") + col("base_tok")).as("tok_offset"))
+      .withColumn("shard_id", expr(s"tok_offset div $ShardTokens"))
+      .withColumn("carried", lit(false))
     basePack.select(col("doc_id"), col("tok_ct"), col("tok_offset"),
         col("shard_id"), lit(true).as("carried"))
-      .unionByName(deltaPack.withColumn("carried", lit(false)))
-      .orderBy(col("doc_id"))
+      .unionByName(deltaPack)
   }
 
   /** Shard-level manifest over [[packShards]]: the frame a training

@@ -91,6 +91,31 @@ class CurationSpec extends AnyFunSuite {
     assert(inc.filter(_._5).map(r => (r._1, r._2, r._3, r._4)).toSeq == stored.toSeq)
   }
 
+  test("incremental pack: folding the splice over N appends == one-shot pack") {
+    import spark.implicits._
+    val docs = Tables.spread(spark, Tables.documents(spark, sf))
+      .select(col("doc_id"), col("text"))
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    // four append batches by id quartile — every batch non-empty
+    val cuts = Seq(ids(ids.length / 4), ids(ids.length / 2), ids(3 * ids.length / 4))
+    val batches = Seq(
+      docs.filter(col("doc_id") <= cuts(0)),
+      docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      docs.filter(col("doc_id") > cuts(1) && col("doc_id") <= cuts(2)),
+      docs.filter(col("doc_id") > cuts(2)))
+    val empty = Curation.packShardsOn(docs.limit(0))
+    val folded = batches.foldLeft(empty) { (pack, delta) =>
+      // localCheckpoint plays the role of the stored table between
+      // micro-batches (the AdsStore publish in a streaming deployment)
+      Curation.packSplice(pack, delta).drop("carried").localCheckpoint()
+    }
+    val got = folded.as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val oneShot = Curation.packShardsOn(docs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == oneShot.toSeq,
+      "N-batch splice fold diverged from the one-shot pack")
+  }
+
   test("chunk pack: sequential over (doc, chunk) order, doc chunks contiguous") {
     import spark.implicits._
     val got = Curation.chunkPack(spark, sf)
