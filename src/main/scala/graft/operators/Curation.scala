@@ -233,8 +233,11 @@ object Curation {
     * were NOT recomputed. */
   def packIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(spark, Tables.documents(spark, dir))
-    // integer arithmetic in the same order as the oracle (max*9//10)
-    val cut = docs.agg(((max(col("doc_id")) * 9) / 10).cast(LongType).as("cut"))
+    // exact integer arithmetic in the oracle's order (max*9//10):
+    // Column./ is DOUBLE division, whose truncation diverges from the
+    // integer floor once max*9 exceeds 2^53 — `div` stays exact
+    val cut = docs.agg(max(col("doc_id")).as("mx"))
+      .select(expr("mx * 9 div 10").cast(LongType).as("cut"))
     val withCut = docs.crossJoin(broadcast(cut))
     val basePack = Memo(spark, dir, "curation.packIncremental.base")(
       packShardsOn(withCut.filter(col("doc_id") <= col("cut"))

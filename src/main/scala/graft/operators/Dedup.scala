@@ -81,10 +81,12 @@ object Dedup {
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("s"))
-    // hot-set broadcast is bounded: at most occurrences/dfCap distinct
-    // values can exceed the cap, and under any Zipf-like shingle
-    // distribution the >dfCap head is tiny in absolute terms
-    val rare = inv.join(broadcast(hot), Seq("s"), "left_anti")
+    // no forced broadcast: the hot set is tiny under any Zipf-like
+    // distribution (AQE broadcasts it at runtime), but its true bound
+    // is occurrences/dfCap — corpus-proportional on an adversarial
+    // near-dup-heavy crawl, where a forced hint would OOM the build
+    // and a shuffle anti-join is the right degradation
+    val rare = inv.join(hot, Seq("s"), "left_anti")
     val pairs = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -339,9 +341,10 @@ object Dedup {
       explode(GraftExpressions.shingleHashes(toks(col("text")), k)).as("w"))
     val hot = win.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("w"))
-    // bounded broadcast: ≤ occurrences/dfCap values can exceed the cap
-    // (and the Zipf head above df=64 is tiny in absolute terms)
-    val rare = win.join(broadcast(hot), Seq("w"), "left_anti")
+    // no forced broadcast (see minedPairSizes): the >dfCap head is
+    // Zipf-tiny in practice but occurrences/dfCap in the worst case —
+    // AQE picks broadcast when it fits, shuffle anti-join when not
+    val rare = win.join(hot, Seq("w"), "left_anti")
     rare.as("a").join(rare.as("b"),
         col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -47,14 +47,20 @@ object AdsStore {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      // delete only NUMERIC v=<long> dirs outside the keep set (stale
-      // versions and crashed publishes' partials); a non-numeric
-      // "v=..." name was never written by this class — leave it alone
-      .filter(_.getPath.getName.stripPrefix("v=").toLongOption.exists(!keepSet(_)))
+      .filter(s => s.isDirectory)
+      // delete only CANONICAL v=<long> names outside the keep set
+      // (stale versions and crashed publishes' partials) — exactly the
+      // names this class writes; "v=007", "v=+5", "v=backup" were not
+      // written by it and are left alone
+      .filter(s => canonicalVersion(s.getPath.getName).exists(!keepSet(_)))
       .foreach(s => fs.delete(s.getPath, true))
     v
   }
+
+  /** Some(n) iff `name` is exactly the `v=<long>` form this class
+    * writes (round-trip check rejects leading zeros/signs). */
+  private def canonicalVersion(name: String): Option[Long] =
+    name.stripPrefix("v=").toLongOption.filter(n => name == s"v=$n")
 
   /** Committed (`_SUCCESS`-marked) versions under `root`, ascending. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
@@ -62,9 +68,11 @@ object AdsStore {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-      .flatMap(_.getPath.getName.stripPrefix("v=").toLongOption)
+      .filter(s => s.isDirectory)
+      // canonical names only: a foreign committed "v=007" would list
+      // as 7 but readVersion(7) resolves to the (absent) "v=7" dir
+      .flatMap(s => canonicalVersion(s.getPath.getName))
+      .filter(n => fs.exists(new Path(p, s"v=$n/_SUCCESS")))
       .sorted
   }
 

@@ -105,6 +105,14 @@ final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
         // older version must not evict a newer entry it races with
         cache.keySet.removeIf(k => k.startsWith(prefix) &&
           k.stripPrefix(prefix).toLongOption.exists(_ < v))
+        // rebind race: if bindStore() repointed the name while this
+        // request was loading, its removeIf may have run BEFORE our
+        // insert — drop our own entry so a stale root's rows can't be
+        // stranded for the server's lifetime (bindStore's put
+        // happens-before its eviction, so one of the two removals
+        // always wins; this response itself may still serve the old
+        // root — a read that raced a rebind, inherently fine)
+        if (stores.get(name) != root) cache.remove(s"$prefix$v")
         got
       case None => (Array.empty[String], Array.empty[Row]) // bound, nothing published yet
     }

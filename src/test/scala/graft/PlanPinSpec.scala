@@ -84,12 +84,15 @@ class PlanPinSpec extends AnyFunSuite {
     * per-reference re-expansion would blow up combinatorially on the
     * flagship's envelope+dim memo stack). */
   private def expand(p: SparkPlan): Seq[SparkPlan] = {
-    val seen = scala.collection.mutable.Set.empty[Int]
+    // reference-identity set (identityHashCode alone can collide,
+    // which would silently skip a distinct cached plan — a blind spot
+    // in the very sweep meant to remove blind spots)
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     def go(p: SparkPlan): Seq[SparkPlan] =
       p.collectWithSubqueries { case n => n }.flatMap {
         case im: InMemoryTableScanExec =>
-          if (seen.add(System.identityHashCode(im.relation.cachedPlan)))
-            im +: go(im.relation.cachedPlan)
+          if (seen.add(im.relation.cachedPlan)) im +: go(im.relation.cachedPlan)
           else Seq(im)
         case a: AdaptiveSparkPlanExec => a +: go(a.inputPlan)
         case n => Seq(n)

@@ -59,8 +59,11 @@ class ShufflePinSpec extends AnyFunSuite {
     // each cached plan counts ONCE no matter how many scans reference
     // it — that is what executes (a persisted frame materializes a
     // single time per session); per-reference re-expansion would let
-    // nested memos inflate the count combinatorially
-    val seen = scala.collection.mutable.Set.empty[Int]
+    // nested memos inflate the count combinatorially. Reference-
+    // identity set: identityHashCode alone can collide and silently
+    // undercount.
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     def go(p: SparkPlan): Int =
       p.collectWithSubqueries {
         // initialPlan, not inputPlan (predates EnsureRequirements — no
@@ -71,8 +74,7 @@ class ShufflePinSpec extends AnyFunSuite {
         // a materialized AQE stage wraps its exchange behind a leaf
         case qs: QueryStageExec => go(qs.plan)
         case im: InMemoryTableScanExec =>
-          if (seen.add(System.identityHashCode(im.relation.cachedPlan)))
-            go(im.relation.cachedPlan)
+          if (seen.add(im.relation.cachedPlan)) go(im.relation.cachedPlan)
           else 0
         case _: ShuffleExchangeExec => 1
       }.sum
