@@ -324,6 +324,54 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally live.stop()
   }
 
+  test("streamed appends maintain the shard pack through AdsStore: splice per batch, HTTP reflects each version, == one-shot") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Curation
+    val root = Files.createTempDirectory("pack_store").toString + "/pack"
+    val live = new QueryServer(spark, sf, port = 0)
+    val port = live.start()
+    val client = HttpClient.newHttpClient()
+    def getLive(path: String): String = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+    try {
+      live.bindStore("ads_pack_live", root)
+      def words(id: Long, n: Int) = (0 until n).map(i => s"w${id}_$i").mkString(" ")
+      // append-only: ids strictly increase across batches; sizes span
+      // shard boundaries so the splice's shard continuation is exercised
+      val batches: Seq[Seq[(Long, String)]] = Seq(
+        Seq((1L, words(1, 700)), (2L, words(2, 900))),
+        Seq((5L, words(5, 1200))),
+        Seq((7L, words(7, 300)), (9L, words(9, 2500))))
+      val ms = MemoryStream[(Long, String)](spark)
+      val emptyPack = Curation.packShardsOn(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      val q = ms.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          // production shape: the previous pack comes from the STORE
+          // (restart-safe), the delta is spliced in O(|delta|), the
+          // result published as the next version
+          val base = AdsStore.read(spark, root).map(_._2).getOrElse(emptyPack)
+          val packed = Curation.packSplice(
+              base.select("doc_id", "tok_ct", "tok_offset", "shard_id"), b)
+            .drop("carried").orderBy("doc_id").coalesce(1)
+          AdsStore.publish(packed, root, id)
+          ()
+        }.start()
+      try {
+        batches.zipWithIndex.foreach { case (rows, i) =>
+          ms.addData(rows)
+          q.processAllAvailable()
+          val accum = batches.take(i + 1).flatten.toDF("doc_id", "text")
+          val want = Curation.packShardsOn(accum).orderBy("doc_id")
+          assert(getLive("/api/query/ads_pack_live") ==
+            s"""{"status":0,"msg":"","query":"ads_pack_live","rows":${apiRows(want)}}""",
+            s"batch $i: served pack != one-shot recompute over the accumulated corpus")
+        }
+      } finally q.stop()
+    } finally live.stop()
+  }
+
   test("user erasure propagates to serving: anti-join rewrite republished, victim vanishes over HTTP") {
     import graft.operators.Governance
     import graft.sources.Tables
