@@ -307,11 +307,20 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the prune must only ever touch numeric v=<long> dirs it wrote
       // itself: a foreign "v=..." name next to the versions survives
       val foreign = Paths.get(root, "v=backup")
-      Files.createDirectories(foreign)
-      Files.write(foreign.resolve("keep.txt"), "precious".getBytes("UTF-8"))
+      // v=007 PARSES as 7 but is not the canonical form this class
+      // writes — it must be neither pruned nor listed as version 7
+      val nonCanon = Paths.get(root, "v=007")
+      Seq(foreign, nonCanon).foreach { d =>
+        Files.createDirectories(d)
+        Files.write(d.resolve("keep.txt"), "precious".getBytes("UTF-8"))
+      }
+      Files.write(nonCanon.resolve("_SUCCESS"), Array.empty[Byte])
       AdsStore.publish(restartFrame, root, 99)
-      assert(Files.exists(foreign.resolve("keep.txt")),
-        "publish pruning deleted a non-numeric v= directory it never wrote")
+      assert(Files.exists(foreign.resolve("keep.txt")) &&
+        Files.exists(nonCanon.resolve("keep.txt")),
+        "publish pruning deleted a foreign v= directory it never wrote")
+      assert(!AdsStore.versions(spark, root).contains(7L),
+        "a non-canonical v=007 dir was listed as version 7")
       // re-binding the name to a DIFFERENT store root must serve the
       // new root immediately (stale per-root cache entries evicted)
       val root2 = Files.createTempDirectory("gmv_store2").toString + "/ads_gmv2"
