@@ -122,9 +122,19 @@ object Search {
     // a streaming side cannot take a broadcast hint; batch query sets
     // broadcast so postings rows for non-query terms never shuffle
     val qside = if (qdf.isStreaming) qterms else broadcast(qterms)
+    // tdf is VOCABULARY-proportional (the hapax tail grows with the
+    // corpus) — never force-broadcast it whole. Batch: restrict to the
+    // query terms first (workload-bounded, join semantics unchanged —
+    // the probe already carries only query terms) and broadcast THAT.
+    // Streaming: a static side can't be pre-restricted by the stream;
+    // leave it hintless for the per-batch planner.
+    val dfsAll = tdf.select(col("term").as("dterm"), col("dfv"))
+    val dfside =
+      if (qdf.isStreaming) dfsAll
+      else broadcast(dfsAll.join(
+        qterms.select(col("qterm").as("dterm")).distinct(), Seq("dterm")))
     val j = tf.join(qside, col("qterm") === col("term"))
-      .join(broadcast(tdf.select(col("term").as("dterm"), col("dfv"))),
-        col("term") === col("dterm"))
+      .join(dfside, col("term") === col("dterm"))
       .crossJoin(broadcast(stats))
     // expression order mirrors the oracle SQL token for token — every
     // op is IEEE correctly-rounded, so bits agree cross-engine
@@ -677,7 +687,10 @@ object Search {
   def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     val (tf, tdf, stats) = indexFrames(spark, dir)
     val scored = tf
-      .join(broadcast(tdf.select(col("term").as("dterm"), col("dfv"))),
+      // both sides are data-proportional here (corpus postings ⋈ full
+      // vocabulary) — no forced broadcast; AQE broadcasts the df frame
+      // while it fits and degrades to a shuffle join on term when not
+      .join(tdf.select(col("term").as("dterm"), col("dfv")),
         col("term") === col("dterm"))
       .crossJoin(broadcast(stats.select(col("n_docs"))))
       .withColumn("idf_fp", floor(
