@@ -499,10 +499,22 @@ object TextAnalysis {
       .orderBy(col("skey"), col("doc_id"))
   }
 
+  /** Exact-k per-stratum sample by hash order. Two-phase top-k: a
+    * window partitioned by `source` alone would sort corpus/#sources
+    * rows on ONE task (sources are low-cardinality); the salted local
+    * phase keeps ≤k per (source, salt) — every global top-k row
+    * survives, since the global top-k within a source is a prefix of
+    * each salt's local order — so the final per-source window ranks
+    * ≤64·k rows per source, constant-bounded (same shape as
+    * [[Search.topKTwoPhase]]). */
   def sampleExactK(spark: SparkSession, dir: String, k: Int = 15): DataFrame =
     Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"),
         md5(concat(col("doc_id").cast(StringType), lit("|graft-sample"))).as("h"))
+      .withColumn("salt", pmod(col("doc_id"), lit(64)))
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy(col("source"), col("salt")).orderBy(col("h"), col("doc_id"))))
+      .filter(col("lrk") <= k)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
       .filter(col("rn") <= k)
