@@ -39,7 +39,9 @@ class ShufflePinSpec extends AnyFunSuite {
     "dedup_minhash_lsh" -> 7,
     "dedup_components" -> 4,       // per-iteration joins hide behind localCheckpoint
     "sim_ann_ivf" -> 4,
-    "search_bm25_topk" -> 9,
+    "search_bm25_topk" -> 10,  // +1: the workload-sized distinct that
+                               // restricts tdf to query terms before
+                               // its broadcast (r13 vocab-hint fix)
     "text_token_ids" -> 11,        // three-level rank decomposition, shared token explode
     "text_pack_shards" -> 10,      // two prefix-sum levels + memoized token counts
     "mm_phash_neardup" -> 6,
