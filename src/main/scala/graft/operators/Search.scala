@@ -262,7 +262,10 @@ object Search {
     * per query instead of every matching document. */
   private[graft] def topKTwoPhase(scored: DataFrame, k: Int): DataFrame =
     scored
-      .withColumn("salt", pmod(col("doc_id"), lit(SaltBuckets)))
+      // hash the id before salting: structured id allocation (fixed
+      // low bits from sharded generators) would otherwise collapse a
+      // query's rows into one salt class and undo the two-phase bound
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(SaltBuckets)))
       .withColumn("lrk", row_number().over(
         Window.partitionBy(col("qid"), col("salt"))
           .orderBy(col("score_fp").desc, col("doc_id"))))

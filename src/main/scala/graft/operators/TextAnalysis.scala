@@ -511,7 +511,12 @@ object TextAnalysis {
     Tables.spread(spark, Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"),
         md5(concat(col("doc_id").cast(StringType), lit("|graft-sample"))).as("h"))
-      .withColumn("salt", pmod(col("doc_id"), lit(64)))
+      // salt from the uniform hash, NOT the raw id: sharded id
+      // generators allocate structured low bits (fixed worker ids,
+      // stride-64 sequences), which would collapse every row of a
+      // source into one salt group and re-open the single-task sort
+      .withColumn("salt",
+        pmod(conv(substring(col("h"), 1, 2), 16, 10).cast(LongType), lit(64)))
       .withColumn("lrk", row_number().over(
         Window.partitionBy(col("source"), col("salt")).orderBy(col("h"), col("doc_id"))))
       .filter(col("lrk") <= k)

@@ -42,6 +42,15 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     (resp.statusCode(), resp.body())
   }
 
+  /** GET against a per-test second server (the store-binding tests
+    * each run their own so binds can't shadow the shared server). */
+  private def getAt(port: Int, path: String): (Int, String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
   // ---------------------------------------------------- renderer pins
 
   test("renderer: series/pie/scalar/table shapes and quoting rules") {
@@ -232,13 +241,8 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a second server so binding ads_gmv can't shadow the shared
     // server's batch ads_gmv for the other cases
     val live = new QueryServer(spark, sf, port = 0)
-    val liveBase = s"http://127.0.0.1:${live.start()}"
-    def getLive(path: String): (Int, String) = {
-      val resp = client.send(
-        HttpRequest.newBuilder(URI.create(liveBase + path)).GET().build(),
-        HttpResponse.BodyHandlers.ofString())
-      (resp.statusCode(), resp.body())
-    }
+    val livePort = live.start()
+    def getLive(path: String): (Int, String) = getAt(livePort, path)
     try {
       live.bindStore("ads_gmv_live", root) // store-only name (not in the batch library)
       live.bindStore("ads_gmv", root)      // shadows the sugar route's query
@@ -339,11 +343,8 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import graft.operators.Curation
     val root = Files.createTempDirectory("pack_store").toString + "/pack"
     val live = new QueryServer(spark, sf, port = 0)
-    val port = live.start()
-    val client = HttpClient.newHttpClient()
-    def getLive(path: String): String = client.send(
-      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).build(),
-      HttpResponse.BodyHandlers.ofString()).body()
+    val livePort = live.start()
+    def getLive(path: String): String = getAt(livePort, path)._2
     try {
       live.bindStore("ads_pack_live", root)
       def words(id: Long, n: Int) = (0 until n).map(i => s"w${id}_$i").mkString(" ")
@@ -386,10 +387,8 @@ class ServingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import graft.sources.Tables
     val root = Files.createTempDirectory("erasure_store").toString + "/user_ads"
     val live = new QueryServer(spark, sf, port = 0)
-    val liveBase = s"http://127.0.0.1:${live.start()}"
-    def getLive(path: String): String = client.send(
-      HttpRequest.newBuilder(URI.create(liveBase + path)).GET().build(),
-      HttpResponse.BodyHandlers.ofString()).body()
+    val livePort = live.start()
+    def getLive(path: String): String = getAt(livePort, path)._2
     try {
       live.bindStore("ads_user_orders_live", root)
       // a user-keyed ADS frame (per-user order counts) — the serving
