@@ -200,12 +200,27 @@ object Curation {
     * chunks — document-size-bounded), whose block ids ARE the dense
     * doc ids, then two dense 4096-ary levels shrink to a docs/4096²
     * residue. A uniform 4096 fanout here would leave one block per
-    * document at every level — a Θ(corpus) single-task residue. */
+    * document at every level — a Θ(corpus) single-task residue.
+    *
+    * Domain contract: `doc_id ∈ [0, 2³¹)` — beyond that the composed
+    * Long overflows negative, breaking both the `div` blocking and
+    * the key order. Enforced distributedly (a codegen'd `when` +
+    * `raise_error` on the key build, zero extra scans); a corpus with
+    * wider ids must re-key (dense_rank) before packing. */
+  /** The guarded composed chunk ordinal (see [[chunkPack]]'s domain
+    * contract): `doc_id·2³² + chunk_index`, raising on any doc_id
+    * outside `[0, 2³¹)` rather than silently overflowing negative. */
+  private[graft] def chunkPackKey(doc: Column, idx: Column): Column =
+    when(doc.between(0L, (1L << 31) - 1), doc)
+      .otherwise(raise_error(concat(
+        lit("chunkPack: doc_id outside the composed-key domain [0, 2^31): "),
+        doc.cast(StringType)))) * lit(4294967296L) + idx
+
   def chunkPack(spark: SparkSession, dir: String): DataFrame =
     packByKeyFanouts(
       TextAnalysis.chunkRagOn(Tables.spread(spark, Tables.documents(spark, dir)))
         .select(
-          (col("doc_id") * lit(4294967296L) + col("chunk_index")).as("pack_key"),
+          chunkPackKey(col("doc_id"), col("chunk_index")).as("pack_key"),
           col("chunk_token_ct").as("tok_ct")),
       ShardTokens, Seq(4294967296L, PackBucketDocs, PackBucketDocs))
       .select(
@@ -769,12 +784,6 @@ object Curation {
         org.apache.spark.sql.functions.replace(col("syms"), pat, rep), pat, rep))
   }
 
-  /** BPE merge-table induction: k rounds of (count adjacent symbol
-    * pairs weighted by word frequency → take the most frequent pair,
-    * ties broken lexicographically → merge it everywhere). The per-
-    * round top pair is a 1-row driver value (the k-means-centroid
-    * precedent); everything distributed is a vocabulary-sized
-    * aggregation. Output: the merge table a tokenizer ships. */
   /** Lineage cap for the BPE merge loops: every N applied merges the
     * word-type frame is `localCheckpoint`ed (the [[Dedup]] iterative-
     * round cadence), so plan depth stays O(N) instead of O(rounds) —
@@ -787,6 +796,12 @@ object Curation {
     * bit-identical. */
   val BpeCheckpointEvery = 64
 
+  /** BPE merge-table induction: k rounds of (count adjacent symbol
+    * pairs weighted by word frequency → take the most frequent pair,
+    * ties broken lexicographically → merge it everywhere). The per-
+    * round top pair is a 1-row driver value (the k-means-centroid
+    * precedent); everything distributed is a vocabulary-sized
+    * aggregation. Output: the merge table a tokenizer ships. */
   def bpeMerges(spark: SparkSession, dir: String,
                 rounds: Int = BpeRounds,
                 checkpointEvery: Int = BpeCheckpointEvery): DataFrame = {

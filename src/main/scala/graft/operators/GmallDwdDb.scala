@@ -561,6 +561,22 @@ object GmallDwdDb {
       concat(lit("spu_"), s(col("id") % 50)).as("spu_id"),
       concat(lit("spu name "), s(col("id") % 50)).as("spu_name"))
 
+  /** Broadcast [[skuDim]] decorate with a LOUD domain check. A plain
+    * inner join silently DROPS facts whose sku_id falls outside the
+    * synthetic dim's `[0, n)` range (part keys exceed [[SkuDimWide]]
+    * past SF ≈ 1.3), and the oracle's matching `WHERE sku < n` cutoff
+    * would mask the loss from the hash gate. Instead: left join + a
+    * codegen'd `raise_error` on any unmatched key — identical result
+    * whenever the domain holds (every tested SF), a failed job (not
+    * missing rows) the first time it doesn't. Zero extra scans or
+    * exchanges (the guard is a projection; the join stays broadcast). */
+  def joinSkuDimChecked(facts: DataFrame, sku: DataFrame): DataFrame =
+    facts.join(broadcast(sku), Seq("sku_id"), "left")
+      .withColumn("trademark_id",
+        when(col("trademark_id").isNotNull, col("trademark_id"))
+          .otherwise(raise_error(concat(
+            lit("skuDim: sku_id outside the dim domain: "), col("sku_id")))))
+
   // The `*On(env)` forms below are the apps' transforms over ANY
   // Maxwell envelope frame — batch OR readStream (stateless
   // filter/project/broadcast-join only, no sort), mirroring the

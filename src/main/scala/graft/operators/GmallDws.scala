@@ -246,9 +246,8 @@ object GmallDws {
         Window.partitionBy(col("order_detail_id")).orderBy(
           col("type").desc, col("operate_time").desc, col("order_status").desc)))
       .filter(col("drn") === 1)
-    dtStt(latest
-        .withColumn("sku_id", col("sku_id").cast(StringType))
-        .join(broadcast(sku), Seq("sku_id"))
+    dtStt(GmallDwdDb.joinSkuDimChecked(
+          latest.withColumn("sku_id", col("sku_id").cast(StringType)), sku)
         .withColumn("dt", substring(col("order_create_time"), 1, 10))
         .groupBy(col("dt"), col("trademark_id"), col("trademark_name"),
           col("category1_id"), col("category1_name"), col("category2_id"), col("category2_name"),
@@ -276,9 +275,8 @@ object GmallDws {
     }
 
   def tradeTmCatUserRefundCdcOn(refund: DataFrame, sku: DataFrame): DataFrame =
-    dtStt(refund
-        .withColumn("sku_id", col("sku_id").cast(StringType))
-        .join(broadcast(sku), Seq("sku_id"))
+    dtStt(GmallDwdDb.joinSkuDimChecked(
+          refund.withColumn("sku_id", col("sku_id").cast(StringType)), sku)
         .withColumn("dt", col("date_id"))
         .groupBy(col("dt"), col("trademark_id"), col("trademark_name"),
           col("category1_id"), col("category1_name"), col("category2_id"), col("category2_name"),
@@ -308,10 +306,18 @@ object GmallDws {
     store match {
       case None => deltaAgg
       case Some(s) =>
-        val sAlias = measures.foldLeft(s)((acc, m) => acc.withColumnRenamed(m, s"_s_$m"))
+        // Null-safe (<=>) key equality: a using-columns join never
+        // matches null keys, so a null-keyed group (e.g. a null dt
+        // from an unparseable timestamp) would be APPENDED as a fresh
+        // duplicate row on every micro-batch instead of summed — the
+        // store grows and serves duplicate group rows. <=> keeps the
+        // merge a straight sort-merge/hash join (SQL equi-join on a
+        // null-safe key) with the same single exchange.
+        val sAlias = (keys ++ measures).foldLeft(s)((acc, c) => acc.withColumnRenamed(c, s"_s_$c"))
         val dAlias = measures.foldLeft(deltaAgg)((acc, m) => acc.withColumnRenamed(m, s"_d_$m"))
-        sAlias.join(dAlias, keys, "full_outer")
-          .select(keys.map(col) ++ measures.map(m =>
+        val cond = keys.map(k => col(s"_s_$k") <=> col(k)).reduce(_ && _)
+        sAlias.join(dAlias, cond, "full_outer")
+          .select(keys.map(k => coalesce(col(k), col(s"_s_$k")).as(k)) ++ measures.map(m =>
             (coalesce(col(s"_s_$m"), lit(0L)) + coalesce(col(s"_d_$m"), lit(0L))).as(m)): _*)
     }
 
@@ -523,8 +529,12 @@ object GmallDws {
 
   /** Reusable CDC spu-order-window CTEs (final relation `spu_cdc`;
     * must be preceded by [[GmallDwdDb.flagshipWideCte]]). The `WHERE
-    * sku < SkuDimWide` mirrors the engine's inner dim join — vacuous
-    * at tested SFs (part keys ≤ 20 k), present for exactness. */
+    * sku < SkuDimWide` is vacuous at tested SFs (part keys ≤ 20 k);
+    * the engine side no longer drops out-of-domain keys at all — its
+    * [[GmallDwdDb.joinSkuDimChecked]] guard FAILS the job on the
+    * first key past the dim range, so this cutoff can never mask
+    * data loss (it exists only to keep the SQL total if the guard
+    * were ever relaxed). */
   private[operators] val spuOrderCdcCtes: String =
     s"""cdc_latest AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY order_detail_id

@@ -52,6 +52,13 @@ final class QueryServer(spark: SparkSession, sfDir: String, port: Int = 0) {
   }
   private val cache = new ConcurrentHashMap[String, Slot]()
 
+  /** Test probe: the memo's current keys (AdsStoreSpec's concurrency
+    * hammer asserts boundedness and rebind eviction through it). */
+  private[graft] def cachedKeys: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet.asScala.toSet
+  }
+
   /** Hard cap on rows the generic route ever collects: keeps any
     * named query — including corpus-sized ones — driver-safe, and
     * bounds the cache at one entry per route-kind×query (smaller

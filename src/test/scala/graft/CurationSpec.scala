@@ -668,5 +668,29 @@ class CurationSpec extends AnyFunSuite {
       length(regexp_replace(trim($"syms"), " ", "")) ).count() > 0)
   }
 
+  test("chunkPack composed key: round-trips in domain, RAISES past 2^31 instead of overflowing") {
+    import spark.implicits._
+    // in-domain (including the largest legal doc_id): key is positive
+    // and decomposes back to (doc_id, chunk_index)
+    val maxDoc = (1L << 31) - 1
+    val ok = Seq((0L, 0L), (42L, 7L), (maxDoc, 4095L)).toDF("doc_id", "chunk_index")
+      .select(col("doc_id"), col("chunk_index"),
+        Curation.chunkPackKey(col("doc_id"), col("chunk_index")).as("k"))
+      .select(col("doc_id"), col("chunk_index"), col("k"),
+        expr("k div 4294967296").as("d2"), (col("k") % 4294967296L).as("c2"))
+      .collect()
+    assert(ok.forall(r => r.getLong(2) >= 0 &&
+      r.getLong(3) == r.getLong(0) && r.getLong(4) == r.getLong(1)))
+    // past the domain the Long would overflow negative and break both
+    // div-blocking and key order — the guard must raise, not wrap
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ex = intercept[Exception] {
+      Seq((1L << 31, 0L)).toDF("doc_id", "chunk_index")
+        .select(Curation.chunkPackKey(col("doc_id"), col("chunk_index"))).collect()
+    }
+    assert(msgs(ex).exists(_.contains("composed-key domain")), s"wrong failure: $ex")
+  }
+
   private def Tables_docs() = graft.sources.Tables.documents(spark, sf)
 }

@@ -367,4 +367,27 @@ class GmallDwdDbSpec extends AnyFunSuite {
       df.select(key.map(col): _*).collect().map(_.toSeq).sortBy(_.mkString("|"))
     assert(rows(wideSalted).toSeq == rows(wideBase).toSeq)
   }
+
+  test("joinSkuDimChecked: inner-join-equal in domain, FAILS LOUDLY out of domain") {
+    import spark.implicits._
+    val sku = GmallDwdDb.skuDim(spark, 16)
+    val in = Seq("0", "7", "15", "7").toDF("sku_id").withColumn("v", lit(1L))
+    // in-domain: exactly the inner join (no dropped or duplicated facts)
+    val got = GmallDwdDb.joinSkuDimChecked(in, sku)
+      .select(col("sku_id"), col("trademark_id"), col("v"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val want = in.join(broadcast(sku), Seq("sku_id"))
+      .select(col("sku_id"), col("trademark_id"), col("v"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+    // out-of-domain: a plain inner join would SILENTLY DROP the fact
+    // (the r13 advice's data-loss hazard); the checked join must throw
+    val out = Seq("7", "16").toDF("sku_id").withColumn("v", lit(1L))
+    val ex = intercept[Exception] {
+      GmallDwdDb.joinSkuDimChecked(out, sku).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("outside the dim domain")), s"wrong failure: $ex")
+  }
 }

@@ -86,6 +86,68 @@ object MeasureJoinSkew {
       })
       println(f"MEASURE fixture=$name plain=$plain%.2f salted16=$salted%.2f sec")
     }
+
+    // ---- r13 verdict task 6: AQE skew-join vs manual salt on a ----
+    // ---- 90%-one-KEY fixture (key CONCENTRATION, not table volume) --
+    // The table-skew fixture above inflates every key's multiplicity
+    // uniformly — AQE's skew split has nothing to split. This fixture
+    // rewrites ~90% of od rows onto ONE order_id, the one-reducer-owns-
+    // the-join shape both mechanisms exist for. The J1 edge is measured
+    // bare (no downstream left joins) so the timing isolates the skewed
+    // exchange, with the broadcast fallback disabled — at the 100 TB
+    // operating point neither join side fits a broadcast.
+    {
+      val (odS0, oiS0, _, _) = slices(raw)
+      val hot = oiS0.agg(min(col("oi_id"))).head().getString(0)
+      val odHot = odS0.withColumn("order_id",
+        when(pmod(xxhash64(col("order_detail_id")), lit(10)) < 9, lit(hot))
+          .otherwise(col("order_id"))).cache()
+      val oiR = oiS0.withColumnRenamed("oi_id", "order_id").cache()
+      odHot.count(); oiR.count()
+      keyStats(odHot, "order_id", "hotkey od.order_id")
+
+      def consumeJ1(j: DataFrame): Unit = {
+        j.select(xxhash64(col("order_detail_id"), col("order_id")).as("h"))
+          .agg(sum(col("h"))).head()
+        ()
+      }
+      def withConf[T](kvs: (String, String)*)(f: => T): T = {
+        val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try f finally olds.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+      // lowered AQE skew thresholds so the splitter can fire at test
+      // scale (defaults target 256 MB partitions; sf fixtures are MBs)
+      val noBroadcast = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      val aqeOn = noBroadcast ++ Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+      val aqeOff = noBroadcast ++ Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "false")
+
+      val tAqe = withConf(aqeOn: _*) {
+        timed(consumeJ1(odHot.join(oiR, Seq("order_id"))))
+      }
+      val tNone = withConf(aqeOff: _*) {
+        timed(consumeJ1(odHot.join(oiR, Seq("order_id"))))
+      }
+      val tSalt = withConf(aqeOff: _*) {
+        timed(consumeJ1(Skew.saltedJoin(odHot, oiR, Seq("order_id"))))
+      }
+      val tSaltAqe = withConf(aqeOn: _*) {
+        timed(consumeJ1(Skew.saltedJoin(odHot, oiR, Seq("order_id"))))
+      }
+      println(f"MEASURE fixture=hotkey90 aqeSkew=$tAqe%.2f " +
+        f"noMitigation=$tNone%.2f salted16=$tSalt%.2f salted16+aqe=$tSaltAqe%.2f sec")
+      odHot.unpersist(); oiR.unpersist()
+    }
     raw.unpersist(); skewedRaw.unpersist()
   }
 }

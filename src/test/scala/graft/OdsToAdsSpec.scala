@@ -333,6 +333,22 @@ class OdsToAdsSpec extends AnyFunSuite {
       "incrementally merged DWS store diverged from the batch recompute")
   }
 
+  test("mergeDwsDelta: null-keyed groups are SUMMED across batches, not appended as duplicates") {
+    import spark.implicits._
+    // a null dt (e.g. from an unparseable timestamp) must merge like
+    // any other key — the r13 advice's hazard was a using-columns
+    // full-outer join that never matches null keys, so the null group
+    // reappeared as a fresh row every micro-batch
+    val b1 = Seq((Some("2020-01-01"), 3L), (None, 2L)).toDF("dt", "pv_ct")
+    val b2 = Seq((Some("2020-01-01"), 1L), (None, 5L)).toDF("dt", "pv_ct")
+    val merged = GmallDws.mergeDwsDelta(
+      Some(GmallDws.mergeDwsDelta(None, b1, Seq("dt"), Seq("pv_ct"))),
+      b2, Seq("dt"), Seq("pv_ct"))
+    val rows = merged.collect().map(r => (Option(r.getString(0)), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((None, 7L), (Some("2020-01-01"), 4L)),
+      s"null-keyed group mishandled: ${rows.toSeq}")
+  }
+
   test("traffic leg: topic_log stream -> DWD split parquet -> DWS parquet -> ADS == batch") {
     import spark.implicits._
     val odsDir = Files.createTempDirectory("ods_log").toString

@@ -34,10 +34,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanPinSpec extends AnyFunSuite {
   import TestSession._
 
-  /** Queries whose cross join is the documented ground-truth oracle
-    * baseline, never the shipped scale path (VERDICT r10 "weak-by-rule,
-    * accepted by design"). */
-  private val cartesianOk: Set[String] = Set("sim_neardup_pairs")
+  /** EMPTY since r14: the last allowlisted cartesian
+    * (`sim_neardup_pairs`' all-pairs oracle baseline) is retired — its
+    * exact side is now a fixed 256-vector broadcast panel, so every
+    * named query plans cartesian-free. Kept as a set so a future
+    * genuinely-bounded case can be documented here rather than
+    * silently weakening the pin. */
+  private val cartesianOk: Set[String] = Set.empty
 
   /** Queries whose partition-less window is over a PROVABLY BOUNDED
     * frame (value = the bound and why). Anything else with an empty

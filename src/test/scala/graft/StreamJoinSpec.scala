@@ -149,4 +149,66 @@ class StreamJoinSpec extends AnyFunSuite {
     val got = spark.table("j6").as[(String, String)].collect().toSet
     assert(got == Set(("a-early", "b-within-after")))
   }
+
+  test("J1/J2 state is watermark-BOUNDED: numRowsTotal plateaus under sustained input and recovers across restart") {
+    // r13 verdict task 2: the reference keeps 3-day idle join state
+    // (DwdTradeOrderDetail.java:26); the Spark form CLAIMS the
+    // watermark + range predicate bound it. Drive enough micro-batches
+    // that eviction must occur and measure the claim through
+    // StreamingQueryProgress.stateOperators rather than asserting it
+    // from the docs. leftOuter is the stricter case (it additionally
+    // tracks unmatched rows for null padding).
+    import spark.implicits._
+    val details = MemoryStream[OrderDetail](spark)
+    val infos = MemoryStream[OrderInfo](spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("j_state_ck").toString
+    def build() = Joins.streamStream(
+      details.toDF().withWatermark("ts", "2 seconds"),
+      infos.toDF().withWatermark("ts", "2 seconds"),
+      "order_id", "id", "ts", "ts", lowerSec = 10, upperSec = 10,
+      joinType = "leftOuter")
+      .select($"detail_id", $"user")
+    // foreachBatch sink: the memory sink refuses checkpoint recovery
+    def start() = build().writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => b.count(); () }
+      .start()
+
+    // each batch: 2 details (one joins, one stays unmatched until the
+    // watermark closes it) + 1 info, 100 s apart — far past the ±10 s
+    // bound + 2 s delay, so every batch's state is evictable by the next
+    def feed(i: Int): Unit = {
+      val t = 1000L + i * 100L
+      details.addData(OrderDetail(i * 10L, i.toLong, "sku", ts(t)),
+        OrderDetail(i * 10L + 1, 100000L + i, "orphan", ts(t)))
+      infos.addData(OrderInfo(i.toLong, s"user-$i", ts(t + 3)))
+    }
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+
+    val q1 = start()
+    val totals = (0 until 12).map { i => feed(i); q1.processAllAvailable(); stateRows(q1) }
+    q1.stop()
+    val fed = 12 * 3
+    // plateau: the steady state (warmup excluded) never grows past the
+    // early steady state — unbounded state would grow ~3 rows/batch
+    val warm = totals.slice(2, 6).max
+    assert(totals.drop(6).max <= warm,
+      s"join state grew past its early plateau: $totals")
+    assert(totals.last <= fed / 3,
+      s"final state ${totals.last} is corpus-proportional ($fed rows fed): $totals")
+    assert(totals.max > 0, s"state never materialized: $totals")
+
+    // restart from the checkpoint: state must come back AT the plateau
+    // (restored, not lost) and keep plateauing, not re-inflate
+    val q2 = start()
+    val after = (12 until 15).map { i => feed(i); q2.processAllAvailable(); stateRows(q2) }
+    q2.stop()
+    assert(after.head > 0, s"restart lost the join state: $after")
+    assert(after.max <= warm,
+      s"state ballooned after restart (plateau $warm): $after")
+    info(s"state numRowsTotal per batch: ${totals.mkString(",")} " +
+      s"(fed $fed rows); after restart: ${after.mkString(",")}")
+  }
 }

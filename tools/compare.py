@@ -16,7 +16,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
     return df.reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def run(sf_dir, out_dir):
+    """Core gate compare; returns (n_pass, n_fail, results) so
+    tools/gate.py can compose the per-round gate artifact from the
+    same code path the CLI uses."""
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
@@ -65,6 +68,10 @@ def main(sf_dir, out_dir):
         if rows > 0: n_pass += 1
         else: n_fail += 1; results[name] = "empty"
     print(f"\n{n_pass} pass / {n_fail} fail")
+    return n_pass, n_fail, results
+
+def main(sf_dir, out_dir):
+    _, n_fail, _ = run(sf_dir, out_dir)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
