@@ -8,6 +8,21 @@ import org.apache.spark.sql.functions._
   * aggregation skew and joins where the skewed side must stay
   * shuffled).
   *
+  * WHEN TO USE WHICH — measured, not guessed (MeasureJoinSkew at
+  * sf0.1, SCALE.md "AQE vs salting crossover"): for JOIN skew prefer
+  * AQE's skew-join and do nothing here. With a 90%-one-key fact of
+  * 6.6 M rows (hot key 4.7 M) AQE ran 2.16 s vs 3.54 s unmitigated
+  * (1.6× win) while [[saltedJoin]] ran 4.24 s — the `salts`-way
+  * replication of the right side costs more than the balance win, and
+  * AQE splits only the oversized partitions with no replication at
+  * all. Below one reducer's worth of hot-key rows (0.23 M-row run)
+  * skew is invisible and salting is a pure 1.8× tax. [[saltedJoin]]
+  * earns its keep only where AQE cannot re-plan the join: stream-side
+  * joins inside a streaming query, or when the skewed side must keep
+  * its existing partitioning. AGGREGATION skew is different — AQE has
+  * no skew rule for aggregates, so [[saltedSumCount]] remains the
+  * tool whenever one group key holds ≫ 1/parallelism of the rows.
+  *
   * Both are deterministic: the salt derives from a per-partition row
   * index (`monotonically_increasing_id`), not `rand()` — identical on
   * task retry for the same input partition, so exactly-once sinks stay

@@ -70,7 +70,9 @@ object MeasureJoinSkew {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
 
-    for ((name, frame) <- Seq("uniform" -> raw, "skewed" -> skewedRaw)) {
+    val skipTable = sys.env.contains("SPARK_GRAFT_SKIP_TABLESKEW")
+    for ((name, frame) <- Seq("uniform" -> raw, "skewed" -> skewedRaw)
+         if !skipTable) {
       val (odS, oiS, oaS, ocS) = slices(frame)
       keyStats(odS, "order_id", s"$name od.order_id")
       keyStats(oiS, "oi_id", s"$name oi.order_id")
@@ -96,15 +98,19 @@ object MeasureJoinSkew {
     // bare (no downstream left joins) so the timing isolates the skewed
     // exchange, with the broadcast fallback disabled — at the 100 TB
     // operating point neither join side fits a broadcast.
-    {
-      val (odS0, oiS0, _, _) = slices(raw)
+    // two hot-key volumes: the raw od slice (~0.2 M rows — is skew even
+    // visible at sub-reducer volumes?) and the replicated one (~6 M
+    // rows, hot key ≈ 5 M — one reducer owns minutes of work)
+    for ((scaleName, envFrame) <- Seq("hotkey90" -> raw,
+                                      "hotkey90big" -> skewedRaw)) {
+      val (odS0, oiS0, _, _) = slices(envFrame)
       val hot = oiS0.agg(min(col("oi_id"))).head().getString(0)
       val odHot = odS0.withColumn("order_id",
         when(pmod(xxhash64(col("order_detail_id")), lit(10)) < 9, lit(hot))
           .otherwise(col("order_id"))).cache()
       val oiR = oiS0.withColumnRenamed("oi_id", "order_id").cache()
       odHot.count(); oiR.count()
-      keyStats(odHot, "order_id", "hotkey od.order_id")
+      keyStats(odHot, "order_id", s"$scaleName od.order_id")
 
       def consumeJ1(j: DataFrame): Unit = {
         j.select(xxhash64(col("order_detail_id"), col("order_id")).as("h"))
@@ -144,7 +150,7 @@ object MeasureJoinSkew {
       val tSaltAqe = withConf(aqeOn: _*) {
         timed(consumeJ1(Skew.saltedJoin(odHot, oiR, Seq("order_id"))))
       }
-      println(f"MEASURE fixture=hotkey90 aqeSkew=$tAqe%.2f " +
+      println(f"MEASURE fixture=$scaleName aqeSkew=$tAqe%.2f " +
         f"noMitigation=$tNone%.2f salted16=$tSalt%.2f salted16+aqe=$tSaltAqe%.2f sec")
       odHot.unpersist(); oiR.unpersist()
     }
