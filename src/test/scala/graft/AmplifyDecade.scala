@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
   * measurement at sf0.1).
   *
   * Copy-k id shifting preserves per-row structure exactly:
-  *  - orders/lineitem: keys shift by k·252000 — a multiple of every
-  *    modulus in [[graft.operators.GmallDwdDb.envelopeJson]]'s rule
-  *    table (lcm 126000), so each copy reproduces the same envelope
-  *    row mix and the flagship join's key multiplicities; dates stay,
-  *    so daily windows get 10× rows per bucket (density, not span).
-  *  - documents: doc_id shifts by k·5000 and EVERY TOKEN gets the
+  *  - orders/lineitem: keys shift by k × the smallest multiple of
+  *    every modulus in [[graft.operators.GmallDwdDb.envelopeJson]]'s
+  *    rule table (lcm 126000) above the source max key, so each copy
+  *    reproduces the same envelope row mix and the flagship join's
+  *    key multiplicities; dates stay, so daily windows get 10× rows
+  *    per bucket (density, not span).
+  *  - documents: doc_id shifts past the source max and EVERY TOKEN gets the
   *    copy digit suffixed. Without the perturbation the ten copies
   *    are exact duplicates — minhash LSH would weld each doc into a
   *    10-clique (pairs ×45, triangles ×120) and the measured dedup
@@ -35,10 +36,20 @@ import org.apache.spark.sql.functions._
   */
 object AmplifyDecade {
   val Copies = 10
-  val OrderStride = 252000L // 2 × lcm(envelope moduli) = 2 × 126000, > max o_orderkey
-  val DocStride = 5000L
-  val EventStride = 100000L
-  val UserStride = 1500L
+
+  /** lcm of every modulus in GmallDwdDb.envelopeJson's rule table —
+    * order strides must be a multiple so each copy reproduces the same
+    * envelope row mix and join-key multiplicities. */
+  val EnvelopeLcm = 126000L
+
+  /** Smallest multiple of `multipleOf` strictly above the column's max
+    * — derived from the DATA, not hardcoded, so the amplifier composes
+    * (sf0.1 → sf1eq → sf10eq: the second pass sees the first pass's
+    * widened key range and strides past it automatically). */
+  private def strideFor(df: DataFrame, c: String, multipleOf: Long): Long = {
+    val max = df.agg(org.apache.spark.sql.functions.max(col(c))).head().getLong(0)
+    ((max / multipleOf) + 1L) * multipleOf
+  }
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -58,16 +69,21 @@ object AmplifyDecade {
     def copies(df: DataFrame): DataFrame =
       df.withColumn("_k", explode(lit((0 until Copies).toArray)))
 
+    val orderStride = strideFor(read("orders"), "o_orderkey", EnvelopeLcm)
+    val docStride = strideFor(read("documents"), "doc_id", 1L)
+    val eventStride = strideFor(read("events"), "event_id", 1L)
+    val userStride = strideFor(read("events"), "user_id", 1L)
+
     write(copies(read("orders"))
-      .withColumn("o_orderkey", col("o_orderkey") + col("_k") * OrderStride)
+      .withColumn("o_orderkey", col("o_orderkey") + col("_k") * orderStride)
       .drop("_k"), "orders")
 
     write(copies(read("lineitem"))
-      .withColumn("l_orderkey", col("l_orderkey") + col("_k") * OrderStride)
+      .withColumn("l_orderkey", col("l_orderkey") + col("_k") * orderStride)
       .drop("_k"), "lineitem")
 
     write(copies(read("documents"))
-      .withColumn("doc_id", col("doc_id") + col("_k") * DocStride)
+      .withColumn("doc_id", col("doc_id") + col("_k") * docStride)
       .withColumn("text",
         regexp_replace(col("text"), lit("([A-Za-z0-9]+)"),
           concat(lit("$1"), col("_k").cast("string"))))
@@ -75,8 +91,8 @@ object AmplifyDecade {
       .drop("_k"), "documents")
 
     write(copies(read("events"))
-      .withColumn("event_id", col("event_id") + col("_k") * EventStride)
-      .withColumn("user_id", col("user_id") + col("_k") * UserStride)
+      .withColumn("event_id", col("event_id") + col("_k") * eventStride)
+      .withColumn("user_id", col("user_id") + col("_k") * userStride)
       .drop("_k"), "events")
 
     Seq("region", "nation", "customer", "supplier", "part", "embeddings")
