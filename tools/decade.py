@@ -1,41 +1,54 @@
 #!/usr/bin/env python3
-"""Second-decade scaling report (r13 verdict task 1).
+"""Measured-scaling report (r13 verdict task 1, extended to N points).
 
-Takes two graft.Bench JSON lines — one at sf0.1, one at the amplified
-sf1-equivalent (tools: graft.AmplifyDecade) — and prints the per-query
-scaling exponent  e = log10(t_big / t_small)  for a ×10 data step
-(e = 1 → linear, e < 1 → sublinear / fixed-overhead-dominated,
-e > 1 → super-linear: investigate before trusting the 100 TB claim).
+Takes two or more graft.Bench JSON lines, each one decade (×10 data)
+apart — e.g. sf0.1, the amplified sf1-equivalent, the amplified
+sf10-equivalent (tool: graft.AmplifyDecade) — and prints, per query,
+the time at each point and the scaling exponent of each ×10 step:
+e = log10(t_next / t_prev)  (e = 1 → linear, e < 1 → sublinear /
+fixed-overhead-dominated, e > 1 → super-linear: investigate before
+trusting the 100 TB claim). Rows sort by the LAST step's exponent —
+the largest measured scale is the most informative — and the exit
+code flags any last-step exponent above 1.05.
 
-Usage: python3 tools/decade.py <bench_sf01.json> <bench_sf1eq.json> [--out MD]
+Usage: python3 tools/decade.py <bench1.json> <bench2.json> [more...] [--out MD]
 """
 import sys, json, math, argparse
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("small")
-    ap.add_argument("big")
+    ap.add_argument("benches", nargs="+")
+    ap.add_argument("--labels", default=None,
+                    help="comma-separated column labels, one per bench file")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
-    s = json.load(open(args.small))["queries"]
-    b = json.load(open(args.big))["queries"]
+    if len(args.benches) < 2:
+        ap.error("need at least two bench files")
+    series = [json.load(open(p))["queries"] for p in args.benches]
+    labels = (args.labels.split(",") if args.labels
+              else [f"p{i}" for i in range(len(series))])
+    common = sorted(set.intersection(*(set(s) for s in series)))
     rows = []
-    for q in sorted(set(s) & set(b)):
-        ts, tb = s[q], b[q]
-        if not ts or not tb:
+    for q in common:
+        ts = [s[q] for s in series]
+        if any(not t for t in ts):
             continue
-        e = math.log10(tb / ts)
-        rows.append((q, ts, tb, tb / ts, e))
-    rows.sort(key=lambda r: -r[4])
-    lines = ["| query | sf0.1 s | sf1eq s | ratio | exponent |",
-             "|---|---|---|---|---|"]
-    for q, ts, tb, r, e in rows:
-        flag = " **<-- SUPER-LINEAR**" if e > 1.05 else ""
-        lines.append(f"| {q} | {ts:.2f} | {tb:.2f} | {r:.2f}x | {e:.2f}{flag} |")
-    worst = max((r[4] for r in rows), default=0.0)
-    lines.append(f"\nworst exponent: {worst:.2f} over {len(rows)} queries "
-                 f"({sum(1 for r in rows if r[4] > 1.05)} super-linear)")
+        es = [math.log10(ts[i + 1] / ts[i]) for i in range(len(ts) - 1)]
+        rows.append((q, ts, es))
+    rows.sort(key=lambda r: -r[2][-1])
+    head = ["query"] + [f"{l} s" for l in labels] + \
+        [f"e {labels[i]}→{labels[i+1]}" for i in range(len(labels) - 1)]
+    lines = ["| " + " | ".join(head) + " |",
+             "|" + "---|" * len(head)]
+    for q, ts, es in rows:
+        cells = [q] + [f"{t:.2f}" for t in ts] + \
+            [f"{e:.2f}" + (" **<-- SUPER-LINEAR**" if e > 1.05 else "")
+             for e in es]
+        lines.append("| " + " | ".join(cells) + " |")
+    worst = max((r[2][-1] for r in rows), default=0.0)
+    lines.append(f"\nworst last-step exponent: {worst:.2f} over {len(rows)} "
+                 f"queries ({sum(1 for r in rows if r[2][-1] > 1.05)} super-linear)")
     text = "\n".join(lines)
     print(text)
     if args.out:
