@@ -1,6 +1,48 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Task-metric accumulator for the per-query I/O report: shuffle
+    * bytes written/read, spill, and max single-task peak execution
+    * memory. Unlike wall seconds these are DETERMINISTIC for a given
+    * plan + data, so their scaling exponents across amplified decades
+    * (tools/decade.py --field) are noise-free evidence — a plan whose
+    * shuffle volume grows super-linearly is a scale-killer even when
+    * task-overhead floors hide it in the timings. */
+  private final class IoListener extends org.apache.spark.scheduler.SparkListener {
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    val peakMem = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peakMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+      }
+    }
+    def snapshot: (Long, Long, Long, Long) =
+      (shufWrite.get, shufRead.get, spill.get, peakMem.get)
+    // the byte counters diff across snapshots; the max doesn't — reset
+    // it (post-drain) so each report window gets its own peak
+    def resetPeak(): Unit = peakMem.set(0L)
+  }
+
+  /** Listener events are delivered asynchronously; drain the bus so a
+    * query's tail tasks aren't attributed to the next query. Scala's
+    * `private[spark]` on `SparkContext.listenerBus` /
+    * `LiveListenerBus.waitUntilEmpty()` is compile-time only — both
+    * are public in bytecode (Spark's own test harness calls them the
+    * same way), so plain reflection reaches them with no setAccessible.
+    * Falls back to a fixed sleep if Spark ever renames them; either
+    * path is outside the timed windows. */
+  private def drain(sc: org.apache.spark.SparkContext): Unit =
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(200) }
+
   /** Process CPU time in ns (for the wall-vs-cpu contention sentinel);
     * -1 when the JVM doesn't expose the com.sun.management extension. */
   private def procCpuNs: Long =
@@ -29,6 +71,9 @@ object Bench {
     val benchCpu0 = procCpuNs
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val runsJson = scala.collection.mutable.ListBuffer.empty[String]
+    val ioJson = scala.collection.mutable.ListBuffer.empty[String]
+    val io = new IoListener
+    spark.sparkContext.addSparkListener(io)
     // optional comma-separated allowlist for timing a few queries in
     // isolation (plan-iteration loop); the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -50,14 +95,27 @@ object Bench {
       // "regression" on untouched code. The min of two is the stable,
       // comparable number; both raw runs are kept in "runs" so a noisy
       // machine is visible in the JSON itself.
+      // the I/O report uses run 2 only (memo builds a first toucher
+      // pays land in run 1, the steady-state plan is what scales), so
+      // snapshot between the runs and after — each preceded by a bus
+      // drain so late task-end events stay with their query
       val timed =
-        try { val r1 = once(); val r2 = once(); Some((r1, r2)) }
+        try {
+          val r1 = once()
+          drain(spark.sparkContext); val s1 = io.snapshot; io.resetPeak()
+          val r2 = once()
+          drain(spark.sparkContext); val s2 = io.snapshot
+          Some((r1, r2, s1, s2))
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name: $e"); errors += name; None
         }
       timed match {
-        case Some((r1, r2)) =>
+        case Some((r1, r2, s1, s2)) =>
           runsJson += s"\"$name\":[${num(r1)},${num(r2)}]"
+          ioJson += s"\"$name\":{\"shuffle_write\":${s2._1 - s1._1}," +
+            s"\"shuffle_read\":${s2._2 - s1._2},\"spilled\":${s2._3 - s1._3}," +
+            s"\"peak_task_mem\":${s2._4}}"
           // a failed query records -1, not its meaningless elapsed time —
           // broken must be distinguishable from fast in the JSON alone
           name -> math.min(r1, r2)
@@ -78,7 +136,7 @@ object Bench {
     // ok:false marks a run whose total excludes failed queries — a smaller
     // value than a clean run's must never be read as a speedup
     val ok = errors.isEmpty
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"runs":${runsJson.mkString("{", ",", "}")},"errors":$errs,"cpu_vs_wall":${num(wallVsCpu)},"load_avg_start":${num(loadStart)},"load_avg_end":${num(osBean.getSystemLoadAverage)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"runs":${runsJson.mkString("{", ",", "}")},"io":${ioJson.mkString("{", ",", "}")},"errors":$errs,"cpu_vs_wall":${num(wallVsCpu)},"load_avg_start":${num(loadStart)},"load_avg_end":${num(osBean.getSystemLoadAverage)},"sf":"$sfDir"}"""
     println(json)
     // the driver's BENCH capture truncates long stdout lines, losing
     // "total" and half the per-query map; the full JSON on disk keeps

@@ -21,11 +21,20 @@ def main():
     ap.add_argument("benches", nargs="+")
     ap.add_argument("--labels", default=None,
                     help="comma-separated column labels, one per bench file")
+    ap.add_argument("--field", default=None,
+                    help="exponents over an 'io' field (shuffle_write, "
+                         "shuffle_read, spilled, peak_task_mem) instead of "
+                         "seconds — deterministic for a given plan + data, "
+                         "so these exponents carry no timing noise")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if len(args.benches) < 2:
         ap.error("need at least two bench files")
-    series = [json.load(open(p))["queries"] for p in args.benches]
+    if args.field:
+        series = [{q: v[args.field] for q, v in json.load(open(p))["io"].items()}
+                  for p in args.benches]
+    else:
+        series = [json.load(open(p))["queries"] for p in args.benches]
     labels = (args.labels.split(",") if args.labels
               else [f"p{i}" for i in range(len(series))])
     common = sorted(set.intersection(*(set(s) for s in series)))
@@ -37,12 +46,15 @@ def main():
         es = [math.log10(ts[i + 1] / ts[i]) for i in range(len(ts) - 1)]
         rows.append((q, ts, es))
     rows.sort(key=lambda r: -r[2][-1])
-    head = ["query"] + [f"{l} s" for l in labels] + \
+    unit = " MB" if args.field else " s"
+    def fmt(v):
+        return f"{v / 1e6:.1f}" if args.field else f"{v:.2f}"
+    head = ["query"] + [f"{l}{unit}" for l in labels] + \
         [f"e {labels[i]}→{labels[i+1]}" for i in range(len(labels) - 1)]
     lines = ["| " + " | ".join(head) + " |",
              "|" + "---|" * len(head)]
     for q, ts, es in rows:
-        cells = [q] + [f"{t:.2f}" for t in ts] + \
+        cells = [q] + [fmt(t) for t in ts] + \
             [f"{e:.2f}" + (" **<-- SUPER-LINEAR**" if e > 1.05 else "")
              for e in es]
         lines.append("| " + " | ".join(cells) + " |")
