@@ -74,12 +74,28 @@ object Bench {
     val ioJson = scala.collection.mutable.ListBuffer.empty[String]
     val io = new IoListener
     spark.sparkContext.addSparkListener(io)
+    // optional: drop every memoized frame after each query. Default
+    // OFF — memo sharing is the engine's real shape (the batch analog
+    // of shared DWD topics) and every recorded BENCH number uses it.
+    // ON bounds the single-JVM cached surface to ONE query's memos at
+    // a time, which is what lets an amplified leg whose ACCUMULATED
+    // surface exceeds heap+disk run at all; each query then pays its
+    // own memo build in run 1 and repeat-min still reports the warm
+    // plan. Numbers from evict-mode legs are only comparable to other
+    // evict-mode legs — the JSON records the mode for that reason.
+    val evict = sys.env.get("SPARK_GRAFT_BENCH_EVICT").exists(_ == "1")
     // optional comma-separated allowlist for timing a few queries in
     // isolation (plan-iteration loop); the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+    // once a query kills the SparkContext (the OOM cascade in SCALE.md's
+    // memory finding stopped it from an executor thread), every later
+    // query fails with the meaningless "stopped SparkContext" — flag the
+    // abort so the JSON distinguishes "this query broke" from "the JVM
+    // died under an earlier one"
+    var aborted = false
     val results = selected.map { case (name, fn) =>
       // noop sink: executes the FULL plan (projections, sorts, exprs)
       // without writing — a bare count() would let Catalyst prune the
@@ -100,7 +116,8 @@ object Bench {
       // snapshot between the runs and after — each preceded by a bus
       // drain so late task-end events stay with their query
       val timed =
-        try {
+        if (aborted) { errors += name; None }
+        else try {
           val r1 = once()
           drain(spark.sparkContext); val s1 = io.snapshot; io.resetPeak()
           val r2 = once()
@@ -108,8 +125,17 @@ object Bench {
           Some((r1, r2, s1, s2))
         }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name: $e"); errors += name; None
+          System.err.println(s"[bench] $name: $e"); errors += name
+          if (spark.sparkContext.isStopped) {
+            System.err.println(s"[bench] SparkContext stopped under $name " +
+              "(executor-thread OOM kills it from below — see SCALE.md " +
+              "memory finding); aborting, remaining queries marked failed")
+            aborted = true
+          }
+          None
         }
+      if (evict && !spark.sparkContext.isStopped)
+        graft.operators.Memo.invalidate(spark, None)
       timed match {
         case Some((r1, r2, s1, s2)) =>
           runsJson += s"\"$name\":[${num(r1)},${num(r2)}]"
@@ -136,7 +162,7 @@ object Bench {
     // ok:false marks a run whose total excludes failed queries — a smaller
     // value than a clean run's must never be read as a speedup
     val ok = errors.isEmpty
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"runs":${runsJson.mkString("{", ",", "}")},"io":${ioJson.mkString("{", ",", "}")},"errors":$errs,"cpu_vs_wall":${num(wallVsCpu)},"load_avg_start":${num(loadStart)},"load_avg_end":${num(osBean.getSystemLoadAverage)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"runs":${runsJson.mkString("{", ",", "}")},"io":${ioJson.mkString("{", ",", "}")},"errors":$errs,"cpu_vs_wall":${num(wallVsCpu)},"load_avg_start":${num(loadStart)},"load_avg_end":${num(osBean.getSystemLoadAverage)},"evict":$evict,"memo_level":"${spark.conf.get(graft.operators.Memo.LevelConf, "MEMORY_AND_DISK")}","sf":"$sfDir"}"""
     println(json)
     // the driver's BENCH capture truncates long stdout lines, losing
     // "total" and half the per-query map; the full JSON on disk keeps

@@ -12,8 +12,8 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-              shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
+              shufflePartitions: Int = 32): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       .withExtensions(new graft.functions.GraftSqlExtensions)
@@ -34,6 +34,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+    // Memo persist level override for single-JVM deployments whose
+    // cached surface × task concurrency exceeds heap — see
+    // graft.operators.Memo.LevelConf for the measured failure mode
+    // this escapes and its cost.
+    sys.env.get("SPARK_GRAFT_MEMO_LEVEL")
+      .fold(b)(b.config("spark.graft.memo.storageLevel", _))
+  }
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Shared per-(session, dir, name) DataFrame memoization with persist —
   * the batch analog of the reference's shared DWD Kafka topics: each
@@ -11,9 +12,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dir invalidates EVERY cached frame derived from it with one call —
   * split per-module stores would leave the other module's entries
   * stale. Cached frames snapshot the parquet at first access. */
-private[operators] object Memo {
+private[graft] object Memo {
   private val memo =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
+  /** Session conf key selecting the persist level for memoized frames
+    * (any [[StorageLevel]] name; also settable per-process via the
+    * `SPARK_GRAFT_MEMO_LEVEL` env through [[graft.GraftSession]]).
+    *
+    * Default `MEMORY_AND_DISK` — the cached-columnar level every
+    * measured bench number uses. The escape hatch exists because the
+    * default is FAIL-HARD when the accumulated memo surface outgrows
+    * one JVM's storage pool under high task concurrency: writes
+    * degrade gracefully to disk, but 32 concurrent re-reads each
+    * unroll a spilled block back toward memory and the sf10eq leg
+    * died inside `PartiallyUnrolledIterator` at the 12 GB default
+    * heap (SCALE.md "Memory finding", full stderr kept). `DISK_ONLY`
+    * skips the memory-unroll path entirely — re-reads stream off
+    * disk — so the same leg completes in the same heap, trading
+    * re-read IO for survival. On a real cluster the storage pool is
+    * the fleet's aggregate memory and the default stands; this knob
+    * is for single-JVM deployments whose cached surface × concurrency
+    * exceeds heap. Measured cost at the failure point: SCALE.md. */
+  val LevelConf = "spark.graft.memo.storageLevel"
+
+  private def levelFor(spark: SparkSession): StorageLevel =
+    StorageLevel.fromString(spark.conf.get(LevelConf, "MEMORY_AND_DISK"))
 
   // Single lock around the build: TrieMap.getOrElseUpdate does not
   // guarantee single evaluation of the by-name default, and a losing
@@ -32,7 +56,7 @@ private[operators] object Memo {
       values.keys.toSeq
         .filter { case (s, _, _) => s.sparkContext.isStopped }
         .foreach(values.remove)
-      memo.getOrElseUpdate(key, build.persist())
+      memo.getOrElseUpdate(key, build.persist(levelFor(spark)))
     })
   }
 

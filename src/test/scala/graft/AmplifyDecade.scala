@@ -54,7 +54,10 @@ object AmplifyDecade {
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/sf1eq"
-    val spark = TestSession.spark
+    // own session (not TestSession's local[4]): amplification is one
+    // scan+write per table — IO-bound but wide; local[32] matches the
+    // bench profile and a plain `java -cp` run needs no scalatest
+    val spark = GraftSession.get()
     amplify(spark, src, out)
     println(s"AMPLIFIED $src x$Copies -> $out")
   }
