@@ -36,8 +36,20 @@ private[graft] object Memo {
     * exceeds heap. Measured cost at the failure point: SCALE.md. */
   val LevelConf = "spark.graft.memo.storageLevel"
 
-  private def levelFor(spark: SparkSession): StorageLevel =
-    StorageLevel.fromString(spark.conf.get(LevelConf, "MEMORY_AND_DISK"))
+  /** `NONE` disables memo persistence entirely: the frame is still
+    * built (and map-memoized, so every consumer shares ONE plan) but
+    * each action recomputes it from source. This is the honest mode
+    * when the memoized surface is CORPUS-SIZED and the node is not:
+    * the flagship's CDC-envelope memo measures ~75 GB on disk at a
+    * mere sf10eq (SCALE.md), so at data ≫ node no storage level fits
+    * — the scan+parse must re-run per query, exactly as a cluster
+    * reading 100 TB would never pin the raw envelope either. Footprint
+    * becomes execution-memory-only; cost is the cold path every time. */
+  private def levelFor(spark: SparkSession): Option[StorageLevel] =
+    spark.conf.get(LevelConf, "MEMORY_AND_DISK") match {
+      case "NONE" => None
+      case s => Some(StorageLevel.fromString(s))
+    }
 
   // Single lock around the build: TrieMap.getOrElseUpdate does not
   // guarantee single evaluation of the by-name default, and a losing
@@ -56,7 +68,8 @@ private[graft] object Memo {
       values.keys.toSeq
         .filter { case (s, _, _) => s.sparkContext.isStopped }
         .foreach(values.remove)
-      memo.getOrElseUpdate(key, build.persist(levelFor(spark)))
+      memo.getOrElseUpdate(key,
+        levelFor(spark).fold(build)(l => build.persist(l)))
     })
   }
 

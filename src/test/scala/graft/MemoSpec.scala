@@ -43,6 +43,25 @@ class MemoSpec extends AnyFunSuite {
     }
   }
 
+  test("NONE skips persistence: shared plan, zero cache footprint, results identical") {
+    spark.conf.set(Memo.LevelConf, "NONE")
+    try {
+      val df = Memo(spark, MemoDir, "memospec_none")(
+        spark.range(0, 100).selectExpr("id * 7 as v"))
+      assert(df.storageLevel === StorageLevel.NONE)
+      // still map-memoized (one plan for all consumers) ...
+      assert(Memo(spark, MemoDir, "memospec_none")(
+        fail("memo hit must not rebuild")) eq df)
+      // ... and every action recomputes from source, same answer
+      val expected = (0L until 100L).map(_ * 7)
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq === expected)
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq === expected)
+    } finally {
+      spark.conf.unset(Memo.LevelConf)
+      Memo.invalidate(spark, Some(MemoDir))
+    }
+  }
+
   test("the conf is read per BUILD, not per process: an already-memoized frame keeps its level") {
     val before = Memo(spark, MemoDir, "memospec_sticky")(spark.range(0, 10).toDF("id"))
     spark.conf.set(Memo.LevelConf, "DISK_ONLY")

@@ -12,7 +12,7 @@
 # java so it doesn't take the sbt lock.
 set -e
 cd /root/repo
-CP="target/scala-2.13/classes:target/scala-2.13/test-classes:/opt/spark/jars/*"
+CP="${GRAFT_CP:-target/scala-2.13/classes:target/scala-2.13/test-classes}:/opt/spark/jars/*"
 JOPTS=$(grep -oE '"java.base/[a-z.]+"' build.sbt | tr -d '"' |
         sed 's/^/--add-opens /; s/$/=ALL-UNNAMED/' | tr '\n' ' ')
 QUERIES="dwd_trade_order_detail,j1_inner_join_agg,j4_star_chain,text_token_ids,an_out_of_order,search_incremental_postings,text_chunk_pack,dedup_components_star,text_epoch_shuffle,text_mixture_sample,dedup_components,dws_trade_province_order_cdc_window,dedup_minhash_lsh,dws_trade_trademark_category_user_refund_cdc_window,ads_trademark_stats_cdc,search_bm25_topk,dws_trade_trademark_category_user_spu_order_cdc_window,dedup_triangles"
