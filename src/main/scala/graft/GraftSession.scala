@@ -38,8 +38,17 @@ object GraftSession {
     // cached surface × task concurrency exceeds heap — see
     // graft.operators.Memo.LevelConf for the measured failure mode
     // this escapes and its cost.
-    sys.env.get("SPARK_GRAFT_MEMO_LEVEL")
+    val b2 = sys.env.get("SPARK_GRAFT_MEMO_LEVEL")
       .fold(b)(b.config("spark.graft.memo.storageLevel", _))
+    // Root dir for PARQUET-level memo materializations (the
+    // Kafka-DWD-topics analog — see graft.operators.Memo.DirConf).
+    val b3 = sys.env.get("SPARK_GRAFT_MEMO_DIR")
+      .fold(b2)(b2.config("spark.graft.memo.parquetDir", _))
+    // CDC-envelope fact-table salt (GmallDwdDb.EnvelopeSaltKConf):
+    // spreads the dominant table past one task when its volume
+    // exceeds a task's working set (amplified legs set 8).
+    sys.env.get("SPARK_GRAFT_ENVELOPE_SALTK")
+      .fold(b3)(b3.config("spark.graft.envelope.saltK", _))
   }
 
   def get(): SparkSession = {

@@ -50,6 +50,7 @@ object GraftExpressions {
   def nearestCentroidsFloat(vec: Column, centIds: Array[Int], cents: Array[Array[Float]], k: Int): Column =
     toColumn(NearestCentroidsFloat(toExpression(vec), centIds, cents, k))
   def segmentTokens(c: Column): Column = toColumn(SegmentTokens(toExpression(c)))
+  def maxwellParse(c: Column): Column = toColumn(MaxwellParse(toExpression(c)))
   def mediaHeader(c: Column): Column = toColumn(MediaHeaderInfo(toExpression(c)))
   def blockHash64(c: Column): Column = toColumn(BlockHash64(toExpression(c)))
   def byteEntropyStats(c: Column): Column = toColumn(ByteEntropyStats(toExpression(c)))
@@ -155,6 +156,40 @@ case class SegmentTokens(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.Tokenizer.segmentArrayData($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SegmentTokens =
+    copy(newChild)
+}
+
+/** Maxwell CDC envelope parse (S3's per-record hot path): string →
+  * struct<database,table,type,data:map,old:map,ts:long>, null on
+  * malformed input (the P1 dirty-quarantine contract). `from_json`
+  * parity is spec-pinned; the point of the native expression is
+  * performance at ingest volume: `JsonToStructs` is a
+  * `CodegenFallback` — it drags the whole collapsed projection into
+  * interpreted eval and allocates a Reader+decoder+text-buffer stack
+  * per row — while this compiles to one static call over the string's
+  * bytes inside whole-stage codegen (see [[MaxwellJson]] for the
+  * measured 10× on the CDC envelope build).
+  */
+case class MaxwellParse(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MaxwellJson.schema
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(child.dataType == StringType,
+      s"graft_maxwell_parse requires a string argument, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    MaxwellJson.parse(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.MaxwellJson.parse($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MaxwellParse =
     copy(newChild)
 }
 

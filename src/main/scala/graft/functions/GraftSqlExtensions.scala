@@ -58,6 +58,11 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
         "graft_segment_tokens(str) - keyword tokens: latin/digit runs + CJK bigrams"),
       (args: Seq[Expression]) => { arity(args, 1, "graft_segment_tokens"); SegmentTokens(args.head) }))
 
+    ext.injectFunction((FunctionIdentifier("graft_maxwell_parse"),
+      info("graft_maxwell_parse",
+        "graft_maxwell_parse(str) - Maxwell CDC envelope: struct(database,table,type,data,old,ts); null if malformed"),
+      (args: Seq[Expression]) => { arity(args, 1, "graft_maxwell_parse"); MaxwellParse(args.head) }))
+
     ext.injectFunction((FunctionIdentifier("graft_media_header"),
       info("graft_media_header",
         "graft_media_header(bin) - packed PNG/JPEG/WAV header info: [format:4][width:20][height:20][channels:4][sample_rate:16]"),

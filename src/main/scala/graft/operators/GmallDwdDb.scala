@@ -114,11 +114,27 @@ object GmallDwdDb {
     * partition count per fact table grows. `saltK` is a config knob,
     * not a code change, so the 100×-scale remedy is one argument;
     * GmallDwdDbSpec pins result-equality at saltK = 4 and the
-    * partition spread it buys. */
-  def envelope(spark: SparkSession, dir: String, saltK: Int = 1): DataFrame =
-    Memo(spark, dir, if (saltK <= 1) "cdcEnvelope" else s"cdcEnvelope.salt$saltK") {
-      saltedByTable(spark, LogStream.maxwellEnvelope(envelopeJson(spark, dir)), saltK)
+    * partition spread it buys.
+    *
+    * The default comes from the session conf [[EnvelopeSaltKConf]]
+    * (env `SPARK_GRAFT_ENVELOPE_SALTK` via GraftSession), so a
+    * DEPLOYMENT can turn the knob without touching query code — the
+    * amplified-decade legs set 8: past sf10eq the dominant table's
+    * single partition is the measured build-and-write wall (one task
+    * streams order_detail = one row per third lineitem while 31 cores
+    * idle), exactly the "volume exceeds a task's comfortable working
+    * set" regime the paragraph above reserves the salt for. */
+  def envelope(spark: SparkSession, dir: String, saltK: Int = -1): DataFrame = {
+    val k = if (saltK >= 1) saltK
+            else spark.conf.get(EnvelopeSaltKConf, "1").toInt
+    Memo(spark, dir, if (k <= 1) "cdcEnvelope" else s"cdcEnvelope.salt$k") {
+      saltedByTable(spark, LogStream.maxwellEnvelope(envelopeJson(spark, dir)), k)
     }
+  }
+
+  /** Session conf for [[envelope]]'s default salt (see the scaladoc
+    * trade discussion; 1 = unsalted, the small-SF optimum). */
+  val EnvelopeSaltKConf = "spark.graft.envelope.saltK"
 
   /** The envelope's per-table (optionally salted) repartitioning as a
     * standalone step, so the skew measurement (MeasureSkew) drives the
@@ -207,12 +223,17 @@ object GmallDwdDb {
     // key, so the fixture populates them all deterministically.
     // `process_status` mirrors `order_status` (the source table keeps
     // them in lockstep) and `parent_order_id` is present only for every
-    // 100th order — Maxwell omits absent columns, modeled by
-    // map_filter-ing null values out of the payload.
-    def orderInfoData(status: Column, operateTime: Column) = map_filter(map(
+    // 100th order — Maxwell omits absent columns, modeled by appending
+    // the conditional entry via map_concat. (This was map_filter-ing a
+    // null entry out, but map_filter is a CodegenFallback higher-order
+    // function: it dragged the collapsed 26-branch synthesis projection
+    // into per-row interpreted eval — measured as the dominant cost of
+    // the whole envelope build. map_concat is codegen'd; entry ORDER
+    // changes (parent_order_id appends last), which nothing observes —
+    // consumers project by key.)
+    def orderInfoData(status: Column, operateTime: Column) = {
+      val base = map(
       lit("process_status"), status,
-      lit("parent_order_id"),
-        when(okey % 100 === 0, s(okey + 1000000)).otherwise(nullStr),
       lit("id"), s(okey),
       lit("consignee"), concat(lit("name_"), s(col("o_custkey") % 1000)),
       lit("consignee_tel"), concat(lit("13"), s(okey % 100000000)),
@@ -230,8 +251,11 @@ object GmallDwdDb {
       lit("coupon_reduce_amount"), s((okey % 30).cast(DecimalType(18, 2))),
       lit("original_total_amount"), s(col("o_totalprice").cast(DecimalType(18, 2))),
       lit("feight_fee"), s((okey % 20).cast(DecimalType(18, 2))),
-      lit("feight_fee_reduce"), s((okey % 5).cast(DecimalType(18, 2)))),
-      (_, v) => v.isNotNull)
+      lit("feight_fee_reduce"), s((okey % 5).cast(DecimalType(18, 2))))
+      when(okey % 100 === 0,
+        map_concat(base, map(lit("parent_order_id"), s(okey + 1000000))))
+        .otherwise(base)
+    }
     // one insert per order — the 5-table join's inner side
     val orderIns = o.select(jsonEnv("order_info", "insert",
       orderInfoData(lit("1001"), dt), noOld, ts).as("value"))

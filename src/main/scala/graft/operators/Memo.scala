@@ -38,18 +38,69 @@ private[graft] object Memo {
 
   /** `NONE` disables memo persistence entirely: the frame is still
     * built (and map-memoized, so every consumer shares ONE plan) but
-    * each action recomputes it from source. This is the honest mode
-    * when the memoized surface is CORPUS-SIZED and the node is not:
-    * the flagship's CDC-envelope memo measures ~75 GB on disk at a
-    * mere sf10eq (SCALE.md), so at data ≫ node no storage level fits
-    * — the scan+parse must re-run per query, exactly as a cluster
-    * reading 100 TB would never pin the raw envelope either. Footprint
-    * becomes execution-memory-only; cost is the cold path every time. */
+    * each action recomputes it from source. Footprint becomes
+    * execution-memory-only; cost is the cold path EVERY TIME — and for
+    * the CDC envelope that cost is multiplicative (a query referencing
+    * the envelope N times re-derives and re-parses it N times per
+    * action; measured: the flagship at a mere sf0.1 burned 4 CPU-hours
+    * before being killed). NONE is kept only as the
+    * zero-footprint diagnostic mode; the mode that matches what a
+    * cluster actually does with a corpus-sized shared surface is
+    * `PARQUET` below. */
+
+  /** `PARQUET` materializes each memo frame to columnar storage ONCE
+    * (under [[DirConf]]) and re-reads it thereafter — the batch analog
+    * of the reference's materialized DWD Kafka topics
+    * (`MyKafkaUtil.java:24-56` consumers re-read a topic the producer
+    * wrote once; nobody re-derives DWD from ODS per query). Unlike
+    * heap/disk persist the footprint is compressed columnar (the
+    * sf10eq envelope's ~75 GB DISK_ONLY block store is ~3 GB as
+    * parquet), it survives the JVM (per-query processes amortize one
+    * build, as Kafka consumers do), and re-reads get row-group
+    * pruning + column pushdown instead of block deserialization. The
+    * store is a CACHE keyed by source dir: a dir backfill must call
+    * [[invalidate]] (which deletes the materialization) — same staleness
+    * contract as the persist levels. Single JVM writes a `.tmp.<pid>`
+    * dir then renames into place, so a racing duplicate build wastes
+    * work but never tears a committed materialization. */
+  val DirConf = "spark.graft.memo.parquetDir"
+
   private def levelFor(spark: SparkSession): Option[StorageLevel] =
     spark.conf.get(LevelConf, "MEMORY_AND_DISK") match {
       case "NONE" => None
       case s => Some(StorageLevel.fromString(s))
     }
+
+  private def parquetRoot(spark: SparkSession): String =
+    spark.conf.get(DirConf, sys.props("java.io.tmpdir") + "/graft-memo")
+
+  private def parquetPath(spark: SparkSession, dir: String, name: String) =
+    new org.apache.hadoop.fs.Path(
+      s"${parquetRoot(spark)}/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$name")
+
+  /** Build-and-commit (or read-back) the materialized form of a memo
+    * frame. Runs OUTSIDE the memo lock — the write is an eager
+    * multi-second job and the lock is global — so two racing threads
+    * may both build; the tmp+rename protocol makes exactly one winner
+    * and the loser reads the winner's commit (same wasted-work-but-
+    * leak-free trade [[value]] makes). */
+  private def materialize(spark: SparkSession, dir: String, name: String)
+                         (build: => DataFrame): DataFrame = {
+    val path = parquetPath(spark, dir, name)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    if (!fs.exists(committed)) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        path.getParent, path.getName + ".tmp." + ProcessHandle.current().pid())
+      build.write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(tmp, path)) {       // lost the race: read the winner
+        fs.delete(tmp, true)
+        require(fs.exists(committed),
+          s"memo materialize: rename to $path failed with no committed winner")
+      }
+    }
+    spark.read.parquet(path.toString)
+  }
 
   // Single lock around the build: TrieMap.getOrElseUpdate does not
   // guarantee single evaluation of the by-name default, and a losing
@@ -59,18 +110,25 @@ private[graft] object Memo {
   def apply(spark: SparkSession, dir: String, name: String)
            (build: => DataFrame): DataFrame = {
     val key = (spark, dir, name)
-    memo.get(key).getOrElse(synchronized {
-      // Opportunistically drop entries pinned to stopped sessions so the
-      // maps don't retain dead SparkSessions for the JVM's lifetime.
-      memo.keys.toSeq
-        .filter { case (s, _, _) => s.sparkContext.isStopped }
-        .foreach(memo.remove)
-      values.keys.toSeq
-        .filter { case (s, _, _) => s.sparkContext.isStopped }
-        .foreach(values.remove)
-      memo.getOrElseUpdate(key,
-        levelFor(spark).fold(build)(l => build.persist(l)))
-    })
+    memo.get(key).getOrElse {
+      if (spark.conf.get(LevelConf, "MEMORY_AND_DISK") == "PARQUET") {
+        // eager write job — must not run under the global lock
+        val df = materialize(spark, dir, name)(build)
+        memo.putIfAbsent(key, df)
+        memo(key)
+      } else synchronized {
+        // Opportunistically drop entries pinned to stopped sessions so the
+        // maps don't retain dead SparkSessions for the JVM's lifetime.
+        memo.keys.toSeq
+          .filter { case (s, _, _) => s.sparkContext.isStopped }
+          .foreach(memo.remove)
+        values.keys.toSeq
+          .filter { case (s, _, _) => s.sparkContext.isStopped }
+          .foreach(values.remove)
+        memo.getOrElseUpdate(key,
+          levelFor(spark).fold(build)(l => build.persist(l)))
+      }
+    }
   }
 
   // Driver-side VALUE memo (k-means models, other small derived
@@ -96,7 +154,10 @@ private[graft] object Memo {
 
   /** Drop (and unpersist) every memoized frame — and drop every
     * memoized value — for `dir` (all dirs if None) in this session,
-    * across all modules. */
+    * across all modules. Under the `PARQUET` level this also deletes
+    * the on-disk materializations for `dir` (they are a cache keyed by
+    * the source dir; after a backfill they are stale data, not a
+    * cache-warm bonus). */
   def invalidate(spark: SparkSession, dir: Option[String]): Unit = {
     memo.keys.toSeq
       .filter { case (s, d, _) => s == spark && dir.forall(_ == d) }
@@ -104,5 +165,14 @@ private[graft] object Memo {
     values.keys.toSeq
       .filter { case (s, d, _) => s == spark && dir.forall(_ == d) }
       .foreach(values.remove)
+    if (spark.conf.get(LevelConf, "MEMORY_AND_DISK") == "PARQUET") {
+      val root = new org.apache.hadoop.fs.Path(parquetRoot(spark))
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      dir match {
+        case Some(d) => fs.delete(new org.apache.hadoop.fs.Path(
+          root, d.replaceAll("[^A-Za-z0-9._-]", "_")), true)
+        case None => fs.delete(root, true)
+      }
+    }
   }
 }

@@ -52,20 +52,31 @@ object LogStream {
 
   /** Maxwell CDC envelope: the gmall `topic_db` table shape
     * (`MyKafkaUtil.java:91-100`; `ts`+string-`old` variant at
-    * `DwdTradeOrderRefund.java:46-54`). */
-  val maxwellSchema: StructType = StructType(Seq(
-    StructField("database", StringType), StructField("table", StringType),
-    StructField("type", StringType),
-    StructField("data", MapType(StringType, StringType)),
-    StructField("old", MapType(StringType, StringType)),
-    StructField("ts", LongType)))
+    * `DwdTradeOrderRefund.java:46-54`). Defined by the native parser
+    * (one definition — see [[graft.functions.MaxwellJson]]). */
+  val maxwellSchema: StructType = graft.functions.MaxwellJson.schema
 
   /** P1: parse a raw string column; rows that fail to parse carry a
     * null (or, in PERMISSIVE mode, all-null) struct. Returns the
     * annotated frame; split with [[clean]] / [[dirty]] (two filters
-    * over one pass — the side-output analog of `DimApp.java:39-55`). */
+    * over one pass — the side-output analog of `DimApp.java:39-55`).
+    *
+    * The parse is wrapped in a one-element `explode` — a `Generate`
+    * barrier. Without it, alias inlining (CollapseProject +
+    * predicate pushdown) substitutes the parse expression into EVERY
+    * downstream reference: the dirty-check's per-field null tests plus
+    * the `parsed.*` projection re-parse the same line up to
+    * 2+2×fields times per row (measured 208 parse copies in the CDC
+    * envelope's optimized plan — the single dominant cost of the
+    * whole build). `Generate` evaluates the generator once per row and
+    * emits `parsed` as a real attribute, so field accesses downstream
+    * are struct reads, not re-parses. `explode` of a 1-element array
+    * never drops or adds rows and is streaming-safe. */
   def parse(raw: DataFrame, schema: StructType, column: String = "value"): DataFrame =
-    raw.withColumn("parsed", from_json(col(column), schema))
+    parseWith(raw, from_json(col(column), schema), column)
+
+  private def parseWith(raw: DataFrame, parser: Column, column: String): DataFrame =
+    raw.select(col(column), explode(array(parser)).as("parsed"))
 
   /** `from_json` in PERMISSIVE mode maps malformed input to a struct
     * whose every top-level field is null — indistinguishable from a
@@ -85,9 +96,15 @@ object LogStream {
 
   /** S3: Maxwell envelope with the processing-time ingest column
     * (`pt AS PROCTIME()` ≈ `current_timestamp()`, semantic difference
-    * documented in SURVEY.md §1.2). */
+    * documented in SURVEY.md §1.2). Parses via the native
+    * [[graft.functions.MaxwellParse]] expression — `from_json` parity
+    * (spec-pinned) with the whole projection kept in whole-stage
+    * codegen; `from_json`'s CodegenFallback + per-row Reader stack
+    * made envelope ingest the measured bottleneck of every CDC leg. */
   def maxwellEnvelope(raw: DataFrame, column: String = "value"): DataFrame =
-    clean(parse(raw, maxwellSchema, column)).withColumn("pt", current_timestamp())
+    clean(parseWith(raw,
+        graft.functions.GraftExpressions.maxwellParse(col(column)), column))
+      .withColumn("pt", current_timestamp())
 
   /** P3: slice one table's change events out of the CDC firehose. */
   def cdcSlice(envelope: DataFrame, table: String, types: Seq[String]): DataFrame =

@@ -12,10 +12,14 @@
 # windows never include JVM start (graft.Bench times query execution
 # only). Legs compared against each other must ALL use this runner.
 #
-# Usage: run_leg_perq.sh <sfdir> <out.json> <queries-csv> <heap> [level]
+# Usage: run_leg_perq.sh <sfdir> <out.json> <queries-csv> <heap> [level] [memodir]
+# With level PARQUET, [memodir] roots the materialized-memo store that
+# every per-query JVM in the leg shares (the Kafka-DWD-topic analog):
+# the first toucher builds+writes, the rest scan columnar.
 set -e
 cd /root/repo
 SFDIR="$1"; OUT="$2"; QUERIES="$3"; MEM="$4"; LEVEL="${5:-DISK_ONLY}"
+MEMODIR="${6:-}"
 CP="${GRAFT_CP:-target/scala-2.13/classes:target/scala-2.13/test-classes}:/opt/spark/jars/*"
 JOPTS=$(grep -oE '"java.base/[a-z.]+"' build.sbt | tr -d '"' |
         sed 's/^/--add-opens /; s/$/=ALL-UNNAMED/' | tr '\n' ' ')
@@ -25,8 +29,9 @@ for q in "${QS[@]}"; do
   echo "--- $q $(date -u +%H:%M:%S) (free: $(df --output=avail -h /tmp | tail -1 | tr -d ' '))"
   rm -f target/bench.json
   # shellcheck disable=SC2086
-  SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS=32 \
+  env SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_MEMO_LEVEL="$LEVEL" SPARK_GRAFT_BENCH_ONLY="$q" \
+    ${MEMODIR:+SPARK_GRAFT_MEMO_DIR="$MEMODIR"} \
     java $JOPTS -Xmx"$MEM" -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench \
       > "$PARTS/$q.log" 2>&1 || true
