@@ -33,7 +33,10 @@ private[graft] object Memo {
     * re-read IO for survival. On a real cluster the storage pool is
     * the fleet's aggregate memory and the default stands; this knob
     * is for single-JVM deployments whose cached surface × concurrency
-    * exceeds heap. Measured cost at the failure point: SCALE.md. */
+    * exceeds heap — though for a corpus-sized surface `PARQUET` below
+    * is strictly smaller on disk, survives the JVM, and prunes on
+    * re-read, so DISK_ONLY remains mainly for frames that must stay
+    * session-private. */
   val LevelConf = "spark.graft.memo.storageLevel"
 
   /** `NONE` disables memo persistence entirely: the frame is still

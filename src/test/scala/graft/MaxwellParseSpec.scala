@@ -92,6 +92,21 @@ class MaxwellParseSpec extends AnyFunSuite {
     assert(canon(builtin).exceptAll(canon(native)).isEmpty)
   }
 
+  test("exactly ONE parse copy in the envelope's optimized plan (alias-inlining tripwire)") {
+    // Before LogStream.parse's Generate barrier, CollapseProject +
+    // predicate pushdown substituted the parse into every downstream
+    // reference: 208 copies in this very plan, each a full re-parse
+    // per row — the single dominant cost of the envelope build. Any
+    // refactor that drops the barrier (or adds a pre-barrier
+    // projection that re-inlines) reintroduces the blowup silently;
+    // this counts the copies so it fails loudly instead.
+    val raw = graft.operators.GmallDwdDb.envelopeJson(spark, TestSession.sf)
+    val env = graft.streaming.LogStream.maxwellEnvelope(raw)
+    val n = "maxwellparse".r
+      .findAllIn(env.queryExecution.optimizedPlan.toString.toLowerCase).size
+    assert(n === 1, s"expected exactly 1 maxwellparse in the optimized plan, got $n")
+  }
+
   test("the parse stays inside whole-stage codegen (from_json's fallback was the point)") {
     // a range source, not a local Seq — ConvertToLocalRelation would
     // constant-fold a literal projection before codegen even runs
