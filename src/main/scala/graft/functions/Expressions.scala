@@ -51,6 +51,8 @@ object GraftExpressions {
     toColumn(NearestCentroidsFloat(toExpression(vec), centIds, cents, k))
   def segmentTokens(c: Column): Column = toColumn(SegmentTokens(toExpression(c)))
   def maxwellParse(c: Column): Column = toColumn(MaxwellParse(toExpression(c)))
+  def jsonParse(c: Column, schema: StructType): Column =
+    toColumn(SchemaJsonParse(toExpression(c), schema))
   def mediaHeader(c: Column): Column = toColumn(MediaHeaderInfo(toExpression(c)))
   def blockHash64(c: Column): Column = toColumn(BlockHash64(toExpression(c)))
   def byteEntropyStats(c: Column): Column = toColumn(ByteEntropyStats(toExpression(c)))
@@ -191,6 +193,48 @@ case class MaxwellParse(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): MaxwellParse =
     copy(newChild)
+}
+
+/** Schema-driven native JSON parse (P1's per-record hot path for the
+  * page-log shape): string → the given struct, null on malformed
+  * input. The nested-struct generalization of [[MaxwellParse]] —
+  * `from_json` PERMISSIVE partial-results parity is spec-pinned in
+  * PageLogParseSpec; the point is the same as MaxwellParse's: no
+  * CodegenFallback, no per-row Reader stack, the surrounding
+  * projection stays fused in whole-stage codegen. The compiled
+  * converter tree ([[SchemaJsonParser]]) is built once and shipped to
+  * executors as a codegen reference object. */
+case class SchemaJsonParse(child: Expression, schema: StructType)
+    extends UnaryExpression {
+  override def dataType: DataType = schema
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_json_parse"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeChecks.expect(
+      child.dataType == StringType && SchemaJson.supports(schema),
+      s"graft_json_parse requires a string argument and a supported schema, " +
+        s"got ${child.dataType.sql} / ${schema.sql}")
+
+  @transient private lazy val parser = new SchemaJsonParser(schema)
+
+  override protected def nullSafeEval(input: Any): Any =
+    parser.parse(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftJsonParser", parser,
+      classOf[SchemaJsonParser].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = $ref.parse($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SchemaJsonParse =
+    copy(child = newChild)
 }
 
 /** Media container header probe: binary → packed long

@@ -84,9 +84,14 @@ object MaxwellJson {
           if (ts == null) null else ts.longValue()))
       } finally p.close()
     } catch {
+      // ONLY malformation escapes here: the Fail sentinel and
+      // Jackson's own parse errors (JsonProcessingException covers
+      // truncation, bad tokens, and the read-constraint violations —
+      // StreamConstraintsException extends it). A blanket
+      // RuntimeException catch would convert genuine parser bugs into
+      // silent dirty-data loss, so they propagate instead.
       case Fail => null
-      case _: java.io.IOException => null
-      case _: RuntimeException => null // Jackson read-constraint violations etc.
+      case _: com.fasterxml.jackson.core.JsonProcessingException => null
     }
   }
 
@@ -125,7 +130,12 @@ object MaxwellJson {
   }
 
   private def longValue(p: JsonParser): java.lang.Long = p.currentToken() match {
-    case JsonToken.VALUE_NUMBER_INT => p.getLongValue
+    case JsonToken.VALUE_NUMBER_INT =>
+      // numbers wider than 64 bits are a field-TYPE mismatch, not a
+      // malformed record: null the field, keep the rest (from_json
+      // partial-results parity — {"ts":1e20-as-int} keeps "table")
+      try p.getLongValue
+      catch { case _: com.fasterxml.jackson.core.exc.InputCoercionException => null }
     case JsonToken.VALUE_NULL => null
     case _ => skipMismatch(p) // e.g. "ts": "not-a-number"
   }

@@ -125,8 +125,18 @@ object GmallDwdDb {
     * idle), exactly the "volume exceeds a task's comfortable working
     * set" regime the paragraph above reserves the salt for. */
   def envelope(spark: SparkSession, dir: String, saltK: Int = -1): DataFrame = {
-    val k = if (saltK >= 1) saltK
-            else spark.conf.get(EnvelopeSaltKConf, "1").toInt
+    // -1 is the ONLY "use the session conf" sentinel; an explicit 0/1
+    // (or any other non-positive value) means unsalted, so a caller
+    // that asks for no salt never gets silently salted by a deployment
+    // env like SPARK_GRAFT_ENVELOPE_SALTK.
+    val k = if (saltK != -1) math.max(saltK, 1)
+            else {
+              val raw = spark.conf.get(EnvelopeSaltKConf, "1")
+              try raw.toInt catch {
+                case e: NumberFormatException => throw new IllegalArgumentException(
+                  s"$EnvelopeSaltKConf must be an integer, got '$raw'", e)
+              }
+            }
     Memo(spark, dir, if (k <= 1) "cdcEnvelope" else s"cdcEnvelope.salt$k") {
       saltedByTable(spark, LogStream.maxwellEnvelope(envelopeJson(spark, dir)), k)
     }

@@ -63,9 +63,10 @@ private[graft] object Memo {
     * pruning + column pushdown instead of block deserialization. The
     * store is a CACHE keyed by source dir: a dir backfill must call
     * [[invalidate]] (which deletes the materialization) — same staleness
-    * contract as the persist levels. Single JVM writes a `.tmp.<pid>`
-    * dir then renames into place, so a racing duplicate build wastes
-    * work but never tears a committed materialization. */
+    * contract as the persist levels. Everything lives under a
+    * `graft.materialized/` segment of this root, so invalidation never
+    * touches unrelated contents of a user-supplied directory; the
+    * single-writer commit protocol is documented on [[materialize]]. */
   val DirConf = "spark.graft.memo.parquetDir"
 
   private def levelFor(spark: SparkSession): Option[StorageLevel] =
@@ -74,32 +75,66 @@ private[graft] object Memo {
       case s => Some(StorageLevel.fromString(s))
     }
 
+  /** All materializations live under a graft-owned segment of the
+    * configured root, so [[invalidate]]'s recursive deletes can only
+    * ever touch graft's own files — a `DirConf` (or
+    * `SPARK_GRAFT_MEMO_DIR`) pointed at a directory with unrelated
+    * contents loses nothing but this subtree. */
   private def parquetRoot(spark: SparkSession): String =
-    spark.conf.get(DirConf, sys.props("java.io.tmpdir") + "/graft-memo")
+    spark.conf.get(DirConf, sys.props("java.io.tmpdir") + "/graft-memo") +
+      "/graft.materialized"
 
   private def parquetPath(spark: SparkSession, dir: String, name: String) =
     new org.apache.hadoop.fs.Path(
       s"${parquetRoot(spark)}/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$name")
 
+  /** One lock object per materialization path: builds are eager
+    * multi-second write jobs, so they must not run under the global
+    * memo lock (it would serialize UNRELATED builds), but two
+    * same-key builds in one JVM must never overlap — they'd tear each
+    * other's tmp dir and double-write the commit. Bounded by the
+    * number of distinct (dir, name) keys, i.e. tiny. */
+  private val buildLocks =
+    scala.collection.concurrent.TrieMap[String, Object]()
+
   /** Build-and-commit (or read-back) the materialized form of a memo
-    * frame. Runs OUTSIDE the memo lock — the write is an eager
-    * multi-second job and the lock is global — so two racing threads
-    * may both build; the tmp+rename protocol makes exactly one winner
-    * and the loser reads the winner's commit (same wasted-work-but-
-    * leak-free trade [[value]] makes). */
+    * frame. Same-JVM races are serialized per key (the second thread
+    * waits, then reads the first's commit). Cross-JVM races (per-query
+    * bench processes) are resolved by tmp+rename with a fail-on-
+    * existing rename: tmp names carry pid AND thread id, a winner
+    * committed while we built is detected before the rename, and the
+    * rename itself goes through `FileContext` with `Rename.NONE`
+    * semantics — it THROWS if the destination appeared in the window,
+    * rather than silently moving tmp INSIDE the committed dir the way
+    * `FileSystem.rename` does on HDFS/RawLocal (which would duplicate
+    * every later read). Losers delete their tmp and read the winner. */
   private def materialize(spark: SparkSession, dir: String, name: String)
                          (build: => DataFrame): DataFrame = {
     val path = parquetPath(spark, dir, name)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = path.getFileSystem(conf)
     val committed = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    if (!fs.exists(committed)) {
-      val tmp = new org.apache.hadoop.fs.Path(
-        path.getParent, path.getName + ".tmp." + ProcessHandle.current().pid())
-      build.write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(tmp, path)) {       // lost the race: read the winner
-        fs.delete(tmp, true)
-        require(fs.exists(committed),
-          s"memo materialize: rename to $path failed with no committed winner")
+    val lock = buildLocks.getOrElseUpdate(path.toString, new Object)
+    lock.synchronized {
+      if (!fs.exists(committed)) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          path.getParent, path.getName + ".tmp." +
+            ProcessHandle.current().pid() + "." + Thread.currentThread().getId)
+        build.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(committed)) {
+          fs.delete(tmp, true) // another process committed while we built
+        } else {
+          try {
+            fs.mkdirs(path.getParent)
+            org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, conf)
+              .rename(tmp, path) // Rename.NONE: throws if path exists
+          } catch {
+            case e: java.io.IOException =>
+              fs.delete(tmp, true)
+              if (!fs.exists(committed)) throw new IllegalStateException(
+                s"memo materialize: rename to $path failed with no committed winner", e)
+          }
+        }
       }
     }
     spark.read.parquet(path.toString)
@@ -110,24 +145,31 @@ private[graft] object Memo {
   // persist() would leak cached blocks with no handle to unpersist.
   // Builds are cheap plan constructions (the expensive part — the job —
   // runs lazily later), so one coarse lock beats per-key striping.
+  /** Opportunistically drop entries pinned to stopped sessions so the
+    * maps don't retain dead SparkSessions for the JVM's lifetime.
+    * TrieMap iteration is concurrent-safe, so this runs lock-free in
+    * BOTH apply branches (the PARQUET one included). */
+  private def sweepStopped(): Unit = {
+    memo.keys.toSeq
+      .filter { case (s, _, _) => s.sparkContext.isStopped }
+      .foreach(memo.remove)
+    values.keys.toSeq
+      .filter { case (s, _, _) => s.sparkContext.isStopped }
+      .foreach(values.remove)
+  }
+
   def apply(spark: SparkSession, dir: String, name: String)
            (build: => DataFrame): DataFrame = {
     val key = (spark, dir, name)
     memo.get(key).getOrElse {
+      sweepStopped()
       if (spark.conf.get(LevelConf, "MEMORY_AND_DISK") == "PARQUET") {
         // eager write job — must not run under the global lock
+        // (materialize serializes per KEY instead)
         val df = materialize(spark, dir, name)(build)
         memo.putIfAbsent(key, df)
         memo(key)
       } else synchronized {
-        // Opportunistically drop entries pinned to stopped sessions so the
-        // maps don't retain dead SparkSessions for the JVM's lifetime.
-        memo.keys.toSeq
-          .filter { case (s, _, _) => s.sparkContext.isStopped }
-          .foreach(memo.remove)
-        values.keys.toSeq
-          .filter { case (s, _, _) => s.sparkContext.isStopped }
-          .foreach(values.remove)
         memo.getOrElseUpdate(key,
           levelFor(spark).fold(build)(l => build.persist(l)))
       }

@@ -61,6 +61,16 @@ object LogStream {
     * annotated frame; split with [[clean]] / [[dirty]] (two filters
     * over one pass — the side-output analog of `DimApp.java:39-55`).
     *
+    * Schemas inside [[graft.functions.SchemaJson.supports]]'s type
+    * surface (string/long leaves, nested structs, arrays, string
+    * maps — which covers BOTH reference ingest shapes) parse through
+    * the native codegen'd [[graft.functions.SchemaJsonParse]];
+    * `from_json`'s CodegenFallback + per-row Reader stack was
+    * measured 10× slower on the Maxwell path and `BaseLogApp.java`'s
+    * `topic_log` is the reference's highest-volume ingest. Anything
+    * outside that surface falls back to `from_json` (identical
+    * semantics, spec-pinned parity — see PageLogParseSpec).
+    *
     * The parse is wrapped in a one-element `explode` — a `Generate`
     * barrier. Without it, alias inlining (CollapseProject +
     * predicate pushdown) substitutes the parse expression into EVERY
@@ -73,10 +83,17 @@ object LogStream {
     * are struct reads, not re-parses. `explode` of a 1-element array
     * never drops or adds rows and is streaming-safe. */
   def parse(raw: DataFrame, schema: StructType, column: String = "value"): DataFrame =
-    parseWith(raw, from_json(col(column), schema), column)
+    parseWith(raw,
+      if (graft.functions.SchemaJson.supports(schema))
+        graft.functions.GraftExpressions.jsonParse(col(column), schema)
+      else from_json(col(column), schema),
+      column)
 
+  /** Keeps EVERY input column (Kafka timestamp/topic/partition
+    * metadata, caller-added fields) alongside `parsed` — the Generate
+    * barrier needs a projection, not a narrowing one. */
   private def parseWith(raw: DataFrame, parser: Column, column: String): DataFrame =
-    raw.select(col(column), explode(array(parser)).as("parsed"))
+    raw.select(raw.columns.map(col).toSeq :+ explode(array(parser)).as("parsed"): _*)
 
   /** `from_json` in PERMISSIVE mode maps malformed input to a struct
     * whose every top-level field is null — indistinguishable from a

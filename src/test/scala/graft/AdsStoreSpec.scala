@@ -56,7 +56,13 @@ class AdsStoreSpec extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
+  /** Interleaving coverage accumulates per CI run, not per code
+    * change: each race test repeats N sub-second iterations with a
+    * fresh store so one suite run explores many schedules. */
+  private val RaceIterations = 20
+
   test("single-writer contract: racing publishers claim DISTINCT versions, no lost update") {
+   for (iter <- 0 until RaceIterations) withClue(s"iteration $iter: ") {
     val root = Files.createTempDirectory("ads_race").toString + "/store"
     val writers = 8
     val rounds = 4
@@ -82,9 +88,11 @@ class AdsStoreSpec extends AnyFunSuite {
         .select("tag").distinct().collect().map(_.getString(0)).toSeq
       assert(tags == Seq(tag), s"version $v torn or lost: tags=$tags want=$tag")
     }
+   }
   }
 
   test("racing publishers with pruning: store stays bounded, latest version is never torn") {
+   for (iter <- 0 until RaceIterations) withClue(s"iteration $iter: ") {
     val root = Files.createTempDirectory("ads_race_prune").toString + "/store"
     race(6) { w =>
       (0 until 5).foreach { r =>
@@ -101,6 +109,7 @@ class AdsStoreSpec extends AnyFunSuite {
     val tags = AdsStore.read(spark, root).get._2
       .select("tag").distinct().collect().map(_.getString(0)).toSeq
     assert(tags == Seq("quiesce"), s"latest version is a torn mix: $tags")
+   }
   }
 
   test("prune grace: a FRESH uncommitted claim below the horizon survives; a stale one is reaped") {

@@ -368,6 +368,28 @@ class GmallDwdDbSpec extends AnyFunSuite {
     assert(rows(wideSalted).toSeq == rows(wideBase).toSeq)
   }
 
+  test("explicit saltK=0 means UNSALTED even when the session conf says otherwise; bad conf names itself") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    // -1 is the only use-the-conf sentinel: a caller that explicitly
+    // asks for no salt must never be silently salted by a deployment
+    // env (SPARK_GRAFT_ENVELOPE_SALTK)
+    spark.conf.set(GmallDwdDb.EnvelopeSaltKConf, "8")
+    try {
+      val unsalted = GmallDwdDb.envelope(spark, sf, saltK = 0)
+      val fromConf = GmallDwdDb.envelope(spark, sf) // sentinel -> conf 8
+      def parts(df: org.apache.spark.sql.DataFrame): Long =
+        df.filter(col("table") === "order_detail")
+          .select(spark_partition_id()).distinct().count()
+      assert(parts(unsalted) == 1L, "explicit saltK=0 must stay unsalted under a salting conf")
+      assert(parts(fromConf) > 1L, "the -1 sentinel must honor the conf")
+      // a malformed conf value fails with the conf's NAME, not a bare
+      // NumberFormatException from nowhere
+      spark.conf.set(GmallDwdDb.EnvelopeSaltKConf, "eight")
+      val e = intercept[IllegalArgumentException](GmallDwdDb.envelope(spark, sf))
+      assert(e.getMessage.contains(GmallDwdDb.EnvelopeSaltKConf))
+    } finally spark.conf.unset(GmallDwdDb.EnvelopeSaltKConf)
+  }
+
   test("joinSkuDimChecked: inner-join-equal in domain, FAILS LOUDLY out of domain") {
     import spark.implicits._
     val sku = GmallDwdDb.skuDim(spark, 16)

@@ -68,7 +68,10 @@ class MaxwellParseSpec extends AnyFunSuite {
       """[1,2,3]""", // non-object root
       """"just a string"""",
       "",
-      """{"table":17,"ts":1}""") // numeric table -> text (NOT dirty)
+      """{"table":17,"ts":1}""", // numeric table -> text (NOT dirty)
+      // 20-digit int: >64-bit coercion is a FIELD mismatch (ts nulled,
+      // table kept), not a quarantined record
+      """{"table":"t","ts":99999999999999999999}""")
     val (native, builtin) = bothParses(lines)
     assert(native === builtin)
     // malformed/non-object inputs are quarantined; type-mismatched

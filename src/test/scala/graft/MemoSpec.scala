@@ -91,12 +91,72 @@ class MemoSpec extends AnyFunSuite {
       // DATA after the source dir changes, so it is deleted, and the
       // next apply rebuilds from source
       Memo.invalidate(spark, Some(MemoDir))
-      assert(!new java.io.File(s"$root/${MemoDir.replaceAll("[^A-Za-z0-9._-]", "_")}").exists)
+      assert(!new java.io.File(
+        s"$root/graft.materialized/${MemoDir.replaceAll("[^A-Za-z0-9._-]", "_")}").exists)
       val df3 = inSession(spark)
       assert(builds === 2, "post-invalidate apply must rebuild")
       assert(df3.collect().map(_.getLong(0)).sorted.toSeq === expected)
     } finally {
       Memo.invalidate(spark, Some(MemoDir))
+      spark.conf.unset(Memo.LevelConf); spark.conf.unset(Memo.DirConf)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("racing same-key PARQUET builds commit exactly once and never duplicate rows") {
+    // Two sessions (distinct memo keys, so both reach materialize)
+    // racing the SAME (dir, name): the per-path build lock serializes
+    // them — the loser must find the winner's commit and read it, not
+    // build into a shared tmp dir or rename into the committed dir
+    // (the HDFS mv-into failure mode: every later read silently
+    // doubled). 20 iterations to accumulate interleavings.
+    val root = java.nio.file.Files.createTempDirectory("memospec-race").toString
+    val builds = new java.util.concurrent.atomic.AtomicInteger
+    def inSession(s: org.apache.spark.sql.SparkSession, name: String) = {
+      s.conf.set(Memo.LevelConf, "PARQUET")
+      s.conf.set(Memo.DirConf, root)
+      Memo(s, MemoDir, name) {
+        builds.incrementAndGet()
+        s.range(0, 1000).selectExpr("id * 13 as v")
+      }
+    }
+    try {
+      for (i <- 0 until 20) {
+        val name = s"memospec_race_$i"
+        val sessions = Seq(spark.newSession(), spark.newSession())
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration._
+        val dfs = Await.result(
+          Future.sequence(sessions.map(s => Future(inSession(s, name)))), 120.seconds)
+        dfs.foreach(df => assert(df.count() === 1000,
+          s"iteration $i: a torn/nested commit duplicated or lost rows"))
+      }
+      assert(builds.get() <= 20,
+        s"per-key lock must make the loser read the winner: ${builds.get()} builds for 20 keys")
+    } finally {
+      spark.conf.set(Memo.LevelConf, "PARQUET"); spark.conf.set(Memo.DirConf, root)
+      Memo.invalidate(spark, Some(MemoDir))
+      spark.conf.unset(Memo.LevelConf); spark.conf.unset(Memo.DirConf)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  test("invalidate under PARQUET deletes only the graft-owned subtree of the configured root") {
+    val root = java.nio.file.Files.createTempDirectory("memospec-ns").toString
+    val unrelated = new java.io.File(root, "precious-user-data.txt")
+    java.nio.file.Files.writeString(unrelated.toPath, "do not delete")
+    spark.conf.set(Memo.LevelConf, "PARQUET")
+    spark.conf.set(Memo.DirConf, root)
+    try {
+      Memo(spark, MemoDir, "memospec_ns")(spark.range(0, 10).toDF("id")).count()
+      assert(new java.io.File(root, "graft.materialized").exists)
+      // the all-dirs form is the aggressive one — it must still scope
+      // its recursive delete to graft's own segment
+      Memo.invalidate(spark, None)
+      assert(!new java.io.File(root, "graft.materialized").exists)
+      assert(unrelated.exists, "invalidate deleted unrelated user files in the memo root")
+    } finally {
       spark.conf.unset(Memo.LevelConf); spark.conf.unset(Memo.DirConf)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }

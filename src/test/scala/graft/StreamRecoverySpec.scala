@@ -151,4 +151,68 @@ class StreamRecoverySpec extends AnyFunSuite {
     assert(gotDf.collect().map(_.toString).toSet == want,
       "recovered store != batch over the union of deliveries")
   }
+
+  test("compacted snapshot: dailyFlags state -> parquet -> bootstrap a FRESH query ≡ uncut run") {
+    // The 100 TB story for SEMANTICALLY unbounded keyed state (D4's
+    // lifetime-first / last-visit dates admit no TTL): snapshot the
+    // state store to columnar, bootstrap the next incarnation from the
+    // snapshot instead of dragging one ever-growing checkpoint across
+    // every restart. The proof: phase1 → snapshot → NEW checkpoint
+    // seeded from the snapshot → phase2 emits exactly what the uncut
+    // run emits, and a bootstrap-less fresh query provably does NOT.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Stateful
+    import graft.streaming.Stateful.{FlaggedEvent, UserEvent}
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    // phase 2 is flag-sensitive to phase-1 state: u1's d1 revisit must
+    // NOT be daily-first but must still be lifetime-new; u1's d2 visit
+    // is daily-first but NOT new; u3 is brand new
+    val (d1, d2, d3) = ("2024-01-01", "2024-01-02", "2024-01-03")
+    val phase1 = Seq(
+      UserEvent(1, 1, ts(0), d1, 1), UserEvent(1, 2, ts(60), d1, 0),
+      UserEvent(2, 3, ts(30), d1, 1))
+    val phase2 = Seq(
+      UserEvent(1, 4, ts(7200), d1, 0), UserEvent(1, 5, ts(86400), d2, 1),
+      UserEvent(2, 6, ts(2 * 86400), d3, 1), UserEvent(3, 7, ts(86500), d2, 1))
+
+    def run(name: String, batches: Seq[Seq[UserEvent]],
+            mk: org.apache.spark.sql.Dataset[UserEvent] => org.apache.spark.sql.Dataset[FlaggedEvent])
+        : (Set[(Long, Long, Int, Int)], String) = {
+      val ckpt = Files.createTempDirectory(s"snap_ck_$name").toString
+      val mem = MemoryStream[UserEvent](spark)
+      val q = mk(mem.toDS()).writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      (spark.table(name).select("user_id", "event_id", "is_daily_first", "is_new")
+        .as[(Long, Long, Int, Int)].collect().toSet, ckpt)
+    }
+
+    val (uncut, _) = run("snap_uncut", Seq(phase1, phase2), Stateful.dailyFlags)
+    val (out1, ckpt1) = run("snap_p1", Seq(phase1), Stateful.dailyFlags)
+
+    // snapshot the STOPPED query's state store -> parquet -> read back
+    // (the parquet hop is the point: columnar, compactable, survives
+    // the checkpoint's deletion)
+    val snapDir = Files.createTempDirectory("snap_pq").toString + "/visit_state"
+    Stateful.visitStateSnapshot(spark, ckpt1).write.parquet(snapDir)
+    val snapshot = spark.read.parquet(snapDir).as[Stateful.VisitSnapshot]
+    assert(snapshot.count() === 2, "one compacted row per user seen in phase 1")
+    assert(snapshot.collect().map(s => s.user_id -> (s.first_dt, s.last_dt)).toMap ===
+      Map(1L -> (d1, d1), 2L -> (d1, d1)))
+
+    // fresh query (NEW checkpoint, empty state store), seeded from the
+    // snapshot, fed ONLY phase 2
+    val (out2, _) = run("snap_p2", Seq(phase2),
+      (ds: org.apache.spark.sql.Dataset[UserEvent]) => Stateful.dailyFlagsFrom(ds, snapshot))
+    assert(out1 ++ out2 === uncut,
+      "snapshot-bootstrapped restart must emit exactly the uncut run's rows")
+
+    // teeth: WITHOUT the bootstrap the same phase-2 feed mislabels
+    // u1's revisit as daily-first/new-user — state genuinely mattered
+    val (bare, _) = run("snap_bare", Seq(phase2), Stateful.dailyFlags)
+    assert(bare !== uncut -- out1, "control: a bootstrap-less fresh query must diverge")
+  }
 }
