@@ -21,22 +21,25 @@ private[graft] object Memo {
     * `SPARK_GRAFT_MEMO_LEVEL` env through [[graft.GraftSession]]).
     *
     * Default `MEMORY_AND_DISK` — the cached-columnar level every
-    * measured bench number uses. The escape hatch exists because the
-    * default is FAIL-HARD when the accumulated memo surface outgrows
-    * one JVM's storage pool under high task concurrency: writes
-    * degrade gracefully to disk, but 32 concurrent re-reads each
-    * unroll a spilled block back toward memory and the sf10eq leg
-    * died inside `PartiallyUnrolledIterator` at the 12 GB default
-    * heap (SCALE.md "Memory finding", full stderr kept). `DISK_ONLY`
-    * skips the memory-unroll path entirely — re-reads stream off
-    * disk — so the same leg completes in the same heap, trading
-    * re-read IO for survival. On a real cluster the storage pool is
-    * the fleet's aggregate memory and the default stands; this knob
-    * is for single-JVM deployments whose cached surface × concurrency
-    * exceeds heap — though for a corpus-sized surface `PARQUET` below
-    * is strictly smaller on disk, survives the JVM, and prunes on
-    * re-read, so DISK_ONLY remains mainly for frames that must stay
-    * session-private. */
+    * measured bench number uses. The level is NOT a small-heap escape
+    * hatch, and round 15 measured why: `df.persist` at ANY block
+    * level builds cached-columnar batches in executor heap
+    * (`CompressibleColumnBuilder.appendFrom` + dictionary stats)
+    * before the finished blocks reach the store, so 32 concurrent
+    * batch builders over a wide corpus-scale frame exceed a 12 GB
+    * heap no matter where the blocks will land — the sf10eq leg dies
+    * at 12 GB under MEMORY_AND_DISK (storage-pool unroll thrash, the
+    * r14-captured `PartiallyUnrolledIterator` signature) AND under
+    * `DISK_ONLY` (uncaught heap OOM inside the columnar build),
+    * salted or not (SCALE.md round-15 "12 GB memory finding", 2×2
+    * measured, full stderr kept). `DISK_ONLY` remains useful when the
+    * batches FIT at build time and only the accumulated surface ×
+    * re-read concurrency is the problem, or for frames that must stay
+    * session-private. The mode that actually survives a small heap is
+    * `PARQUET` below: columnar FILES written through bounded
+    * row-group writers, no cached-batch heap residency at all. On a
+    * real cluster the storage pool is the fleet's aggregate memory
+    * and the default stands. */
   val LevelConf = "spark.graft.memo.storageLevel"
 
   /** `NONE` disables memo persistence entirely: the frame is still
