@@ -41,7 +41,11 @@ def main():
     rows = []
     for q in common:
         ts = [s[q] for s in series]
-        if any(not t for t in ts):
+        # skip queries with no signal OR a failed leg (bench records
+        # -1.0 for errored queries; a log of a non-positive ratio is a
+        # crash, not an exponent)
+        if any(not t or t <= 0 for t in ts):
+            print(f"SKIP {q}: non-positive value in {ts} (failed leg?)")
             continue
         es = [math.log10(ts[i + 1] / ts[i]) for i in range(len(ts) - 1)]
         rows.append((q, ts, es))
