@@ -84,14 +84,21 @@ object MaxwellJson {
           if (ts == null) null else ts.longValue()))
       } finally p.close()
     } catch {
-      // ONLY malformation escapes here: the Fail sentinel and
-      // Jackson's own parse errors (JsonProcessingException covers
-      // truncation, bad tokens, and the read-constraint violations —
-      // StreamConstraintsException extends it). A blanket
+      // ONLY malformation escapes here: the Fail sentinel, Jackson's
+      // own parse errors (JsonProcessingException covers truncation,
+      // bad tokens, and the read-constraint violations —
+      // StreamConstraintsException extends it), and
+      // CharConversionException — Jackson's encoding auto-detect reads
+      // leading NUL bytes as UTF-32/16 and its decoder throws
+      // CharConversionException (an IOException, not a
+      // JsonProcessingException); Spark's JacksonParser quarantines it
+      // explicitly, so parity requires catching it or one garbage
+      // Kafka record permanently fails the stream. A blanket
       // RuntimeException catch would convert genuine parser bugs into
-      // silent dirty-data loss, so they propagate instead.
+      // silent dirty-data loss, so those still propagate.
       case Fail => null
       case _: com.fasterxml.jackson.core.JsonProcessingException => null
+      case _: java.io.CharConversionException => null
     }
   }
 
@@ -100,10 +107,14 @@ object MaxwellJson {
   private def stringValue(p: JsonParser): UTF8String = p.currentToken() match {
     case JsonToken.VALUE_STRING => UTF8String.fromString(p.getText)
     case JsonToken.VALUE_NULL => null
-    case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT |
+    case JsonToken.VALUE_NUMBER_INT |
          JsonToken.VALUE_TRUE | JsonToken.VALUE_FALSE =>
       UTF8String.fromString(p.getText)
-    case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
+    case JsonToken.VALUE_NUMBER_FLOAT |
+         JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
+      // floats re-render through the generator (→ double form, e.g.
+      // 1.5e2 → "150.0") for JacksonParser StringType parity; getText
+      // would keep the source spelling and silently diverge
       val out = new java.io.ByteArrayOutputStream()
       val g = factory.createGenerator(out)
       g.copyCurrentStructure(p)

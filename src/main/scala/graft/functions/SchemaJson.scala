@@ -94,11 +94,15 @@ final class SchemaJsonParser(schema: StructType) extends Serializable {
     def convert(p: JsonParser): AnyRef = p.currentToken() match {
       case JsonToken.VALUE_STRING => UTF8String.fromString(p.getText)
       case JsonToken.VALUE_NULL => null
-      case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT |
+      case JsonToken.VALUE_NUMBER_INT |
            JsonToken.VALUE_TRUE | JsonToken.VALUE_FALSE =>
         UTF8String.fromString(p.getText) // scalar → its literal text
-      case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
-        // structure → raw JSON text (JacksonParser StringType fallback)
+      case JsonToken.VALUE_NUMBER_FLOAT |
+           JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
+        // float scalars and structures go through a generator copy —
+        // JacksonParser's StringType fallback re-renders floats via
+        // double ({"uid":1.5e2} → "150.0", not "1.5e2"), so getText
+        // would silently diverge from the pinned from_json parity
         val out = new java.io.ByteArrayOutputStream()
         val g = SchemaJson.factory.createGenerator(out)
         g.copyCurrentStructure(p)
@@ -224,11 +228,17 @@ final class SchemaJsonParser(schema: StructType) extends Serializable {
         root.convertFields(p)
       } finally p.close()
     } catch {
-      // only malformation: the Fail sentinel and Jackson's parse
-      // errors; genuine parser bugs must propagate, not silently
-      // quarantine (same contract as MaxwellJson)
+      // only malformation: the Fail sentinel, Jackson's parse errors,
+      // and CharConversionException — Jackson's encoding auto-detect
+      // treats leading NULs as UTF-32/16 and its decoder throws
+      // CharConversionException (an IOException, NOT a
+      // JsonProcessingException); Spark's JacksonParser quarantines it
+      // explicitly, so PERMISSIVE parity requires catching it here or
+      // one garbage record poison-pills the streaming query. Genuine
+      // parser bugs must still propagate (same contract as MaxwellJson).
       case SchemaJson.Fail => null
       case _: com.fasterxml.jackson.core.JsonProcessingException => null
+      case _: java.io.CharConversionException => null
     }
   }
 }

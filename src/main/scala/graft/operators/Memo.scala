@@ -170,8 +170,10 @@ private[graft] object Memo {
         // eager write job — must not run under the global lock
         // (materialize serializes per KEY instead)
         val df = materialize(spark, dir, name)(build)
-        memo.putIfAbsent(key, df)
-        memo(key)
+        // a concurrent invalidate()/sweepStopped() (lock-free) can
+        // remove the key between putIfAbsent and a re-read — return
+        // the race winner (or our own df) without touching the map again
+        memo.putIfAbsent(key, df).getOrElse(df)
       } else synchronized {
         memo.getOrElseUpdate(key,
           levelFor(spark).fold(build)(l => build.persist(l)))

@@ -89,11 +89,16 @@ object LogStream {
       else from_json(col(column), schema),
       column)
 
-  /** Keeps EVERY input column (Kafka timestamp/topic/partition
-    * metadata, caller-added fields) alongside `parsed` — the Generate
-    * barrier needs a projection, not a narrowing one. */
-  private def parseWith(raw: DataFrame, parser: Column, column: String): DataFrame =
+  /** Keeps EVERY input column (Kafka timestamp/partition metadata,
+    * caller-added fields) alongside `parsed` — the Generate barrier
+    * needs a projection, not a narrowing one. A pre-existing column
+    * named `parsed` would make every downstream `col("parsed")`
+    * ambiguous (AnalysisException), so it is an error here, loudly. */
+  private def parseWith(raw: DataFrame, parser: Column, column: String): DataFrame = {
+    require(!raw.columns.contains("parsed"),
+      "input frame already has a column named 'parsed'; rename it before LogStream.parse")
     raw.select(raw.columns.map(col).toSeq :+ explode(array(parser)).as("parsed"): _*)
+  }
 
   /** `from_json` in PERMISSIVE mode maps malformed input to a struct
     * whose every top-level field is null — indistinguishable from a

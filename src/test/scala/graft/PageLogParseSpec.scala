@@ -107,6 +107,43 @@ class PageLogParseSpec extends AnyFunSuite {
     assert(native.forall(_.get(0) == null), "every malformed line is quarantined")
   }
 
+  test("from_json parity on invalid-encoding bytes: Jackson's UTF-32/16 auto-detect must quarantine, not poison-pill") {
+    // Leading NUL bytes make Jackson auto-detect UTF-32/16; its decoder
+    // then throws java.io.CharConversionException (an IOException, NOT
+    // a JsonProcessingException). from_json quarantines that class
+    // explicitly — one garbage Kafka record must never permanently
+    // fail the stream.
+    val lines = Seq(
+      "\u0000\u0000\u0000{\u0000\u0011\u0000\u0000", // UTF-32BE '{' then invalid 0x110000
+      "\u0000\u0000\u0000{", // UTF-32BE '{' then EOF
+      "\u0000{\u0000}", // UTF-16BE "{}"
+      "\u0000\u0000\u0000\u0000") // all NUL
+    val (native, builtin) = bothParses(lines, LogStream.pageLogSchema)
+    assert(native === builtin)
+    assert(native.forall(_.get(0) == null), "every invalid-encoding line is quarantined")
+    // the exact repro from the r15 advice (0xff bytes are not
+    // expressible through a UTF-8 string column, so drive the parser
+    // directly): 00 00 00 7b ff ff ff ff
+    val raw = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      Array(0x00, 0x00, 0x00, 0x7b, 0xff, 0xff, 0xff, 0xff).map(_.toByte))
+    assert(new graft.functions.SchemaJsonParser(LogStream.pageLogSchema).parse(raw) == null)
+    assert(graft.functions.MaxwellJson.parse(raw) == null)
+  }
+
+  test("from_json parity on float scalars landing in string fields: the double re-render") {
+    // JacksonParser's StringType fallback re-renders non-string scalars
+    // through a generator; floats go through double ({"mid":1.5e2} →
+    // "150.0", {"uid":1.50} → "1.5") — getText would keep the source
+    // spelling and silently diverge.
+    val lines = Seq(
+      """{"common":{"mid":1.5e2,"uid":1.50},"ts":1}""",
+      """{"common":{"mid":0.1,"uid":-2.5E-3},"ts":2}""",
+      """{"common":{"mid":1e0,"uid":123456789.0},"ts":3}""")
+    val (native, builtin) = bothParses(lines, LogStream.pageLogSchema)
+    assert(native === builtin)
+    assert(native.head.getStruct(0).getStruct(0).getString(0) === "150.0")
+  }
+
   test("the generic parser matches the specialized MaxwellParse surface too (one semantics, two entry points)") {
     // LogStream.parse routes ANY supported schema through
     // SchemaJsonParse — including the Maxwell envelope schema (string
