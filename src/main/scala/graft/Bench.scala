@@ -90,12 +90,28 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+    // Pre-warm pass (r15 verdict task 2): run every query once,
+    // UNTIMED, before any timed window. Shared memo builds landed on
+    // whichever query touched them first, so per-query deltas rotated
+    // identity across same-code runs; after this pass every timed run
+    // measures a warm-memo steady-state query and the whole build cost
+    // is charged to its own "warmup_sec" line. Skipped in evict mode,
+    // whose entire point is that each query pays its own build inside
+    // a bounded cached surface (prewarming would accumulate every
+    // memo at once — the exact overflow evict exists to avoid).
+    val warm0 = System.nanoTime()
+    if (!evict) selected.foreach { case (_, fn) =>
+      if (!spark.sparkContext.isStopped)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // the timed loop records it
+    }
+    val warmupSec = (System.nanoTime() - warm0) / 1e9
     // once a query kills the SparkContext (the OOM cascade in SCALE.md's
     // memory finding stopped it from an executor thread), every later
     // query fails with the meaningless "stopped SparkContext" — flag the
     // abort so the JSON distinguishes "this query broke" from "the JVM
     // died under an earlier one"
-    var aborted = false
+    var aborted = spark.sparkContext.isStopped
     val results = selected.map { case (name, fn) =>
       // noop sink: executes the FULL plan (projections, sorts, exprs)
       // without writing — a bare count() would let Catalyst prune the
@@ -162,7 +178,7 @@ object Bench {
     // ok:false marks a run whose total excludes failed queries — a smaller
     // value than a clean run's must never be read as a speedup
     val ok = errors.isEmpty
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"runs":${runsJson.mkString("{", ",", "}")},"io":${ioJson.mkString("{", ",", "}")},"errors":$errs,"cpu_vs_wall":${num(wallVsCpu)},"load_avg_start":${num(loadStart)},"load_avg_end":${num(osBean.getSystemLoadAverage)},"evict":$evict,"memo_level":"${spark.conf.get(graft.operators.Memo.LevelConf, "MEMORY_AND_DISK")}","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"runs":${runsJson.mkString("{", ",", "}")},"io":${ioJson.mkString("{", ",", "}")},"errors":$errs,"warmup_sec":${num(warmupSec)},"cpu_vs_wall":${num(wallVsCpu)},"load_avg_start":${num(loadStart)},"load_avg_end":${num(osBean.getSystemLoadAverage)},"evict":$evict,"memo_level":"${spark.conf.get(graft.operators.Memo.LevelConf, "MEMORY_AND_DISK")}","sf":"$sfDir"}"""
     println(json)
     // the driver's BENCH capture truncates long stdout lines, losing
     // "total" and half the per-query map; the full JSON on disk keeps

@@ -31,6 +31,16 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Shuffles START wide and AQE coalesces down to the advisory
+      // target; a fixed 32-way shuffle is the measured fourth-decade
+      // killer (sf100eq pair-mining ground multi-GB sort/agg tasks
+      // into GC collapse → heartbeat death, r15 SCALE.md "the one
+      // failure"). With coalescing on, the initial count only bounds
+      // the WIDEST a shuffle can go — small queries still land on a
+      // few post-coalesce partitions, so plans at test SFs are
+      // unchanged while decade-scale shuffles right-size themselves.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "1024"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")

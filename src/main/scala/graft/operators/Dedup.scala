@@ -77,8 +77,15 @@ object Dedup {
     * containment scorers: per-pair rare-shingle intersection counts
     * with both docs' full shingle-set sizes attached. */
   private def minedPairSizes(sh: DataFrame, dfCap: Int): DataFrame = {
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    // shingle-set size rides ALONG the inverted index instead of
+    // joining back after pair mining: the former +8 bytes per inverted
+    // row; the latter was TWO doc-keyed joins over the full pair set
+    // whose build side (one row per document) outgrows the broadcast
+    // threshold around the third amplified decade — the measured
+    // ×13–15/decade shuffle step that helped kill the sf100eq star leg
+    // (r15 SCALE.md "the one failure"). Same (inter, na, nb) values,
+    // two fewer shuffles, no size-dependent plan transition.
+    val inv = sh.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
     val hot = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("s"))
     // no forced broadcast: the hot set is tiny under any Zipf-like
@@ -87,13 +94,12 @@ object Dedup {
     // near-dup-heavy crawl, where a forced hint would OOM the build
     // and a shuffle anti-join is the right degradation
     val rare = inv.join(hot, Seq("s"), "left_anti")
-    val pairs = rare.as("a").join(rare.as("b"),
+    rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
+      // n is functionally dependent on the doc id — max() reads the
+      // carried value without widening the grouping key
+      .agg(count(lit(1)).as("inter"), max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
   }
 
   private[graft] def ngramJaccardOn(sh: DataFrame, threshold: Double,

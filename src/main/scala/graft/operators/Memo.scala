@@ -72,8 +72,60 @@ private[graft] object Memo {
     * single-writer commit protocol is documented on [[materialize]]. */
   val DirConf = "spark.graft.memo.parquetDir"
 
+  /** Guard policy for the measured small-heap law (SCALE.md round-15
+    * "12 GB memory finding"): block-store persist at ANY level builds
+    * cached-columnar batches in heap across every executor thread, so
+    * below ~[[MinHeapPerTaskBytes]] heap per task the BUILD alone
+    * OOMs regardless of where blocks land — the only level that
+    * survives is `PARQUET`. Values: `warn` (default — loud log line,
+    * level honored), `auto` (switch the implicit DEFAULT level to
+    * PARQUET; an explicitly configured level is always honored, so
+    * measurement tooling that sets `DISK_ONLY` on purpose still
+    * measures `DISK_ONLY`), `off`. */
+  val HeapGuardConf = "spark.graft.memo.heapGuard"
+
+  /** The 12 GB / 32-thread config died (375 MB/task); 96 GB / 32
+    * (3 GB/task) is the known-good envelope. The line sits just above
+    * the measured-fatal point with margin for narrower frames. */
+  val MinHeapPerTaskBytes: Long = 512L * 1024 * 1024
+
+  /** The policy table, pure so MemoSpec can pin it without forging a
+    * small JVM: (level to use, whether to emit the loud warning). */
+  private[operators] def guardDecision(explicitLevel: Option[String], guard: String,
+                                       heapBytes: Long, taskThreads: Int): (String, Boolean) = {
+    val level = explicitLevel.getOrElse("MEMORY_AND_DISK")
+    val blockStore = level != "PARQUET" && level != "NONE"
+    val starved = heapBytes / math.max(1, taskThreads) < MinHeapPerTaskBytes
+    if (!blockStore || !starved || guard == "off") (level, false)
+    else if (guard == "auto" && explicitLevel.isEmpty) ("PARQUET", true)
+    else (level, true)
+  }
+
+  private val warnedSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  private def effectiveLevel(spark: SparkSession): String = {
+    val explicitLevel =
+      Option(spark.conf.get(LevelConf, null)).filter(_.nonEmpty)
+    val (level, warn) = guardDecision(explicitLevel,
+      spark.conf.get(HeapGuardConf, "warn"),
+      Runtime.getRuntime.maxMemory, spark.sparkContext.defaultParallelism)
+    if (warn && warnedSessions.add(spark))
+      System.err.println(
+        s"[graft] Memo heap guard: heap/task is below ${MinHeapPerTaskBytes >> 20} MB " +
+          s"and the memo level resolves to '${explicitLevel.getOrElse("MEMORY_AND_DISK")}'. " +
+          "Block-store persist builds cached-columnar batches in heap on every task " +
+          "thread and OOMs at this ratio no matter where blocks land (measured: " +
+          "SCALE.md '12 GB memory finding'). " +
+          (if (level == "PARQUET") "Auto-selected the PARQUET memo level instead."
+           else s"Set $LevelConf=PARQUET (or $HeapGuardConf=auto) to survive, " +
+             s"or $HeapGuardConf=off to silence."))
+    level
+  }
+
   private def levelFor(spark: SparkSession): Option[StorageLevel] =
-    spark.conf.get(LevelConf, "MEMORY_AND_DISK") match {
+    effectiveLevel(spark) match {
       case "NONE" => None
       case s => Some(StorageLevel.fromString(s))
     }
@@ -166,7 +218,7 @@ private[graft] object Memo {
     val key = (spark, dir, name)
     memo.get(key).getOrElse {
       sweepStopped()
-      if (spark.conf.get(LevelConf, "MEMORY_AND_DISK") == "PARQUET") {
+      if (effectiveLevel(spark) == "PARQUET") {
         // eager write job — must not run under the global lock
         // (materialize serializes per KEY instead)
         val df = materialize(spark, dir, name)(build)
@@ -215,7 +267,7 @@ private[graft] object Memo {
     values.keys.toSeq
       .filter { case (s, d, _) => s == spark && dir.forall(_ == d) }
       .foreach(values.remove)
-    if (spark.conf.get(LevelConf, "MEMORY_AND_DISK") == "PARQUET") {
+    if (effectiveLevel(spark) == "PARQUET") {
       val root = new org.apache.hadoop.fs.Path(parquetRoot(spark))
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       dir match {

@@ -175,4 +175,27 @@ class MemoSpec extends AnyFunSuite {
       Memo.invalidate(spark, Some(MemoDir))
     }
   }
+
+  test("heap guard policy: the measured 12 GB small-heap law is operational (SCALE.md memory finding)") {
+    val gb = 1024L * 1024 * 1024
+    // the measured-fatal shape: 12 GB heap / 32 task threads, any
+    // block-store level — warn loudly, honor the level
+    assert(Memo.guardDecision(None, "warn", 12 * gb, 32) === (("MEMORY_AND_DISK", true)))
+    assert(Memo.guardDecision(Some("DISK_ONLY"), "warn", 12 * gb, 32) === (("DISK_ONLY", true)))
+    // auto switches ONLY the implicit default; an explicit level is
+    // honored (the decade tooling measures DISK_ONLY on purpose)
+    assert(Memo.guardDecision(None, "auto", 12 * gb, 32) === (("PARQUET", true)))
+    assert(Memo.guardDecision(Some("DISK_ONLY"), "auto", 12 * gb, 32) === (("DISK_ONLY", true)))
+    // the known-good envelope (96 GB / 32 = 3 GB per task) is untouched
+    assert(Memo.guardDecision(None, "warn", 96 * gb, 32) === (("MEMORY_AND_DISK", false)))
+    assert(Memo.guardDecision(None, "auto", 96 * gb, 32) === (("MEMORY_AND_DISK", false)))
+    // PARQUET and NONE have no cached-batch heap residency — never guarded
+    assert(Memo.guardDecision(Some("PARQUET"), "warn", 12 * gb, 32) === (("PARQUET", false)))
+    assert(Memo.guardDecision(Some("NONE"), "warn", 12 * gb, 32) === (("NONE", false)))
+    // off silences but never re-levels
+    assert(Memo.guardDecision(None, "off", 12 * gb, 32) === (("MEMORY_AND_DISK", false)))
+    // the boundary is heap PER TASK, not absolute heap: 12 GB on 8
+    // threads is 1.5 GB/task — above the line
+    assert(Memo.guardDecision(None, "warn", 12 * gb, 8) === (("MEMORY_AND_DISK", false)))
+  }
 }

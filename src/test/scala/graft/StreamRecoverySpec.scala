@@ -215,4 +215,68 @@ class StreamRecoverySpec extends AnyFunSuite {
     val (bare, _) = run("snap_bare", Seq(phase2), Stateful.dailyFlags)
     assert(bare !== uncut -- out1, "control: a bootstrap-less fresh query must diverge")
   }
+
+  test("compacted snapshot: SCD2 open-version state -> parquet -> bootstrap a FRESH query ≡ uncut run") {
+    // The OTHER semantically unbounded keyed state named in SCALE.md:
+    // the streaming SCD2 maintainer's open-version row (closing a
+    // version is meaningful however late the next CDC mutation lands,
+    // so no TTL is sound). Same proof shape as the dailyFlags case:
+    // phase1 → snapshot → NEW checkpoint seeded from it → phase2
+    // equals the uncut run, and a bootstrap-less control diverges.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Scd2
+    import graft.operators.Scd2.{VersionEvent, VersionRow}
+    import spark.implicits._
+    // phase 2 is state-sensitive: order 1's third status must CLOSE the
+    // version opened in phase 1 (version_num continuity 2 → 3) and
+    // order 2's first update must close its phase-1 insert
+    val phase1 = Seq(
+      VersionEvent(1, "u1", "1001", "2024-01-01 00:00:00", "insert"),
+      VersionEvent(1, "u1", "1002", "2024-01-01 08:00:00", "update"),
+      VersionEvent(2, "u2", "1001", "2024-01-01 09:00:00", "insert"))
+    val phase2 = Seq(
+      VersionEvent(1, "u1", "1004", "2024-01-02 10:00:00", "update"),
+      VersionEvent(2, "u2", "1003", "2024-01-02 11:00:00", "update"),
+      VersionEvent(3, "u3", "1001", "2024-01-02 12:00:00", "insert"))
+
+    def run(name: String, batches: Seq[Seq[VersionEvent]],
+            mk: org.apache.spark.sql.Dataset[VersionEvent] => org.apache.spark.sql.Dataset[VersionRow])
+        : (Set[VersionRow], String) = {
+      val ckpt = Files.createTempDirectory(s"scd2_ck_$name").toString
+      val mem = MemoryStream[VersionEvent](spark)
+      val q = mk(mem.toDS()).writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      (spark.table(name).as[VersionRow].collect().toSet, ckpt)
+    }
+
+    // the sink contract: per (order_id, version_num) keep the smallest
+    // valid_to — corrections always shrink it
+    def atRest(rows: Set[VersionRow]): Set[VersionRow] =
+      rows.groupBy(r => (r.order_id, r.version_num))
+        .values.map(_.minBy(_.valid_to)).toSet
+
+    val (uncut, _) = run("scd2_uncut", Seq(phase1, phase2), Scd2.versionStream)
+    val (out1, ckpt1) = run("scd2_p1", Seq(phase1), Scd2.versionStream)
+
+    val snapDir = Files.createTempDirectory("scd2_pq").toString + "/version_state"
+    Scd2.versionStateSnapshot(spark, ckpt1).write.parquet(snapDir)
+    val snapshot = spark.read.parquet(snapDir).as[Scd2.VersionSnapshot]
+    assert(snapshot.count() === 2, "one compacted open-version row per order seen in phase 1")
+    assert(snapshot.collect().map(s => s.order_id -> (s.ver, s.order_status)).toMap ===
+      Map(1L -> ((2L, "1002")), 2L -> ((1L, "1001"))))
+
+    val (out2, _) = run("scd2_p2", Seq(phase2),
+      (ds: org.apache.spark.sql.Dataset[VersionEvent]) => Scd2.versionStreamFrom(ds, snapshot))
+    assert(atRest(out1 ++ out2) === atRest(uncut),
+      "snapshot-bootstrapped restart must reconstruct exactly the uncut run's at-rest history")
+
+    // teeth: a bootstrap-less fresh query restarts version_num at 1 and
+    // never closes phase-1's open rows
+    val (bare, _) = run("scd2_bare", Seq(phase2), Scd2.versionStream)
+    assert(atRest(out1 ++ bare) !== atRest(uncut),
+      "control: a bootstrap-less fresh query must diverge")
+  }
 }
