@@ -32,15 +32,25 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // Shuffles START wide and AQE coalesces down to the advisory
-      // target; a fixed 32-way shuffle is the measured fourth-decade
-      // killer (sf100eq pair-mining ground multi-GB sort/agg tasks
-      // into GC collapse → heartbeat death, r15 SCALE.md "the one
-      // failure"). With coalescing on, the initial count only bounds
-      // the WIDEST a shuffle can go — small queries still land on a
-      // few post-coalesce partitions, so plans at test SFs are
-      // unchanged while decade-scale shuffles right-size themselves.
+      // byte target; a fixed 32-way shuffle is the measured fourth-
+      // decade killer (sf100eq pair-mining ground multi-GB sort/agg
+      // tasks into GC collapse → heartbeat death, r15 SCALE.md "the
+      // one failure"). Two knobs make the wide start safe:
+      // parallelismFirst must be OFF (its default coalesces toward
+      // 1 MB partitions "for parallelism", which at a 1024-wide start
+      // turns EVERY loop-round shuffle into a ~1024-task storm —
+      // measured: the sf100eq min-label leg dies of driver heartbeat
+      // starvation with it on, passes with it off), and the advisory
+      // size is halved to 32 MB so mid-size shuffles still spread
+      // across the cores. Small queries coalesce to a few partitions
+      // (plans at test SFs unchanged); decade-scale shuffles
+      // right-size to hundreds of bounded tasks.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "1024"))
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "32"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", (64L * 1024 * 1024).toString))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
