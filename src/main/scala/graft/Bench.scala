@@ -51,6 +51,18 @@ object Bench {
       case _ => -1L
     }
 
+  /** Cumulative stop-the-world GC milliseconds across all collectors —
+    * snapshot-diffed around each timed window so a query whose "time"
+    * is actually heap pressure (e.g. the whole warm-memo surface
+    * resident during the timed runs) indicts itself in the JSON
+    * (r16 verdict task 3: per-window GC attribution). */
+  private def gcMs: Long = {
+    var t = 0L
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .forEach(b => if (b.getCollectionTime > 0) t += b.getCollectionTime)
+    t
+  }
+
   /** Locale-independent numeric rendering — the f"" interpolator uses
     * the JVM default locale, which on a comma-decimal locale would
     * emit "1,234" and break the JSON line the driver parses. */
@@ -99,13 +111,27 @@ object Bench {
     // whose entire point is that each query pays its own build inside
     // a bounded cached surface (prewarming would accumulate every
     // memo at once — the exact overflow evict exists to avoid).
+    // SPARK_GRAFT_BENCH_WARM=0 skips it explicitly (the r15-style
+    // incremental-build attribution) so warm-vs-no-warm A/Bs run the
+    // same binary; the JSON records which mode produced the numbers.
+    val warm = !evict && !sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("0")
     val warm0 = System.nanoTime()
-    if (!evict) selected.foreach { case (_, fn) =>
+    val warmGc0 = gcMs
+    if (warm) selected.foreach { case (name, fn) =>
       if (!spark.sparkContext.isStopped)
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () } // the timed loop records it
+        catch {
+          // the timed loop records the failure against the query; a
+          // FATAL error (warmup OOM) must stay attributable in the log
+          // rather than vanish into an empty catch — the post-warmup
+          // isStopped check turns it into the recorded abort
+          case scala.util.control.NonFatal(_) => ()
+          case e: Throwable =>
+            System.err.println(s"[bench] warmup $name: FATAL ${e.getClass.getName}: ${e.getMessage}")
+        }
     }
     val warmupSec = (System.nanoTime() - warm0) / 1e9
+    val warmupGcMs = gcMs - warmGc0
     // once a query kills the SparkContext (the OOM cascade in SCALE.md's
     // memory finding stopped it from an executor thread), every later
     // query fails with the meaningless "stopped SparkContext" — flag the
@@ -134,11 +160,14 @@ object Bench {
       val timed =
         if (aborted) { errors += name; None }
         else try {
+          val g0 = gcMs
           val r1 = once()
           drain(spark.sparkContext); val s1 = io.snapshot; io.resetPeak()
+          val g1 = gcMs
           val r2 = once()
           drain(spark.sparkContext); val s2 = io.snapshot
-          Some((r1, r2, s1, s2))
+          val g2 = gcMs
+          Some((r1, r2, s1, s2, g1 - g0, g2 - g1))
         }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name: $e"); errors += name
@@ -153,11 +182,11 @@ object Bench {
       if (evict && !spark.sparkContext.isStopped)
         graft.operators.Memo.invalidate(spark, None)
       timed match {
-        case Some((r1, r2, s1, s2)) =>
+        case Some((r1, r2, s1, s2, gc1, gc2)) =>
           runsJson += s"\"$name\":[${num(r1)},${num(r2)}]"
           ioJson += s"\"$name\":{\"shuffle_write\":${s2._1 - s1._1}," +
             s"\"shuffle_read\":${s2._2 - s1._2},\"spilled\":${s2._3 - s1._3}," +
-            s"\"peak_task_mem\":${s2._4}}"
+            s"\"peak_task_mem\":${s2._4},\"gc_ms\":[$gc1,$gc2]}"
           // a failed query records -1, not its meaningless elapsed time —
           // broken must be distinguishable from fast in the JSON alone
           name -> math.min(r1, r2)
@@ -178,7 +207,7 @@ object Bench {
     // ok:false marks a run whose total excludes failed queries — a smaller
     // value than a clean run's must never be read as a speedup
     val ok = errors.isEmpty
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"runs":${runsJson.mkString("{", ",", "}")},"io":${ioJson.mkString("{", ",", "}")},"errors":$errs,"warmup_sec":${num(warmupSec)},"cpu_vs_wall":${num(wallVsCpu)},"load_avg_start":${num(loadStart)},"load_avg_end":${num(osBean.getSystemLoadAverage)},"evict":$evict,"memo_level":"${spark.conf.get(graft.operators.Memo.LevelConf, "MEMORY_AND_DISK")}","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"queries":$qs,"runs":${runsJson.mkString("{", ",", "}")},"io":${ioJson.mkString("{", ",", "}")},"errors":$errs,"warm":$warm,"warmup_sec":${num(warmupSec)},"warmup_gc_ms":$warmupGcMs,"gc_total_ms":${gcMs},"cpu_vs_wall":${num(wallVsCpu)},"load_avg_start":${num(loadStart)},"load_avg_end":${num(osBean.getSystemLoadAverage)},"evict":$evict,"memo_level":"${spark.conf.get(graft.operators.Memo.LevelConf, "MEMORY_AND_DISK")}","sf":"$sfDir"}"""
     println(json)
     // the driver's BENCH capture truncates long stdout lines, losing
     // "total" and half the per-query map; the full JSON on disk keeps

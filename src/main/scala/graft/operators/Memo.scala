@@ -211,6 +211,10 @@ private[graft] object Memo {
     values.keys.toSeq
       .filter { case (s, _, _) => s.sparkContext.isStopped }
       .foreach(values.remove)
+    // the heap-guard warn set also pins sessions strongly — purge
+    // stopped ones here too, or a long-lived multi-session JVM (the
+    // test suite) retains every dead SparkSession it ever warned on
+    warnedSessions.removeIf(_.sparkContext.isStopped)
   }
 
   def apply(spark: SparkSession, dir: String, name: String)

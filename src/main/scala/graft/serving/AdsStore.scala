@@ -51,12 +51,29 @@ object AdsStore {
     * publisher crashed just skips that number (claims below the keep
     * horizon are pruned with their versions).
     *
-    * Pruning deletes only canonical `v=<long>` dirs (and their claim
-    * markers) STRICTLY OLDER than the keep horizon — never anything at
-    * or above it — so a racing publisher's fresher commit can never be
-    * pruned by a slightly-stale keep-set (the old `!keepSet` filter
-    * could). Crashed partials are likewise removed once the horizon
-    * passes them, keeping disk bounded. */
+    * COMMIT is tmp+atomic-rename, the same protocol as
+    * `Memo.materialize` (r16 verdict task 2): the frame is written to
+    * a publisher-private `v=<n>.tmp.<pid>.<tid>` directory and then
+    * renamed to `v=<n>` in one filesystem operation, so a VISIBLE
+    * `v=` directory is fully written by construction (`_SUCCESS`
+    * included). The r16 hammer caught the direct-write protocol's
+    * hole: a racing publisher's in-progress `v=` directory sat
+    * visible between task commit and `_SUCCESS` creation, and a
+    * concurrent prune whose grace guard failed OPEN (an unreadable
+    * claim mtime read as infinitely stale) reaped it mid-write,
+    * failing the live publisher's job. Under tmp+rename that window
+    * does not exist — prune can only ever see committed versions,
+    * claim markers, and tmp dirs, and it treats each accordingly.
+    *
+    * Pruning deletes only names this class writes, STRICTLY OLDER
+    * than the keep horizon — never anything at or above it — so a
+    * racing publisher's fresher commit can never be pruned by a
+    * slightly-stale keep-set. Committed versions (and their claim
+    * markers) prune freely; an uncommitted claim is presumed a LIVE
+    * racer until [[ClaimGraceMs]], and the guard FAILS CLOSED — a
+    * claim whose mtime cannot be read counts as fresh, not stale.
+    * Crashed publishers' tmp dirs are reaped by directory mtime once
+    * older than the same grace, keeping disk bounded. */
   def publish(df: DataFrame, root: String, version: Long, keep: Int = 2): Long = {
     val spark = df.sparkSession
     val p = new Path(root)
@@ -73,29 +90,57 @@ object AdsStore {
         s"AdsStore.publish: could not claim a version under $root after " +
           s"$MaxClaimAttempts attempts from $start — an unreasonable number " +
           "of concurrent publishers is racing this root"))
-    df.write.mode("overwrite").parquet(s"$root/v=$v")
+    val tmp = new Path(p, s"v=$v.tmp.${ProcessHandle.current().pid()}." +
+      Thread.currentThread().getId)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    // Rename.NONE semantics (throws if the destination exists — the
+    // claim made a duplicate impossible, so a throw here is a real
+    // protocol violation worth failing loudly on, not a silent
+    // move-inside-destination the way FileSystem.rename resolves it)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new Path(p, s"v=$v"))
     // prune strictly below the keep horizon (committed versions only
-    // define the horizon; the just-written v is committed by now)
-    val keepMin = (versions(spark, root) :+ v).distinct.sorted.takeRight(keep).min
+    // define the horizon; the just-written v is committed by now).
+    // The committed set is SNAPSHOT once before any deletion so a
+    // version dir and its claim marker get one atomic decision — a
+    // per-entry _SUCCESS probe would race this same pass's deletion
+    // of the dir (listing order decided whether the claim survived)
+    val commNow = (versions(spark, root) :+ v).distinct.sorted
+    val keepMin = commNow.takeRight(keep).min
+    val committedSet = commNow.toSet
     val now = System.currentTimeMillis()
-    fs.listStatus(p).toSeq
-      // delete only CANONICAL v=<long> names (and their claim files)
-      // below the horizon — exactly the names this class writes;
-      // "v=007", "v=+5", "v=backup" were not written by it and are
-      // left alone
-      .filter(s => prunableVersion(s.getPath.getName).exists(_ < keepMin))
-      // a claimed-but-UNCOMMITTED version below the horizon may be a
-      // concurrent publisher still writing (a fast racer can push the
-      // horizon past a slow racer's claim) — deleting it mid-write
-      // fails that publisher's job (the hammer caught exactly this).
-      // Committed versions prune freely; uncommitted ones only after
-      // ClaimGraceMs, old enough that the claimant must have crashed.
-      .filter { s =>
-        val n = prunableVersion(s.getPath.getName).get
-        fs.exists(new Path(p, s"v=$n/_SUCCESS")) ||
-          now - claimedAtMs(fs, p, n).getOrElse(0L) > ClaimGraceMs
+    val entries = fs.listStatus(p).toSeq
+    // claim mtimes from the SAME listing (no per-entry re-stat): the
+    // grace decision for a version and the deletion of its claim file
+    // must not race each other within this pass
+    val claimAt: Map[Long, Long] = entries.flatMap { s =>
+      val nm = s.getPath.getName
+      if (nm.endsWith(".claim"))
+        canonicalVersion(nm.stripSuffix(".claim")).map(_ -> s.getModificationTime)
+      else None
+    }.toMap
+    entries.foreach { s =>
+      val name = s.getPath.getName
+      // canonical v=<long> dirs and their claim markers below the
+      // horizon — exactly the names this class commits; "v=007",
+      // "v=+5", "v=backup" were not written by it and are left alone
+      val prunable = prunableVersion(name).exists { n =>
+        n < keepMin && (
+          committedSet(n) ||
+            // fail CLOSED: a missing/unreadable claim mtime counts as
+            // FRESH (getOrElse(now)), never as infinitely stale — the
+            // r16 failure mode was getOrElse(0L) reaping a live racer
+            now - claimAt.getOrElse(n, now) > ClaimGraceMs)
       }
-      .foreach(s => fs.delete(s.getPath, true))
+      // a crashed publisher's tmp dir: reap once its mtime says the
+      // writer must be long dead (a publish is seconds, grace is
+      // minutes); a LIVE racer's tmp keeps a fresh mtime as the
+      // parquet committer moves task output into it
+      val orphanTmp = tmpVersion(name).exists(_ < keepMin) &&
+        now - s.getModificationTime > ClaimGraceMs
+      if (prunable || orphanTmp) fs.delete(s.getPath, true)
+    }
     v
   }
 
@@ -103,10 +148,6 @@ object AdsStore {
     * to be a LIVE concurrent publish (a publish is seconds; a claim
     * this stale is a crashed publisher's leftover, safe to reap). */
   val ClaimGraceMs: Long = 15L * 60 * 1000
-
-  private def claimedAtMs(fs: FileSystem, root: Path, n: Long): Option[Long] =
-    try Some(fs.getFileStatus(new Path(root, s"v=$n.claim")).getModificationTime)
-    catch { case _: java.io.IOException => None }
 
   /** Atomically create the exclusive claim marker for `cand`; true iff
     * this caller won the number. */
@@ -127,9 +168,16 @@ object AdsStore {
   }
 
   /** Some(n) iff `name` is a canonical version dir `v=<long>` or its
-    * claim marker `v=<long>.claim` — the only names publish prunes. */
+    * claim marker `v=<long>.claim`. */
   private def prunableVersion(name: String): Option[Long] =
     canonicalVersion(name.stripSuffix(".claim"))
+
+  /** Some(n) iff `name` is an in-progress commit dir
+    * `v=<long>.tmp.<pid>.<tid>` — publish's OWN tmp naming, the only
+    * non-canonical shape it will ever reap (and only by mtime). */
+  private def tmpVersion(name: String): Option[Long] =
+    "^v=(\\d+)\\.tmp\\.\\d+\\.\\d+$".r.findFirstMatchIn(name)
+      .flatMap(m => canonicalVersion("v=" + m.group(1)))
 
   /** Some(n) iff `name` is exactly the `v=<long>` form this class
     * writes (round-trip check rejects leading zeros/signs). */

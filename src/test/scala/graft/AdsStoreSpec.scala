@@ -132,11 +132,25 @@ class AdsStoreSpec extends AnyFunSuite {
     java.nio.file.Files.setLastModifiedTime(staleClaim,
       java.nio.file.attribute.FileTime.fromMillis(
         java.lang.System.currentTimeMillis() - AdsStore.ClaimGraceMs - 60000))
+    // tmp commit dirs (publish's own naming): a FRESH one below the
+    // horizon is a live racer mid-write and must survive; a STALE one
+    // is a crashed publisher's leftover and must be reaped by mtime
+    val freshTmp = dir.resolve("v=0.tmp.12345.1")
+    Files.createDirectories(freshTmp)
+    val staleTmp = dir.resolve("v=1.tmp.54321.2")
+    Files.createDirectories(staleTmp)
+    java.nio.file.Files.setLastModifiedTime(staleTmp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.lang.System.currentTimeMillis() - AdsStore.ClaimGraceMs - 60000))
     AdsStore.publish(tagged("next"), root, 99, keep = 2)
     assert(Files.exists(freshClaim) && Files.exists(dir.resolve("v=0")),
       "prune deleted a fresh in-flight claim below the horizon")
     assert(!Files.exists(staleClaim) && !Files.exists(dir.resolve("v=1")),
       "prune failed to reap a crashed publisher's stale claim + partial")
+    assert(Files.exists(freshTmp),
+      "prune deleted a live racer's fresh tmp commit dir")
+    assert(!Files.exists(staleTmp),
+      "prune failed to reap a crashed publisher's stale tmp dir")
   }
 
   test("serving hammer: parallel readers across a live publish sequence see no tears, no regressions, bounded memo") {

@@ -24,13 +24,16 @@ for i in $(seq 1 "$N"); do
   B=$!
   sleep 25   # both sessions up and parked on the barrier
   touch "$BARRIER"
-  wait $A; RA=$?
-  wait $B; RB=$?
+  # tolerant captures: under set -e a failing racer JVM or a no-match
+  # grep would abort the script BEFORE the diagnostics below — exactly
+  # when they're needed (r16 advice)
+  RA=0; wait $A || RA=$?
+  RB=0; wait $B || RB=$?
   KEY="$ROOT/graft.materialized/_race_dir"
   COMMITS=$(find "$ROOT/graft.materialized" -name _SUCCESS | wc -l)
   TMPS=$(find "$ROOT/graft.materialized" -name "*.tmp.*" | wc -l)
   NESTED=$(find "$ROOT/graft.materialized" -path "*race_probe/*race_probe*" | wc -l)
-  LA=$(grep RACE "$ROOT/a.log"); LB=$(grep RACE "$ROOT/b.log")
+  LA=$(grep RACE "$ROOT/a.log" || true); LB=$(grep RACE "$ROOT/b.log" || true)
   echo "iter $i: exit=$RA/$RB commits=$COMMITS tmps=$TMPS nested=$NESTED"
   echo "  A: $LA"
   echo "  B: $LB"
