@@ -31,20 +31,32 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Shuffles START wide and AQE coalesces down to the advisory
-      // byte target; a fixed 32-way shuffle is the measured fourth-
-      // decade killer (sf100eq pair-mining ground multi-GB sort/agg
-      // tasks into GC collapse → heartbeat death, r15 SCALE.md "the
-      // one failure"). Two knobs make the wide start safe:
-      // parallelismFirst must be OFF (its default coalesces toward
-      // 1 MB partitions "for parallelism", which at a 1024-wide start
-      // turns EVERY loop-round shuffle into a ~1024-task storm —
+      // AQE shuffle sizing has TWO measured regimes and these knobs
+      // pick between them (r17 decision, both sides measured):
+      //
+      // DEFAULT (32 / parallelismFirst=true / 64 MB advisory) is the
+      // small-data profile — Spark's own upstream defaults minus the
+      // partition count. The scale-safe wide config below costs
+      // 2.53x on the full sf0.1 bench (430.2 s vs 170.4 s, r17 A/B
+      // artifact gate/aqe_ab_r17_*.json): at test SFs a 1024-wide
+      // start taxes every one of the ~1500 shuffles with map-side
+      // overhead that AQE's coalescing cannot refund.
+      //
+      // DECADE/CLUSTER SCALE must OVERRIDE via these env knobs to
+      // 1024 / false / 32 MB (tools/run_leg_perq.sh defaults them for
+      // every decade leg): a fixed 32-way start is the measured
+      // fourth-decade killer (sf100eq pair-mining ground multi-GB
+      // sort/agg tasks into GC collapse -> heartbeat death, r15
+      // SCALE.md "the one failure"), and the wide start is only safe
+      // with parallelismFirst OFF (its 1 MB "parallelism" target
+      // turns every loop-round shuffle into a ~1024-task storm —
       // measured: the sf100eq min-label leg dies of driver heartbeat
-      // starvation with it on, passes with it off), and the advisory
-      // size is halved to 32 MB so mid-size shuffles still spread
-      // across the cores. Small queries coalesce to a few partitions
-      // (plans at test SFs unchanged); decade-scale shuffles
-      // right-size to hundreds of bounded tasks.
+      // starvation with it on, passes with it off) and the advisory
+      // halved to 32 MB so mid-size shuffles still spread across the
+      // cores. On a real multi-executor cluster the equivalent is
+      // initialPartitionNum sized to ~2-3x total cores and
+      // size-first coalescing — set once per deployment profile, not
+      // per query.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "32"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",

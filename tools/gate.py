@@ -18,12 +18,20 @@ and FAIL LOUDLY:
     plus `oracle_per_query_max_sec`, `oracle_budget_sec`,
     `oracle_slowest` (top 5), and `tripwire`.
 
-Usage:
+Usage (legacy two-leg form, kept so recorded r13-r15 scripts still
+re-run from HEAD):
   python3 tools/gate.py <round> <out_sf0001> <out_sf001> <gate_json> \
       [--suite-tests N] [--note TEXT] [--sf0001-dir D] [--sf001-dir D]
 
-where <out_sfX> are graft.Verify output dirs (each holding one parquet
-dir per query + oracle_sql.json).
+General form (r17+; any legs, e.g. the full-sf0.1 standing gate):
+  python3 tools/gate.py <round> <gate_json> \
+      --leg sf0.01=/root/testdata/sf0.01=/tmp/out1 \
+      --leg sf0.1=/root/testdata/sf0.1=/tmp/out2 \
+      --oracle-leg sf0.1 [--suite-tests N] [--note TEXT]
+
+where out dirs are graft.Verify outputs (one parquet dir per query +
+oracle_sql.json); --oracle-leg picks which leg's oracles are timed
+against the budget (default: the last leg).
 """
 import sys, json, time, os, argparse
 
@@ -62,27 +70,48 @@ def time_oracles(sf_dir, oracle_json):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("round", type=int)
-    ap.add_argument("out_sf0001")
-    ap.add_argument("out_sf001")
-    ap.add_argument("gate_json")
+    ap.add_argument("positional", nargs="*")
+    ap.add_argument("--leg", action="append", default=[],
+                    help="label=sf_dir=verify_out_dir (repeatable)")
+    ap.add_argument("--oracle-leg", default=None,
+                    help="label of the leg whose oracles are timed "
+                         "(default: last --leg)")
     ap.add_argument("--suite-tests", type=int, default=None)
     ap.add_argument("--note", default="")
     ap.add_argument("--sf0001-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--sf001-dir", default="/root/testdata/sf0.01")
     args = ap.parse_args()
 
+    if args.leg:
+        if len(args.positional) != 1:
+            ap.error("--leg form takes exactly: <round> <gate_json> --leg ...")
+        gate_json = args.positional[0]
+        leg_specs = []
+        for spec in args.leg:
+            label, sf_dir, out_dir = spec.split("=")
+            leg_specs.append((label, sf_dir, out_dir))
+        oracle_label = args.oracle_leg or leg_specs[-1][0]
+        oracle_sf, oracle_out = next((s, o) for l, s, o in leg_specs
+                                     if l == oracle_label)
+    else:
+        if len(args.positional) != 3:
+            ap.error("legacy form takes: <round> <out_sf0001> <out_sf001> <gate_json>")
+        out_sf0001, out_sf001, gate_json = args.positional
+        leg_specs = [("sf0.001", args.sf0001_dir, out_sf0001),
+                     ("sf0.01", args.sf001_dir, out_sf001)]
+        oracle_label, oracle_sf, oracle_out = "sf0.01", args.sf001_dir, out_sf001
+
     legs = {}
-    for label, sf_dir, out_dir in (("sf0.001", args.sf0001_dir, args.out_sf0001),
-                                   ("sf0.01", args.sf001_dir, args.out_sf001)):
+    for label, sf_dir, out_dir in leg_specs:
         print(f"== compare @ {label} ==")
         n_pass, n_fail, results = compare.run(sf_dir, out_dir)
         legs[label] = {"pass": n_pass, "fail": n_fail,
                        "failed_queries": sorted(k for k, v in results.items()
                                                 if v != "ok")}
 
-    print("== oracle wall @ sf0.01 ==")
+    print(f"== oracle wall @ {oracle_label} ==")
     timings, errors, total = time_oracles(
-        args.sf001_dir, f"{args.out_sf001}/oracle_sql.json")
+        oracle_sf, f"{oracle_out}/oracle_sql.json")
     valid = {k: v for k, v in timings.items() if v is not None}
     worst = max(valid.values()) if valid else None
     slowest = sorted(valid.items(), key=lambda kv: -kv[1])[:5]
@@ -95,6 +124,7 @@ def main():
         "queries": len(timings),
         **({"suite_tests": args.suite_tests} if args.suite_tests else {}),
         **legs,
+        "oracle_leg": oracle_label,
         "oracle_wall_sf01_sec": total,
         "oracle_per_query_max_sec": worst,
         "oracle_budget_sec": ORACLE_BUDGET_SEC,
@@ -104,7 +134,7 @@ def main():
         "tripwire": "PASS" if ok else "FAIL",
         **({"note": args.note} if args.note else {}),
     }
-    with open(args.gate_json, "w") as f:
+    with open(gate_json, "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({k: artifact[k] for k in
                       ("round", "queries", "oracle_wall_sf01_sec",

@@ -20,6 +20,15 @@ set -e
 cd /root/repo
 SFDIR="$1"; OUT="$2"; QUERIES="$3"; MEM="$4"; LEVEL="${5:-DISK_ONLY}"
 MEMODIR="${6:-}"
+# Decade legs are scale-sized by definition, so this runner defaults
+# the AQE shuffle knobs to the measured-safe WIDE config (r16 verdict
+# task 1: legs must be reproducible from HEAD without remembering env;
+# GraftSession ships the small-SF profile because the wide config
+# costs 2.53x on the full sf0.1 bench — see its scaladoc). A caller
+# that exports the knobs explicitly still wins.
+export SPARK_GRAFT_INITIAL_PARTITIONS="${SPARK_GRAFT_INITIAL_PARTITIONS:-1024}"
+export SPARK_GRAFT_PARALLELISM_FIRST="${SPARK_GRAFT_PARALLELISM_FIRST:-false}"
+export SPARK_GRAFT_ADVISORY_PARTITION_BYTES="${SPARK_GRAFT_ADVISORY_PARTITION_BYTES:-33554432}"
 CP="${GRAFT_CP:-target/scala-2.13/classes:target/scala-2.13/test-classes}:/opt/spark/jars/*"
 JOPTS=$(grep -oE '"java.base/[a-z.]+"' build.sbt | tr -d '"' |
         sed 's/^/--add-opens /; s/$/=ALL-UNNAMED/' | tr '\n' ' ')
