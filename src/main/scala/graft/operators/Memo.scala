@@ -105,6 +105,13 @@ private[graft] object Memo {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
+  /** The level [[apply]] will actually use for `spark` after the heap
+    * guard — surfaced so measurement artifacts (Bench JSON) can record
+    * the RESOLVED level, not just the configured one, when `auto`
+    * rewrites the implicit default. */
+  private[graft] def resolvedLevel(spark: SparkSession): String =
+    effectiveLevel(spark)
+
   private def effectiveLevel(spark: SparkSession): String = {
     val explicitLevel =
       Option(spark.conf.get(LevelConf, null)).filter(_.nonEmpty)
