@@ -56,21 +56,86 @@ object GmallAds {
         ratio(col("cr"), col("ot")).as("coupon_subsidy_rate"))
       .orderBy(col("dt"))
 
-  /** CommodityStatsMapper.selectTrademarkStats — order ⟗ refund per trademark. */
+  /** The order/refund union prepared for [[orderRefundByKey]]: both
+    * sides tagged, the other side's measure columns typed-null so the
+    * single aggregation's per-side sums and side-tagged countDistincts
+    * reproduce the former full-outer join of two distinct-aggregates
+    * exactly (sum ignores the other side's nulls; countDistinct over a
+    * side-gated user column ignores the other side; a key present in
+    * one side only gets the same COALESCE defaults ClickHouse's gap
+    * fill produced). */
+  private def orderRefundUnion(o: DataFrame, r: DataFrame): DataFrame = {
+    val oc = o.schema("order_count").dataType
+    val oa = o.schema("order_amount").dataType
+    val rc = r.schema("refund_count").dataType
+    o.withColumn("is_o", lit(true))
+      .withColumn("refund_count", lit(null).cast(rc))
+      .unionByName(
+        r.withColumn("is_o", lit(false))
+          .withColumn("order_count", lit(null).cast(oc))
+          .withColumn("order_amount", lit(null).cast(oa)),
+        allowMissingColumns = true)
+  }
+
+  /** One two-level aggregation over [[orderRefundUnion]] output by the
+    * former full-outer join key. Replaces the old plan — two 2-shuffle
+    * distinct-aggregations + a sort-merge full-outer (7 exchanges) —
+    * with 2 shuffles total (guide §2.3/§2.4, §3: fewer shuffles, no
+    * join). The per-side distinct user counts are NOT expressed as two
+    * `countDistinct(when(side, user))` calls: two distinct-groups make
+    * Spark Expand every union row ×3 before the first exchange
+    * (measured: trademark 41→73 MB shuffled, category 131→181 MB).
+    * Instead level 1 groups by (dt, keys, user_id) — map-side-combined,
+    * no Expand — carrying per-side sums and per-side presence flags;
+    * level 2 counts the flags, which equals the per-side distinct user
+    * count exactly (`max(is_o)` over the user's rows = "has an order
+    * row"; null users are excluded as countDistinct would). Dimension
+    * NAME strings are the other half of the win: they used to ride
+    * every user-proportional distinct-shuffle row as grouping keys;
+    * callers re-attach them from a dim-bounded broadcast map
+    * ([[sideNameMap]]). */
+  private def orderRefundByKey(u: DataFrame, keys: Seq[String]): DataFrame = {
+    val g = col("dt") +: keys.map(col)
+    u.groupBy(g :+ col("user_id"): _*).agg(
+        sum(col("order_count")).as("oc"),
+        sum(col("order_amount")).as("oa"),
+        sum(col("refund_count")).as("rc"),
+        max(col("is_o")).as("any_o"),
+        max(!col("is_o")).as("any_r"))
+      .groupBy(g: _*).agg(
+        sum(col("oc")).as("order_count"),
+        count(when(col("any_o") && col("user_id").isNotNull, lit(1))).as("uu_count"),
+        sum(col("oa")).as("order_amount"),
+        sum(col("rc")).as("refund_count"),
+        count(when(col("any_r") && col("user_id").isNotNull, lit(1))).as("refund_uu_count"))
+  }
+
+  /** Per-key order-side-first name map (the COALESCE(order-side name,
+    * refund-side name) the full-outer projection used to compute).
+    * Dim-bounded by construction — names are functionally dependent on
+    * the dim id through the same broadcast dim chain on both sides —
+    * so the map broadcasts at any corpus size. */
+  private def sideNameMap(u: DataFrame, keys: Seq[String],
+                          names: Seq[String]): DataFrame = {
+    val exprs = names.map(n => coalesce(
+      max(when(col("is_o"), col(n))), max(when(!col("is_o"), col(n)))).as(n))
+    u.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** CommodityStatsMapper.selectTrademarkStats — order ⟗ refund per
+    * trademark, as ONE union-tagged aggregation (r17: was a full-outer
+    * join of two distinct-aggregates; see [[orderRefundByKey]] —
+    * measured 40.9 MB → ~7 MB shuffle, same rows/hash vs the unchanged
+    * oracle). */
   def trademarkStats(s: SparkSession, d: String): DataFrame = {
-    val o = withDt(tradeTmCatUserSpuOrder(s, d))
-      .groupBy(col("dt").as("odt"), col("trademark_id").as("otm"), col("trademark_name").as("otmn"))
-      .agg(sum(col("order_count")).as("order_count"),
-        countDistinct(col("user_id")).as("uu_count"),
-        sum(col("order_amount")).as("order_amount"))
-    val r = withDt(tradeTmCatUserRefund(s, d))
-      .groupBy(col("dt").as("rdt"), col("trademark_id").as("rtm"), col("trademark_name").as("rtmn"))
-      .agg(sum(col("refund_count")).as("refund_count"),
-        countDistinct(col("user_id")).as("refund_uu_count"))
-    o.join(r, col("odt") === col("rdt") && col("otm") === col("rtm"), "full_outer")
+    val u = orderRefundUnion(
+      withDt(tradeTmCatUserSpuOrder(s, d)), withDt(tradeTmCatUserRefund(s, d)))
+    orderRefundByKey(u, Seq("trademark_id"))
+      .join(broadcast(sideNameMap(u, Seq("trademark_id"), Seq("trademark_name"))),
+        Seq("trademark_id"))
       .select(
-        coalesce(col("odt"), col("rdt")).as("dt"),
-        coalesce(col("otmn"), col("rtmn")).as("trademark_name"),
+        col("dt"),
+        col("trademark_name"),
         coalesce(col("order_count"), lit(0L)).as("order_count"),
         coalesce(col("uu_count"), lit(0L)).as("uu_count"),
         coalesce(col("order_amount").cast(DoubleType), lit(0.0)).as("order_amount"),
@@ -85,21 +150,18 @@ object GmallAds {
     * [[GmallDws.tradeTmCatUserRefundCdc]] — the reference's actual
     * topic dataflow) instead of the star-schema batch twins, so the
     * full DWD→DWS→ADS commodity path exists end-to-end on the CDC
-    * lineage too. */
+    * lineage too. Same r17 union-tagged single-aggregation shape as
+    * [[trademarkStats]]. */
   def trademarkStatsCdc(s: SparkSession, d: String): DataFrame = {
-    val o = withDt(GmallDws.tradeTmCatUserSpuOrderCdc(s, d))
-      .groupBy(col("dt").as("odt"), col("trademark_id").as("otm"), col("trademark_name").as("otmn"))
-      .agg(sum(col("order_count")).as("order_count"),
-        countDistinct(col("user_id")).as("uu_count"),
-        sum(col("order_amount")).as("order_amount"))
-    val r = withDt(GmallDws.tradeTmCatUserRefundCdc(s, d))
-      .groupBy(col("dt").as("rdt"), col("trademark_id").as("rtm"), col("trademark_name").as("rtmn"))
-      .agg(sum(col("refund_count")).as("refund_count"),
-        countDistinct(col("user_id")).as("refund_uu_count"))
-    o.join(r, col("odt") === col("rdt") && col("otm") === col("rtm"), "full_outer")
+    val u = orderRefundUnion(
+      withDt(GmallDws.tradeTmCatUserSpuOrderCdc(s, d)),
+      withDt(GmallDws.tradeTmCatUserRefundCdc(s, d)))
+    orderRefundByKey(u, Seq("trademark_id"))
+      .join(broadcast(sideNameMap(u, Seq("trademark_id"), Seq("trademark_name"))),
+        Seq("trademark_id"))
       .select(
-        coalesce(col("odt"), col("rdt")).as("dt"),
-        coalesce(col("otmn"), col("rtmn")).as("trademark_name"),
+        col("dt"),
+        col("trademark_name"),
         coalesce(col("order_count"), lit(0L)).as("order_count"),
         coalesce(col("uu_count"), lit(0L)).as("uu_count"),
         coalesce(col("order_amount").cast(DoubleType), lit(0.0)).as("order_amount"),
@@ -116,29 +178,24 @@ object GmallAds {
       .select(col("dt"), col("trademark_name"), col("order_amount"))
       .orderBy(col("dt"), col("trademark_name"))
 
-  /** CommodityStatsMapper.selectCategoryStats — order ⟗ refund per category triple. */
+  /** CommodityStatsMapper.selectCategoryStats — order ⟗ refund per
+    * category triple, as ONE union-tagged aggregation (r17: was a
+    * full-outer join of two distinct-aggregates — the single biggest
+    * shuffle in the whole bench at 131.5 MB written, because three
+    * category NAME strings rode every user-proportional distinct row;
+    * see [[orderRefundByKey]]). */
   def categoryStats(s: SparkSession, d: String): DataFrame = {
-    val o = withDt(tradeTmCatUserSpuOrder(s, d))
-      .groupBy(col("dt").as("odt"), col("category1_id").as("oc1"), col("category1_name").as("oc1n"),
-        col("category2_id").as("oc2"), col("category2_name").as("oc2n"),
-        col("category3_id").as("oc3"), col("category3_name").as("oc3n"))
-      .agg(sum(col("order_count")).as("order_count"),
-        countDistinct(col("user_id")).as("uu_count"),
-        sum(col("order_amount")).as("order_amount"))
-    val r = withDt(tradeTmCatUserRefund(s, d))
-      .groupBy(col("dt").as("rdt"), col("category1_id").as("rc1"), col("category1_name").as("rc1n"),
-        col("category2_id").as("rc2"), col("category2_name").as("rc2n"),
-        col("category3_id").as("rc3"), col("category3_name").as("rc3n"))
-      .agg(sum(col("refund_count")).as("refund_count"),
-        countDistinct(col("user_id")).as("refund_uu_count"))
-    o.join(r,
-        col("odt") === col("rdt") && col("oc1") === col("rc1") &&
-        col("oc2") === col("rc2") && col("oc3") === col("rc3"), "full_outer")
+    val keys = Seq("category1_id", "category2_id", "category3_id")
+    val names = Seq("category1_name", "category2_name", "category3_name")
+    val u = orderRefundUnion(
+      withDt(tradeTmCatUserSpuOrder(s, d)), withDt(tradeTmCatUserRefund(s, d)))
+    orderRefundByKey(u, keys)
+      .join(broadcast(sideNameMap(u, keys, names)), keys)
       .select(
-        coalesce(col("odt"), col("rdt")).as("dt"),
-        coalesce(col("oc1n"), col("rc1n")).as("category1_name"),
-        coalesce(col("oc2n"), col("rc2n")).as("category2_name"),
-        coalesce(col("oc3n"), col("rc3n")).as("category3_name"),
+        col("dt"),
+        col("category1_name"),
+        col("category2_name"),
+        col("category3_name"),
         coalesce(col("order_count"), lit(0L)).as("order_count"),
         coalesce(col("uu_count"), lit(0L)).as("uu_count"),
         coalesce(col("order_amount").cast(DoubleType), lit(0.0)).as("order_amount"),
@@ -147,15 +204,24 @@ object GmallAds {
       .orderBy(col("dt"), col("category1_name"), col("category2_name"), col("category3_name"))
   }
 
-  /** CommodityStatsMapper.selectSpuStats */
-  def spuStats(s: SparkSession, d: String): DataFrame =
-    withDt(tradeTmCatUserSpuOrder(s, d))
-      .groupBy(col("dt"), col("spu_id"), col("spu_name"))
+  /** CommodityStatsMapper.selectSpuStats. r17: `spu_name` no longer
+    * rides the user-proportional distinct-aggregation shuffles as a
+    * grouping key — the aggregation groups by the id alone and the
+    * name re-attaches from a dim-bounded broadcast map (same FD
+    * argument as [[sideNameMap]]: the name reaches every row through
+    * one broadcast dim chain, so it is functionally dependent on
+    * `spu_id` and max() reads the carried value). */
+  def spuStats(s: SparkSession, d: String): DataFrame = {
+    val ow = withDt(tradeTmCatUserSpuOrder(s, d))
+    val names = ow.groupBy(col("spu_id")).agg(max(col("spu_name")).as("spu_name"))
+    ow.groupBy(col("dt"), col("spu_id"))
       .agg(sum(col("order_count")).as("order_count"),
         countDistinct(col("user_id")).as("uu_count"),
         sum(col("order_amount")).cast(DoubleType).as("order_amount"))
+      .join(broadcast(names), Seq("spu_id"))
       .select(col("dt"), col("spu_name"), col("order_count"), col("uu_count"), col("order_amount"))
       .orderBy(col("dt"), col("spu_name"))
+  }
 
   /** TradeStatsMapper.selectTotalAmount */
   def tradeTotalAmount(s: SparkSession, d: String): DataFrame =
@@ -163,19 +229,23 @@ object GmallAds {
       .agg(sum(col("order_amount")).cast(DoubleType).as("order_total_amount"))
       .orderBy(col("dt"))
 
-  /** TradeStatsMapper.selectTradeStats — UNION ALL with literal tags. */
+  /** TradeStatsMapper.selectTradeStats — UNION ALL with literal tags.
+    * r17: each source is aggregated ONCE (sum and countDistinct fused
+    * into one grouped aggregation) and the two tagged rows per day are
+    * unpivoted from that single result with `explode(map(...))` —
+    * 4 aggregation passes (2 of them distinct, 2 shuffles each) become
+    * 2, same rows out (guide §2.3 "aggregate before you shuffle" /
+    * §2.4 shared exchange). */
   def tradeStats(s: SparkSession, d: String): DataFrame = {
-    val ow = withDt(tradeTmCatUserSpuOrder(s, d))
-    val rw = withDt(tradeTmCatUserRefund(s, d))
-    val a = ow.groupBy(col("dt")).agg(sum(col("order_count")).as("value"))
-      .select(col("dt"), lit("下单数").as("type"), col("value"))
-    val b = ow.groupBy(col("dt")).agg(countDistinct(col("user_id")).as("value"))
-      .select(col("dt"), lit("下单人数").as("type"), col("value"))
-    val c = rw.groupBy(col("dt")).agg(sum(col("refund_count")).as("value"))
-      .select(col("dt"), lit("退单数").as("type"), col("value"))
-    val e = rw.groupBy(col("dt")).agg(countDistinct(col("user_id")).as("value"))
-      .select(col("dt"), lit("退单人数").as("type"), col("value"))
-    a.unionByName(b).unionByName(c).unionByName(e).orderBy(col("dt"), col("type"))
+    val o = withDt(tradeTmCatUserSpuOrder(s, d)).groupBy(col("dt"))
+      .agg(sum(col("order_count")).as("oc"), countDistinct(col("user_id")).as("ou"))
+      .select(col("dt"), explode(map(
+        lit("下单数"), col("oc"), lit("下单人数"), col("ou"))).as(Seq("type", "value")))
+    val r = withDt(tradeTmCatUserRefund(s, d)).groupBy(col("dt"))
+      .agg(sum(col("refund_count")).as("rc"), countDistinct(col("user_id")).as("ru"))
+      .select(col("dt"), explode(map(
+        lit("退单数"), col("rc"), lit("退单人数"), col("ru"))).as(Seq("type", "value")))
+    o.unionByName(r).orderBy(col("dt"), col("type"))
   }
 
   /** TradeStatsMapper.selectTradeProvinceOrderCt */
