@@ -66,8 +66,24 @@ object Dedup {
     // codegen'd hash pass — no shingle-string materialization); the
     // frame is Memo-persisted per (session, dir), so repeated calls
     // (different thresholds, the minhash ground-truth spec) share one
-    // copy instead of pinning a new cache each
-    ngramJaccardOn(shingled(spark, dir), threshold, dfCap)
+    // copy instead of pinning a new cache each. At the default df cap
+    // the mined (pair, inter, na, nb) frame itself is the shared memo
+    // ([[minedPairSizesShared]]) — only the score/threshold differs
+    // between the Jaccard and containment consumers.
+    if (dfCap == HotShingleDfCap)
+      scoreJaccard(minedPairSizesShared(spark, dir), threshold)
+    else ngramJaccardOn(shingled(spark, dir), threshold, dfCap)
+
+  /** The default-cap mined pair set, memoized per (session, dir): the
+    * inverted-index self-join is by far the most expensive step of the
+    * fuzzy-dedup tier and its OUTPUT — not just its input shingles —
+    * is consumed by two scorers ([[ngramJaccard]] → the verified-pair
+    * memo → components/cross-source/leakage, and [[containmentPairs]])
+    * that previously re-mined the full pair set each (r17; guide §2.4
+    * remove shuffles outright). */
+  private def minedPairSizesShared(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "dedup.mined_pairs")(
+      minedPairSizes(shingled(spark, dir), HotShingleDfCap))
 
   /** [[ngramJaccard]] over an arbitrary (doc_id, sh) shingle frame —
     * the capped-branch fixture tests feed synthetic hot shingles
@@ -103,14 +119,16 @@ object Dedup {
   }
 
   private[graft] def ngramJaccardOn(sh: DataFrame, threshold: Double,
-                                    dfCap: Int): DataFrame = {
-    minedPairSizes(sh, dfCap)
+                                    dfCap: Int): DataFrame =
+    scoreJaccard(minedPairSizes(sh, dfCap), threshold)
+
+  private def scoreJaccard(mined: DataFrame, threshold: Double): DataFrame =
+    mined
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** Default-parameter [[ngramJaccard]] output, memoized per
     * (session, dir): the verified near-dup pair set is the shared
@@ -298,11 +316,14 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       // same every-2nd-round cadence as dedupComponents; multiset
-      // equality via |ss| = |edges| ∧ ss ⊆ edges — counts on the
-      // checkpointed frames are near-free, so one exceptAll cogroup
-      // replaces the previous two (still EXACT, never probabilistic)
+      // equality in ONE job (r17 — was a count() + an exceptAll,
+      // i.e. two driver actions per check): both frames are distinct
+      // by construction, so they are equal as sets iff every (a, b)
+      // of their union appears exactly twice — one grouped count over
+      // the two checkpointed frames, still EXACT, never probabilistic
       if (i % 2 == 1 || i == maxIter - 1)
-        converged = ss.count() == edges.count() && ss.exceptAll(edges).isEmpty
+        converged = ss.unionByName(edges).groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("ct")).filter(col("ct") =!= 2).isEmpty
       edges = ss
       i += 1
     }
@@ -416,9 +437,16 @@ object Dedup {
     * jaccard queries (and both consumers inside the latter) share one
     * materialization instead of re-scanning the corpus. */
   private def sourceShingles(spark: SparkSession, dir: String): DataFrame =
+    // DISTINCT at build time (r17): minhash minima are idempotent
+    // under duplicates, so the signature consumer is unchanged, while
+    // the exact-intersection consumers previously re-ran their own
+    // `.distinct()` over the raw stream inside every timed action —
+    // the dedup moves into the one shared materialization (guide
+    // §2.4), and the memo itself shrinks to the per-source SET size
     Memo(spark, dir, "dedup_source_shingles")(
       Tables.spread(spark, Tables.documents(spark, dir))
-        .select(col("source"), explode(GraftExpressions.shingleHashes(toks(col("text")), 3)).as("x")))
+        .select(col("source"), explode(GraftExpressions.shingleHashes(toks(col("text")), 3)).as("x"))
+        .distinct())
 
   private def sourceSignaturesFrom(inv: DataFrame): DataFrame =
     inv.groupBy(col("source"))
@@ -445,7 +473,9 @@ object Dedup {
         col("a.h_idx") === col("b.h_idx") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_x"), col("b.source").as("source_y"))
       .agg(sum(when(col("a.h_min") === col("b.h_min"), 1L).otherwise(0L)).as("agree_ct"))
-    val dinv = inv.distinct()
+    // the memoized stream is distinct by construction (see
+    // [[sourceShingles]]) — no per-action re-dedup
+    val dinv = inv
     val sizes = dinv.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = dinv.as("a").join(dinv.as("b"),
         col("a.x") === col("b.x") && col("a.source") < col("b.source"))
@@ -807,11 +837,18 @@ object Dedup {
   def containmentPairs(spark: SparkSession, dir: String,
                        threshold: Double = 0.5,
                        dfCap: Int = HotShingleDfCap): DataFrame =
-    containmentOn(shingled(spark, dir), threshold, dfCap)
+    // default cap ⇒ score the SHARED mined pair frame (one index
+    // build serves both scorers as data, not just as code — r17)
+    if (dfCap == HotShingleDfCap)
+      scoreContainment(minedPairSizesShared(spark, dir), threshold)
+    else containmentOn(shingled(spark, dir), threshold, dfCap)
 
   private[graft] def containmentOn(sh: DataFrame, threshold: Double,
                                    dfCap: Int): DataFrame =
-    minedPairSizes(sh, dfCap)
+    scoreContainment(minedPairSizes(sh, dfCap), threshold)
+
+  private def scoreContainment(mined: DataFrame, threshold: Double): DataFrame =
+    mined
       .withColumn("containment",
         col("inter").cast(DoubleType) / least(col("na"), col("nb")).cast(DoubleType))
       .filter(col("containment") >= threshold)

@@ -99,9 +99,16 @@ object Graph {
     ranks
   }
 
+  /** The mined transition edge list, memoized per (session, dir) —
+    * the shared upstream of BOTH graph queries (r17: each previously
+    * re-ran the events window + two aggregations per action; the
+    * shared-frame memo is the same discipline as the DWS tier). */
+  private def memoEdges(spark: SparkSession, dir: String): DataFrame =
+    Memo(spark, dir, "graph.edges")(transitionEdges(spark, dir))
+
   /** PageRank of the event-type journey graph. */
   def pagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerankOn(transitionEdges(spark, dir)).orderBy(col("node"))
+    pagerankOn(memoEdges(spark, dir)).orderBy(col("node"))
 
   /** Two-step transition closure P² — p2(src,dst) = Σ_mid p·p, the
     * "where will this user be in two events" matrix. Matrix squaring
@@ -109,8 +116,8 @@ object Graph {
     * aggregation; row-stochasticity is preserved exactly (spec-pinned)
     * because the fold is deterministic. */
   def twoStep(spark: SparkSession, dir: String): DataFrame = {
-    // both join sides read the same mined frame — materialize once
-    val e = transitionEdges(spark, dir).localCheckpoint()
+    // both join sides read the same mined (memoized) frame
+    val e = memoEdges(spark, dir)
     e.select(col("src"), col("dst").as("mid"), col("p").as("p1"))
       .join(e.select(col("src").as("mid2"), col("dst"), col("p").as("pb")),
         col("mid") === col("mid2"))

@@ -250,24 +250,28 @@ object Similarity {
     * path) runs on candidates only — a 100 TB-safe path (no full cross
     * product, corpus stored once per table). */
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
-    val buckets = bucketsUnpivoted(
-      Tables.spread(spark, Tables.embeddings(spark, dir)), carryEmbedding = true)
-    // radius-2 probes (22 buckets per query-table — queries are few, so
-    // the fan-out is trivial): measured top-5 recall 0.825 vs 0.744 at
-    // radius 1 on the test corpus
-    val q = buckets.filter(col("vec_id") < nQueries)
-      .select(col("t"), explode(probeBuckets("bucket", radius = 2)).as("bucket"),
-        col("vec_id").as("query_id"), col("embedding").as("ea"))
-    val c = buckets.select(col("t"), col("bucket"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("eb"))
-    q.join(c, Seq("t", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))
-      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+    def build = {
+      val buckets = bucketsUnpivoted(
+        Tables.spread(spark, Tables.embeddings(spark, dir)), carryEmbedding = true)
+      // radius-2 probes (22 buckets per query-table — queries are few, so
+      // the fan-out is trivial): measured top-5 recall 0.825 vs 0.744 at
+      // radius 1 on the test corpus
+      val q = buckets.filter(col("vec_id") < nQueries)
+        .select(col("t"), explode(probeBuckets("bucket", radius = 2)).as("bucket"),
+          col("vec_id").as("query_id"), col("embedding").as("ea"))
+      val c = buckets.select(col("t"), col("bucket"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("eb"))
+      q.join(c, Seq("t", "bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))
+        .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("sim")).as("sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+    }
+    // shared default-panel memo: named query + recall audit + leaderboard
+    (if (nQueries == 32) Memo(spark, dir, s"sim.ann.lsh.$k")(build) else build)
       .orderBy(col("query_id"), col("rk"))
   }
 
@@ -382,17 +386,26 @@ object Similarity {
     * LlmOpsSpec); the only joins are confined to probed cells — the
     * FAISS-IVF shape, Spark-first. */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
-    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
-    val (ids, cents) = kmeansModel(spark, dir)
-    if (ids.isEmpty)
-      // empty embeddings table: degrade to the empty result the old
-      // window-based path produced, not a constructor require failure
-      return e.sparkSession.emptyDataFrame
-        .select(lit(0L).as("query_id"), lit(0).as("rk"),
-          lit(0L).as("neighbor_id"), lit(0.0).as("sim"))
-    annIvfOn(e, e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding")), ids, cents, k,
-      excludeSelf = true)
+    def build = {
+      val e = Tables.spread(spark, Tables.embeddings(spark, dir))
+      val (ids, cents) = kmeansModel(spark, dir)
+      if (ids.isEmpty)
+        // empty embeddings table: degrade to the empty result the old
+        // window-based path produced, not a constructor require failure
+        e.sparkSession.emptyDataFrame
+          .select(lit(0L).as("query_id"), lit(0).as("rk"),
+            lit(0L).as("neighbor_id"), lit(0.0).as("sim"))
+      else annIvfRanked(e, e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")), ids, cents, k,
+        excludeSelf = true)
+    }
+    // default-panel search results are memoized per (session, dir):
+    // the named sim_ann_ivf query, the recall audit and the
+    // leaderboard all read the SAME ranked frame (r17 — previously
+    // each consumer re-ran the probe+score+rank pipeline per action);
+    // consumers sort from the cache (the sort-sampling rule)
+    (if (nQueries == 32) Memo(spark, dir, s"sim.ann.ivf.$k")(build) else build)
+      .orderBy(col("query_id"), col("rk"))
   }
 
   /** IVF search core over an explicit model and an arbitrary
@@ -404,7 +417,14 @@ object Similarity {
     * aggregate since rank windows don't exist in streaming). */
   private[graft] def annIvfOn(e: DataFrame, queries: DataFrame,
                               ids: Array[Int], cents: Array[Array[Float]],
-                              k: Int = 5, excludeSelf: Boolean = false): DataFrame = {
+                              k: Int = 5, excludeSelf: Boolean = false): DataFrame =
+    annIvfRanked(e, queries, ids, cents, k, excludeSelf)
+      .orderBy(col("query_id"), col("rk"))
+
+  /** [[annIvfOn]] minus the presentation sort — the memoizable form. */
+  private def annIvfRanked(e: DataFrame, queries: DataFrame,
+                           ids: Array[Int], cents: Array[Array[Float]],
+                           k: Int, excludeSelf: Boolean): DataFrame = {
     val scored = annIvfScored(e, queries, ids, cents)
     // self-exclusion is OPT-IN: it only makes sense when query ids live
     // in the corpus id space (annIvf's queries ARE corpus vectors); for
@@ -415,7 +435,6 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
-      .orderBy(col("query_id"), col("rk"))
   }
 
   /** The stream-safe prefix of IVF search: probe-cell explosion + cell
@@ -633,18 +652,31 @@ object Similarity {
     * annTopK. Sims differ from the QUANTIZED oracle in the last ulps,
     * but the float path has its own bit-exact oracle: a DuckDB
     * list_reduce replaying the expression's exact IEEE fold order. */
-  def annTopKFloat(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
-    val e = Tables.spread(spark, Tables.embeddings(spark, dir))
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("ea"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"))
-    q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
-      .orderBy(col("query_id"), col("rk"))
+  def annTopKFloat(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame =
+    bfTruth(spark, dir, k, nQueries).orderBy(col("query_id"), col("rk"))
+
+  /** The brute-force truth panel at the default query-panel size,
+    * memoized per (session, dir, k) — read by the named
+    * `sim_ann_topk_float` query AND every recall audit AND the
+    * leaderboard (r17: the four recall queries each re-ran the exact
+    * panel×corpus pass per action; one shared materialization is the
+    * same shared-frame discipline as the dedup pair memo). Unsorted —
+    * callers sort from the cache (the sort-sampling rule). */
+  private def bfTruth(spark: SparkSession, dir: String,
+                      k: Int = 5, nQueries: Int = 32): DataFrame = {
+    def build = {
+      val e = Tables.spread(spark, Tables.embeddings(spark, dir))
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("ea"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"))
+      q.join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", GraftExpressions.cosineSim(col("ea"), col("eb")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"), col("sim"))
+    }
+    if (nQueries == 32) Memo(spark, dir, s"sim.bf.$k")(build) else build
   }
 
   /** ANN quality audit: recall@k of the IVF index against the exact
@@ -659,7 +691,7 @@ object Similarity {
   def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val approx = annIvf(spark, dir, k = k)
       .select(col("query_id"), col("neighbor_id"))
-    val truth = annTopKFloat(spark, dir, k = k)
+    val truth = bfTruth(spark, dir, k)
       .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
     val hits = approx
       .join(truth, col("query_id") === col("tq") && col("neighbor_id") === col("tn"))
@@ -678,7 +710,7 @@ object Similarity {
   def annRecallLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val approx = annLsh(spark, dir, k = k)
       .select(col("query_id"), col("neighbor_id"))
-    val truth = annTopKFloat(spark, dir, k = k)
+    val truth = bfTruth(spark, dir, k)
       .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
     val hits = approx
       .join(truth, col("query_id") === col("tq") && col("neighbor_id") === col("tn"))
@@ -854,11 +886,18 @@ object Similarity {
     * frame, the entire point of PQ), one broadcast-hash join + one
     * grouped fold per (query, vector), then the standard per-query
     * top-k window over k·|queries| survivors. */
-  def pqAnn(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame =
-    pqAnnOn(spark, dir,
+  def pqAnn(spark: SparkSession, dir: String, nQueries: Int = 32, k: Int = 5): DataFrame = {
+    def build = pqAnnOn(spark, dir,
       Tables.spread(spark, Tables.embeddings(spark, dir))
         .filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding")), k)
+    // shared default-panel memo: named query + recall audit + leaderboard
+    // (the memo holds the already-sorted rows; the extra orderBy on the
+    // cached frame is a cheap re-sort, not a recompute)
+    if (nQueries == 32) Memo(spark, dir, s"sim.ann.pq.$k")(build)
+      .orderBy(col("query_id"), col("rk"))
+    else build
+  }
 
   /** [[pqAnn]] against an arbitrary `(query_id, embedding)` frame —
     * the serving entry point: a STREAM of query vectors scores per
@@ -1042,7 +1081,14 @@ object Similarity {
   }
 
   def ivfpqAnn(spark: SparkSession, dir: String, nQueries: Int = 32,
-               k: Int = 5): DataFrame = {
+               k: Int = 5): DataFrame =
+    // shared default-panel memo: named query + recall audit + leaderboard
+    if (nQueries == 32) Memo(spark, dir, s"sim.ann.ivfpq.$k")(
+      ivfpqAnnBuild(spark, dir, nQueries, k)).orderBy(col("query_id"), col("rk"))
+    else ivfpqAnnBuild(spark, dir, nQueries, k)
+
+  private def ivfpqAnnBuild(spark: SparkSession, dir: String, nQueries: Int,
+                            k: Int): DataFrame = {
     import spark.implicits._
     val fold = "CAST(0.0 AS DOUBLE), (a, v) -> a + v"
     val (kids, kcents) = kmeansModel(spark, dir)
@@ -1153,7 +1199,7 @@ object Similarity {
     * comparison hashes. The truth side is memoized and computed once;
     * each family side reuses its own memoized index frames. */
   def annLeaderboard(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val truth = Memo(spark, dir, s"sim.bf.$k")(annTopKFloat(spark, dir, k = k))
+    val truth = bfTruth(spark, dir, k)
       .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
     def fam(name: String, df: DataFrame) =
       df.select(col("query_id"), col("neighbor_id"))
@@ -1179,7 +1225,7 @@ object Similarity {
   def ivfpqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val approx = ivfpqAnn(spark, dir, k = k)
       .select(col("query_id"), col("neighbor_id"))
-    val truth = annTopKFloat(spark, dir, k = k)
+    val truth = bfTruth(spark, dir, k)
       .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
     val hits = approx
       .join(truth, col("query_id") === col("tq") && col("neighbor_id") === col("tn"))
@@ -1199,7 +1245,7 @@ object Similarity {
   def pqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val approx = pqAnn(spark, dir, k = k)
       .select(col("query_id"), col("neighbor_id"))
-    val truth = annTopKFloat(spark, dir, k = k)
+    val truth = bfTruth(spark, dir, k)
       .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
     val hits = approx
       .join(truth, col("query_id") === col("tq") && col("neighbor_id") === col("tn"))

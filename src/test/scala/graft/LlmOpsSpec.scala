@@ -313,8 +313,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"assignment uses a window:\n$plan")
     // the whole IVF query keeps exactly ONE window — the final per-query
     // top-k rank over verified candidates (the old plan had three: two
-    // n×C assignment argmaxes + the rank)
-    val windows = Similarity.annIvf(spark, sf).queryExecution.optimizedPlan.collect {
+    // n×C assignment argmaxes + the rank). Pinned on the unmemoized
+    // build path (annIvfOn): the named query now returns the shared
+    // default-panel memo (r17), whose InMemoryRelation leaf hides the
+    // build plan from a logical-plan collect.
+    val e = graft.sources.Tables.spread(spark, graft.sources.Tables.embeddings(spark, sf))
+    val ivfBuild = Similarity.annIvfOn(
+      e, e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      ids, cents, 5, excludeSelf = true)
+    val windows = ivfBuild.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
     assert(windows.size == 1, s"expected 1 rank window, got ${windows.size}")
